@@ -1,0 +1,117 @@
+"""Time-series functions as Spark Column compositions.
+
+Each function here implements one entry of the reference registry
+(src/sydra/query/functions.zig:208-406) Spark-first: built-in JVM
+expressions wherever possible so plans stay inside whole-stage codegen;
+the single genuinely-recursive one (ema) uses an Arrow-batched
+grouped-map pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def time_bucket(duration_s: Column | int, ts: Column, origin: Column | int = 0) -> Column:
+    """Half-open ``[start, start+step)`` bucket floor — reference
+    expression.zig:147-156 (2-arg) + the 3-arg origin variant the registry
+    declares (functions.zig:314-324) but never implemented.
+
+    ``floor((ts - origin) / dur) * dur + origin``, epoch-second longs.
+    """
+    dur = F.lit(duration_s) if isinstance(duration_s, int) else duration_s
+    org = F.lit(origin) if isinstance(origin, int) else origin
+    return (F.floor((ts - org) / dur) * dur + org).cast("long")
+
+
+def first_agg(x: Column, ts: Column) -> Column:
+    """first(x) = value at earliest ts (functions.zig:239-245)."""
+    return F.min_by(x, ts)
+
+
+def last_agg(x: Column, ts: Column) -> Column:
+    """last(x) = value at latest ts (functions.zig:246-252)."""
+    return F.max_by(x, ts)
+
+
+def delta_agg(x: Column, ts: Column) -> Column:
+    """delta(x) = last - first within the group (functions.zig:359-365)."""
+    return F.max_by(x, ts) - F.min_by(x, ts)
+
+
+def rate_agg(x: Column, ts: Column) -> Column:
+    """rate(x) = per-second increase over the group (functions.zig:345-351):
+    (last - first) / (max(ts) - min(ts)); null for a single-point group."""
+    span = F.max(ts) - F.min(ts)
+    return F.when(span > 0, (F.max_by(x, ts) - F.min_by(x, ts)) / span)
+
+
+def irate_expr(x: Column, prev_x: Column, ts: Column, prev_ts: Column) -> Column:
+    """Instantaneous rate from two adjacent samples (functions.zig:352-358).
+    Aggregate as ``max_by(irate_expr(...), ts)`` to take the last pair in
+    the group. Requires precomputed lag columns (see translator)."""
+    gap = ts - prev_ts
+    return F.when(gap > 0, (x - prev_x) / gap)
+
+
+def trapezoid_expr(x: Column, prev_x: Column, ts: Column, prev_ts: Column) -> Column:
+    """One trapezoid of integral(x) (functions.zig:366-372):
+    (x + prev) / 2 * dt. Aggregate as ``sum(...)`` per group; the first
+    sample of each series contributes null → skipped by sum."""
+    return (x + prev_x) / F.lit(2.0) * (ts - prev_ts)
+
+
+def series_window(order_extra: list[Column] | None = None) -> WindowSpec:
+    """Per-series time order — the implicit frame of every reference window
+    hint ``requires_sorted_input`` (functions.zig:77-82). A deterministic
+    tiebreak on value keeps lag/lead stable under duplicate timestamps."""
+    order = [F.col("ts"), F.col("value")] + (order_extra or [])
+    return Window.partitionBy("series_id").orderBy(*order)
+
+
+def moving_avg(x: Column, ts_col: str, duration_s: int, partition: list[str]) -> Column:
+    """moving_avg(x, dur): time-range windowed mean (functions.zig:373-382).
+    RANGE frame over epoch seconds: [ts - dur, ts]."""
+    w = (
+        Window.partitionBy(*partition)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-duration_s, 0)
+    )
+    return F.avg(x).over(w)
+
+
+def fill_forward(x: Column, w: WindowSpec) -> Column:
+    """fill_forward(x): carry last non-null forward (functions.zig:400-405)."""
+    return F.last(x, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def with_ema(
+    df: DataFrame,
+    src_col: str,
+    out_col: str,
+    alpha: float,
+    partition_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ema(x, dur, alpha): recursive exponential moving average
+    (functions.zig:383-393 — registry-only in the reference; semantics:
+    s_i = alpha * x_i + (1 - alpha) * s_{i-1} over ts order per series).
+
+    Genuinely sequential per series → grouped-map pandas UDF
+    (Arrow-batched, one group per series; scales horizontally because
+    series are independent). The ``dur`` argument orders samples only —
+    the reference never pinned a time-decay semantic.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = [f.name for f in df.schema.fields]
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, src_col], kind="mergesort")
+        pdf[out_col] = pdf[src_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf[cols + [out_col]]
+
+    return df.groupBy(partition_col).applyInPandas(_ema, schema=out_schema)

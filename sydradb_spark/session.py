@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the configs below are chosen so the same
+code scales to a multi-executor cluster: AQE handles runtime re-planning and
+skew joins, shuffle partitions sized for local testing but overridable via
+env, Arrow enabled for the (few) pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = os.environ.get("SYDRA_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        # At 100 TB this is what keeps a static partition count from being wrong
+        # in both directions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        # Arrow for pandas UDFs (ema, embedding ops) — batch transfer, not per-row.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps in the points model are epoch seconds (LongType); session TZ
+        # pinned to UTC so hour bucketing matches the reference's UTC hours
+        # (reference src/sydra/engine.zig:371-374).
+        .config("spark.sql.session.timeZone", "UTC")
+        # the reference coerces numerics leniently (value.zig:25-69) and we
+        # document div-by-zero → null (SURVEY §7.2); ANSI mode would raise
+        .config("spark.sql.ansi.enabled", "false")
+        # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark
+        # cannot represent — read as long (nanoseconds) and normalize in
+        # sydradb_spark.tables.load_events
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
