@@ -69,28 +69,14 @@ def hour_bucket(ts: Column) -> Column:
     return (F.floor(ts / SECONDS_PER_HOUR) * SECONDS_PER_HOUR).cast("long")
 
 
-def with_identity(df: DataFrame) -> DataFrame:
-    """Add series_id + hour_bucket to a frame with (series, tags, ts, value)."""
+def with_identity(df: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """Add series_id + hour_bucket to a frame with (series, tags, ts, value).
+
+    ``extra`` names pass-through columns kept after the canonical six
+    (e.g. an ingest-order ``seq`` for last-wins compaction).
+    """
     return (
         df.withColumn("series_id", series_id(F.col("series"), F.col("tags")))
         .withColumn("hour_bucket", hour_bucket(F.col("ts")))
-        .select("series_id", "series", "tags", "ts", "value", "hour_bucket")
+        .select("series_id", "series", "tags", "ts", "value", "hour_bucket", *(extra or []))
     )
-
-
-def events_to_points(events: DataFrame) -> DataFrame:
-    """Adapt the driver's `events` table to the points model.
-
-    event_type becomes the metric (namespace `events.`), the event timestamp
-    becomes epoch-second ts, and a small synthetic host tag derived from
-    user_id exercises tag queries.
-    """
-    base = events.select(
-        F.concat(F.lit("events."), F.col("event_type")).alias("series"),
-        F.create_map(
-            F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))
-        ).alias("tags"),
-        F.col("ts").cast("long").alias("ts"),
-        F.col("value").cast("double").alias("value"),
-    )
-    return with_identity(base)

@@ -107,6 +107,10 @@ class SydraQLEngine:
             sel_pred = F.col("series_id") == F.lit(stmt.target.series_id)
         else:
             sel_pred = F.col("series") == F.lit(stmt.target.name)
-        self.points = self.points.filter(~(sel_pred & ctx_pred))
+        # Null-safe negation: where the predicate evaluates to NULL (e.g.
+        # tag.host = 'x' on rows missing that tag), ~NULL is NULL and a bare
+        # filter would silently drop non-matching rows. Only rows where the
+        # predicate is TRUE are deleted.
+        self.points = self.points.filter(~F.coalesce(sel_pred & ctx_pred, F.lit(False)))
         df = self.spark.createDataFrame([(1,)], "deleted: long")
         return QueryResult(df=df, columns=["deleted"])

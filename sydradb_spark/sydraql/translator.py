@@ -290,7 +290,17 @@ class Translator:
         base = self._materialize_emas(sel, ctx, base)
         names = self._output_names(sel)
         cols = [self._row(item.expr, ctx, base).alias(name) for item, name in names]
-        out = base.select(*cols)
+        if not sel.order_by and ctx.has_from:
+            # Implicit ascending-time ordering (sydraql-design.md:135) must
+            # hold even when `time` is not projected: carry hidden sort keys
+            # through the projection, sort, then drop them. Sorting after the
+            # projection (not before) survives the shuffle a window function
+            # in the select list would introduce. (ts, value) tiebreak keeps
+            # duplicate-timestamp output deterministic.
+            out = base.select(*cols, F.col("ts").alias("__ts"), F.col("value").alias("__tv"))
+            out = out.orderBy(F.col("__ts").asc(), F.col("__tv").asc()).drop("__ts", "__tv")
+        else:
+            out = base.select(*cols)
         name_by_canon = {canon(item.expr): name for item, name in names}
 
         out = self._order_limit(sel, ctx, out, name_by_canon, base=base, names=names)
@@ -302,7 +312,11 @@ class Translator:
         can't express — SURVEY §2.5)."""
         seen: set[str] = set()
         i = 0
-        exprs = [it.expr for it in sel.items] + [o.expr for o in sel.order_by]
+        exprs = (
+            [it.expr for it in sel.items]
+            + [o.expr for o in sel.order_by]
+            + list(sel.group_by)
+        )
         for e in exprs:
             for node in _walk(e):
                 if isinstance(node, ast.Call) and node.func == "ema":
@@ -322,6 +336,10 @@ class Translator:
 
     # --- aggregate SELECT --------------------------------------------------
     def _translate_aggregate(self, sel: ast.Select, ctx: _Ctx, base: DataFrame) -> Translation:
+        # ema under an aggregate (e.g. avg(ema(value, 60, 0.5))) needs its
+        # physical column materialized before the groupBy, same as the
+        # non-aggregate path.
+        base = self._materialize_emas(sel, ctx, base)
         names = self._output_names(sel)
         item_names = {canon(item.expr): name for item, name in names}
 
@@ -586,9 +604,6 @@ class Translator:
                 # Spark defaults (operator.zig:676-740, SURVEY §2.6).
                 order_cols.append(col.desc() if o.descending else col.asc())
             out = out.orderBy(*order_cols)
-        elif ctx.has_from and ctx.post_scope is None and "time" in out.columns:
-            # implicit timestamp ordering (sydraql-design.md:135)
-            out = out.orderBy(F.col("time").asc())
         if sel.offset:
             out = out.offset(sel.offset)
         if sel.limit is not None:

@@ -23,7 +23,7 @@ from sydradb_spark.errors import (
     ValidationError,
 )
 from sydradb_spark.sydraql import ast
-from sydradb_spark.sydraql.functions import AGGREGATES, Kind, REGISTRY, Ty, accepts
+from sydradb_spark.sydraql.functions import AGGREGATES, Kind, REGISTRY, Ty, WINDOW_FUNCS, accepts
 
 _LITERAL_TYPES = {
     "int": Ty.INTEGER,
@@ -195,6 +195,11 @@ def validate(stmt: ast.Statement) -> None:
     if stmt.where is not None:
         if contains_aggregate(stmt.where):
             raise ValidationError("aggregate calls are not allowed in WHERE")
+        for e in _walk(stmt.where):
+            if isinstance(e, ast.Call) and e.func in WINDOW_FUNCS:
+                raise ValidationError(
+                    f"window function '{e.func}' is not allowed in WHERE", pos=e.pos
+                )
         _check_expr(stmt.where)
     for g in stmt.group_by:
         if contains_aggregate(g):

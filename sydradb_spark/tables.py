@@ -29,6 +29,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
+        # unless read as long nanoseconds; the driver's session may not have
+        # set this, so set it at runtime (it is a dynamic SQLConf).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events(df)
@@ -38,26 +43,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def normalize_events(df: DataFrame) -> DataFrame:
     ts_field = df.schema["ts"]
     if isinstance(ts_field.dataType, LongType):
-        # long nanoseconds (nanosAsLong) → epoch seconds + micros timestamp
-        df = df.withColumn("ts_s", (F.col("ts") / 1_000_000_000).cast("long")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # long nanoseconds (nanosAsLong) → epoch seconds + micros timestamp.
+        # Integer division: epoch-ns (~1.7e18) exceeds double's 53-bit exact
+        # range, so float division can be off by one near boundaries.
+        df = df.withColumn("ts_s", F.expr("ts div 1000000000")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     else:
         df = df.withColumn("ts_s", F.col("ts").cast("long"))
     return df
 
 
-def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → canonical points table (FIXTURES.md §F5 mapping)."""
+def events_points(spark: SparkSession, sf_dir: str, with_seq: bool = False) -> DataFrame:
+    """events → canonical points table (FIXTURES.md §F5 mapping).
+
+    Series = ``events.<event_type>``; tags ``host`` (5 values, from user_id%5)
+    and ``dc`` (2 values, from user_id%2) — two tag keys so tag-find AND/OR
+    is meaningful. ``with_seq=True`` carries ``event_id`` as an ingest-order
+    column ``seq`` for last-wins compaction (reference compact.zig:36-49).
+    """
     from sydradb_spark.model import with_identity
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
+    cols = [
         F.concat(F.lit("events."), F.col("event_type")).alias("series"),
         F.create_map(
-            F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("dc"),
+            F.concat(F.lit("dc"), (F.col("user_id") % 2).cast("string")),
         ).alias("tags"),
         F.col("ts_s").alias("ts"),
         F.col("value").cast("double").alias("value"),
-    )
-    return with_identity(base)
+    ]
+    if with_seq:
+        cols.append(F.col("event_id").alias("seq"))
+    return with_identity(ev.select(*cols), extra=["seq"] if with_seq else None)
