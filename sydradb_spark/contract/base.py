@@ -1,0 +1,67 @@
+"""Shared helpers for the driver-contract query catalog.
+
+The driver runs each ``queries()`` entry on Spark and the matching
+``oracle_sql()`` entry on DuckDB over the same parquet tables, then compares
+row count + schema + order-insensitive value hash (CORRECTNESS_r{N}.json).
+
+Two cross-engine determinism rules used throughout the catalog:
+
+1. Float outputs are wrapped in ``r6`` — ``round(x * 1e6) / 1e6`` — on BOTH
+   sides. Sums/averages of doubles are order-sensitive in the last ulp and
+   Spark/DuckDB aggregate in different orders; 6 decimals is far above ulp
+   noise and far below data scale.
+2. Every LIMIT query carries a total ORDER BY (with tiebreaks) so both
+   engines select the same rowset; full-result queries need no ordering
+   because the driver's hash is order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sydradb_spark.sydraql.engine import SydraQLEngine
+from sydradb_spark.tables import events_points
+
+# events at every sf span 2024-01: full-month bounds plus sub-ranges.
+T0 = 1704067200  # 2024-01-01 00:00:00 UTC
+T1 = 1706745600  # 2024-02-01
+D3 = T0 + 3 * 86400
+D4 = T0 + 4 * 86400
+D7 = T0 + 7 * 86400
+MID = T0 + 15 * 86400
+
+# DuckDB view of the same points mapping as tables.events_points:
+# epoch_ns // 1e9 mirrors Spark's `ts div 1000000000` on the nanosAsLong read.
+POINTS_CTE = """WITH points AS (
+  SELECT 'events.' || event_type AS series,
+         'h' || CAST(user_id % 5 AS VARCHAR) AS host,
+         'dc' || CAST(user_id % 2 AS VARCHAR) AS dc,
+         epoch_ns(ts) // 1000000000 AS ts,
+         value,
+         event_id AS seq
+  FROM events
+)"""
+
+
+def r6(expr: str) -> str:
+    """Cross-engine float stabilizer (same text is valid sydraQL and SQL)."""
+    return f"round(({expr}) * 1000000) / 1000000"
+
+
+def ql(*statements: str):
+    """queries() entry: run sydraQL statements in order, return the last DF."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = SydraQLEngine(spark, events_points(spark, sf_dir))
+        res = None
+        for s in statements:
+            res = eng.query(s)
+        assert res is not None
+        return res.df
+
+    return run
+
+
+def oracle(body: str) -> str:
+    """oracle_sql() entry over the points CTE."""
+    return f"{POINTS_CTE}\n{body}"

@@ -224,9 +224,11 @@ class Translator:
         if op == ast.BinOp.DIV:
             # reference: float division, errors on /0 (expression.zig:119-122);
             # we return null on runtime zero (documented delta, SURVEY §7.2).
-            return l.cast("double") / r
+            # try_divide pins that even on ANSI-mode sessions (the driver's
+            # default session has spark.sql.ansi.enabled=true).
+            return F.try_divide(l.cast("double"), r)
         if op == ast.BinOp.MOD:
-            return l % r
+            return F.try_mod(l, r)
         raise SydraQLError(f"unhandled binary op {op}")
 
     def _call(self, e: ast.Call, ctx: _Ctx, df: DataFrame) -> Column:
@@ -458,9 +460,10 @@ class Translator:
             return ts_fn.delta_agg(x, ts)
         if f == "irate":
             argcol, prev, prevts = lag  # type: ignore[misc]
-            return F.max_by(
-                ts_fn.irate_expr(F.col(argcol), F.col(prev), ts, F.col(prevts)), ts
-            )
+            rate = ts_fn.irate_expr(F.col(argcol), F.col(prev), ts, F.col(prevts))
+            # last *defined* pair in the group: rows whose lag is null (series
+            # head) or gap<=0 are skipped rather than yielding a null irate
+            return F.max_by(rate, F.when(rate.isNotNull(), ts))
         if f == "integral":
             argcol, prev, prevts = lag  # type: ignore[misc]
             return F.sum(ts_fn.trapezoid_expr(F.col(argcol), F.col(prev), ts, F.col(prevts)))
@@ -508,8 +511,8 @@ class Translator:
             ast.BinOp.ADD: lambda: l + r,
             ast.BinOp.SUB: lambda: l - r,
             ast.BinOp.MUL: lambda: l * r,
-            ast.BinOp.DIV: lambda: l.cast("double") / r,
-            ast.BinOp.MOD: lambda: l % r,
+            ast.BinOp.DIV: lambda: F.try_divide(l.cast("double"), r),
+            ast.BinOp.MOD: lambda: F.try_mod(l, r),
         }
         return mapping[op]()
 
