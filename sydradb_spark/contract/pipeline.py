@@ -1,0 +1,347 @@
+"""Driver-contract entries for the LLM-data-pipeline operators, over the
+documents/embeddings tables.
+
+Every oracle mirrors the Spark algorithm step by step (same md5-based hash
+family, same banding, same tie-breaks) — these are deterministic algorithms,
+so approximate operators (LSH) are still exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sydradb_spark.pipeline import dedup, multimodal, similarity, text
+from sydradb_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, fn, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# Shared oracle fragments ------------------------------------------------------
+_TOKS = (
+    "toks AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents)"
+)
+_SHINGLES = (
+    "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh "
+    "FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS u(i))"
+)
+_HASH = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
+
+
+# --- text analysis ------------------------------------------------------------
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        _r6(q["distinct_ratio"]).alias("distinct_ratio"),
+        _r6(q["mean_word_len"]).alias("mean_word_len"),
+        _r6(q["space_ratio"]).alias("space_ratio"),
+        _r6(q["punct_ratio"]).alias("punct_ratio"),
+    )
+
+
+_q(
+    "text_stats",
+    _text_stats,
+    f"""WITH {_TOKS}
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(tk) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS distinct_ratio,
+  round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS space_ratio,
+  round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio
+FROM toks""",
+)
+
+
+def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        *[
+            text.stopword_hits(t, lang).cast("long").alias(f"hits_{lang}")
+            for lang in text.LANGS
+        ],
+        text.guess_lang(t).alias("lang_guess"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: (
+            "CAST(len(list_filter(tk, t -> lower(t) IN ("
+            + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+            + "))) AS BIGINT)"
+        )
+        for lang in text.LANGS
+    }
+    mx = "greatest(" + ", ".join(f"hits_{lang}" for lang in text.LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} > 0 AND hits_{lang} = {mx} THEN '{lang}'"
+        for lang in text.LANGS
+    ) + " ELSE 'und' END"
+    cols = ", ".join(f"{sql} AS hits_{lang}" for lang, sql in hits.items())
+    return (
+        f"WITH {_TOKS}, h AS (SELECT doc_id, {cols} FROM toks)\n"
+        f"SELECT doc_id, {', '.join(f'hits_{lang}' for lang in text.LANGS)}, "
+        f"{case} AS lang_guess FROM h"
+    )
+
+
+_q("lang_guess", _lang_guess, _lang_oracle())
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _r6(text.quality_score(F.col("text"))).alias("quality")
+    )
+
+
+_q(
+    "quality_score",
+    _quality,
+    f"""WITH {_TOKS}, q AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tok,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS dr,
+    CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl
+  FROM toks)
+SELECT doc_id,
+  round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr
+         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+FROM q""",
+)
+
+_q(
+    "doc_fingerprint",
+    lambda spark, sf_dir: load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ),
+    "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
+)
+
+# --- dedup --------------------------------------------------------------------
+_q(
+    "dedup_exact",
+    lambda spark, sf_dir: dedup.exact_dedup_groups(
+        load_table(spark, sf_dir, "documents")
+    ),
+    "SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY 1",
+)
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_dups(docs, threshold=0.2)
+    return out.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+_q(
+    "minhash_lsh_pairs",
+    _minhash,
+    f"""WITH {_TOKS}, {_SHINGLES},
+seeded AS (
+  SELECT doc_id, seed, min({_HASH.format("CAST(seed AS VARCHAR) || '|' || sh")}) AS mh
+  FROM sh, unnest(generate_series(0, {dedup.NUM_HASHES - 1})) AS s(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {dedup.BAND_ROWS} AS band,
+         CAST(min(CASE WHEN seed % 2 = 0 THEN mh END) AS VARCHAR) || ',' ||
+         CAST(min(CASE WHEN seed % 2 = 1 THEN mh END) AS VARCHAR) AS sig
+  FROM seeded GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.a, c.b,
+         CAST(coalesce(m.common, 0) AS DOUBLE) / (na.n + nb.n - coalesce(m.common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN common m ON m.a = c.a AND m.b = c.b
+  JOIN sizes na ON na.doc_id = c.a
+  JOIN sizes nb ON nb.doc_id = c.b
+)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.2""",
+)
+
+_SIMHASH_SQL = f"""dtok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+    FROM documents)
+),
+th AS (SELECT doc_id, {_HASH.format("tok")} AS th FROM dtok),
+perbit AS (
+  SELECT doc_id, bit, sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS b(bit)
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
+  FROM perbit GROUP BY 1
+)"""
+
+_q(
+    "simhash_signatures",
+    lambda spark, sf_dir: dedup.simhash(load_table(spark, sf_dir, "documents")),
+    f"WITH {_SIMHASH_SQL}\nSELECT doc_id, simhash FROM sim",
+)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_near_pairs(docs, max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_q(
+    "simhash_near_pairs",
+    _simhash_pairs,
+    f"""WITH {_SIMHASH_SQL}
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+
+
+def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), F.col("a"), F.col("b"))
+        .limit(10)
+        .select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
+    )
+
+
+_q(
+    "ngram_jaccard_topk",
+    _ngram_topk,
+    f"""WITH {_TOKS},
+shl AS (
+  SELECT doc_id,
+         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        for i in generate_series(1, greatest(len(tk) - 2, 0))]) AS shs
+  FROM toks WHERE doc_id < 100
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_filter(a.shs, x -> list_contains(b.shs, x))) AS inter,
+         len(a.shs) + len(b.shs) - len(list_filter(a.shs, x -> list_contains(b.shs, x))) AS un
+  FROM shl a, shl b WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, round(jaccard, 6) AS jaccard FROM (
+  SELECT a, b, CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END AS jaccard
+  FROM pairs)
+ORDER BY jaccard DESC, a, b LIMIT 10""",
+)
+
+# --- similarity search --------------------------------------------------------
+_DOT = (
+    "list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) "
+    "for i in generate_series(1, len(qe))])"
+)
+_NQ = "sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE) for i in generate_series(1, len(qe))]))"
+_NC = "sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in generate_series(1, len(ce))]))"
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.knn_brute(
+        emb.where(F.col("vec_id") < 5), emb.where(F.col("vec_id") >= 5), k=5
+    )
+    return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+_q(
+    "knn_cosine_brute",
+    _knn,
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+)
+
+
+def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_sign_lsh(
+        emb.where(F.col("vec_id") < 5), emb.where(F.col("vec_id") >= 5), k=3
+    )
+    return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+_BUCKET_Q = " + ".join(
+    f"(CASE WHEN qe[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
+)
+_BUCKET_C = " + ".join(
+    f"(CASE WHEN ce[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
+)
+
+_q(
+    "ann_lsh_cosine",
+    _ann,
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {_BUCKET_Q} AS bucket
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS ce, {_BUCKET_C} AS bucket
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
+  FROM c JOIN q USING (bucket)
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3""",
+)
+
+# --- multimodal ---------------------------------------------------------------
+_q(
+    "multimodal_meta",
+    lambda spark, sf_dir: multimodal.media_metadata(
+        multimodal.docs_as_media(load_table(spark, sf_dir, "documents"))
+    ),
+    # sha256(VARCHAR) hashes the utf-8 bytes == Spark's sha2(payload); the
+    # magic-byte slice is char-based here (testdata text is ASCII).
+    "SELECT doc_id AS media_id, 'image' AS kind, 'application/octet-stream' AS mime, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "sha256(text) AS sha256, "
+    "upper(hex(encode(substr(text, 1, 4)))) AS magic "
+    "FROM documents",
+)

@@ -1,0 +1,242 @@
+"""Deduplication operators over a documents table ``(doc_id long, text
+string, ...)`` — exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design (the point of these shapes at 100 TB):
+- Exact dedup is one hash-groupBy: a single shuffle on a 16-byte key.
+- MinHash-LSH never forms all pairs: candidate pairs come from a self-join on
+  (band, band-signature) buckets — cost is Σ bucket², not n². Degenerate
+  buckets (e.g. empty/boilerplate docs collapsing to one signature) are the
+  skew risk; AQE skew-join splitting plus the ``max_bucket`` guard bound them.
+- SimHash near-dup uses banded fingerprints (4 bands × 16 bits): by pigeonhole
+  any pair within Hamming distance 3 shares at least one exact band, so the
+  banded join finds exactly the same pairs as the O(n²) scan.
+- All hashing is md5-based (pipeline.hashing) so a DuckDB oracle reproduces
+  results bit-for-bit; swap hash64 → xxhash64 when oracle parity isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sydradb_spark.pipeline.hashing import hash64, hash64_seeded
+
+# MinHash parameters: 16 hashes in 8 bands of r=2 → candidate-pair recall
+# 1-(1-j²)^8 (≈0.27 at j=0.2, ≈0.92 at j=0.5, ≈1 at j≥0.8).
+NUM_HASHES = 16
+BAND_ROWS = 2
+NUM_BANDS = NUM_HASHES // BAND_ROWS
+SHINGLE_WORDS = 3
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 × 8 bits; finds all pairs with hamming <= SIMHASH_BANDS-1
+
+
+# --- exact ------------------------------------------------------------------
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(content md5, keeper doc_id = min, n_copies) per distinct content.
+
+    One shuffle on the content hash; keeper choice (min doc_id) is
+    deterministic so reruns are idempotent.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row (min doc_id) per distinct text."""
+    keep = exact_dedup_groups(docs, text_col).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, on="doc_id", how="semi")
+
+
+# --- shingles ----------------------------------------------------------------
+def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles; docs with < k tokens yield an empty array."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + d + 1) for d in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) exploded — the shared input of MinHash and exact
+    Jaccard verification."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col))).alias("sh")
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+def minhash_band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — per-band signature string from NUM_HASHES seeded
+    min-hashes. Input is shingle_table() output."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("seed"),
+        F.col("sh"),
+    ).select(
+        "doc_id", "seed", hash64_seeded(F.col("sh"), F.col("seed")).alias("h")
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    # band = seed div BAND_ROWS; signature = the r per-seed minima in seed
+    # order, joined — conditional min per slot keeps it one aggregation.
+    slot_aggs = [
+        F.min(F.when(F.col("seed") % BAND_ROWS == r, F.col("mh"))).alias(f"s{r}")
+        for r in range(BAND_ROWS)
+    ]
+    bands = minh.groupBy(
+        "doc_id", (F.col("seed") / BAND_ROWS).cast("long").alias("band")
+    ).agg(*slot_aggs)
+    sig = F.concat_ws(",", *[F.col(f"s{r}").cast("string") for r in range(BAND_ROWS)])
+    return bands.select("doc_id", "band", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Distinct (a, b) a<b sharing ≥1 LSH bucket. ``max_bucket`` drops
+    degenerate buckets (boilerplate collapse) before the join — at scale a
+    single 1M-doc bucket would mean 10¹² candidate pairs."""
+    if max_bucket is not None:
+        sizes = band_sigs.groupBy("band", "sig").agg(F.count("*").alias("__n"))
+        band_sigs = (
+            band_sigs.join(sizes, on=["band", "sig"])
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    left = band_sigs.select("band", "sig", F.col("doc_id").alias("a"))
+    right = band_sigs.select("band", "sig", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, on=["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification pass).
+
+    Common-shingle counting via two joins against the shingle table — no
+    array materialization per pair, so wide docs don't blow up rows.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), "sh"), on="a")
+        .join(sh.select(F.col("doc_id").alias("b"), "sh"), on=["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(common, on=["a", "b"], how="left")
+        .na.fill({"common": 0})
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), on="a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), on="b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame, threshold: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
+    LSH band-bucket join → exact-Jaccard verify. Never all-pairs."""
+    sh = shingle_table(docs, text_col)
+    pairs = lsh_candidate_pairs(minhash_band_signatures(sh))
+    return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over distinct whitespace tokens.
+
+    Bit i is the sign of Σ±1 over token-hash bit i. Explodes tokens × 32 bit
+    positions; all-JVM arithmetic, two partial-aggregating shuffles.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).select("doc_id", hash64(F.col("tok")).alias("th"))
+    # shiftright by the bit column needs expr (F.shiftright takes a literal)
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.expr("CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("contrib"),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) via banded join: 4 bands × 8 bits, so any
+    pair within Hamming 3 shares an exact band (pigeonhole) — identical output
+    to the O(n²) scan without forming all pairs."""
+    assert max_hamming < SIMHASH_BANDS, "banding only guarantees hamming < #bands"
+    sh = simhash(docs)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"(simhash >> (band * {band_width})) & {(1 << band_width) - 1}").alias(
+            "bandval"
+        ),
+    )
+    left = banded.select("band", "bandval", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    right = banded.select("band", "bandval", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    cand = (
+        left.join(right, on=["band", "bandval"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+# --- exact n-gram Jaccard (brute, for small candidate universes) -------------
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All-pairs exact 3-gram Jaccard — O(n²); only for bounded subsets
+    (the scale path is minhash_near_dups)."""
+    withsh = docs.select(
+        "doc_id", word_shingles(F.col(text_col)).alias("shs")
+    )
+    a = withsh.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
+    b = withsh.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.when(union > 0, inter.cast("double") / union).otherwise(0.0).alias(
+                "jaccard"
+            ),
+        )
+    )

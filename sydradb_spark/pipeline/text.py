@@ -1,0 +1,124 @@
+"""Text-analysis operators for a training-data pipeline, over a documents
+table ``(doc_id long, text string, ...)``.
+
+Everything here is built-in JVM expressions (split / transform / filter /
+aggregate higher-order functions) — no Python UDFs — so the whole stage stays
+inside whole-stage codegen and scales linearly with input splits: these are
+per-row maps with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order matters: ties resolve in LANGS order.
+LANGS = ("en", "de", "fr", "es")
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "es", "de", "un", "una", "para"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (split('') yields
+    [''] which would count as one token)."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND on transitions
+    letters/digits/punct (a cheap stand-in for a BPE tokenizer's granularity;
+    a real tokenizer would be a pandas UDF)."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
+
+
+def guess_lang(text: Column) -> Column:
+    """Arg-max of per-language stopword hits; ties resolve in LANGS order
+    (first CASE branch wins); zero hits everywhere → 'und' (undetermined)."""
+    scores = {lang: stopword_hits(text, lang) for lang in LANGS}
+    mx = F.greatest(*scores.values())
+    best = None
+    for lang in LANGS:
+        cond = (scores[lang] > 0) & (scores[lang] == mx)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, token stats, distinct-token ratio,
+    punctuation/space ratios, mean word length."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    space_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(text, r"\s", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")).cast("double")
+        / n_chars,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "distinct_ratio": distinct_ratio,
+        "mean_word_len": mean_word_len,
+        "space_ratio": space_ratio,
+        "punct_ratio": punct_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: rewards mid-length docs, diverse vocabulary, sane
+    word lengths. Deterministic closed-form so an oracle can replicate it."""
+    q = quality_columns(text)
+    len_score = F.least(q["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+    div_score = q["distinct_ratio"]
+    word_score = F.when(
+        (q["mean_word_len"] >= 3) & (q["mean_word_len"] <= 10), 1.0
+    ).otherwise(0.5)
+    return (len_score + div_score + word_score) / 3.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 16-hex-char document fingerprint (content addressing for
+    exact-dup detection and incremental reprocessing)."""
+    return F.substring(F.md5(text), 1, 16)
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    q = quality_columns(t)
+    return docs.select(
+        "*",
+        q["n_tokens"].alias("n_tokens"),
+        q["distinct_ratio"].alias("distinct_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        guess_lang(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for the LLM-pipeline operators on tiny in-memory frames.
+
+The cross-engine correctness (vs DuckDB) is pinned by the contract harness
+(scripts/verify_local.py); these pin semantics and edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sydradb_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "xy"),  # shorter than one shingle
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[1] == 2  # docs 1 and 4 collapse, min doc_id kept
+    assert by_keep[2] == 1
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs).collect())
+    assert kept == [1, 2, 3, 5, 6]
+
+
+def test_word_shingles_short_docs(docs):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(dedup.word_shingles(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert out[5] == 0 and out[6] == 0
+    assert out[1] == 7  # 9 tokens → 7 trigrams
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_dups(docs, 0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup always survives LSH
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_simhash_identical_and_near(docs):
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical text → identical simhash
+
+
+def test_ngram_jaccard(docs):
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs.where("doc_id <= 4")).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert out[(1, 3)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.2, 0.0]),  # sign bucket 0b11 = 3
+        (1, [0.0, 1.0, 0.0]),  # bucket 0b10 = 2
+        (10, [0.9, 0.1, 0.0]),  # closest to 0, same bucket 3
+        (11, [0.1, 0.9, 0.0]),  # closest to 1, bucket 3
+        (12, [-1.0, 0.0, 0.0]),  # opposite of 0, bucket 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_knn_brute(emb):
+    out = similarity.knn_brute(
+        emb.where("vec_id < 10"), emb.where("vec_id >= 10"), k=1
+    ).collect()
+    top = {r["query_id"]: r["vec_id"] for r in out}
+    assert top == {0: 10, 1: 11}
+
+
+def test_knn_rank_order(emb):
+    out = similarity.knn_brute(
+        emb.where("vec_id = 0"), emb.where("vec_id >= 10"), k=3
+    ).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [10, 11, 12]  # cosine 0.994, 0.110, -1.0
+
+
+def test_ann_sign_lsh_prunes(emb):
+    out = similarity.ann_sign_lsh(
+        emb.where("vec_id = 0"), emb.where("vec_id >= 10"), k=3
+    ).collect()
+    got = {r["vec_id"] for r in out}
+    assert 10 in got and 12 not in got  # 12 is in a different sign bucket
+
+
+def test_text_stats_and_lang(spark):
+    rows = [
+        (1, "the cat and the dog run to the house"),
+        (2, "der Hund und die Katze sind auf der Straße"),
+        (3, "zzz qqq www"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.with_text_stats(df).collect()}
+    assert out[1]["lang_guess"] == "en"
+    assert out[2]["lang_guess"] == "de"
+    assert out[3]["lang_guess"] == "und"
+    assert out[4]["n_tokens"] == 0 and out[4]["quality"] == pytest.approx(0.5 / 3)
+    assert len(out[1]["fp"]) == 16
+    assert out[3]["distinct_ratio"] == 1.0
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x")], "doc_id long, text string"
+    )
+    media = multimodal.docs_as_media(docs)
+    meta = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
+    assert meta[1]["n_bytes"] == 11
+    assert len(meta[1]["sha256"]) == 64
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    # deterministic fake: width = 64 + len%64, height = 64 + first_byte%64
+    assert feats[1]["width"] == 64 + 11 % 64
+    assert feats[1]["height"] == 64 + (ord("h") % 64)
+    assert feats[2]["mean_luma"] == pytest.approx(ord("x") / 255.0)
+
+
+def test_video_sampling_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    media = multimodal.docs_as_media(docs)  # kind=image, not video
+    with pytest.raises(Exception, match="NotImplementedError|demuxer"):
+        multimodal.sample_video_frames(media).collect()
