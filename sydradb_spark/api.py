@@ -1,0 +1,57 @@
+"""Result-sink response shaping — the reference's sydraQL JSON contract.
+
+handleSydraql (http.zig:218-298) returns::
+
+    {"columns": [{"name","type","nullable"}, ...],
+     "rows": [[...], ...],
+     "stats": {...per-stage timings, rows_returned, per-operator rows...}}
+
+Here the per-operator stats come from Spark's executed plan metrics instead
+of Volcano iterator counters.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from sydradb_spark.sydraql.engine import QueryResult
+
+
+def _plan_stats(df) -> dict[str, Any]:
+    """Harvest node names + output-row metrics from the executed plan
+    (best-effort; empty when the JVM internals move)."""
+    try:
+        qe = df._jdf.queryExecution()
+        nodes = []
+        plan = qe.executedPlan()
+        it = plan.collectLeaves().iterator()  # leaves: scans with row counts
+        while it.hasNext():
+            node = it.next()
+            metrics = node.metrics()
+            rows = None
+            if metrics.contains("numOutputRows"):
+                rows = metrics.apply("numOutputRows").value()
+            nodes.append({"name": node.nodeName(), "rows_out": rows})
+        return {"operators": nodes}
+    except Exception:  # noqa: BLE001 — stats are advisory, never fail a query
+        return {}
+
+
+def to_response(result: QueryResult, max_rows: int = 10_000) -> dict[str, Any]:
+    """Collect a QueryResult into the reference response shape. ``max_rows``
+    bounds driver memory (the reference streams; an API layer would too)."""
+    df = result.df.limit(max_rows)
+    t0 = time.perf_counter()
+    collected = df.collect()
+    exec_us = int((time.perf_counter() - t0) * 1e6)
+    columns = [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+    rows = [[row[c["name"]] for c in columns] for row in collected]
+    stats = dict(result.stats)
+    stats["execute_us"] = exec_us
+    stats["rows_returned"] = len(rows)
+    stats.update(_plan_stats(df))
+    return {"columns": columns, "rows": rows, "stats": stats}

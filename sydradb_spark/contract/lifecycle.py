@@ -1,0 +1,208 @@
+"""Driver-contract entries for lifecycle operators: storage round-trips,
+compaction, retention, tag find, NDJSON ingest, durable INSERT/DELETE.
+
+Entries that write use per-sf scratch dirs under the repo (recreated each
+run → idempotent; the driver may invoke any entry repeatedly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sydradb_spark import storage, tagindex
+from sydradb_spark.contract.base import D3, D7, MID, T0, T1, oracle, r6
+from sydradb_spark.ingest import ingest_batch
+from sydradb_spark.sydraql.engine import SydraQLEngine
+from sydradb_spark.tables import events_points
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "_scratch")
+
+
+def _q(name: str, fn, sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _scratch(sf_dir: str, tag: str, fresh: bool = False) -> str:
+    path = os.path.join(SCRATCH, f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    if fresh and os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(SCRATCH, exist_ok=True)
+    return path
+
+
+# --- storage write → pruned scan → aggregate ---------------------------------
+def _storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "points")
+    pts = events_points(spark, sf_dir).where(F.col("ts") < D7)
+    storage.write_points(pts, path, mode="overwrite")
+    scanned = storage.scan_range(spark, path, start=T0, end=D3 - 1)
+    return scanned.agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v")
+    )
+
+
+_q(
+    "storage_roundtrip",
+    _storage_roundtrip,
+    oracle(
+        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM points "
+        f"WHERE ts >= {T0} AND ts <= {D3 - 1}"
+    ),
+)
+
+
+# --- compaction: (series_id, ts) last-wins by ingest seq ---------------------
+def _compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir, with_seq=True)
+    compacted = storage.compact_points(pts, order_col="seq")
+    return (
+        compacted.where(F.col("series") == "events.click")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+    )
+
+
+_q(
+    "compact_last_wins",
+    _compact,
+    oracle(
+        f""", kept AS (
+  SELECT series, host, dc, ts, arg_max(value, seq) AS value
+  FROM points GROUP BY 1, 2, 3, 4
+)
+SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM kept
+WHERE series = 'events.click'"""
+    ),
+)
+
+
+# --- retention: per-namespace TTL --------------------------------------------
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir)
+    kept = storage.apply_retention(pts, now_epoch=T1, ttl_days={"events": 10}, default_days=30)
+    return kept.groupBy("series").agg(F.count("*").alias("n"))
+
+
+_q(
+    "retention_days",
+    _retention,
+    oracle(
+        f"SELECT series, count(*) AS n FROM points "
+        f"WHERE {T1} - ((ts // 3600) * 3600 + 3600) <= {10 * 86400} GROUP BY 1"
+    ),
+)
+
+
+# --- tag find ----------------------------------------------------------------
+def _find(mode: str, match: dict[str, str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = events_points(spark, sf_dir)
+        found = tagindex.find_series(pts, match, mode=mode)
+        return found.select(
+            "series",
+            F.col("tags")["host"].alias("host"),
+            F.col("tags")["dc"].alias("dc"),
+        )
+
+    return run
+
+
+_q(
+    "tag_find_and",
+    _find("and", {"host": "h1", "dc": "dc1"}),
+    oracle(
+        "SELECT DISTINCT series, host, dc FROM points WHERE host = 'h1' AND dc = 'dc1'"
+    ),
+)
+_q(
+    "tag_find_or",
+    _find("or", {"host": "h0", "dc": "dc1"}),
+    oracle(
+        "SELECT DISTINCT series, host, dc FROM points WHERE host = 'h0' OR dc = 'dc1'"
+    ),
+)
+
+# --- NDJSON ingest → storage → query round-trip ------------------------------
+_NDJSON_ROWS = [
+    '{"series": "weather.room1", "ts": 1694300000, "value": 24.2}',
+    '{"series": "weather.room1", "ts": 1694300010, "value": 24.3, "tags": {"host": "a"}}',
+    '{"series": "weather.room1", "ts": 1694300020, "value": 24.4, "tags": {"host": "a"}}',
+    '{"series": "cpu.total", "ts": 1694300000, "value": 1.5, "tags": {"host": "a"}}',
+    '{"series": "cpu.total", "ts": 1694303600, "value": 2.25, "tags": {"host": "a"}}',
+]
+
+
+def _ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _scratch(sf_dir, "ndjson_src", fresh=True)
+    table = _scratch(sf_dir, "ndjson_table", fresh=True)
+    os.makedirs(src)
+    with open(os.path.join(src, "batch1.ndjson"), "w") as f:
+        f.write("\n".join(_NDJSON_ROWS) + "\n")
+    ingest_batch(spark, src, table)
+    eng = SydraQLEngine(spark, storage_path=table)
+    return eng.query(
+        "select time, value from weather.room1 where time >= 0 and time < 1700000000"
+    ).df
+
+
+_q(
+    "ingest_ndjson_roundtrip",
+    _ingest_roundtrip,
+    "SELECT * FROM (VALUES (CAST(1694300000 AS BIGINT), CAST(24.2 AS DOUBLE)), "
+    "(1694300010, 24.3), (1694300020, 24.4)) AS t(time, value)",
+)
+
+
+# --- durable INSERT / DELETE (restart survival) ------------------------------
+def _insert_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _scratch(sf_dir, "insert_table", fresh=True)
+    src = _scratch(sf_dir, "insert_seed", fresh=True)
+    os.makedirs(src)
+    with open(os.path.join(src, "seed.ndjson"), "w") as f:
+        f.write('{"series": "m.base", "ts": 1000, "value": 1.0}\n')
+    ingest_batch(spark, src, table)
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("insert into m.base (time, value) values (2000, 2.0), (3000, 3.0)")
+    # a NEW engine instance = session restart: reads only what is on disk
+    eng2 = SydraQLEngine(spark, storage_path=table)
+    return eng2.query("select time, value from m.base where time >= 0 and time < 10000").df
+
+
+_q(
+    "insert_durable_roundtrip",
+    _insert_durable,
+    "SELECT * FROM (VALUES (CAST(1000 AS BIGINT), CAST(1.0 AS DOUBLE)), "
+    "(2000, 2.0), (3000, 3.0)) AS t(time, value)",
+)
+
+
+def _delete_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _scratch(sf_dir, "delete_table", fresh=True)
+    pts = events_points(spark, sf_dir).where(F.col("ts") < D7)
+    storage.write_points(pts, table, mode="overwrite")
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query(f"delete from events.view where time >= {D3} and tag.host = 'h2'")
+    eng2 = SydraQLEngine(spark, storage_path=table)
+    return eng2.query(
+        f"select count() as n, {r6('sum(value)')} as sum_v from events.view "
+        f"where time >= {T0} and time < {D7}"
+    ).df
+
+
+_q(
+    "delete_durable",
+    _delete_durable,
+    oracle(
+        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM points "
+        f"WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7} "
+        f"AND NOT coalesce(ts >= {D3} AND host = 'h2', FALSE)"
+    ),
+)

@@ -1,0 +1,91 @@
+"""NDJSON ingest — batch and Structured Streaming.
+
+Reference ingest line shape (http.zig:657-712):
+``{"series": "...", "ts": <epoch-s>, "value": <f64>, "tags": {...}}``
+(tags optional). The reference path is queue → WAL → memtable → hourly
+segment flush (engine.zig:263-369); Spark-first that whole pipeline is:
+
+- batch:   ``spark.read.json`` with an explicit schema → identity columns →
+           append to the hour-partitioned table.
+- stream:  ``readStream.json`` → ``foreachBatch`` append. Exactly-once lands
+           on the checkpoint + idempotent batch writes; the WAL is replaced
+           by the source's replayability + checkpoint offsets. A
+           ``withWatermark`` example lives in the streaming test — the
+           reference has NO late-data policy (SURVEY §2.11), late points are
+           simply accepted, so no watermark is applied by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sydradb_spark.model import with_identity
+from sydradb_spark.storage import write_points
+
+NDJSON_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("ts", LongType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("tags", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def parse_ndjson(raw: DataFrame) -> DataFrame:
+    """Normalize parsed NDJSON rows into the canonical points shape:
+    missing tags → empty map (identity hashing needs a canonical value)."""
+    return with_identity(
+        raw.select(
+            F.col("series"),
+            F.coalesce(F.col("tags"), F.create_map().cast(NDJSON_SCHEMA["tags"].dataType)).alias(
+                "tags"
+            ),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """Batch NDJSON → points (CLI stdin / HTTP-batch equivalent)."""
+    return parse_ndjson(spark.read.schema(NDJSON_SCHEMA).json(path))
+
+
+def ingest_batch(spark: SparkSession, ndjson_path: str, table_path: str) -> None:
+    write_points(read_ndjson(spark, ndjson_path), table_path, mode="append")
+
+
+def stream_ndjson(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source streaming ingest → foreachBatch hourly-partitioned append.
+
+    ``available_now=True`` drains what's there and stops (test/cron mode);
+    False runs continuously (micro-batch service mode)."""
+    raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
+    points = parse_ndjson(raw)
+
+    def sink(batch: DataFrame, _batch_id: int) -> None:
+        write_points(batch, table_path, mode="append")
+
+    writer = points.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

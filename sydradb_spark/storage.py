@@ -1,0 +1,206 @@
+"""Storage layer: the points table as hour-bucket-partitioned Parquet.
+
+Reference write path (engine.zig:317-369, storage/segment.zig:11-57): sort
+points by ts, split by UTC hour, write compressed segments + manifest entry.
+Spark-first translation:
+
+- ``write_points``: repartition by hour_bucket, sort within partitions by
+  (series_id, ts), ``partitionBy("hour_bucket")`` Parquet. Parquet row-group
+  min/max stats on (series_id, ts) replace the manifest; the partition
+  directory listing replaces manifest pruning.
+- ``hour_bucket_bounds``: the ONE rewrite Catalyst cannot do for us (SURVEY
+  §4.1): derive hour_bucket partition predicates from ts predicates so a
+  time-ranged query prunes partitions instead of scanning all of them.
+- ``compact_points`` / ``apply_retention`` / ``drop_expired_partitions``:
+  the compaction dedup (compact.zig:36-49, (series_id, ts) last-wins) and
+  TTL jobs (retention.zig:4-20) as batch jobs. Partition drops are
+  metadata/filesystem operations — no data rewrite.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sydradb_spark.model import SECONDS_PER_HOUR
+
+POINT_COLS = ["series_id", "series", "tags", "ts", "value", "hour_bucket"]
+
+
+def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Hour-partitioned write, ts-sorted within files (reference segment
+    writer). One shuffle on hour_bucket; files within a partition are sorted
+    so Parquet page stats make ts-range reads skip pages."""
+    (
+        df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
+        .repartition(F.col("hour_bucket"))
+        .sortWithinPartitions("series_id", "ts")
+        .write.partitionBy("hour_bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_points(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    extra = [c for c in df.columns if c not in POINT_COLS]
+    # the partition column comes back as the inferred directory-value type
+    return df.select(
+        "series_id",
+        "series",
+        "tags",
+        "ts",
+        "value",
+        F.col("hour_bucket").cast("long").alias("hour_bucket"),
+        *extra,
+    )
+
+
+def hour_bucket_bounds(ts_min: int | None, ts_max: int | None) -> Column | None:
+    """ts bounds → hour_bucket partition predicate (SURVEY §4.1). A point at
+    ts lives in partition (ts div 3600)*3600, so ts ∈ [mn, mx] implies
+    hour_bucket ∈ [floor(mn), floor(mx)]."""
+    conds: list[Column] = []
+    if ts_min is not None:
+        conds.append(
+            F.col("hour_bucket") >= (ts_min // SECONDS_PER_HOUR) * SECONDS_PER_HOUR
+        )
+    if ts_max is not None:
+        conds.append(
+            F.col("hour_bucket") <= (ts_max // SECONDS_PER_HOUR) * SECONDS_PER_HOUR
+        )
+    if not conds:
+        return None
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    return pred
+
+
+def scan_range(
+    spark: SparkSession,
+    path: str,
+    series_id: int | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Engine.queryRange (engine.zig:376-378): partition pruning via derived
+    hour_bucket bounds + row-group skipping via the (series_id, ts) sort."""
+    df = read_points(spark, path)
+    hb = hour_bucket_bounds(start, end)
+    if hb is not None:
+        df = df.where(hb)
+    if series_id is not None:
+        df = df.where(F.col("series_id") == series_id)
+    if start is not None:
+        df = df.where(F.col("ts") >= start)
+    if end is not None:
+        df = df.where(F.col("ts") <= end)
+    return df
+
+
+# --- compaction (dedup) -------------------------------------------------------
+def compact_points(df: DataFrame, order_col: str | None = None) -> DataFrame:
+    """(series_id, ts) last-wins dedup (compact.zig:36-49). ``order_col`` is
+    the ingest order (e.g. a WAL sequence); without one, max(value) is the
+    documented deterministic tiebreak. Single shuffle on (series_id, ts);
+    map-side combine keeps it partial-aggregating."""
+    order = F.col(order_col) if order_col else F.col("value")
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy("series_id", "ts")
+        .agg(F.max_by(payload, order).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def compact_storage(spark: SparkSession, path: str, order_col: str | None = None) -> None:
+    """Rewrite the stored table deduped (the reference's segment-merge job)."""
+    compacted = compact_points(read_points(spark, path), order_col)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    write_points(compacted, tmp, mode="overwrite")
+    live = Path(path)
+    if live.exists():
+        shutil.rmtree(live)
+    Path(tmp).rename(live)
+
+
+# --- retention (TTL) ----------------------------------------------------------
+def retention_keep_predicate(
+    now_epoch: int, ttl_days: dict[str, int], default_days: int | None = None
+) -> Column:
+    """Per-namespace TTL (config.zig:101-105; retention.zig:4-20): a point
+    expires when now - (hour_bucket + 3600) > ttl. Namespace = series text
+    before the first '.'."""
+    ns = F.split(F.col("series"), r"\.").getItem(0)
+    age = F.lit(now_epoch) - (F.col("hour_bucket") + SECONDS_PER_HOUR)
+    keep = (
+        F.lit(True)
+        if default_days is None
+        else age <= default_days * 86400
+    )
+    for namespace, days in ttl_days.items():
+        keep = F.when(ns == namespace, age <= days * 86400).otherwise(keep)
+    return keep
+
+
+def apply_retention(
+    df: DataFrame,
+    now_epoch: int,
+    ttl_days: dict[str, int],
+    default_days: int | None = None,
+) -> DataFrame:
+    return df.where(retention_keep_predicate(now_epoch, ttl_days, default_days))
+
+
+def drop_expired_partitions(path: str, cutoff_hour_bucket: int) -> list[int]:
+    """Global-TTL fast path: remove hour_bucket=N directories with
+    N + 3600 <= cutoff. Pure filesystem metadata — no data read/rewritten,
+    which is what makes retention O(partitions) instead of O(rows) at 100 TB.
+    Returns the dropped bucket values."""
+    dropped = []
+    root = Path(path)
+    for d in root.glob("hour_bucket=*"):
+        bucket = int(d.name.split("=", 1)[1])
+        if bucket + SECONDS_PER_HOUR <= cutoff_hour_bucket:
+            shutil.rmtree(d)
+            dropped.append(bucket)
+    return sorted(dropped)
+
+
+# --- durable DELETE -----------------------------------------------------------
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    ts_min: int | None = None,
+    ts_max: int | None = None,
+) -> None:
+    """Partition-scoped anti-filter rewrite: only hour partitions overlapping
+    the time bounds are read and rewritten; untouched partitions are never
+    opened. The rewrite stages into a temp dir and swaps partition dirs —
+    Spark cannot overwrite the files a job is concurrently reading. A
+    production deployment would use a table format's ACID replace (Delta /
+    Iceberg) for the same partition-scoped semantics."""
+    df = read_points(spark, path)
+    hb = hour_bucket_bounds(ts_min, ts_max)
+    scoped = df.where(hb) if hb is not None else df
+    affected = [r[0] for r in scoped.select("hour_bucket").distinct().collect()]
+    if not affected:
+        return
+    remaining = scoped.where(~F.coalesce(predicate, F.lit(False)))
+    tmp = path.rstrip("/") + ".delete.tmp"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    write_points(remaining, tmp, mode="overwrite")
+    for bucket in affected:
+        live_dir = Path(path) / f"hour_bucket={bucket}"
+        if live_dir.exists():
+            shutil.rmtree(live_dir)
+        staged = Path(tmp) / f"hour_bucket={bucket}"
+        if staged.exists():  # absent = every row in the partition was deleted
+            staged.rename(live_dir)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from sydradb_spark.errors import TimeRangeRequired, UnsupportedStatement, ValidationError
 from sydradb_spark.sydraql import ast
 from sydradb_spark.sydraql.parser import parse
-from sydradb_spark.sydraql.translator import Translator, _Ctx, _literal_value
+from sydradb_spark.sydraql.translator import (
+    Translator,
+    _Ctx,
+    _literal_value,
+    time_bounds_from_where,
+)
 from sydradb_spark.sydraql.validator import _has_time_predicate, validate
 
 
@@ -28,12 +33,33 @@ class QueryResult:
 
 
 class SydraQLEngine:
-    """Query engine over one points DataFrame (the canonical table,
-    model.POINTS_SCHEMA). ``query()`` returns a lazy DataFrame — callers
-    collect/stream it; nothing is materialized here."""
+    """Query engine over the canonical points table (model.POINTS_SCHEMA).
 
-    def __init__(self, spark: SparkSession, points: DataFrame):
+    Two modes:
+    - in-memory: pass ``points`` (tests, ad-hoc frames). INSERT/DELETE mutate
+      the lineage — fine for a handful of statements, not durable.
+    - storage-backed: pass ``storage_path`` (hour-partitioned Parquet via
+      sydradb_spark.storage). INSERT appends partitions, DELETE rewrites only
+      the affected hour partitions, and both survive a session restart; the
+      frame is re-read after each write so lineage never grows.
+
+    ``query()`` returns a lazy DataFrame — callers collect/stream it."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        points: DataFrame | None = None,
+        storage_path: str | None = None,
+    ):
+        from sydradb_spark import storage as storage_mod
+
         self.spark = spark
+        self.storage_path = storage_path
+        self._storage = storage_mod
+        if points is None:
+            if storage_path is None:
+                raise ValueError("need points or storage_path")
+            points = storage_mod.read_points(spark, storage_path)
         self.points = points
 
     def query(self, text: str) -> QueryResult:
@@ -72,8 +98,8 @@ class SydraQLEngine:
 
     # --- INSERT ------------------------------------------------------------
     # The reference parses INSERT but its plan builder rejects it
-    # (plan.zig:99-104). We implement it: rows append to the in-memory points
-    # frame (durable writes go through storage.writer).
+    # (plan.zig:99-104). We implement it. Storage-backed: a partitioned
+    # Parquet append (durable, lineage-free); in-memory: a union.
     def _insert(self, stmt: ast.Insert) -> QueryResult:
         from sydradb_spark.model import with_identity
 
@@ -86,10 +112,16 @@ class SydraQLEngine:
             for c, e in zip(cols, tup):
                 vals["ts" if c in ("ts", "time") else "value"] = _literal_value(e)
             rows.append((stmt.target, {}, int(vals["ts"]), float(vals["value"])))
-        new = self.spark.createDataFrame(
-            rows, "series string, tags map<string,string>, ts long, value double"
+        new = with_identity(
+            self.spark.createDataFrame(
+                rows, "series string, tags map<string,string>, ts long, value double"
+            )
         )
-        self.points = self.points.unionByName(with_identity(new))
+        if self.storage_path is not None:
+            self._storage.write_points(new, self.storage_path, mode="append")
+            self.points = self._storage.read_points(self.spark, self.storage_path)
+        else:
+            self.points = self.points.unionByName(new)
         count = len(rows)
         df = self.spark.createDataFrame([(count,)], "inserted: long")
         return QueryResult(df=df, columns=["inserted"])
@@ -107,10 +139,20 @@ class SydraQLEngine:
             sel_pred = F.col("series_id") == F.lit(stmt.target.series_id)
         else:
             sel_pred = F.col("series") == F.lit(stmt.target.name)
-        # Null-safe negation: where the predicate evaluates to NULL (e.g.
-        # tag.host = 'x' on rows missing that tag), ~NULL is NULL and a bare
-        # filter would silently drop non-matching rows. Only rows where the
-        # predicate is TRUE are deleted.
-        self.points = self.points.filter(~F.coalesce(sel_pred & ctx_pred, F.lit(False)))
+        pred = sel_pred & ctx_pred
+        if self.storage_path is not None:
+            # durable: rewrite only the hour partitions the time predicate
+            # touches, then re-read (lineage-free)
+            mn, mx = time_bounds_from_where(stmt.where)
+            self._storage.delete_where(
+                self.spark, self.storage_path, pred, ts_min=mn, ts_max=mx
+            )
+            self.points = self._storage.read_points(self.spark, self.storage_path)
+        else:
+            # Null-safe negation: where the predicate evaluates to NULL (e.g.
+            # tag.host = 'x' on rows missing that tag), ~NULL is NULL and a
+            # bare filter would silently drop non-matching rows. Only rows
+            # where the predicate is TRUE are deleted.
+            self.points = self.points.filter(~F.coalesce(pred, F.lit(False)))
         df = self.spark.createDataFrame([(1,)], "deleted: long")
         return QueryResult(df=df, columns=["deleted"])

@@ -75,6 +75,50 @@ class Translation:
     columns: list[str]
 
 
+def time_bounds_from_where(where: ast.Expr | None) -> tuple[int | None, int | None]:
+    """Literal time bounds from the WHERE conjuncts (reference TimeBounds
+    extraction, physical.zig:138-264). Over-approximates: only top-level AND
+    conjuncts shaped ``time <op> literal`` (either side) tighten the bounds,
+    which is exactly what partition pruning needs — a missed conjunct only
+    means less pruning, never a wrong result."""
+    mn: int | None = None
+    mx: int | None = None
+
+    def conjuncts(e: ast.Expr):
+        if isinstance(e, ast.Binary) and e.op == ast.BinOp.AND:
+            yield from conjuncts(e.left)
+            yield from conjuncts(e.right)
+        else:
+            yield e
+
+    flip = {
+        ast.BinOp.LT: ast.BinOp.GT,
+        ast.BinOp.LTE: ast.BinOp.GTE,
+        ast.BinOp.GT: ast.BinOp.LT,
+        ast.BinOp.GTE: ast.BinOp.LTE,
+    }
+    if where is None:
+        return None, None
+    for e in conjuncts(where):
+        if not (isinstance(e, ast.Binary) and e.op in flip):
+            continue
+        left, right, op = e.left, e.right, e.op
+        if not (isinstance(left, ast.Identifier) and left.name == "time"):
+            if isinstance(right, ast.Identifier) and right.name == "time":
+                left, right, op = right, left, flip[op]
+            else:
+                continue
+        try:
+            lit = int(_literal_value(right))
+        except (ValidationError, TypeError, ValueError):
+            continue
+        if op in (ast.BinOp.GT, ast.BinOp.GTE):
+            mn = lit if mn is None else max(mn, lit)
+        else:
+            mx = lit if mx is None else min(mx, lit)
+    return mn, mx
+
+
 @dataclass
 class _Ctx:
     """Per-query translation state."""
@@ -106,6 +150,16 @@ class Translator:
 
         base = self._resolve_selector(sel.selector)
         if sel.where is not None:
+            if "hour_bucket" in base.columns:
+                # derive hour_bucket partition bounds from ts bounds — the
+                # one rewrite Catalyst cannot do (SURVEY §4.1); on a stored
+                # table this turns a full scan into a partition-pruned one.
+                from sydradb_spark.storage import hour_bucket_bounds
+
+                mn, mx = time_bounds_from_where(sel.where)
+                hb = hour_bucket_bounds(mn, mx)
+                if hb is not None:
+                    base = base.filter(hb)
             base = base.filter(self._row(sel.where, ctx, base))
 
         needs_agg = bool(sel.group_by) or any(

@@ -1,0 +1,163 @@
+"""Storage / compaction / retention / tag-find / ingest / API-shape tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sydradb_spark import api, storage, tagindex
+from sydradb_spark.ingest import ingest_batch, stream_ndjson
+from sydradb_spark.sydraql.engine import SydraQLEngine
+
+
+@pytest.fixture()
+def stored(tmp_path, spark, points):
+    path = str(tmp_path / "points")
+    storage.write_points(points, path)
+    return path
+
+
+def test_write_read_roundtrip(spark, points, stored):
+    back = storage.read_points(spark, stored)
+    assert back.count() == points.count()
+    assert [f.name for f in back.schema.fields[:6]] == [
+        "series_id", "series", "tags", "ts", "value", "hour_bucket",
+    ]
+    assert dict(back.dtypes)["hour_bucket"] == "bigint"
+
+
+def test_scan_range_prunes_partitions(spark, points, stored):
+    scanned = storage.scan_range(spark, stored, start=1_000_000, end=1_003_000)
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "hour_bucket" in plan  # partition filter reached the scan
+    # rows: correctness of the pruned read
+    expected = points.where((F.col("ts") >= 1_000_000) & (F.col("ts") <= 1_003_000)).count()
+    assert scanned.count() == expected > 0
+
+
+def test_sydraql_scan_derives_partition_bounds(spark, points, stored):
+    """The translator adds hour_bucket bounds from WHERE time bounds
+    (SURVEY §4.1) so stored-table queries partition-prune."""
+    eng = SydraQLEngine(spark, storage_path=stored)
+    res = eng.query(
+        "select time, value from cpu.total where time >= 1000000 and time < 1003000"
+    )
+    optimized = res.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hour_bucket" in optimized
+    assert res.df.count() > 0
+
+
+def test_compaction_last_wins(spark, points):
+    # conftest plants a duplicate (series_id, ts) pair; last-wins by max value
+    dups = (
+        points.groupBy("series_id", "ts").count().where("count > 1").count()
+    )
+    assert dups >= 1
+    compacted = storage.compact_points(points)
+    assert compacted.groupBy("series_id", "ts").count().where("count > 1").count() == 0
+    assert compacted.count() == points.dropDuplicates(["series_id", "ts"]).count()
+
+
+def test_retention_filter_and_partition_drop(spark, points, tmp_path, stored):
+    now = 1_000_000 + 30 * 86400  # 30 days past the fixture timeline
+    kept = storage.apply_retention(points, now, {"cpu": 0}, default_days=999)
+    assert kept.where(F.col("series").startswith("cpu.")).count() == 0
+    assert kept.where(~F.col("series").startswith("cpu.")).count() > 0
+
+    # global partition drop: cutoff after every fixture hour → all dirs go
+    dropped = storage.drop_expired_partitions(stored, cutoff_hour_bucket=10**10)
+    assert dropped
+    assert not list(os.listdir(stored)) or all(
+        not d.startswith("hour_bucket=") for d in os.listdir(stored)
+    )
+
+
+def test_tag_find_and_or(spark, points):
+    both = tagindex.find_series(points, {"host": "a", "env": "prod"}, mode="and")
+    any_ = tagindex.find_series(points, {"host": "a", "env": "prod"}, mode="or")
+    and_ids = {r["series_id"] for r in both.collect()}
+    or_ids = {r["series_id"] for r in any_.collect()}
+    assert and_ids and and_ids <= or_ids
+    # verify against direct tag predicates
+    direct_and = {
+        r["series_id"]
+        for r in points.where(
+            (F.col("tags")["host"] == "a") & (F.col("tags")["env"] == "prod")
+        ).select("series_id").distinct().collect()
+    }
+    assert and_ids == direct_and
+
+
+def test_tag_index_shape(points):
+    idx = {r["tag_kv"]: r["series_ids"] for r in tagindex.tag_index(points).collect()}
+    assert any(k.startswith("host=") for k in idx)
+    assert all(isinstance(v, list) and v == sorted(v) for v in idx.values())
+
+
+def test_ingest_batch_roundtrip(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"series": "weather.room1", "ts": 1000, "value": 24.2},
+        {"series": "weather.room1", "ts": 2000, "value": 24.3, "tags": {"host": "a"}},
+    ]
+    (src / "a.ndjson").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    table = str(tmp_path / "table")
+    ingest_batch(spark, str(src), table)
+    eng = SydraQLEngine(spark, storage_path=table)
+    got = eng.query(
+        "select time, value from weather.room1 where time >= 0 and time < 10000"
+    ).df.collect()
+    assert [(r["time"], r["value"]) for r in got] == [(1000, 24.2), (2000, 24.3)]
+
+
+def test_streaming_ingest(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text(
+        '{"series": "s.x", "ts": 100, "value": 1.0}\n'
+        '{"series": "s.x", "ts": 3700, "value": 2.0}\n'
+    )
+    table = str(tmp_path / "stream_table")
+    q = stream_ndjson(spark, str(src), table, str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    back = storage.read_points(spark, table)
+    assert back.count() == 2
+    assert {r["hour_bucket"] for r in back.collect()} == {0, 3600}
+    # second micro-batch: new file, restart from checkpoint, no reprocessing
+    (src / "b2.ndjson").write_text('{"series": "s.x", "ts": 200, "value": 3.0}\n')
+    q2 = stream_ndjson(spark, str(src), table, str(tmp_path / "ckpt"))
+    q2.awaitTermination(60)
+    assert storage.read_points(spark, table).count() == 3
+
+
+def test_insert_delete_durable(spark, tmp_path):
+    src = tmp_path / "seed"
+    src.mkdir()
+    (src / "s.ndjson").write_text('{"series": "m.a", "ts": 1000, "value": 1.0}\n')
+    table = str(tmp_path / "t")
+    ingest_batch(spark, str(src), table)
+
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("insert into m.a (time, value) values (2000, 2.0)")
+    eng.query("delete from m.a where time >= 0 and time < 1500")
+    # fresh engine == restart: only disk state
+    eng2 = SydraQLEngine(spark, storage_path=table)
+    got = eng2.query("select time, value from m.a where time >= 0 and time < 9000").df.collect()
+    assert [(r["time"], r["value"]) for r in got] == [(2000, 2.0)]
+
+
+def test_api_response_shape(spark, points):
+    eng = SydraQLEngine(spark, points)
+    res = eng.query(
+        "select time, value from cpu.total where time >= 1000000 and time < 1100000 limit 2"
+    )
+    resp = api.to_response(res)
+    assert [c["name"] for c in resp["columns"]] == ["time", "value"]
+    assert resp["columns"][0]["type"] == "bigint"
+    assert len(resp["rows"]) == 2
+    assert resp["stats"]["rows_returned"] == 2
+    assert {"parse_us", "validate_us", "plan_us", "execute_us"} <= set(resp["stats"])
