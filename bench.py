@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries run through the same ``__spark_entry__.queries()`` callables the
+correctness gate checks — the benchmark measures the real operator surface,
+not a tuned copy of it. A warm-up query amortizes JVM/session startup out of
+the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (scan, bucket agg, rate family,
+# window, fill, top-k, dedup exact + LSH, ANN, text analysis).
+HEADLINE = [
+    "scan_range",
+    "agg_bucket_basic",
+    "agg_rate_delta",
+    "agg_irate",
+    "window_moving_avg",
+    "fill_linear",
+    "topk_desc",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "knn_cosine_brute",
+    "text_stats",
+    "storage_roundtrip",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    from sydradb_spark.session import get_spark
+
+    spark = get_spark("sydradb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    # warm-up: JVM, parquet footer reads, Python worker pool
+    from sydradb_spark.tables import load_table
+
+    load_table(spark, sf_dir, "events").count()
+    load_table(spark, sf_dir, "documents").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

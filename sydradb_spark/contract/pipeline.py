@@ -155,20 +155,29 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+_MINH_COLS = ", ".join(
+    f"min(({dedup.MINHASH_A[i]} * hm + {dedup.MINHASH_B[i]}) % {dedup.MINHASH_P}) AS m{i}"
+    for i in range(dedup.NUM_HASHES)
+)
+_BAND_SIG_CASE = "CASE band " + " ".join(
+    f"WHEN {b} THEN CAST(m{b * dedup.BAND_ROWS} AS VARCHAR) || ',' || "
+    f"CAST(m{b * dedup.BAND_ROWS + 1} AS VARCHAR)"
+    for b in range(dedup.NUM_BANDS)
+) + " END"
+
 _q(
     "minhash_lsh_pairs",
     _minhash,
     f"""WITH {_TOKS}, {_SHINGLES},
-seeded AS (
-  SELECT doc_id, seed, min({_HASH.format("CAST(seed AS VARCHAR) || '|' || sh")}) AS mh
-  FROM sh, unnest(generate_series(0, {dedup.NUM_HASHES - 1})) AS s(seed)
-  GROUP BY doc_id, seed
+basehash AS (
+  SELECT doc_id, {_HASH.format("sh")} % {dedup.MINHASH_M} AS hm FROM sh
+),
+minh AS (
+  SELECT doc_id, {_MINH_COLS} FROM basehash GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, seed // {dedup.BAND_ROWS} AS band,
-         CAST(min(CASE WHEN seed % 2 = 0 THEN mh END) AS VARCHAR) || ',' ||
-         CAST(min(CASE WHEN seed % 2 = 1 THEN mh END) AS VARCHAR) AS sig
-  FROM seeded GROUP BY 1, 2
+  SELECT doc_id, band, {_BAND_SIG_CASE} AS sig
+  FROM minh, unnest(generate_series(0, {dedup.NUM_BANDS - 1})) AS bb(band)
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

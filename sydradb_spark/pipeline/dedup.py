@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sydradb_spark.pipeline.hashing import hash64, hash64_seeded
+from sydradb_spark.pipeline.hashing import hash64
 
 # MinHash parameters: 16 hashes in 8 bands of r=2 → candidate-pair recall
 # 1-(1-j²)^8 (≈0.27 at j=0.2, ≈0.92 at j=0.5, ≈1 at j≥0.8).
@@ -30,6 +30,17 @@ SHINGLE_WORDS = 3
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8 bits; finds all pairs with hamming <= SIMHASH_BANDS-1
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives in
+    fewer splits (e.g. one small parquet file) — tokenize/shingle/hash are
+    CPU-bound per-row stages and would otherwise run single-task. No-op when
+    the source already has enough splits (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # --- exact ------------------------------------------------------------------
@@ -69,34 +80,61 @@ def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
 def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) exploded — the shared input of MinHash and exact
     Jaccard verification."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.explode(word_shingles(F.col(text_col))).alias("sh")
     )
 
 
 # --- MinHash + LSH ------------------------------------------------------------
-def minhash_band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) — per-band signature string from NUM_HASHES seeded
-    min-hashes. Input is shingle_table() output."""
-    seeded = sh.select(
+# Hash family: one md5-based base hash per shingle, NUM_HASHES affine variants
+# h_i = (A[i] * (h mod 2^31) + B[i]) mod (2^61-1). One hash computation and
+# ONE map-side-combining shuffle (16 min-aggregates as columns) instead of a
+# 16x row explosion — this is what keeps signatures cheap at corpus scale.
+# All operands stay < 2^62, so the arithmetic is overflow-free in any engine.
+MINHASH_M = 1 << 31
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [(i * 2654435761 + 12345) % (MINHASH_M - 1) + 1 for i in range(NUM_HASHES)]
+MINHASH_B = [(i * 1013904223 + 54321) % MINHASH_M for i in range(NUM_HASHES)]
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{NUM_HASHES-1}) MinHash signature columns from
+    shingle_table() output."""
+    h = F.pmod(hash64(F.col("sh")), F.lit(MINHASH_M))
+    hashed = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("seed"),
-        F.col("sh"),
-    ).select(
-        "doc_id", "seed", hash64_seeded(F.col("sh"), F.col("seed")).alias("h")
+        *[
+            ((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i in range(NUM_HASHES)
+        ],
     )
-    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    # band = seed div BAND_ROWS; signature = the r per-seed minima in seed
-    # order, joined — conditional min per slot keeps it one aggregation.
-    slot_aggs = [
-        F.min(F.when(F.col("seed") % BAND_ROWS == r, F.col("mh"))).alias(f"s{r}")
-        for r in range(BAND_ROWS)
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    )
+
+
+def minhash_band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — per-band signature string (r consecutive minima
+    joined) for LSH bucketing."""
+    minh = minhash_signatures(sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * BAND_ROWS + r}").cast("string")
+                    for r in range(BAND_ROWS)
+                ],
+            ).alias("sig"),
+        )
+        for b in range(NUM_BANDS)
     ]
-    bands = minh.groupBy(
-        "doc_id", (F.col("seed") / BAND_ROWS).cast("long").alias("band")
-    ).agg(*slot_aggs)
-    sig = F.concat_ws(",", *[F.col(f"s{r}").cast("string") for r in range(BAND_ROWS)])
-    return bands.select("doc_id", "band", sig.alias("sig"))
+    return minh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
@@ -153,9 +191,20 @@ def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.2, text_col: str = "text"
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
-    LSH band-bucket join → exact-Jaccard verify. Never all-pairs."""
-    sh = shingle_table(docs, text_col)
-    pairs = lsh_candidate_pairs(minhash_band_signatures(sh))
+    LSH band-bucket join → exact-Jaccard verify. Never all-pairs.
+
+    The shingle table feeds three consumers (signatures + both sides of the
+    verify join); persist it spill-to-disk so it's computed once — at corpus
+    scale recomputing the tokenize+hash pass 3x costs more than the spill.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # pairs feeds both sides of the verify join — persist so the LSH join
+    # runs once (the candidate set is tiny relative to the corpus)
+    pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
@@ -166,7 +215,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Bit i is the sign of Σ±1 over token-hash bit i. Explodes tokens × 32 bit
     positions; all-JVM arithmetic, two partial-aggregating shuffles.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -222,7 +271,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All-pairs exact 3-gram Jaccard — O(n²); only for bounded subsets
     (the scale path is minhash_near_dups)."""
-    withsh = docs.select(
+    withsh = _spread(docs).select(
         "doc_id", word_shingles(F.col(text_col)).alias("shs")
     )
     a = withsh.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
