@@ -1,0 +1,152 @@
+"""SQL → sydraQL string-level translator (the pgwire compat layer's core).
+
+Reference: src/sydra/query/translator.zig:77-264 — a deliberately narrow
+rewriter for the five statement shapes a Postgres client commonly sends:
+
+- ``SELECT 1``                          → ``select 1``
+- ``SELECT cols FROM t [WHERE cond]``   → ``select c1,c2 from t [where cond]``
+- ``INSERT INTO t [(cols)] VALUES (…)`` → ``insert into t [(cols)] values (…)``
+- ``DELETE FROM t [WHERE cond]``        → ``delete from t [where cond]``
+- ``UPDATE …`` / any ``RETURNING``      → SQLSTATE 0A000 feature_not_supported
+
+Everything else falls back with SQLSTATE 0A000. Translation/fallback counters
+mirror compat/stats.zig; behavior is pinned by the reference's golden corpus
+(tests/translator/cases.jsonl, mirrored in tests/test_compat_translator.py).
+The wire protocol itself is out of scope (SURVEY §7.3) — Spark deployments
+get SQL-over-the-wire from Spark Connect / Thrift instead.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+
+SQLSTATE_FEATURE_NOT_SUPPORTED = "0A000"
+_MSG = "feature not supported"
+
+
+@dataclass
+class Translation:
+    ok: bool
+    sydraql: str | None = None
+    sqlstate: str | None = None
+    message: str | None = None
+
+
+@dataclass
+class CompatStats:
+    """compat/stats.zig equivalent: counts + a bounded structured log."""
+
+    translations: int = 0
+    fallbacks: int = 0
+    log: list[dict] = field(default_factory=list)
+    max_log: int = 256
+
+    def record(self, sql: str, out: Translation, duration_us: int) -> None:
+        if out.ok:
+            self.translations += 1
+        else:
+            self.fallbacks += 1
+        self.log.append(
+            {
+                "sql": sql,
+                "sydraql": out.sydraql or "",
+                "fallback": not out.ok,
+                "duration_us": duration_us,
+            }
+        )
+        if len(self.log) > self.max_log:
+            self.log.pop(0)
+
+    def snapshot(self) -> dict:
+        return {"translations": self.translations, "fallbacks": self.fallbacks}
+
+
+STATS = CompatStats()
+
+
+def _fallback() -> Translation:
+    return Translation(ok=False, sqlstate=SQLSTATE_FEATURE_NOT_SUPPORTED, message=_MSG)
+
+
+_RETURNING = re.compile(r"(^|\s)returning(\s|$)", re.IGNORECASE)
+
+
+def _translate(sql: str) -> Translation:
+    s = sql.strip().rstrip(" \t\r\n;").strip()
+
+    if s.lower() == "select 1":
+        return Translation(ok=True, sydraql="select 1")
+
+    m = re.match(r"select\s+(.+?)\s+from\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        cols_raw, rest = m.group(1).strip(), m.group(2).strip()
+        if cols_raw and rest and not _RETURNING.search(rest):
+            table, where = rest, None
+            wm = re.search(r"\swhere\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+            if wm:
+                cond = wm.group(1).strip()
+                before = rest[: wm.start()].strip()
+                if cond and before:
+                    table, where = before, cond
+            if not re.search(r"\swhere\s*$", table, re.IGNORECASE):
+                cols = ",".join(c.strip() for c in cols_raw.split(",") if c.strip())
+                if cols and table:
+                    out = f"select {cols} from {table}"
+                    if where:
+                        out += f" where {where}"
+                    return Translation(ok=True, sydraql=out)
+        return _fallback()
+
+    m = re.match(
+        r"insert\s+into\s+([^\s(]+)\s*(?:\(([^)]*)\))?\s*values\s*\((.*)\)\s*(.*)$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, cols, values, tail = (
+            m.group(1),
+            (m.group(2) or "").strip(),
+            m.group(3).strip(),
+            m.group(4).strip(),
+        )
+        if tail:  # RETURNING or anything else after VALUES(...) → fallback
+            return _fallback()
+        out = f"insert into {table}"
+        if cols:
+            out += f" ({cols})"
+        out += f" values ({values})"
+        return Translation(ok=True, sydraql=out)
+    if re.match(r"insert\s", s, re.IGNORECASE):
+        return _fallback()
+
+    if re.match(r"update\s", s, re.IGNORECASE):
+        return _fallback()
+
+    m = re.match(r"delete\s+from\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        rest = m.group(1).strip()
+        if not rest or _RETURNING.search(rest):
+            return _fallback()
+        table, where = rest, None
+        wm = re.search(r"\swhere(\s+(.*))?$", rest, re.IGNORECASE | re.DOTALL)
+        if wm:
+            cond = (wm.group(2) or "").strip()
+            before = rest[: wm.start()].strip()
+            if not cond or not before:  # bare trailing WHERE → fallback
+                return _fallback()
+            table, where = before, cond
+        out = f"delete from {table}"
+        if where:
+            out += f" where {where}"
+        return Translation(ok=True, sydraql=out)
+
+    return _fallback()
+
+
+def translate(sql: str, stats: CompatStats | None = None) -> Translation:
+    t0 = time.perf_counter()
+    out = _translate(sql)
+    (stats or STATS).record(sql, out, int((time.perf_counter() - t0) * 1e6))
+    return out

@@ -386,6 +386,23 @@ _q(
     ),
 )
 
+_q(
+    "duration_timestamp_literals",
+    # duration (`1h`) + ISO8601 timestamp literals: specced in the reference
+    # design doc (sydraql-design.md:92) but never lexed there — implemented
+    # here (lexer.py:104-187). 2024-01-05T00:00:00Z = 1704412800.
+    ql(
+        "select time_bucket(1h, time) as b, count() as n from events.click "
+        "where time >= 2024-01-05T00:00:00Z and time < 2024-01-08T00:00:00Z "
+        "group by time_bucket(1h, time)"
+    ),
+    oracle(
+        "SELECT (ts // 3600) * 3600 AS b, count(*) AS n FROM points "
+        "WHERE series = 'events.click' AND ts >= 1704412800 AND ts < 1704672000 "
+        "GROUP BY 1"
+    ),
+)
+
 # --- §2.5 window functions ----------------------------------------------------
 _q(
     "window_lag",

@@ -171,6 +171,26 @@ def drop_expired_partitions(path: str, cutoff_hour_bucket: int) -> list[int]:
     return sorted(dropped)
 
 
+# --- snapshot / restore -------------------------------------------------------
+def snapshot(path: str, dest: str) -> None:
+    """Consistent copy of the stored table (reference snapshot.zig:3-47 copies
+    MANIFEST + wal/ + segments/ + tags.json; here the partitioned Parquet dir
+    IS the whole state). At warehouse scale this is a metadata clone in a
+    table format (Delta/Iceberg snapshot) — the filesystem copy is the
+    local-disk equivalent."""
+    if Path(dest).exists():
+        raise FileExistsError(f"snapshot destination exists: {dest}")
+    shutil.copytree(path, dest)
+
+
+def restore(snapshot_path: str, path: str) -> None:
+    """Replace the live table with a snapshot."""
+    live = Path(path)
+    if live.exists():
+        shutil.rmtree(live)
+    shutil.copytree(snapshot_path, live)
+
+
 # --- durable DELETE -----------------------------------------------------------
 def delete_where(
     spark: SparkSession,

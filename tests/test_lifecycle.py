@@ -161,3 +161,19 @@ def test_api_response_shape(spark, points):
     assert len(resp["rows"]) == 2
     assert resp["stats"]["rows_returned"] == 2
     assert {"parse_us", "validate_us", "plan_us", "execute_us"} <= set(resp["stats"])
+
+
+def test_snapshot_restore(spark, tmp_path, points):
+    table = str(tmp_path / "live")
+    storage.write_points(points, table)
+    n0 = storage.read_points(spark, table).count()
+
+    snap = str(tmp_path / "snap")
+    storage.snapshot(table, snap)
+    with pytest.raises(FileExistsError):
+        storage.snapshot(table, snap)
+
+    # destructive change (all partitions dropped), then restore
+    assert storage.drop_expired_partitions(table, cutoff_hour_bucket=10**10)
+    storage.restore(snap, table)
+    assert storage.read_points(spark, table).count() == n0
