@@ -184,6 +184,119 @@ _q(
 )
 
 
+# --- rollup materialization (reference rollup hint, realized) ----------------
+def _rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sydradb_spark import rollup as rl
+
+    pts = events_points(spark, sf_dir).where(
+        (F.col("series") == "events.purchase")
+        & (F.col("tags")["host"] == "h0")
+        & (F.col("tags")["dc"] == "dc0")
+        & (F.col("ts") >= T0)
+        & (F.col("ts") < T1)
+    )
+    hourly = rl.build_rollup(pts, step_s=3600)
+    daily = rl.rollup_answer(rl.combine_rollup(hourly, step_s=86400))
+    return daily.select(
+        "bucket",
+        "n",
+        F.round(F.col("sum_v"), 6).alias("sum_v"),
+        F.round(F.col("avg_v"), 6).alias("avg_v"),
+        "min_v",
+        "max_v",
+        "first_v",
+        "last_v",
+    )
+
+
+_q(
+    "rollup_daily_from_hourly",
+    _rollup_daily,
+    # oracle computes DAILY aggregates directly from raw points — proving the
+    # hourly-rollup → daily combination is lossless
+    oracle(
+        f"SELECT (ts // 86400) * 86400 AS bucket, count(*) AS n, "
+        f"{r6('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v, "
+        f"min(value) AS min_v, max(value) AS max_v, "
+        f"arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v "
+        f"FROM points WHERE series = 'events.purchase' AND host = 'h0' AND dc = 'dc0' "
+        f"AND ts >= {T0} AND ts < {T1} GROUP BY 1"
+    ),
+)
+
+
+# --- time-aligned multi-series expressions (roadmap JoinTime) -----------------
+def _aligned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sydradb_spark.functions.align import aligned_ratio
+
+    pts = events_points(spark, sf_dir).where(
+        (F.col("ts") >= T0) & (F.col("ts") < T1)
+    )
+    out = aligned_ratio(pts, "events.click", "events.view", step_s=86400)
+    return out.select("bucket", F.round(F.col("ratio"), 6).alias("ratio"))
+
+
+_q(
+    "aligned_series_ratio",
+    _aligned_ratio,
+    oracle(
+        f""", a AS (
+  SELECT (ts // 86400) * 86400 AS bucket, avg(value) AS av FROM points
+  WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1} GROUP BY 1
+), b AS (
+  SELECT (ts // 86400) * 86400 AS bucket, avg(value) AS bv FROM points
+  WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 1
+)
+SELECT a.bucket, {r6('a.av / b.bv')} AS ratio FROM a JOIN b USING (bucket)"""
+    ),
+)
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sydradb_spark.functions.align import asof_join
+
+    pts = events_points(spark, sf_dir).where(
+        (F.col("tags")["host"] == "h1")
+        & (F.col("tags")["dc"] == "dc1")
+        & (F.col("ts") >= T0)
+        & (F.col("ts") < D7)
+    )
+    left = pts.where(F.col("series") == "events.click")
+    right = pts.where(F.col("series") == "events.view")
+    # align on ts only (single logical pair): collapse both to one join key
+    out = asof_join(
+        left.withColumn("series_id", F.lit(0)),
+        right.withColumn("series_id", F.lit(0)),
+        tolerance_s=86400,
+    )
+    return out.select(
+        "ts", "value", F.round(F.col("right_value"), 6).alias("right_value"), "right_ts"
+    )
+
+
+_q(
+    "asof_join_latest_before",
+    _asof,
+    oracle(
+        f""", l AS (
+  SELECT ts, value FROM points WHERE series = 'events.click'
+    AND host = 'h1' AND dc = 'dc1' AND ts >= {T0} AND ts < {D7}
+), r AS (
+  SELECT ts, value FROM points WHERE series = 'events.view'
+    AND host = 'h1' AND dc = 'dc1' AND ts >= {T0} AND ts < {D7}
+), matched AS (
+  SELECT l.ts, l.value,
+         (SELECT r.value FROM r WHERE r.ts <= l.ts AND l.ts - r.ts <= 86400
+          ORDER BY r.ts DESC, r.value DESC LIMIT 1) AS right_value,
+         (SELECT r.ts FROM r WHERE r.ts <= l.ts AND l.ts - r.ts <= 86400
+          ORDER BY r.ts DESC, r.value DESC LIMIT 1) AS right_ts
+  FROM l
+)
+SELECT ts, value, {r6('right_value')} AS right_value, right_ts FROM matched"""
+    ),
+)
+
+
 def _delete_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _scratch(sf_dir, "delete_table", fresh=True)
     pts = events_points(spark, sf_dir).where(F.col("ts") < D7)

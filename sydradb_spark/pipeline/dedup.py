@@ -32,15 +32,7 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8 bits; finds all pairs with hamming <= SIMHASH_BANDS-1
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input arrives in
-    fewer splits (e.g. one small parquet file) — tokenize/shingle/hash are
-    CPU-bound per-row stages and would otherwise run single-task. No-op when
-    the source already has enough splits (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from sydradb_spark.util import spread as _spread
 
 
 # --- exact ------------------------------------------------------------------

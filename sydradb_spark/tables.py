@@ -78,4 +78,7 @@ def events_points(spark: SparkSession, sf_dir: str, with_seq: bool = False) -> D
     ]
     if with_seq:
         cols.append(F.col("event_id").alias("seq"))
+    # no spread() here: the events adapter feeds shuffle-bearing queries
+    # (agg/window/sort) whose exchange redistributes anyway; an up-front
+    # repartition of the single-file input just adds a shuffle.
     return with_identity(ev.select(*cols), extra=["seq"] if with_seq else None)
