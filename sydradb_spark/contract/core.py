@@ -579,6 +579,28 @@ _q(
     "(1704067260, 2.5), (1704067320, 4.0)) AS t(time, value)",
 )
 
+def _compat_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgwire-compat path end-to-end: SQL string → compat translator →
+    sydraQL engine (reference entry point B, wire protocol excluded)."""
+    from sydradb_spark.compat.translator import translate
+
+    t = translate(
+        f"SELECT time, value FROM events.view WHERE time >= {T0} AND time < {D3}"
+    )
+    assert t.ok, t.message
+    eng = SydraQLEngine(spark, events_points(spark, sf_dir))
+    return eng.query(t.sydraql).df
+
+
+_q(
+    "compat_sql_select",
+    _compat_sql,
+    oracle(
+        f"SELECT ts AS time, value FROM points WHERE series = 'events.view' "
+        f"AND ts >= {T0} AND ts < {D3}"
+    ),
+)
+
 _q(
     "delete_then_count",
     ql(

@@ -143,3 +143,19 @@ def test_video_sampling_stub_raises(spark):
     media = multimodal.docs_as_media(docs)  # kind=image, not video
     with pytest.raises(Exception, match="NotImplementedError|demuxer"):
         multimodal.sample_video_frames(media).collect()
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "abc123 def"), (2, "hello world"), (3, "x1y2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", text.bpe_ish_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert out[1] == 3  # abc | 123 | def
+    assert out[2] == 2
+    assert out[3] == 4  # x | 1 | y | 2

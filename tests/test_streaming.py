@@ -1,0 +1,82 @@
+"""Structured Streaming: rollup maintenance + custom stateful EMA."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sydradb_spark.streaming.rollup_stream import (
+    compact_rollup,
+    read_rollup,
+    stream_rollup,
+)
+from sydradb_spark.streaming.stateful import streaming_ema
+
+
+def test_stream_rollup_fold(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # two points in hour 0, one in hour 1
+    (src / "b1.ndjson").write_text(
+        '{"series": "s.a", "ts": 100, "value": 1.0}\n'
+        '{"series": "s.a", "ts": 200, "value": 3.0}\n'
+        '{"series": "s.a", "ts": 3700, "value": 5.0}\n'
+    )
+    rollup_path = str(tmp_path / "rollup")
+    q = stream_rollup(spark, str(src), rollup_path, str(tmp_path / "ck"))
+    q.awaitTermination(60)
+    # late batch into the SAME hour bucket → a second partial row to fold
+    (src / "b2.ndjson").write_text('{"series": "s.a", "ts": 150, "value": 7.0}\n')
+    q2 = stream_rollup(spark, str(src), rollup_path, str(tmp_path / "ck"))
+    q2.awaitTermination(60)
+
+    folded = {r["bucket"]: r for r in read_rollup(spark, rollup_path, 3600).collect()}
+    assert folded[0]["cnt"] == 3 and folded[0]["sum_v"] == pytest.approx(11.0)
+    assert folded[0]["first_v"] == 1.0 and folded[0]["last_v"] == 3.0  # ts 200 > 150
+    assert folded[3600]["cnt"] == 1 and folded[3600]["last_v"] == 5.0
+
+    compact_rollup(spark, rollup_path, 3600)
+    raw = spark.read.parquet(rollup_path)
+    assert raw.count() == 2  # one row per (series, bucket) after compaction
+
+
+def test_streaming_ema_state_across_batches(spark, tmp_path):
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text(
+        '{"series_id": 1, "ts": 1, "value": 2.0}\n'
+        '{"series_id": 1, "ts": 2, "value": 4.0}\n'
+    )
+    stream = (
+        spark.readStream.schema("series_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_path, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        streaming_ema(stream, alpha=0.5)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    # second file → second run resumes from checkpointed state
+    (src / "b2.ndjson").write_text('{"series_id": 1, "ts": 3, "value": 8.0}\n')
+    q2 = (
+        streaming_ema(stream, alpha=0.5)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(90)
+
+    rows = {r["ts"]: r["ema"] for r in spark.read.parquet(out_path).collect()}
+    assert rows[1] == pytest.approx(2.0)
+    assert rows[2] == pytest.approx(3.0)   # 0.5*4 + 0.5*2
+    assert rows[3] == pytest.approx(5.5)   # 0.5*8 + 0.5*3 — state crossed batches
