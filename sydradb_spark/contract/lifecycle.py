@@ -225,6 +225,39 @@ _q(
 )
 
 
+def _rollup_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine query answered FROM the materialized rollup (translator
+    rewrite); the oracle computes from raw points — equality proves the
+    rewrite is lossless end-to-end."""
+    from sydradb_spark import rollup as rl
+
+    pts = events_points(spark, sf_dir)
+    eng = SydraQLEngine(
+        spark,
+        pts,
+        rollup=rl.build_rollup(pts, step_s=3600),
+        rollup_step=3600,
+    )
+    return eng.query(
+        f"select time_bucket(86400, time) as bucket, {r6('avg(value)')} as avg_v, "
+        f"{r6('sum(value)')} as sum_v, count() as n, min(value) as min_v, "
+        f"max(value) as max_v from events.error "
+        f"where time >= {T0} and time < {T1} group by time_bucket(86400, time)"
+    ).df
+
+
+_q(
+    "rollup_served_engine_query",
+    _rollup_engine,
+    oracle(
+        f"SELECT (ts // 86400) * 86400 AS bucket, {r6('avg(value)')} AS avg_v, "
+        f"{r6('sum(value)')} AS sum_v, count(*) AS n, min(value) AS min_v, "
+        f"max(value) AS max_v FROM points WHERE series = 'events.error' "
+        f"AND ts >= {T0} AND ts < {T1} GROUP BY 1"
+    ),
+)
+
+
 # --- time-aligned multi-series expressions (roadmap JoinTime) -----------------
 def _aligned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sydradb_spark.functions.align import aligned_ratio

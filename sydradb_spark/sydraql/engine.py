@@ -50,6 +50,8 @@ class SydraQLEngine:
         spark: SparkSession,
         points: DataFrame | None = None,
         storage_path: str | None = None,
+        rollup: DataFrame | None = None,
+        rollup_step: int = 3600,
     ):
         from sydradb_spark import storage as storage_mod
 
@@ -61,6 +63,10 @@ class SydraQLEngine:
                 raise ValueError("need points or storage_path")
             points = storage_mod.read_points(spark, storage_path)
         self.points = points
+        # materialized rollup (rollup.build_rollup at rollup_step): eligible
+        # bucketed aggregates are served from it (translator._try_rollup)
+        self.rollup = rollup
+        self.rollup_step = rollup_step
 
     def query(self, text: str) -> QueryResult:
         t0 = time.perf_counter()
@@ -88,7 +94,9 @@ class SydraQLEngine:
 
     def _run(self, stmt: ast.Statement) -> QueryResult:
         if isinstance(stmt, ast.Select):
-            tr = Translator(self.points, self.spark).translate(stmt)
+            tr = Translator(
+                self.points, self.spark, rollup=self.rollup, rollup_step=self.rollup_step
+            ).translate(stmt)
             return QueryResult(df=tr.df, columns=tr.columns)
         if isinstance(stmt, ast.Insert):
             return self._insert(stmt)

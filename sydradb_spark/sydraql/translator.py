@@ -132,11 +132,18 @@ class _Ctx:
 
 
 class Translator:
-    """Compiles one validated SELECT to a DataFrame over the points table."""
+    """Compiles one validated SELECT to a DataFrame over the points table.
 
-    def __init__(self, points: DataFrame, spark=None):
+    With a materialized ``rollup`` (rollup.build_rollup output at
+    ``rollup_step``), eligible ``GROUP BY time_bucket(...)`` aggregates are
+    served from it instead of raw points — the reference's rollup hint
+    (plan.zig:283-293) actually consumed by the planner."""
+
+    def __init__(self, points: DataFrame, spark=None, rollup=None, rollup_step: int = 3600):
         self.points = points
         self.spark = spark or points.sparkSession
+        self.rollup = rollup
+        self.rollup_step = rollup_step
 
     # ------------------------------------------------------------------
     def translate(self, sel: ast.Select) -> Translation:
@@ -147,6 +154,10 @@ class Translator:
 
         if sel.selector is None:
             return self._translate_onerow(sel, ctx)
+
+        rolled = self._try_rollup(sel, ctx)
+        if rolled is not None:
+            return rolled
 
         base = self._resolve_selector(sel.selector)
         if sel.where is not None:
@@ -168,6 +179,158 @@ class Translator:
         if needs_agg:
             return self._translate_aggregate(sel, ctx, base)
         return self._translate_simple(sel, ctx, base)
+
+    # --- rollup-aware rewrite ---------------------------------------------
+    _ROLLUP_FUNCS = ("avg", "sum", "count", "min", "max", "first", "last")
+
+    @staticmethod
+    def _rollup_agg_expr(func: str) -> Column:
+        return {
+            "avg": F.col("sum_v") / F.col("cnt"),
+            "sum": F.col("sum_v"),
+            "count": F.col("cnt"),
+            "min": F.col("min_v"),
+            "max": F.col("max_v"),
+            "first": F.col("first_v"),
+            "last": F.col("last_v"),
+        }[func]
+
+    def _try_rollup(self, sel: ast.Select, ctx: _Ctx) -> Translation | None:
+        """Serve the query from the materialized rollup when that is exactly
+        equivalent. Strict eligibility (any miss → None, raw path runs):
+
+        - selector by_id or plain name (tags live only in raw points);
+        - WHERE is solely ``time >= A and time < B`` conjuncts with A, B
+          multiples of the rollup step (partial edge buckets can't be served);
+        - one grouping: 2-arg time_bucket whose step is a multiple of the
+          rollup step (origin shifts would misalign buckets);
+        - aggregates drawn from the associative set avg/sum/count()/min/max/
+          first/last over ``value``;
+        - no FILL (the raw path handles it).
+        """
+        if self.rollup is None or sel.selector is None or sel.fill is not None:
+            return None
+        if sel.selector.kind == "name" and sel.selector.tags:
+            return None
+
+        def conjuncts(e: ast.Expr):
+            if isinstance(e, ast.Binary) and e.op == ast.BinOp.AND:
+                yield from conjuncts(e.left)
+                yield from conjuncts(e.right)
+            else:
+                yield e
+
+        mn = mx = None
+        if sel.where is not None:
+            flip = {ast.BinOp.LT: ast.BinOp.GT, ast.BinOp.GTE: ast.BinOp.LTE,
+                    ast.BinOp.GT: ast.BinOp.LT, ast.BinOp.LTE: ast.BinOp.GTE}
+            for e in conjuncts(sel.where):
+                if not (isinstance(e, ast.Binary) and e.op in flip):
+                    return None
+                left, right, op = e.left, e.right, e.op
+                if not (isinstance(left, ast.Identifier) and left.name == "time"):
+                    if isinstance(right, ast.Identifier) and right.name == "time":
+                        left, right, op = right, left, flip[op]
+                    else:
+                        return None
+                try:
+                    lit = int(_literal_value(right))
+                except (ValidationError, TypeError, ValueError):
+                    return None
+                if lit % self.rollup_step != 0:
+                    return None
+                if op == ast.BinOp.GTE:
+                    mn = lit if mn is None else max(mn, lit)
+                elif op == ast.BinOp.LT:
+                    mx = lit if mx is None else min(mx, lit)
+                else:
+                    return None  # > / <= shift bucket edges by one point
+
+        groups = []
+        for g in sel.group_by:
+            if isinstance(g, ast.Identifier) and g.name in ctx.select_aliases:
+                groups.append(ctx.select_aliases[g.name])
+            else:
+                groups.append(g)
+        if len(groups) != 1:
+            return None
+        g = groups[0]
+        if not (
+            isinstance(g, ast.Call)
+            and g.func == "time_bucket"
+            and len(g.args) == 2
+            and isinstance(g.args[1], ast.Identifier)
+            and g.args[1].name == "time"
+        ):
+            return None
+        try:
+            step = int(_literal_value(g.args[0]))
+        except (ValidationError, TypeError, ValueError):
+            return None
+        if step <= 0 or step % self.rollup_step != 0:
+            return None
+
+        agg_calls: dict[str, ast.Call] = {}
+        for e in [it.expr for it in sel.items] + [o.expr for o in sel.order_by]:
+            for node in _walk(e):
+                if isinstance(node, ast.Call) and node.func in AGGREGATES:
+                    agg_calls.setdefault(canon(node), node)
+        if not agg_calls:
+            return None
+        for call in agg_calls.values():
+            if call.func not in self._ROLLUP_FUNCS:
+                return None
+            if call.func == "count":
+                if call.args:  # count(x) counts non-nulls; rollup cnt counts rows
+                    return None
+            elif not (
+                len(call.args) == 1
+                and isinstance(call.args[0], ast.Identifier)
+                and call.args[0].name == "value"
+            ):
+                return None
+
+        r = self.rollup
+        if sel.selector.kind == "by_id":
+            r = r.where(F.col("series_id") == F.lit(sel.selector.series_id))
+        else:
+            r = r.where(F.col("series") == F.lit(sel.selector.name))
+        if mn is not None:
+            r = r.where(F.col("bucket") >= mn)
+        if mx is not None:
+            r = r.where(F.col("bucket") < mx)
+
+        names = self._output_names(sel)
+        bucket_name = self._group_name(g, 0, {canon(it.expr): n for it, n in names})
+        # one fold handles both coarsening (hour→step) and the cross-series
+        # merge a name selector implies — every statistic is associative
+        folded = r.groupBy(
+            ts_fn.time_bucket(step, F.col("bucket")).alias(bucket_name)
+        ).agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.min_by("first_v", "first_ts").alias("first_v"),
+            F.max_by("last_v", "last_ts").alias("last_v"),
+        )
+
+        ctx.post_scope = {canon(g): bucket_name}
+        out_exprs = {canon(c): self._rollup_agg_expr(c.func) for c in agg_calls.values()}
+        for c_str, colexpr in out_exprs.items():
+            alias = f"__ragg_{len(ctx.post_scope)}"
+            folded = folded.withColumn(alias, colexpr)
+            ctx.post_scope[c_str] = alias
+
+        out_cols = [self._post(item.expr, ctx, folded).alias(name) for item, name in names]
+        projected = {canon(item.expr) for item, _ in names}
+        extra = [] if canon(g) in projected else [bucket_name]
+        out = folded.select(*[F.col(n) for n in extra], *out_cols)
+        final_names = extra + [n for _, n in names]
+        name_by_canon = {canon(item.expr): name for item, name in names}
+        name_by_canon.setdefault(canon(g), bucket_name)
+        out = self._order_limit(sel, ctx, out, name_by_canon)
+        return Translation(df=out, columns=final_names)
 
     # --- FROM resolution ------------------------------------------------
     def _resolve_selector(self, selector: ast.Selector) -> DataFrame:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sydradb_spark import rollup as rl
@@ -62,3 +63,73 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, tolerance_s=5).collect()
     }
     assert out2[100] is None and out2[205] == 20.0
+
+
+def _rollup_engine(spark, points, points_override=None):
+    from sydradb_spark.model import POINTS_SCHEMA
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    r = rl.build_rollup(points, step_s=3600)
+    pts = points_override if points_override is not None else points
+    return SydraQLEngine(spark, pts, rollup=r, rollup_step=3600)
+
+
+def test_rollup_rewrite_serves_from_rollup(spark, points):
+    """Empty raw points + populated rollup: a hit proves the rewrite ran."""
+    from sydradb_spark.model import POINTS_SCHEMA
+
+    empty = spark.createDataFrame([], POINTS_SCHEMA)
+    eng = _rollup_engine(spark, points, points_override=empty)
+    rows = eng.query(
+        "select time_bucket(7200, time) as b, avg(value) as a, count() as n, "
+        "min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv "
+        "from cpu.total where time >= 997200 and time < 1004400 "
+        "group by time_bucket(7200, time)"
+    ).df.collect()
+    assert rows, "rollup path not taken (raw points are empty)"
+
+
+def test_rollup_rewrite_matches_raw(spark, points):
+    q = (
+        "select time_bucket(7200, time) as b, avg(value) as a, count() as n, "
+        "min(value) as mn, max(value) as mx, first(value) as fv, last(value) as lv "
+        "from weather.room1 where time >= 997200 and time < 1004400 "
+        "group by time_bucket(7200, time) order by b"
+    )
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    raw = SydraQLEngine(spark, points).query(q).df.collect()
+    rolled = _rollup_engine(spark, points).query(q).df.collect()
+    assert len(raw) == len(rolled) > 0
+    for r0, r1 in zip(raw, rolled):
+        assert r0["b"] == r1["b"] and r0["n"] == r1["n"]
+        assert r0["mn"] == r1["mn"] and r0["mx"] == r1["mx"]
+        assert r0["fv"] == r1["fv"] and r0["lv"] == r1["lv"]
+        assert abs(r0["a"] - r1["a"]) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # value predicate → row detail needed
+        "select time_bucket(7200, time) as b, avg(value) as a from cpu.total "
+        "where time >= 997200 and time < 1004400 and value > 5 group by time_bucket(7200, time)",
+        # unaligned bound
+        "select time_bucket(7200, time) as b, avg(value) as a from cpu.total "
+        "where time >= 997201 and time < 1004400 group by time_bucket(7200, time)",
+        # step not a multiple of the rollup step
+        "select time_bucket(5400, time) as b, avg(value) as a from cpu.total "
+        "where time >= 997200 and time < 1004400 group by time_bucket(5400, time)",
+        # percentile not associative
+        "select time_bucket(7200, time) as b, percentile(value, 0.5) as p from cpu.total "
+        "where time >= 997200 and time < 1004400 group by time_bucket(7200, time)",
+    ],
+)
+def test_rollup_rewrite_falls_back(spark, points, q):
+    """Ineligible queries run the raw path: with empty raw points they
+    return no rows (proving the rollup was NOT consulted)."""
+    from sydradb_spark.model import POINTS_SCHEMA
+
+    empty = spark.createDataFrame([], POINTS_SCHEMA)
+    eng = _rollup_engine(spark, points, points_override=empty)
+    assert eng.query(q).df.collect() == []
