@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) + randomized batched invariants.
+
+The reference planned property tests for aggregations and fuzzing
+(tests/README.md:5-16, SURVEY §5 level 4) but never wrote them. Pure-Python
+components (lexer, compat translator) get per-example hypothesis runs; Spark
+invariants run as ONE batched job over a seeded random frame (per-example
+Spark jobs would be prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sydradb_spark.compat.translator import CompatStats, translate
+from sydradb_spark.functions.fill import fill_buckets
+from sydradb_spark.functions.timeseries import time_bucket
+from sydradb_spark.sydraql.lexer import tokenize
+from sydradb_spark.sydraql.parser import parse
+
+
+# --- lexer properties (pure python, many examples) ---------------------------
+@given(
+    h=st.integers(min_value=0, max_value=100),
+    m=st.integers(min_value=0, max_value=59),
+    s=st.integers(min_value=0, max_value=59),
+)
+def test_duration_literal_seconds(h, m, s):
+    text = ""
+    if h:
+        text += f"{h}h"
+    if m:
+        text += f"{m}m"
+    if s or not text:
+        text += f"{s}s"
+    toks = tokenize(f"select time_bucket({text}, time) from x where time > 0")
+    dur = next(t for t in toks if t.kind.name == "DURATION")
+    assert dur.value == h * 3600 + m * 60 + s
+
+
+@given(
+    cols=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=4
+    ),
+    table=st.text(alphabet="xyz", min_size=1, max_size=5),
+)
+def test_compat_select_roundtrip(cols, table):
+    """Any SELECT cols FROM t the translator accepts must itself be a string
+    our own parser tokenizes without error (closed-loop sanity)."""
+    sql = f"SELECT {', '.join(cols)} FROM {table}"
+    out = translate(sql, CompatStats())
+    assert out.ok
+    tokenize(out.sydraql)  # must not raise
+
+
+@given(st.integers(min_value=0, max_value=2**31), st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=50)
+def test_parser_roundtrips_time_bounds(ts, span):
+    stmt = parse(f"select value from a.b where time >= {ts} and time < {ts + span}")
+    from sydradb_spark.sydraql.translator import time_bounds_from_where
+
+    assert time_bounds_from_where(stmt.where) == (ts, ts + span)
+
+
+# --- batched Spark invariants (seeded random, single job each) ---------------
+@pytest.fixture(scope="module")
+def rnd_rows(spark):
+    rng = random.Random(42)
+    rows = [
+        (
+            rng.randrange(0, 2**40),  # ts
+            rng.choice([60, 300, 3600, 86400]),  # step
+            rng.choice([0, 900, 1800]),  # origin
+        )
+        for _ in range(500)
+    ]
+    return spark.createDataFrame(rows, "ts long, step long, origin long").cache()
+
+
+def test_time_bucket_half_open_property(rnd_rows):
+    df = rnd_rows.withColumn(
+        "b", time_bucket(F.col("step"), F.col("ts"), F.col("origin"))
+    )
+    violations = df.where(
+        ~(
+            (F.col("b") <= F.col("ts"))
+            & (F.col("ts") < F.col("b") + F.col("step"))
+            & ((F.col("b") - F.col("origin")) % F.col("step") == 0)
+        )
+    )
+    assert violations.count() == 0
+
+
+def test_fill_previous_no_gaps_property(spark):
+    """After fill(previous), the only nulls are buckets before the group's
+    first value — and the spine is exactly dense min..max per group."""
+    rng = random.Random(7)
+    rows = []
+    for g in range(8):
+        for b in sorted(rng.sample(range(100), rng.randint(2, 20))):
+            rows.append((f"g{g}", b * 60, float(rng.randint(0, 100))))
+    agg = spark.createDataFrame(rows, "k string, bucket long, v double")
+    filled = fill_buckets(
+        agg, bucket_col="bucket", step_s=60, keys=["k"], value_cols=["v"],
+        strategy="previous",
+    ).cache()
+    # dense spine
+    per_group = filled.groupBy("k").agg(
+        F.count("*").alias("n"),
+        ((F.max("bucket") - F.min("bucket")) / 60 + 1).alias("expected"),
+    )
+    assert per_group.where(F.col("n") != F.col("expected")).count() == 0
+    # previous-fill never yields a null at/after the first bucket (the first
+    # spine bucket is the group's min present bucket, which has a value)
+    assert filled.where(F.col("v").isNull()).count() == 0
+
+
+def test_fill_linear_bounded_property(spark):
+    """Linear interpolation stays within [min(prev,next), max(prev,next)] —
+    checked by asserting global bounds hold for all filled cells."""
+    rng = random.Random(13)
+    rows = [
+        ("k", b * 60, float(rng.randint(10, 20)))
+        for b in sorted(rng.sample(range(200), 25))
+    ]
+    agg = spark.createDataFrame(rows, "k string, bucket long, v double")
+    filled = fill_buckets(
+        agg, bucket_col="bucket", step_s=60, keys=["k"], value_cols=["v"],
+        strategy="linear",
+    )
+    assert filled.where((F.col("v") < 10) | (F.col("v") > 20)).count() == 0
+
+
+def test_sort_matches_python(spark):
+    from sydradb_spark.model import with_identity
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    rng = random.Random(99)
+    rows = [
+        ("p.q", {}, rng.randrange(0, 10_000), float(rng.randint(-50, 50)))
+        for _ in range(300)
+    ]
+    pts = with_identity(
+        spark.createDataFrame(rows, "series string, tags map<string,string>, ts long, value double")
+    )
+    eng = SydraQLEngine(spark, pts)
+    got = [
+        (r["value"], r["time"])
+        for r in eng.query(
+            "select value, time from p.q where time >= 0 and time < 10000 "
+            "order by value desc, time limit 50"
+        ).df.collect()
+    ]
+    expected = sorted(((v, t) for _, _, t, v in rows), key=lambda x: (-x[0], x[1]))[:50]
+    assert got == expected
