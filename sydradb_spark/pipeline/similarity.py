@@ -41,7 +41,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields null (ranked last), not an
+    # ANSI-mode DIVIDE_BY_ZERO error on the driver's default session
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def knn_brute(
