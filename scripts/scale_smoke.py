@@ -1,0 +1,96 @@
+"""Scale smoke: generate a ~10M-point hour-partitioned table and measure the
+core paths — empirical evidence the partition strategy holds at 2-3 orders of
+magnitude above the driver testdata.
+
+Usage: python scripts/scale_smoke.py [n_points] [table_dir]
+Writes timings to stdout; the table lands under _scratch (gitignored).
+
+What it demonstrates:
+- write path: one shuffle into ~N_HOURS partition dirs;
+- pruned scan: a 2-hour query over a 278-hour table should read ~2/278 of
+  the files (wall-clock gap vs the full scan is the proof);
+- bucket aggregation throughput (points/sec) vs the reference's 500k-1M
+  points/sec/core design target;
+- compaction and rollup build as whole-table batch jobs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sydradb_spark import storage
+from sydradb_spark.model import with_identity
+from sydradb_spark.rollup import build_rollup
+from sydradb_spark.session import get_spark
+from sydradb_spark.sydraql.engine import SydraQLEngine
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    table = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_scratch/scale_points"
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    base = spark.range(n).select(
+        F.concat(F.lit("m.s"), (F.col("id") % 100).cast("string")).alias("series"),
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), (F.col("id") % 7).cast("string"))
+        ).alias("tags"),
+        (F.col("id") % 1_000_000 + 1_700_000_000).alias("ts"),  # ~278 hours
+        (F.rand(seed=1) * 100).alias("value"),
+    )
+    storage.write_points(with_identity(base), table, mode="overwrite")
+    t_write = time.time() - t0
+    n_parts = len([d for d in os.listdir(table) if d.startswith("hour_bucket=")])
+    print(f"write {n:,} points → {n_parts} hour partitions: {t_write:.1f}s "
+          f"({n/t_write/1e6:.2f}M pts/s)")
+
+    eng = SydraQLEngine(spark, storage_path=table)
+
+    t0 = time.time()
+    n_full = eng.query(
+        "select count() as n from m.s1 where time >= 1700000000 and time < 1701000000"
+    ).df.collect()[0][0]
+    t_full = time.time() - t0
+    t0 = time.time()
+    n_pruned = eng.query(
+        "select count() as n from m.s1 where time >= 1700000000 and time < 1700007200"
+    ).df.collect()[0][0]
+    t_pruned = time.time() - t0
+    print(f"full-range count ({n_full:,} rows): {t_full:.2f}s; "
+          f"2h pruned count ({n_pruned:,} rows): {t_pruned:.2f}s "
+          f"(pruning speedup {t_full/max(t_pruned,1e-9):.1f}x)")
+
+    t0 = time.time()
+    rows = eng.query(
+        "select time_bucket(3600, time) as b, avg(value) as a, count() as n "
+        "from m.s1 where time >= 1700000000 and time < 1701000000 "
+        "group by time_bucket(3600, time)"
+    ).df.collect()
+    t_agg = time.time() - t0
+    print(f"hourly agg over {n_full:,} pts → {len(rows)} buckets: {t_agg:.2f}s "
+          f"({n_full/t_agg/1e6:.2f}M pts/s for one series; whole-table rate below)")
+
+    t0 = time.time()
+    r = build_rollup(storage.read_points(spark, table), step_s=3600)
+    n_rollup = r.count()
+    t_roll = time.time() - t0
+    print(f"rollup build over all {n:,} pts → {n_rollup:,} rows: {t_roll:.1f}s "
+          f"({n/t_roll/1e6:.2f}M pts/s)")
+
+    t0 = time.time()
+    n_compact = storage.compact_points(storage.read_points(spark, table)).count()
+    t_comp = time.time() - t0
+    print(f"compaction dedup scan: {n_compact:,} rows kept: {t_comp:.1f}s "
+          f"({n/t_comp/1e6:.2f}M pts/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -14,3 +15,30 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    ``aggs`` maps output name → (partial_agg_expr, final_agg_expr_over_partial),
+    e.g. ``{"n": (F.count("*"), F.sum("n")), "mx": (F.max("v"), F.max("mx"))}``
+    — the final expr references the partial's output name. Phase 1 groups by
+    (keys + random salt) so one hot key spreads over ``salt_buckets``
+    reducers; phase 2 folds the (tiny) per-salt partials. Only associative
+    aggregates qualify — the same law the rollup table relies on.
+
+    AQE's skew handling covers skewed *joins*; a skewed groupBy still funnels
+    one key's rows to one task — this is the standard fix.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )

@@ -177,3 +177,38 @@ def test_snapshot_restore(spark, tmp_path, points):
     assert storage.drop_expired_partitions(table, cutoff_hour_bucket=10**10)
     storage.restore(snap, table)
     assert storage.read_points(spark, table).count() == n0
+
+
+def test_salted_agg_matches_direct(spark, points):
+    from sydradb_spark.util import salted_agg
+
+    direct = {
+        (r["series"],): (r["n"], r["mx"], r["sm"])
+        for r in points.groupBy("series")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"), F.sum("value").alias("sm"))
+        .collect()
+    }
+    salted = {
+        (r["series"],): (r["n"], r["mx"], r["sm"])
+        for r in salted_agg(
+            points,
+            ["series"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "mx": (F.max("value"), F.max("mx")),
+                "sm": (F.sum("value"), F.sum("sm")),
+            },
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert direct[k][0] == salted[k][0] and direct[k][1] == salted[k][1]
+        assert abs(direct[k][2] - salted[k][2]) < 1e-6
+
+
+def test_range_response_shape(spark, points, stored):
+    sid = points.where(F.col("series") == "cpu.total").select("series_id").first()[0]
+    # end-inclusive, like the reference queryRange [start, end]
+    out = api.range_response(spark, stored, series_id=sid, start=1_000_000, end=1_000_045)
+    assert [p["ts"] for p in out] == [1_000_000, 1_000_000, 1_000_015, 1_000_030, 1_000_045]
+    assert all(set(p) == {"ts", "value"} for p in out)
