@@ -32,8 +32,13 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "knn_cosine_brute",
+    "ann_lsh_cosine",
+    "simhash_signatures",
     "text_stats",
     "storage_roundtrip",
+    "rollup_served_engine_query",
+    "aligned_series_ratio",
+    "asof_join_latest_before",
 ]
 
 
