@@ -140,8 +140,10 @@ def tokenize(src: str) -> list[Token]:
             i = n if j < 0 else j + 1
             continue
         start = i
-        # ISO timestamp literal (starts with 4 digits + '-')
-        if c.isdigit():
+        # ISO timestamp literal (starts with 4 digits + '-').
+        # ASCII-only digit test: str.isdigit() accepts unicode digits like
+        # '\u00b2' that int() rejects (found by the fuzz property test).
+        if c in "0123456789":
             m = _ISO_TS.match(src, i)
             if m:
                 tokens.append(Token(T.TIMESTAMP, m.group(0), start, _parse_iso_epoch(m)))
@@ -149,20 +151,20 @@ def tokenize(src: str) -> list[Token]:
                 continue
             # number: int / float / duration
             j = i
-            while j < n and src[j].isdigit():
+            while j < n and src[j] in "0123456789":
                 j += 1
             if j < n and (src[j] in ".eE") and not (src[j] in "eE" and j + 1 < n and src[j + 1].isalpha() and src[j + 1] not in "+-0123456789"):
                 # float literal (reference parser.zig:763-765 detects . e E)
                 k = j
                 if src[k] == ".":
                     k += 1
-                    while k < n and src[k].isdigit():
+                    while k < n and src[k] in "0123456789":
                         k += 1
                 if k < n and src[k] in "eE":
                     k += 1
                     if k < n and src[k] in "+-":
                         k += 1
-                    while k < n and src[k].isdigit():
+                    while k < n and src[k] in "0123456789":
                         k += 1
                 text = src[i:k]
                 try:

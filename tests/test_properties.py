@@ -157,3 +157,36 @@ def test_sort_matches_python(spark):
     ]
     expected = sorted(((v, t) for _, _, t, v in rows), key=lambda x: (-x[0], x[1]))[:50]
     assert got == expected
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300)
+def test_parser_never_crashes(text):
+    """Fuzz: arbitrary input either parses or raises a SydraQLError subclass —
+    never an unhandled exception (reference plans fuzzing, tests/README.md)."""
+    from sydradb_spark.errors import SydraQLError
+
+    try:
+        parse(text)
+    except SydraQLError:
+        pass
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["select", "value", "time", "from", "a.b", "where", ">=", "<", "1h",
+             "and", "avg", "(", ")", ",", "group", "by", "order", "limit", "5",
+             "time_bucket", "fill", "previous", "'s'", "=~", "%", "*", "1.5"]
+        ),
+        max_size=14,
+    )
+)
+@settings(max_examples=300)
+def test_parser_token_soup(parts):
+    from sydradb_spark.errors import SydraQLError
+
+    try:
+        parse(" ".join(parts))
+    except SydraQLError:
+        pass
