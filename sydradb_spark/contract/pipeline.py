@@ -340,6 +340,20 @@ FROM scored
 QUALIFY rank <= 3""",
 )
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer) — rows-only check: the trained
+    centroids aren't SQL-expressible; exactness vs brute force is pinned by
+    tests/test_pipeline.py::test_ann_ivf_recall instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_index(emb.where(F.col("vec_id") >= 5), k=8, seed=42)
+    out = similarity.ann_ivf(
+        emb.where(F.col("vec_id") < 5), assigned, cents, k=5, n_probe=2
+    )
+    return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
+
+
+_q("ann_ivf_cosine", _ann_ivf, None)
+
 # --- multimodal ---------------------------------------------------------------
 _q(
     "multimodal_meta",

@@ -159,3 +159,37 @@ def test_bpe_ish_token_count(spark):
     assert out[1] == 3  # abc | 123 | def
     assert out[2] == 2
     assert out[3] == 4  # x | 1 | y | 2
+
+
+def test_ann_ivf_recall(spark):
+    """IVF with clustered synthetic vectors: full-probe == brute force;
+    1-probe recall stays high because queries sit inside clean clusters."""
+    import random
+
+    rng = random.Random(5)
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where("vec_id < 3")
+    corpus = emb.where("vec_id >= 3")
+
+    assigned, cents = similarity.ivf_index(corpus, k=3, seed=1)
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.knn_brute(queries, corpus, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_ivf(queries, assigned, cents, k=5, n_probe=3).collect()
+    }
+    assert full_probe == brute  # probing every list == exact
+
+    one_probe = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ann_ivf(queries, assigned, cents, k=5, n_probe=1).collect()
+    }
+    overlap = len(set(one_probe.values()) & set(brute.values()))
+    assert overlap >= 12  # >=80% recall@5 across the 3 queries
