@@ -340,6 +340,37 @@ FROM scored
 QUALIFY rank <= 3""",
 )
 
+def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups(emb, threshold=0.3)
+    return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
+
+
+_EMB_BUCKET = " + ".join(
+    f"(CASE WHEN e[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
+)
+
+_q(
+    "embedding_near_dups",
+    _embed_dedup,
+    f"""WITH t AS (
+  SELECT vec_id, embedding AS e FROM embeddings
+), tb AS (
+  SELECT vec_id, e, {_EMB_BUCKET} AS bucket FROM t
+), cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.e AS ea, y.e AS eb
+  FROM tb x JOIN tb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+), scored AS (
+  SELECT a, b,
+    list_sum([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in generate_series(1, len(ea))])
+    / (sqrt(list_sum([CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE) for i in generate_series(1, len(ea))]))
+     * sqrt(list_sum([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in generate_series(1, len(eb))]))) AS cosine
+  FROM cand
+)
+SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.3""",
+)
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer) — rows-only check: the trained
     centroids aren't SQL-expressible; exactness vs brute force is pinned by

@@ -259,6 +259,32 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).where(F.col("hamming") <= max_hamming)
 
 
+# --- embedding-cosine near-dup -------------------------------------------------
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, emb_col: str = "embedding"
+) -> DataFrame:
+    """(a, b, cosine ≥ threshold) near-duplicate pairs by embedding similarity.
+
+    Candidates come from a sign-LSH bucket self-join (same deterministic
+    bucket as pipeline.similarity) — near-identical embeddings share all sign
+    bits, so high-threshold dedup loses little recall while the join cost is
+    Σ bucket², never n². Verification computes exact cosine on candidates.
+    """
+    from sydradb_spark.pipeline.similarity import cosine, sign_bucket
+
+    tagged = emb.select(
+        F.col("vec_id"), F.col(emb_col).alias("__e"), sign_bucket(F.col(emb_col)).alias("bucket")
+    )
+    left = tagged.select("bucket", F.col("vec_id").alias("a"), F.col("__e").alias("__ea"))
+    right = tagged.select("bucket", F.col("vec_id").alias("b"), F.col("__e").alias("__eb"))
+    return (
+        left.join(right, on="bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("__ea"), F.col("__eb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # --- exact n-gram Jaccard (brute, for small candidate universes) -------------
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All-pairs exact 3-gram Jaccard — O(n²); only for bounded subsets

@@ -193,3 +193,18 @@ def test_ann_ivf_recall(spark):
     }
     overlap = len(set(one_probe.values()) & set(brute.values()))
     assert overlap >= 12  # >=80% recall@5 across the 3 queries
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.1]),
+            (2, [0.99, 0.51, 0.1]),   # near-dup of 1, same sign bucket
+            (3, [-1.0, -0.5, 0.2]),   # different bucket
+            (4, [1.0, 0.5, -0.9]),    # same bucket as 1 (dims 1-2 +, dim3 sign differs but bucket uses 8 dims → dim3 - means bit2 unset... )
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in dedup.embedding_near_dups(emb, 0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert all(3 not in p for p in pairs)
