@@ -89,3 +89,25 @@ def stream_ndjson(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_csv_points(spark: SparkSession, path: str) -> DataFrame:
+    """CSV ingest (reference cmd/sydra-csv is a 1-line placeholder; this is
+    the real thing): header ``series,ts,value[,tags]`` with tags as a JSON
+    object string."""
+    # escape='"' gives RFC-4180 doubled-quote semantics (Spark's default
+    # escape is backslash), needed for JSON tag objects inside quoted fields
+    raw = spark.read.option("header", "true").option("escape", '"').csv(path)
+    tags = (
+        F.from_json(F.col("tags"), NDJSON_SCHEMA["tags"].dataType)
+        if "tags" in raw.columns
+        else F.lit(None).cast(NDJSON_SCHEMA["tags"].dataType)
+    )
+    return parse_ndjson(
+        raw.select(
+            F.col("series"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+            tags.alias("tags"),
+        )
+    )

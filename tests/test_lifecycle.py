@@ -212,3 +212,21 @@ def test_range_response_shape(spark, points, stored):
     out = api.range_response(spark, stored, series_id=sid, start=1_000_000, end=1_000_045)
     assert [p["ts"] for p in out] == [1_000_000, 1_000_000, 1_000_015, 1_000_030, 1_000_045]
     assert all(set(p) == {"ts", "value"} for p in out)
+
+
+def test_csv_ingest(spark, tmp_path):
+    from sydradb_spark.ingest import read_csv_points
+
+    p = tmp_path / "pts.csv"
+    p.write_text(
+        'series,ts,value,tags\n'
+        'weather.room1,1000,24.2,\n'
+        'weather.room1,2000,24.3,"{""host"": ""a""}"\n'
+    )
+    pts = read_csv_points(spark, str(p)).orderBy("ts").collect()
+    assert [(r["series"], r["ts"], r["value"]) for r in pts] == [
+        ("weather.room1", 1000, 24.2),
+        ("weather.room1", 2000, 24.3),
+    ]
+    assert pts[1]["tags"] == {"host": "a"} and pts[0]["tags"] == {}
+    assert pts[0]["hour_bucket"] == 0 and pts[1]["hour_bucket"] == 0
