@@ -22,16 +22,6 @@ def hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def hash64_seeded(col: Column, seed: Column) -> Column:
-    """Seeded variant: hash64(seed || '|' || s) — one hash family member per
-    seed for MinHash signatures."""
-    return hash64(F.concat(seed.cast("string"), F.lit("|"), col))
-
-
 def sql_hash64(expr: str) -> str:
     """DuckDB SQL twin of hash64()."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-
-
-def sql_hash64_seeded(expr: str, seed_expr: str) -> str:
-    return sql_hash64(f"CAST({seed_expr} AS VARCHAR) || '|' || {expr}")
