@@ -115,6 +115,26 @@ def _find(mode: str, match: dict[str, str]):
     return run
 
 
+def _tag_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir)
+    idx = tagindex.tag_index(pts)
+    return idx.select("tag_kv", F.size("series_ids").alias("n_series"))
+
+
+_q(
+    "tag_index_counts",
+    _tag_index_counts,
+    oracle(
+        """, pairs AS (
+  SELECT 'host=' || host AS tag_kv, series, host, dc FROM points
+  UNION ALL
+  SELECT 'dc=' || dc AS tag_kv, series, host, dc FROM points
+)
+SELECT tag_kv, CAST(count(DISTINCT (series, host, dc)) AS INTEGER) AS n_series
+FROM pairs GROUP BY 1"""
+    ),
+)
+
 _q(
     "tag_find_and",
     _find("and", {"host": "h1", "dc": "dc1"}),

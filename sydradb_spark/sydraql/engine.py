@@ -119,6 +119,10 @@ class SydraQLEngine:
             vals = {}
             for c, e in zip(cols, tup):
                 vals["ts" if c in ("ts", "time") else "value"] = _literal_value(e)
+            if vals.get("ts") is None or vals.get("value") is None:
+                # the point model stores (i64, f64) — reference types.zig:5-8;
+                # null-valued points only enter via ingest sources
+                raise ValidationError("INSERT requires non-null time and value")
             rows.append((stmt.target, {}, int(vals["ts"]), float(vals["value"])))
         new = with_identity(
             self.spark.createDataFrame(

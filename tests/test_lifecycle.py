@@ -230,3 +230,28 @@ def test_csv_ingest(spark, tmp_path):
     ]
     assert pts[1]["tags"] == {"host": "a"} and pts[0]["tags"] == {}
     assert pts[0]["hour_bucket"] == 0 and pts[1]["hour_bucket"] == 0
+
+
+def test_null_values_through_engine(spark, tmp_path):
+    """NDJSON rows without a value land as null points: count(value) skips
+    them, avg ignores them, fill_forward patches them (SQL null semantics,
+    sydraql-design.md:139)."""
+    src = tmp_path / "nulls"
+    src.mkdir()
+    (src / "n.ndjson").write_text(
+        '{"series": "n.s", "ts": 100, "value": 1.0}\n'
+        '{"series": "n.s", "ts": 200}\n'
+        '{"series": "n.s", "ts": 300, "value": 3.0}\n'
+    )
+    table = str(tmp_path / "ntable")
+    ingest_batch(spark, str(src), table)
+    eng = SydraQLEngine(spark, storage_path=table)
+    row = eng.query(
+        "select count() as n, count(value) as nv, avg(value) as a "
+        "from n.s where time >= 0 and time < 1000"
+    ).df.collect()[0]
+    assert (row["n"], row["nv"], row["a"]) == (3, 2, 2.0)
+    ff = eng.query(
+        "select time, fill_forward(value) as v from n.s where time >= 0 and time < 1000"
+    ).df.collect()
+    assert [(r["time"], r["v"]) for r in ff] == [(100, 1.0), (200, 1.0), (300, 3.0)]
