@@ -44,3 +44,31 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    target_partition_mb: int = 128,
+    shuffle_partitions: int = 2000,
+) -> dict[str, str]:
+    """Recommended overrides for a real cluster run (100 TB-class inputs);
+    local get_spark() keeps small-scale defaults. Apply via spark-submit
+    --conf or SparkSession.builder.config. Rationale in DEPLOY.md.
+    """
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # initial shuffle width; AQE coalesces down — err high so no single
+        # reducer sees more than ~executor-memory/cores of data
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # scan split size: keep a task's input within memory budget even for
+        # wide binary (multimodal) rows
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # hour-partitioned tables can reach 10^5+ partitions over a decade;
+        # driver-side listing must stay parallel
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "32",
+    }

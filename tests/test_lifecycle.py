@@ -255,3 +255,12 @@ def test_null_values_through_engine(spark, tmp_path):
         "select time, fill_forward(value) as v from n.s where time >= 0 and time < 1000"
     ).df.collect()
     assert [(r["time"], r["v"]) for r in ff] == [(100, 1.0), (200, 1.0), (300, 3.0)]
+
+
+def test_cluster_conf_shape():
+    from sydradb_spark.session import cluster_conf
+
+    conf = cluster_conf()
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.shuffle.partitions"]) >= 200
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
