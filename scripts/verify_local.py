@@ -38,6 +38,16 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
         return False, f"rowcount spark={len(sdf)} oracle={len(odf)}"
     if sorted(sdf.columns) != sorted(odf.columns):
         return False, f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    # dtype proxy for the driver's schema check (int32 vs int64 vs float64)
+    dtype_notes = []
+    for c in sdf.columns:
+        a, b = str(sdf[c].dtype), str(odf[c].dtype)
+        if a != b and not ({a, b} <= {"object", "bool"} or (len(sdf) == 0)):
+            num = {"int32", "int64", "float64", "float32"}
+            if a in num and b in num and a != b:
+                dtype_notes.append(f"{c}:{a}!={b}")
+    if dtype_notes:
+        print(f"     DTYPE WARN: {dtype_notes}")
     s, o = canon_frame(sdf), canon_frame(odf)
     worst = 0.0
     for c in s.columns:

@@ -340,6 +340,34 @@ FROM scored
 QUALIFY rank <= 3""",
 )
 
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus summary — the bread-and-butter sweep a training-data
+    pipeline runs before filtering decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        _r6(F.avg(F.length("text"))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_q(
+    "corpus_stats",
+    _corpus_stats,
+    """SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+  count(DISTINCT lang) AS n_langs,
+  round(avg(length(text)), 6) AS avg_chars,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1""",
+)
+
+
 def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = dedup.embedding_near_dups(emb, threshold=0.3)
