@@ -87,6 +87,22 @@ def test_first_last(engine):
     assert got[0][1] == pytest.approx(100.0 + 3 * 3)
 
 
+def test_first_last_exact_after_compaction(spark, points):
+    """Compaction removes the planted duplicate (last-wins by value), after
+    which first/last are exact — the reference's compact-then-query flow
+    (compact.zig:36-49)."""
+    from sydradb_spark.storage import compact_points
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    eng = SydraQLEngine(spark, compact_points(points))
+    got = rows(
+        eng,
+        "select first(value) as f, last(value) as l from cpu.total "
+        "where time >= 1000000 and time < 1000060",
+    )
+    assert got[0] == (pytest.approx(100.0), pytest.approx(109.0))
+
+
 def test_percentile(engine):
     got = rows(
         engine,

@@ -80,3 +80,47 @@ def test_streaming_ema_state_across_batches(spark, tmp_path):
     assert rows[1] == pytest.approx(2.0)
     assert rows[2] == pytest.approx(3.0)   # 0.5*4 + 0.5*2
     assert rows[3] == pytest.approx(5.5)   # 0.5*8 + 0.5*3 — state crossed batches
+
+
+def test_windowed_agg_drops_late_beyond_watermark(spark, tmp_path):
+    from sydradb_spark.streaming.windowed import windowed_agg
+
+    src = tmp_path / "w_src"
+    src.mkdir()
+    emitted: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("series_id long, ts long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            windowed_agg(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _id: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "w_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(90)
+
+    # batch 1: two rows in window [0, 3600)
+    (src / "f1.ndjson").write_text(
+        '{"series_id": 1, "ts": 100, "value": 1.0}\n'
+        '{"series_id": 1, "ts": 200, "value": 2.0}\n'
+    )
+    run_once()
+    got = {(r["series_id"], r["bucket"]): r["cnt"] for r in emitted}
+    assert got[(1, 0)] == 2
+
+    # batch 2: far-future row advances the watermark well past window [0,3600)
+    (src / "f2.ndjson").write_text('{"series_id": 1, "ts": 100000, "value": 9.0}\n')
+    run_once()
+
+    # batch 3: a late row for the now-closed window → dropped by the watermark
+    emitted.clear()
+    (src / "f3.ndjson").write_text('{"series_id": 1, "ts": 300, "value": 99.0}\n')
+    run_once()
+    late_updates = [r for r in emitted if r["bucket"] == 0]
+    assert late_updates == []  # the closed window was never updated again
