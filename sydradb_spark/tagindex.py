@@ -44,23 +44,31 @@ def series_catalog(points: DataFrame) -> DataFrame:
     return points.select("series_id", "series", "tags").dropDuplicates(["series_id"])
 
 
-def find_series(points: DataFrame, match: dict[str, str], mode: str = "and") -> DataFrame:
+def find_series(
+    points: DataFrame,
+    match: dict[str, str] | list[tuple[str, str]],
+    mode: str = "and",
+) -> DataFrame:
     """Series whose tags match ALL (and) / ANY (or) of ``match``.
 
+    ``match`` is a dict or, when the same key repeats (e.g. OR over
+    host=a, host=b — the reference find accepts repeated keys,
+    http.zig:853-891), a list of (key, value) pairs.
     Returns the series catalog rows (series_id, series, tags).
     """
     if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
-    if not match:
+    items = list(match.items()) if isinstance(match, dict) else list(dict.fromkeys(match))
+    if not items:
         raise ValueError("empty match set")
     pairs = tag_pairs(points)
     cond = None
-    for k, v in match.items():
+    for k, v in items:
         c = (F.col("tag_key") == k) & (F.col("tag_value") == v)
         cond = c if cond is None else (cond | c)
     hits = pairs.where(cond).groupBy("series_id").agg(
         F.countDistinct("tag_key", "tag_value").alias("__hits")
     )
-    needed = len(match) if mode == "and" else 1
+    needed = len(items) if mode == "and" else 1
     matched = hits.where(F.col("__hits") >= needed).select("series_id")
     return series_catalog(points).join(matched, on="series_id", how="semi")

@@ -264,3 +264,18 @@ def test_cluster_conf_shape():
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert int(conf["spark.sql.shuffle.partitions"]) >= 200
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+
+
+def test_tag_find_repeated_key_or(spark, points):
+    got = {
+        r["series_id"]
+        for r in tagindex.find_series(
+            points, [("host", "a"), ("host", "b")], mode="or"
+        ).collect()
+    }
+    direct = {
+        r["series_id"]
+        for r in points.where(F.col("tags")["host"].isin("a", "b"))
+        .select("series_id").distinct().collect()
+    }
+    assert got == direct and got
