@@ -138,6 +138,37 @@ _q(
     "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
 )
 
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(text.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
+_q(
+    "winnow_fingerprints",
+    _winnow,
+    f"""WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         [substr(t, i, {text.WINNOW_K}) for i in generate_series(1, greatest(length(t) - {text.WINNOW_K - 1}, 0))] AS gs
+  FROM t
+),
+hashes AS (
+  SELECT doc_id, t, list_transform(gs, g -> list_reduce(
+      list_prepend(CAST(0 AS BIGINT), [CAST(ascii(g[i]) AS BIGINT) for i in generate_series(1, length(g))]),
+      (a, b) -> (a * {text.WINNOW_BASE} + b) % {text.WINNOW_MOD})) AS hs
+  FROM grams
+),
+mins AS (
+  SELECT doc_id, CASE WHEN length(t) >= {text.WINNOW_K + text.WINNOW_W - 1} THEN
+    list_sort(list_distinct([list_min(hs[i:i+{text.WINNOW_W - 1}]) for i in generate_series(1, greatest(len(hs) - {text.WINNOW_W - 1}, 0))]))
+    ELSE [] END AS fp
+  FROM hashes
+)
+SELECT doc_id, unnest(fp) AS fp FROM mins""",
+)
+
 # --- dedup --------------------------------------------------------------------
 _q(
     "dedup_exact",

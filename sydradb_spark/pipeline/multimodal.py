@@ -110,6 +110,45 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: Arrow-batched mapInPandas emitting fixed-dimension
+    payloads. The resample kernel is a STUB (deterministically truncates/pads
+    the payload to width*height bytes); a real build calls PIL/torchvision
+    here. Partition sizing note: output rows are exactly width*height bytes,
+    so executor memory per batch is bounded by maxRecordsPerBatch * W * H."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].apply(
+                        lambda b: (b or b"").ljust(target, b"\0")[:target]
+                    ),
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id, frame_idx,
     frame_payload) rows. The splitter is a STUB (slices the payload bytes);

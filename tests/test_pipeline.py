@@ -208,3 +208,39 @@ def test_embedding_near_dups(spark):
     pairs = {(r["a"], r["b"]): r["cosine"] for r in dedup.embedding_near_dups(emb, 0.95).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert all(3 not in p for p in pairs)
+
+
+def test_winnow_containment_property(spark):
+    """Winnowing guarantee: a substring of length >= k+w-1 shares at least
+    one fingerprint with any superstring; identical text → identical set."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "PREFIX the quick brown fox jumps over the dog SUFFIX"),
+            (3, "the quick brown fox jumps over the dog"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[3] and fps[1]
+    assert fps[1] <= fps[2]  # superstring keeps every fingerprint of the core
+    assert fps[4] == set()
+
+
+def test_resize_images_plumbing(spark):
+    docs = spark.createDataFrame([(1, "x" * 10), (2, "")], "doc_id long, text string")
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            multimodal.docs_as_media(docs), width=4, height=2
+        ).collect()
+    }
+    assert out[1]["width"] == 4 and out[1]["height"] == 2
+    assert len(out[1]["payload"]) == 8 == len(out[2]["payload"])
+    assert out[1]["payload"] == b"xxxxxxxx" and out[2]["payload"] == b"\0" * 8
