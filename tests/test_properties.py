@@ -190,3 +190,12 @@ def test_parser_token_soup(parts):
         parse(" ".join(parts))
     except SydraQLError:
         pass
+
+
+def test_compaction_idempotent(spark, points):
+    from sydradb_spark.storage import compact_points
+
+    once = compact_points(points).select("series_id", "ts", "value")
+    twice = compact_points(compact_points(points)).select("series_id", "ts", "value")
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
