@@ -76,6 +76,20 @@ _q(
 )
 
 _q(
+    "scan_tag_qualified_selector",
+    # Prometheus-style tag qualifiers in FROM (name+tags selector — the
+    # reference's registry implies it, its parser never had syntax for it)
+    ql(
+        f"select time, value from events.purchase{{host='h3', dc='dc1'}} "
+        f"where time >= {T0} and time < {T1}"
+    ),
+    oracle(
+        f"SELECT ts AS time, value FROM points WHERE series = 'events.purchase' "
+        f"AND host = 'h3' AND dc = 'dc1' AND ts >= {T0} AND ts < {T1}"
+    ),
+)
+
+_q(
     "onerow_literals",
     ql("select 1 as one, 2.5 as two, 'hi' as msg"),
     "SELECT 1 AS one, CAST(2.5 AS DOUBLE) AS two, 'hi' AS msg",

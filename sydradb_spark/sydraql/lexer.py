@@ -69,6 +69,8 @@ class T(Enum):
     PERCENT = auto()
     LPAREN = auto()
     RPAREN = auto()
+    LBRACE = auto()
+    RBRACE = auto()
     COMMA = auto()
     DOT = auto()
     EOF = auto()
@@ -251,6 +253,8 @@ def tokenize(src: str) -> list[Token]:
             "%": T.PERCENT,
             "(": T.LPAREN,
             ")": T.RPAREN,
+            "{": T.LBRACE,
+            "}": T.RBRACE,
             ",": T.COMMA,
             ".": T.DOT,
         }.get(c)

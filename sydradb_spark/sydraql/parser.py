@@ -107,11 +107,25 @@ class Parser:
             sid = self.expect(T.INT, "series id integer")
             self.expect(T.RPAREN, "')'")
             return ast.Selector(kind="by_id", series_id=-int(sid.value) if neg else int(sid.value))
-        # dotted series name: ns.metric[.more]
+        # dotted series name: ns.metric[.more], optional tag qualifiers
+        # `{k='v', ...}` (Prometheus-style; activates the name+tags selector
+        # the reference registry implies but never parses — SURVEY §2.1)
         parts = [str(self.expect(T.IDENT, "series name").value)]
         while self.accept(T.DOT):
             parts.append(str(self.expect(T.IDENT, "series name segment").value))
-        return ast.Selector(kind="name", name=".".join(parts))
+        tags = None
+        if self.accept(T.LBRACE):
+            tags = {}
+            if not self.at(T.RBRACE):
+                while True:
+                    key = str(self.expect(T.IDENT, "tag key").value)
+                    self.expect(T.EQ, "'=' in tag qualifier")
+                    val = self.expect(T.STRING, "tag value string")
+                    tags[key] = str(val.value)
+                    if not self.accept(T.COMMA):
+                        break
+            self.expect(T.RBRACE, "'}' after tag qualifiers")
+        return ast.Selector(kind="name", name=".".join(parts), tags=tags)
 
     def parse_fill(self) -> ast.Fill:
         self.expect(T.LPAREN, "'(' after FILL")
