@@ -34,6 +34,10 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Hour-partitioned write, ts-sorted within files (reference segment
     writer). One shuffle on hour_bucket; files within a partition are sorted
     so Parquet page stats make ts-range reads skip pages."""
+    # __ns is the events-adapter pushdown hint (tables.normalize_events) —
+    # redundant with ts; stored tables prune via hour_bucket instead.
+    if "__ns" in df.columns:
+        df = df.drop("__ns")
     (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
         .repartition(F.col("hour_bucket"))

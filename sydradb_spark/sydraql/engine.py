@@ -133,7 +133,14 @@ class SydraQLEngine:
             self._storage.write_points(new, self.storage_path, mode="append")
             self.points = self._storage.read_points(self.spark, self.storage_path)
         else:
-            self.points = self.points.unionByName(new)
+            if "__ns" in self.points.columns:
+                # keep the events-adapter pushdown hint consistent: a null
+                # __ns would make the translator's redundant bound drop the
+                # inserted rows
+                new = new.withColumn(
+                    "__ns", (F.col("ts") * F.lit(1_000_000_000)).cast("long")
+                )
+            self.points = self.points.unionByName(new, allowMissingColumns=True)
         count = len(rows)
         df = self.spark.createDataFrame([(count,)], "inserted: long")
         return QueryResult(df=df, columns=["inserted"])

@@ -161,16 +161,26 @@ class Translator:
 
         base = self._resolve_selector(sel.selector)
         if sel.where is not None:
+            mn, mx = time_bounds_from_where(sel.where)
             if "hour_bucket" in base.columns:
                 # derive hour_bucket partition bounds from ts bounds — the
                 # one rewrite Catalyst cannot do (SURVEY §4.1); on a stored
                 # table this turns a full scan into a partition-pruned one.
                 from sydradb_spark.storage import hour_bucket_bounds
 
-                mn, mx = time_bounds_from_where(sel.where)
                 hb = hour_bucket_bounds(mn, mx)
                 if hb is not None:
                     base = base.filter(hb)
+            if "__ns" in base.columns:
+                # rewrite ts bounds onto the raw nanosecond parquet column
+                # (tables.normalize_events) — Catalyst cannot invert
+                # ``ts div 1e9``, so without this no time predicate reaches
+                # the events scan as a PushedFilter. mx is an inclusive
+                # over-approximation; ts <= mx ⇒ __ns < (mx+1)·1e9.
+                if mn is not None:
+                    base = base.filter(F.col("__ns") >= mn * 1_000_000_000)
+                if mx is not None:
+                    base = base.filter(F.col("__ns") < (mx + 1) * 1_000_000_000)
             base = base.filter(self._row(sel.where, ctx, base))
 
         needs_agg = bool(sel.group_by) or any(

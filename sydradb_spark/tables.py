@@ -46,8 +46,15 @@ def normalize_events(df: DataFrame) -> DataFrame:
         # long nanoseconds (nanosAsLong) → epoch seconds + micros timestamp.
         # Integer division: epoch-ns (~1.7e18) exceeds double's 53-bit exact
         # range, so float division can be off by one near boundaries.
-        df = df.withColumn("ts_s", F.expr("ts div 1000000000")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        # ``__ns`` keeps the RAW parquet column alive under an alias: Catalyst
+        # cannot invert ``ts div 1e9 >= lo`` into a scan predicate, but a
+        # redundant bound on ``__ns`` pushes straight through the rename to
+        # the Parquet reader (PushedFilters), so time-ranged queries skip
+        # row groups instead of full-scanning events.parquet.
+        df = (
+            df.withColumn("__ns", F.col("ts"))
+            .withColumn("ts_s", F.expr("ts div 1000000000"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     else:
         df = df.withColumn("ts_s", F.col("ts").cast("long"))
@@ -76,9 +83,16 @@ def events_points(spark: SparkSession, sf_dir: str, with_seq: bool = False) -> D
         F.col("ts_s").alias("ts"),
         F.col("value").cast("double").alias("value"),
     ]
+    extra: list[str] = []
     if with_seq:
         cols.append(F.col("event_id").alias("seq"))
+        extra.append("seq")
+    if "__ns" in ev.columns:
+        # raw-nanos pushdown hint (normalize_events): the translator rewrites
+        # ts bounds onto this column so they reach the Parquet scan.
+        cols.append(F.col("__ns"))
+        extra.append("__ns")
     # no spread() here: the events adapter feeds shuffle-bearing queries
     # (agg/window/sort) whose exchange redistributes anyway; an up-front
     # repartition of the single-file input just adds a shuffle.
-    return with_identity(ev.select(*cols), extra=["seq"] if with_seq else None)
+    return with_identity(ev.select(*cols), extra=extra or None)
