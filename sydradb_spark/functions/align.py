@@ -70,8 +70,10 @@ def asof_join(
         "series_id", "ts", F.col(value_col).alias("__rv"), F.lit(0).alias("__side")
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts → "at or before" inclusive
-    w = Window.partitionBy("series_id").orderBy("ts", "__side").rowsBetween(
+    # right rows sort before left rows at equal ts → "at or before" inclusive;
+    # __rv as the tertiary key makes ties among right rows at the same ts
+    # deterministic (the max value wins — the carried last() sees it last)
+    w = Window.partitionBy("series_id").orderBy("ts", "__side", "__rv").rowsBetween(
         Window.unboundedPreceding, 0
     )
     carried = u.withColumn("__rv_asof", F.last("__rv", ignorenulls=True).over(w))

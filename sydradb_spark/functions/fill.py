@@ -59,8 +59,11 @@ def fill_buckets(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
     )
     span = (F.col("__mx") - F.col("__mn")) / F.lit(step_s)
+    # Load-bearing guard: folded into __mn itself (which the spine reads), so
+    # Catalyst cannot prune it away — a guard in an unreferenced column would
+    # be eliminated by project collapse and never fire.
     bounds = bounds.withColumn(
-        "__guard",
+        "__mn",
         F.when(
             span >= MAX_SPINE_BUCKETS,
             F.raise_error(
@@ -71,9 +74,9 @@ def fill_buckets(
                     else F.lit(""),
                     F.lit(")"),
                 )
-            ),
-        ),
-    ).drop("__guard")
+            ).cast("long"),
+        ).otherwise(F.col("__mn")),
+    )
 
     # Two-level spine: explode chunk indices, then buckets within each chunk.
     n_chunks = F.floor((F.col("__mx") - F.col("__mn")) / F.lit(step_s * CHUNK_BUCKETS))

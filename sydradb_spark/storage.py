@@ -121,15 +121,28 @@ def compact_points(df: DataFrame, order_col: str | None = None) -> DataFrame:
     )
 
 
+def _swap_dir(staged: Path, live: Path) -> None:
+    """Replace ``live`` with ``staged`` via rename → rename → remove. The only
+    crash window leaves ``live`` momentarily absent with the old data intact
+    at ``<live>.old`` (recoverable by hand); the previous remove-then-rename
+    order could lose the partition outright. True atomicity needs a table
+    format's commit (Delta/Iceberg) — this is the best a bare filesystem
+    rename gives."""
+    old = live.with_name(live.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if live.exists():
+        live.rename(old)
+    staged.rename(live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_storage(spark: SparkSession, path: str, order_col: str | None = None) -> None:
     """Rewrite the stored table deduped (the reference's segment-merge job)."""
     compacted = compact_points(read_points(spark, path), order_col)
     tmp = path.rstrip("/") + ".compact.tmp"
     write_points(compacted, tmp, mode="overwrite")
-    live = Path(path)
-    if live.exists():
-        shutil.rmtree(live)
-    Path(tmp).rename(live)
+    _swap_dir(Path(tmp), Path(path))
 
 
 # --- retention (TTL) ----------------------------------------------------------
@@ -188,11 +201,14 @@ def snapshot(path: str, dest: str) -> None:
 
 
 def restore(snapshot_path: str, path: str) -> None:
-    """Replace the live table with a snapshot."""
+    """Replace the live table with a snapshot (staged copy, then swap — the
+    slow copytree happens before the live table is touched)."""
     live = Path(path)
-    if live.exists():
-        shutil.rmtree(live)
-    shutil.copytree(snapshot_path, live)
+    tmp = Path(path.rstrip("/") + ".restore.tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    shutil.copytree(snapshot_path, tmp)
+    _swap_dir(tmp, live)
 
 
 # --- durable DELETE -----------------------------------------------------------
@@ -205,10 +221,11 @@ def delete_where(
 ) -> None:
     """Partition-scoped anti-filter rewrite: only hour partitions overlapping
     the time bounds are read and rewritten; untouched partitions are never
-    opened. The rewrite stages into a temp dir and swaps partition dirs —
-    Spark cannot overwrite the files a job is concurrently reading. A
-    production deployment would use a table format's ACID replace (Delta /
-    Iceberg) for the same partition-scoped semantics."""
+    opened. The rewrite stages into a temp dir and swaps each partition dir
+    via ``_swap_dir`` (rename-before-remove) — Spark cannot overwrite the
+    files a job is concurrently reading, and the swap order keeps the old
+    partition recoverable through a mid-swap crash. A production deployment
+    would use a table format's ACID replace (Delta / Iceberg)."""
     df = read_points(spark, path)
     hb = hour_bucket_bounds(ts_min, ts_max)
     scoped = df.where(hb) if hb is not None else df
@@ -222,9 +239,9 @@ def delete_where(
     write_points(remaining, tmp, mode="overwrite")
     for bucket in affected:
         live_dir = Path(path) / f"hour_bucket={bucket}"
-        if live_dir.exists():
-            shutil.rmtree(live_dir)
         staged = Path(tmp) / f"hour_bucket={bucket}"
-        if staged.exists():  # absent = every row in the partition was deleted
-            staged.rename(live_dir)
+        if staged.exists():
+            _swap_dir(staged, live_dir)
+        elif live_dir.exists():  # absent = every row in the partition deleted
+            shutil.rmtree(live_dir)
     shutil.rmtree(tmp, ignore_errors=True)

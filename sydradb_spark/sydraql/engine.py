@@ -64,9 +64,22 @@ class SydraQLEngine:
             points = storage_mod.read_points(spark, storage_path)
         self.points = points
         # materialized rollup (rollup.build_rollup at rollup_step): eligible
-        # bucketed aggregates are served from it (translator._try_rollup)
+        # bucketed aggregates are served from it (translator._try_rollup).
+        # Any INSERT/DELETE invalidates it (set to None) — serving stale
+        # aggregates after a write would be silently wrong.
         self.rollup = rollup
         self.rollup_step = rollup_step
+        # in-memory writes grow the plan (union/filter per statement);
+        # checkpoint every K mutations so lineage depth stays bounded
+        self._mutations = 0
+        self._checkpoint_every = 16
+
+    def _after_mutation(self) -> None:
+        self.rollup = None
+        if self.storage_path is None:
+            self._mutations += 1
+            if self._mutations % self._checkpoint_every == 0:
+                self.points = self.points.localCheckpoint(eager=True)
 
     def query(self, text: str) -> QueryResult:
         t0 = time.perf_counter()
@@ -141,6 +154,7 @@ class SydraQLEngine:
                     "__ns", (F.col("ts") * F.lit(1_000_000_000)).cast("long")
                 )
             self.points = self.points.unionByName(new, allowMissingColumns=True)
+        self._after_mutation()
         count = len(rows)
         df = self.spark.createDataFrame([(count,)], "inserted: long")
         return QueryResult(df=df, columns=["inserted"])
@@ -173,5 +187,6 @@ class SydraQLEngine:
             # bare filter would silently drop non-matching rows. Only rows
             # where the predicate is TRUE are deleted.
             self.points = self.points.filter(~F.coalesce(pred, F.lit(False)))
+        self._after_mutation()
         df = self.spark.createDataFrame([(1,)], "deleted: long")
         return QueryResult(df=df, columns=["deleted"])

@@ -357,3 +357,23 @@ def test_explain(engine):
     r = engine.query("explain select avg(value) from weather.room1 where time > 0 group by time_bucket(60, time)")
     text = "\n".join(row[0] for row in r.df.collect())
     assert "Aggregate" in text or "HashAggregate" in text
+
+
+def test_in_memory_mutation_lineage_bounded(spark, points):
+    """100 in-memory INSERTs must not build a 100-deep union plan: the engine
+    checkpoints every K mutations, so logical plan depth stays bounded."""
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    eng = SydraQLEngine(spark, points.limit(10).localCheckpoint())
+    for i in range(40):
+        eng.query(f"insert into m.depth (time, value) values ({1000 + i}, 1.0)")
+    plan = eng.points._jdf.queryExecution().logical().toString()
+    n_unions = plan.count("Union")
+    # at most checkpoint_every-1 unions can pile up between checkpoints
+    assert n_unions < eng._checkpoint_every, (
+        f"{n_unions} Union nodes — lineage grew linearly with statements"
+    )
+    n = eng.query(
+        "select count() as n from m.depth where time >= 0 and time < 2000"
+    ).df.collect()[0]["n"]
+    assert n == 40

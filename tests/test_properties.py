@@ -199,3 +199,19 @@ def test_compaction_idempotent(spark, points):
     twice = compact_points(compact_points(points)).select("series_id", "ts", "value")
     assert once.count() == twice.count()
     assert once.exceptAll(twice).count() == 0
+
+
+def test_fill_spine_guard_raises(spark, monkeypatch):
+    """The MAX_SPINE_BUCKETS guard must actually fire (it is folded into the
+    spine's __mn so Catalyst cannot prune it away)."""
+    import pytest as _pytest
+
+    from sydradb_spark.functions import fill as fill_mod
+
+    monkeypatch.setattr(fill_mod, "MAX_SPINE_BUCKETS", 100)
+    agg = spark.createDataFrame(
+        [(0, 1.0), (100_000, 2.0)], "bucket long, v double"
+    )
+    dense = fill_mod.fill_buckets(agg, "bucket", 1, [], ["v"], "previous")
+    with _pytest.raises(Exception, match="FILL spine exceeds"):
+        dense.collect()

@@ -133,3 +133,34 @@ def test_rollup_rewrite_falls_back(spark, points, q):
     empty = spark.createDataFrame([], POINTS_SCHEMA)
     eng = _rollup_engine(spark, points, points_override=empty)
     assert eng.query(q).df.collect() == []
+
+
+def test_rollup_invalidated_after_write(spark, points):
+    """Insert-then-bucketed-aggregate must see the written rows: a write
+    invalidates the materialized rollup (ADVICE r02: stale-rollup serving)."""
+    eng = _rollup_engine(spark, points)
+    q = (
+        "select time_bucket(7200, time) as b, count() as n from cpu.total "
+        "where time >= 997200 and time < 1004400 group by time_bucket(7200, time)"
+    )
+    before = {r["b"]: r["n"] for r in eng.query(q).df.collect()}
+    eng.query("insert into cpu.total (time, value) values (1000001, 1.0)")
+    assert eng.rollup is None
+    after = {r["b"]: r["n"] for r in eng.query(q).df.collect()}
+    bucket = (1000001 // 7200) * 7200
+    assert after[bucket] == before[bucket] + 1
+
+
+def test_asof_tie_on_right_ts_is_max_value(spark):
+    """Multiple right rows at the same ts: the carried value is the max —
+    deterministic and matching the contract oracle's ORDER BY value DESC."""
+    from sydradb_spark.functions.align import asof_join
+
+    left = spark.createDataFrame([(1, 200, 1.0)], "series_id long, ts long, value double")
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 100, 3.0), (1, 100, 9.0)],
+        "series_id long, ts long, value double",
+    )
+    for _ in range(3):
+        out = asof_join(left, right).collect()
+        assert len(out) == 1 and out[0]["right_value"] == 9.0
