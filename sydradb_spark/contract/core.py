@@ -471,15 +471,30 @@ _q(
     ),
 )
 
-# ema: grouped-map pandas UDF (Series.ewm); not expressible in DuckDB SQL →
-# rows-only check (driver records the weaker signal; SURVEY §2.5).
+# ema oracle: the engine computes s_1 = x_1, s_i = α·x_i + (1-α)·s_{i-1} over
+# (ts, value) order (pandas ewm(adjust=False); timeseries.with_ema). A DuckDB
+# recursive CTE replays the exact recursion — numerically stable where the
+# pow() closed form overflows — with r6 applied at projection on both sides.
+from sydradb_spark.contract.base import POINTS_CTE as _PCTE
+
 _q(
     "window_ema",
     ql(
         f"select time, {r6('ema(value, 60, 0.5)')} as ema_v from events.click "
         f"where time >= {T0} and time < {D7} and tag.host = 'h0' and tag.dc = 'dc0'"
     ),
-    None,
+    _PCTE.replace("WITH points AS", "WITH RECURSIVE points AS", 1)
+    + f""",
+f AS (
+  SELECT ts, value, CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
+  FROM points WHERE series = 'events.click' AND host = 'h0' AND dc = 'dc0'
+    AND ts >= {T0} AND ts < {D7}
+), e AS (
+  SELECT rn, ts, CAST(value AS DOUBLE) AS s FROM f WHERE rn = 1
+  UNION ALL
+  SELECT f.rn, f.ts, 0.5 * f.value + 0.5 * e.s FROM f JOIN e ON f.rn = e.rn + 1
+)
+SELECT ts AS time, {r6('s')} AS ema_v FROM e""",
 )
 
 # --- §2.9 FILL ---------------------------------------------------------------
