@@ -25,7 +25,7 @@ HEADLINE = [
     "scan_range",
     "agg_bucket_basic",
     "agg_rate_delta",
-    "agg_irate",
+    "agg_irate_integral",
     "window_moving_avg",
     "fill_linear",
     "topk_desc",

@@ -135,18 +135,24 @@ FROM pairs GROUP BY 1"""
     ),
 )
 
+def _tag_find_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND and OR find over the inverted tag index, one labeled union."""
+    a = _find("and", {"host": "h1", "dc": "dc1"})(spark, sf_dir)
+    o = _find("or", {"host": "h0", "dc": "dc1"})(spark, sf_dir)
+    return a.select(F.lit("and").alias("mode"), "series", "host", "dc").unionByName(
+        o.select(F.lit("or").alias("mode"), "series", "host", "dc")
+    )
+
+
 _q(
-    "tag_find_and",
-    _find("and", {"host": "h1", "dc": "dc1"}),
+    "tag_find_and_or",
+    _tag_find_and_or,
     oracle(
-        "SELECT DISTINCT series, host, dc FROM points WHERE host = 'h1' AND dc = 'dc1'"
-    ),
-)
-_q(
-    "tag_find_or",
-    _find("or", {"host": "h0", "dc": "dc1"}),
-    oracle(
-        "SELECT DISTINCT series, host, dc FROM points WHERE host = 'h0' OR dc = 'dc1'"
+        """SELECT 'and' AS mode, series, host, dc FROM (
+  SELECT DISTINCT series, host, dc FROM points WHERE host = 'h1' AND dc = 'dc1')
+UNION ALL
+SELECT 'or', series, host, dc FROM (
+  SELECT DISTINCT series, host, dc FROM points WHERE host = 'h0' OR dc = 'dc1')"""
     ),
 )
 
@@ -274,6 +280,49 @@ _q(
         f"{r6('sum(value)')} AS sum_v, count(*) AS n, min(value) AS min_v, "
         f"max(value) AS max_v FROM points WHERE series = 'events.error' "
         f"AND ts >= {T0} AND ts < {T1} GROUP BY 1"
+    ),
+)
+
+
+# --- streaming rollup == batch rollup (§2.11 tied to the rollup path) ---------
+def _rollup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-maintained rollup (NDJSON → watermark → foreachBatch partial
+    appends → associative fold) must equal aggregates computed from raw
+    points. The oracle aggregates the raw parquet directly, so a green hash
+    proves the streaming path is lossless end-to-end."""
+    from sydradb_spark.streaming.rollup_stream import read_rollup, stream_rollup
+
+    src = _scratch(sf_dir, "rstream_src", fresh=True)
+    roll = _scratch(sf_dir, "rstream_tbl", fresh=True)
+    ckpt = _scratch(sf_dir, "rstream_ckpt", fresh=True)
+    os.makedirs(src)
+    pts = events_points(spark, sf_dir).where(
+        (F.col("series") == "events.signup") & (F.col("ts") >= T0) & (F.col("ts") < D3)
+    )
+    pts.select(
+        F.to_json(F.struct("series", "ts", "value", "tags")).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(src)
+    q = stream_rollup(spark, src, roll, ckpt, step_s=3600, available_now=True)
+    q.awaitTermination()
+    folded = read_rollup(spark, roll, step_s=3600)
+    # fold across the per-series rollup rows to oracle-checkable bucket stats
+    # (first/last are per-series; cross-series they need the catalog join)
+    return folded.groupBy("bucket").agg(
+        F.sum("cnt").alias("n"),
+        F.round(F.sum("sum_v"), 6).alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+_q(
+    "rollup_stream_batch_equiv",
+    _rollup_stream_equiv,
+    oracle(
+        f"SELECT (ts // 3600) * 3600 AS bucket, count(*) AS n, "
+        f"{r6('sum(value)')} AS sum_v, min(value) AS min_v, max(value) AS max_v "
+        f"FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {D3} "
+        f"GROUP BY 1"
     ),
 )
 

@@ -70,7 +70,9 @@ FROM toks""",
 )
 
 
-def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _text_lang_quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword-hit heuristic), quality score, and document
+    fingerprint — the three per-doc classifier columns in one pass."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -80,10 +82,12 @@ def _lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in text.LANGS
         ],
         text.guess_lang(t).alias("lang_guess"),
+        _r6(text.quality_score(t)).alias("quality"),
+        text.fingerprint(t).alias("fp"),
     )
 
 
-def _lang_oracle() -> str:
+def _text_lang_quality_fp_oracle() -> str:
     hits = {
         lang: (
             "CAST(len(list_filter(tk, t -> lower(t) IN ("
@@ -99,44 +103,21 @@ def _lang_oracle() -> str:
     ) + " ELSE 'und' END"
     cols = ", ".join(f"{sql} AS hits_{lang}" for lang, sql in hits.items())
     return (
-        f"WITH {_TOKS}, h AS (SELECT doc_id, {cols} FROM toks)\n"
+        f"WITH {_TOKS}, h AS (SELECT doc_id, text, {cols},\n"
+        f"  CAST(len(tk) AS BIGINT) AS n_tok,\n"
+        f"  CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS dr,\n"
+        f"  CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl\n"
+        f"  FROM toks)\n"
         f"SELECT doc_id, {', '.join(f'hits_{lang}' for lang in text.LANGS)}, "
-        f"{case} AS lang_guess FROM h"
+        f"{case} AS lang_guess,\n"
+        f"  round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr\n"
+        f"         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality,\n"
+        f"  substr(md5(text), 1, 16) AS fp\n"
+        f"FROM h"
     )
 
 
-_q("lang_guess", _lang_guess, _lang_oracle())
-
-
-def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", _r6(text.quality_score(F.col("text"))).alias("quality")
-    )
-
-
-_q(
-    "quality_score",
-    _quality,
-    f"""WITH {_TOKS}, q AS (
-  SELECT doc_id,
-    CAST(len(tk) AS BIGINT) AS n_tok,
-    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS dr,
-    CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl
-  FROM toks)
-SELECT doc_id,
-  round((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr
-         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
-FROM q""",
-)
-
-_q(
-    "doc_fingerprint",
-    lambda spark, sf_dir: load_table(spark, sf_dir, "documents").select(
-        "doc_id", text.fingerprint(F.col("text")).alias("fp")
-    ),
-    "SELECT doc_id, substr(md5(text), 1, 16) AS fp FROM documents",
-)
+_q("text_lang_quality_fp", _text_lang_quality_fp, _text_lang_quality_fp_oracle())
 
 def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
