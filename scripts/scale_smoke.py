@@ -91,6 +91,50 @@ def main() -> None:
     print(f"compaction dedup scan: {n_compact:,} rows kept: {t_comp:.1f}s "
           f"({n/t_comp/1e6:.2f}M pts/s)")
 
+    window_smoke(spark, n)
+
+
+def window_smoke(spark, n: int) -> None:
+    """ONE hot series with n points — the shape that binds to a single task
+    under a plain per-series window. The chunked primitives must spread it
+    over ~n/86400 window partitions and keep multi-task throughput."""
+    from sydradb_spark.functions import chunked as ck
+
+    hot = spark.range(n).select(
+        F.lit("m.hot").alias("series"),
+        F.create_map(F.lit("host"), F.lit("h0")).alias("tags"),
+        (F.col("id") + 1_700_000_000).alias("ts"),  # 1 Hz
+        (F.rand(seed=2) * 100).alias("value"),
+    )
+    pts = with_identity(hot).persist()
+    pts.count()
+    n_chunks = n // ck.WINDOW_CHUNK_S + 1
+
+    t0 = time.time()
+    lagged = ck.with_chunked_lag_lead(
+        pts, [ck.LagRequest("value", "prev", 1, "lag")]
+    )
+    n_prev = lagged.where(F.col("prev").isNotNull()).count()
+    t_lag = time.time() - t0
+    print(f"chunked lag, ONE {n:,}-pt series → {n_chunks} window partitions: "
+          f"{t_lag:.1f}s ({n/t_lag/1e6:.2f}M pts/s; plain window = 1 task); "
+          f"{n_prev:,} predecessors")
+
+    t0 = time.time()
+    ema = ck.with_chunked_ema(pts, "value", "ema", alpha=0.5)
+    s = ema.agg(F.sum("ema")).collect()[0][0]
+    t_ema = time.time() - t0
+    print(f"segmented ema, same series: {t_ema:.1f}s ({n/t_ema/1e6:.2f}M pts/s); "
+          f"checksum {s:.3f}")
+
+    t0 = time.time()
+    ma = ck.with_chunked_moving_avg(pts, "value", "ma", dur_s=3600)
+    s = ma.agg(F.sum("ma")).collect()[0][0]
+    t_ma = time.time() - t0
+    print(f"chunked moving_avg(1h), same series: {t_ma:.1f}s "
+          f"({n/t_ma/1e6:.2f}M pts/s); checksum {s:.3f}")
+    pts.unpersist()
+
 
 if __name__ == "__main__":
     main()

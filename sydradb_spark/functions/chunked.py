@@ -1,0 +1,320 @@
+"""Chunked per-series window primitives.
+
+``Window.partitionBy("series_id")`` binds one series to ONE task — at 100 TB
+a hot series becomes the straggler that bounds the whole stage (AQE does not
+split window partitions; it only mitigates join skew). Every per-series
+window here is therefore computed in bounded ``(series_id, time-chunk)``
+partitions, with cross-chunk state carried through a per-chunk summary frame
+holding ONE row per chunk (a year of data is ~365 summary rows per series at
+the default day-sized chunk) — the same chunk-and-carry pattern
+``functions/fill.py`` uses for its dense spine.
+
+Exactness: the carry reconstructs precisely the rows a global per-series
+window would see —
+
+- ``lag(n)`` / ``lead(n)``: each chunk's last/first ``n`` rows accumulate
+  across the summary frame, so the fallback for a row near a chunk edge
+  indexes the true global predecessor/successor even across empty chunks;
+- ``fill_forward``: the last non-null value per chunk carries forward over
+  the summary frame;
+- ``moving_avg(dur)``: with chunk span >= dur the trailing window reaches at
+  most one chunk back, so carrying each chunk's last ``dur`` seconds of rows
+  is sufficient;
+- ``ema(alpha)``: within a chunk the recursion is affine in the incoming
+  state, ``s_out = A + B * s_in`` with ``A`` the zero-state EMA and
+  ``B = (1-alpha)^rows`` — per-chunk A/B are computed in parallel and folded
+  sequentially only over the tiny summary frame (a segmented scan).
+
+Reference: per-series sorted windows are the reference's
+``requires_sorted_input`` hint (src/sydra/query/functions.zig:77-82); the
+reference runs one series per operator instance, which is exactly the shape
+that cannot scale past one core per series.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+WINDOW_CHUNK_S = 86_400  # seconds of data per window partition
+
+
+def _chunk_col(ts_col: str, chunk_s: int) -> Column:
+    # integer div on longs (epoch seconds fit doubles, but stay exact anyway)
+    return (F.col(ts_col) - (F.col(ts_col) % F.lit(chunk_s))) / F.lit(chunk_s)
+
+
+@dataclass(frozen=True)
+class LagRequest:
+    """One lag/lead column to materialize: ``kind`` is 'lag' or 'lead'."""
+
+    src: str
+    out: str
+    n: int
+    kind: str
+
+
+def with_chunked_lag_lead(
+    df: DataFrame,
+    requests: list[LagRequest],
+    partition: str = "series_id",
+    ts_col: str = "ts",
+    tiebreak: str = "value",
+    chunk_s: int = WINDOW_CHUNK_S,
+) -> DataFrame:
+    """Exact ``lag(src, n)`` / ``lead(src, n)`` over the global per-series
+    (ts, tiebreak) order, computed with bounded partitions.
+
+    Within-chunk rows use an ordinary chunk-partitioned window; the first
+    (resp. last) ``n`` rows of each chunk fall back to the accumulated tail
+    (head) rows of all preceding (following) chunks, flattened in chunk order
+    over the one-row-per-chunk summary frame.
+    """
+    n_lag = max([r.n for r in requests if r.kind == "lag"], default=0)
+    n_lead = max([r.n for r in requests if r.kind == "lead"], default=0)
+    src_cols = sorted({r.src for r in requests})
+
+    df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
+    w_in = Window.partitionBy(partition, "__wchunk").orderBy(ts_col, tiebreak)
+    w_in_desc = Window.partitionBy(partition, "__wchunk").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc()
+    )
+    df = df.withColumn("__rn", F.row_number().over(w_in)).withColumn(
+        "__rnd", F.row_number().over(w_in_desc)
+    )
+
+    # struct sorts lexicographically → (ts, tiebreak, srcs...) is window order
+    row_struct = F.struct(
+        F.col(ts_col).alias("__t"),
+        F.col(tiebreak).alias("__b"),
+        *[F.col(c).alias(c) for c in src_cols],
+    )
+
+    summaries = []
+    if n_lag:
+        tails = (
+            df.where(F.col("__rnd") <= n_lag)
+            .groupBy(partition, "__wchunk")
+            .agg(F.array_sort(F.collect_list(row_struct)).alias("__tail"))
+        )
+        w_prev = (
+            Window.partitionBy(partition)
+            .orderBy("__wchunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_all = F.flatten(F.collect_list("__tail").over(w_prev))
+        # keep only the last n_lag accumulated rows (older ones unreachable)
+        sz = F.size(prev_all)
+        prev_tail = F.when(sz <= n_lag, prev_all).otherwise(
+            F.slice(prev_all, sz - n_lag + 1, n_lag)
+        )
+        summaries.append(
+            tails.select(
+                partition, "__wchunk", prev_tail.alias("__prev_rows")
+            )
+        )
+    if n_lead:
+        heads = (
+            df.where(F.col("__rn") <= n_lead)
+            .groupBy(partition, "__wchunk")
+            .agg(F.array_sort(F.collect_list(row_struct)).alias("__head"))
+        )
+        w_next = (
+            Window.partitionBy(partition)
+            .orderBy("__wchunk")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        next_all = F.flatten(F.collect_list("__head").over(w_next))
+        next_head = F.slice(next_all, 1, n_lead)
+        summaries.append(
+            heads.select(partition, "__wchunk", next_head.alias("__next_rows"))
+        )
+
+    for s in summaries:
+        df = df.join(s, on=[partition, "__wchunk"], how="left")
+
+    for r in requests:
+        if r.kind == "lag":
+            within = F.lag(r.src, r.n).over(w_in)
+            # the global (n - rn + 1)-th-from-last predecessor, 0-based get()
+            # (null on out-of-range — no ANSI index error)
+            idx0 = F.size("__prev_rows") + F.col("__rn") - F.lit(r.n) - 1
+            fallback = F.get("__prev_rows", idx0).getField(r.src)
+            df = df.withColumn(
+                r.out, F.when(F.col("__rn") > r.n, within).otherwise(fallback)
+            )
+        else:
+            within = F.lead(r.src, r.n).over(w_in)
+            idx0 = F.lit(r.n) - F.col("__rnd")
+            fallback = F.get("__next_rows", idx0).getField(r.src)
+            df = df.withColumn(
+                r.out, F.when(F.col("__rnd") > r.n, within).otherwise(fallback)
+            )
+
+    drop = ["__wchunk", "__rn", "__rnd"]
+    if n_lag:
+        drop.append("__prev_rows")
+    if n_lead:
+        drop.append("__next_rows")
+    return df.drop(*drop)
+
+
+def with_chunked_fill_forward(
+    df: DataFrame,
+    src: str,
+    out: str,
+    partition: str = "series_id",
+    ts_col: str = "ts",
+    tiebreak: str = "value",
+    chunk_s: int = WINDOW_CHUNK_S,
+) -> DataFrame:
+    """Exact last-non-null carry-forward with bounded partitions: within-chunk
+    window + one carried last-non-null value per chunk."""
+    df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
+    w_in = (
+        Window.partitionBy(partition, "__wchunk")
+        .orderBy(ts_col, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = F.last(src, ignorenulls=True).over(w_in)
+
+    nn_struct = F.when(
+        F.col(src).isNotNull(),
+        F.struct(
+            F.col(ts_col).alias("__t"), F.col(tiebreak).alias("__b"), F.col(src).alias("__v")
+        ),
+    )
+    per_chunk = df.groupBy(partition, "__wchunk").agg(
+        F.max(nn_struct).alias("__last_nn")  # max of structs = latest (ts, tiebreak)
+    )
+    w_prev = (
+        Window.partitionBy(partition)
+        .orderBy("__wchunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_chunk.select(
+        partition,
+        "__wchunk",
+        F.last("__last_nn", ignorenulls=True).over(w_prev).getField("__v").alias("__carry"),
+    )
+    df = df.join(carry, on=[partition, "__wchunk"], how="left")
+    return df.withColumn(out, F.coalesce(within, F.col("__carry"))).drop(
+        "__wchunk", "__carry"
+    )
+
+
+def with_chunked_moving_avg(
+    df: DataFrame,
+    src: str,
+    out: str,
+    dur_s: int,
+    partition: str = "series_id",
+    ts_col: str = "ts",
+    chunk_s: int = WINDOW_CHUNK_S,
+) -> DataFrame:
+    """Exact trailing time-range mean ``avg(src) over [ts-dur, ts]`` with
+    bounded partitions. Chunk span is forced >= dur, so a row's lookback
+    reaches at most the immediately previous time chunk: each chunk's
+    trailing ``dur`` seconds are re-emitted as GHOST rows into the next
+    chunk's partition, the ordinary range window over the union sees exactly
+    the rows a global window would, and ghost outputs are dropped. No array
+    carry — the overhead is dur/chunk extra rows (~4% at the defaults), not
+    an array replicated onto every row."""
+    chunk_s = max(chunk_s, dur_s)
+    df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
+    df = df.withColumn("__ghost", F.lit(0))
+    ghosts = df.where(
+        F.col(ts_col) >= (F.col("__wchunk") + 1) * F.lit(chunk_s) - F.lit(dur_s)
+    ).withColumn("__wchunk", F.col("__wchunk") + 1).withColumn("__ghost", F.lit(1))
+    u = df.unionByName(ghosts)
+    w_in = (
+        Window.partitionBy(partition, "__wchunk")
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-dur_s, 0)
+    )
+    return (
+        u.withColumn(out, F.avg(src).over(w_in))
+        .where(F.col("__ghost") == 0)
+        .drop("__wchunk", "__ghost")
+    )
+
+
+def with_chunked_ema(
+    df: DataFrame,
+    src_col: str,
+    out_col: str,
+    alpha: float,
+    partition: str = "series_id",
+    ts_col: str = "ts",
+    chunk_s: int = WINDOW_CHUNK_S,
+) -> DataFrame:
+    """Segmented EMA: s_i = alpha*x_i + (1-alpha)*s_{i-1} (pandas
+    ``ewm(adjust=False)`` semantics, s_1 = x_1 at the true series start).
+
+    Within a chunk the recursion is affine in the incoming state:
+    ``s_i = z_i + (1-alpha)^i * s_in`` where z is the zero-state EMA. The
+    Arrow kernel computes (plain-ewm e, zero-state z, row index i) per
+    bounded (series, chunk) group in parallel; the incoming state per chunk
+    is folded sequentially ONLY over the one-row-per-chunk summary frame,
+    then the final value is a vectorized JVM-side expression."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
+    cols = [f.name for f in df.schema.fields]
+    kernel_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("__e", DoubleType()),
+            StructField("__z", DoubleType()),
+            StructField("__i", LongType()),
+        ]
+    )
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, src_col], kind="mergesort").reset_index(drop=True)
+        x = pdf[src_col].astype("float64")
+        pdf["__e"] = x.ewm(alpha=alpha, adjust=False).mean()
+        padded = pd.concat([pd.Series([0.0]), x], ignore_index=True)
+        pdf["__z"] = (
+            padded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+        )
+        pdf["__i"] = range(1, len(pdf) + 1)
+        return pdf[cols + ["__e", "__z", "__i"]]
+
+    dfk = df.groupBy(partition, "__wchunk").applyInPandas(_kernel, schema=kernel_schema)
+
+    last_row = F.max_by(
+        F.struct(F.col("__e").alias("e"), F.col("__z").alias("z")),
+        F.struct(F.col(ts_col), F.col(src_col)),
+    )
+    summary = dfk.groupBy(partition, "__wchunk").agg(
+        last_row.alias("__last"), F.count("*").alias("__m")
+    )
+
+    part_t = dict(df.dtypes)[partition]
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__wchunk").reset_index(drop=True)
+        state = None
+        s_ins = []
+        for rec, m in zip(pdf["__last"], pdf["__m"]):
+            s_ins.append(state)
+            e, z = rec["e"], rec["z"]
+            state = e if state is None else z + (1.0 - alpha) ** m * state
+        pdf["__s_in"] = pd.Series(s_ins, dtype="float64")
+        return pdf[[partition, "__wchunk", "__s_in"]]
+
+    s_in = summary.groupBy(partition).applyInPandas(
+        _fold, schema=f"{partition} {part_t}, __wchunk long, __s_in double"
+    )
+
+    out = dfk.join(s_in, on=[partition, "__wchunk"], how="left")
+    final = F.when(F.col("__s_in").isNull(), F.col("__e")).otherwise(
+        F.col("__z") + F.pow(F.lit(1.0 - alpha), F.col("__i")) * F.col("__s_in")
+    )
+    return out.withColumn(out_col, final).drop(
+        "__e", "__z", "__i", "__s_in", "__wchunk"
+    )

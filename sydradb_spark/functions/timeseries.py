@@ -99,19 +99,15 @@ def with_ema(
     (functions.zig:383-393 — registry-only in the reference; semantics:
     s_i = alpha * x_i + (1 - alpha) * s_{i-1} over ts order per series).
 
-    Genuinely sequential per series → grouped-map pandas UDF
-    (Arrow-batched, one group per series; scales horizontally because
-    series are independent). The ``dur`` argument orders samples only —
-    the reference never pinned a time-decay semantic.
+    Computed as a SEGMENTED scan (functions/chunked.py): the sequential
+    recursion runs per bounded (series, time-chunk) group in an Arrow
+    kernel, and cross-chunk state folds over a one-row-per-chunk summary
+    frame — a hot series no longer materializes in a single pandas frame on
+    one task. The ``dur`` argument orders samples only — the reference never
+    pinned a time-decay semantic.
     """
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from sydradb_spark.functions.chunked import with_chunked_ema
 
-    cols = [f.name for f in df.schema.fields]
-    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
-
-    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, src_col], kind="mergesort")
-        pdf[out_col] = pdf[src_col].ewm(alpha=alpha, adjust=False).mean()
-        return pdf[cols + [out_col]]
-
-    return df.groupBy(partition_col).applyInPandas(_ema, schema=out_schema)
+    return with_chunked_ema(
+        df, src_col, out_col, alpha, partition=partition_col, ts_col=ts_col
+    )

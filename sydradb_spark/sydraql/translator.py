@@ -129,6 +129,7 @@ class _Ctx:
     post_scope: dict[str, str] | None = None
     select_aliases: dict[str, ast.Expr] = field(default_factory=dict)
     ema_requests: list[tuple[str, float, str]] = field(default_factory=list)  # (canon, alpha, col)
+    window_requests: dict[str, str] = field(default_factory=dict)  # canon → materialized col
 
 
 class Translator:
@@ -486,37 +487,32 @@ class Translator:
         if f == "coalesce":
             return F.coalesce(*a)
         if f == "fill_forward":
-            return ts_fn.fill_forward(a[0], ts_fn.series_window())
+            return self._window_call(e, a, ctx)
         if f in WINDOW_FUNCS:
             return self._window_call(e, a, ctx)
         raise SydraQLError(f"no translation for function '{f}'")
 
     def _window_call(self, e: ast.Call, a: list[Column], ctx: _Ctx) -> Column:
+        # Every window function is materialized by a pre-pass
+        # (_materialize_windows / _materialize_emas) as a physical column
+        # computed in bounded (series_id, time-chunk) partitions
+        # (functions/chunked.py) — a direct Window.partitionBy("series_id")
+        # expression would bind one series to one task.
         if not ctx.has_from:
             raise ValidationError(f"window function '{e.func}' requires FROM", pos=e.pos)
-        w = ts_fn.series_window()
-        if e.func == "lag":
-            n = int(_literal_value(e.args[1])) if len(e.args) > 1 else 1
-            return F.lag(a[0], n).over(w)
-        if e.func == "lead":
-            n = int(_literal_value(e.args[1])) if len(e.args) > 1 else 1
-            return F.lead(a[0], n).over(w)
-        if e.func == "moving_avg":
-            dur = int(_literal_value(e.args[1]))
-            return ts_fn.moving_avg(a[0], "ts", dur, ["series_id"])
-        if e.func == "ema":
-            # handled by a pre-pass (applyInPandas); the pre-pass leaves a
-            # materialized column whose name is recorded in ema_requests.
-            c = canon(e)
-            for cc, _alpha, colname in ctx.ema_requests:
-                if cc == c:
-                    return F.col(colname)
-            raise SydraQLError("internal: ema column not materialized")
-        raise SydraQLError(f"unhandled window function {e.func}")
+        c = canon(e)
+        col = ctx.window_requests.get(c)
+        if col is not None:
+            return F.col(col)
+        for cc, _alpha, colname in ctx.ema_requests:
+            if cc == c:
+                return F.col(colname)
+        raise SydraQLError(f"internal: window column for '{e.func}' not materialized")
 
     # --- simple (non-aggregate) SELECT -----------------------------------
     def _translate_simple(self, sel: ast.Select, ctx: _Ctx, base: DataFrame) -> Translation:
         base = self._materialize_emas(sel, ctx, base)
+        base = self._materialize_windows(sel, ctx, base)
         names = self._output_names(sel)
         cols = [self._row(item.expr, ctx, base).alias(name) for item, name in names]
         if not sel.order_by and ctx.has_from:
@@ -563,12 +559,62 @@ class Translator:
                     i += 1
         return base
 
+    _WINDOW_PREPASS = ("lag", "lead", "fill_forward", "moving_avg")
+
+    def _materialize_windows(self, sel: ast.Select, ctx: _Ctx, base: DataFrame) -> DataFrame:
+        """Pre-pass: lag/lead/fill_forward/moving_avg become physical columns
+        via chunked per-series windows (functions/chunked.py). The previous
+        expression-level ``Window.partitionBy("series_id")`` bound one series
+        to one task — the one stage shape that cannot scale past one core per
+        series; chunk-and-carry removes it with identical semantics."""
+        from sydradb_spark.functions import chunked as ck
+
+        exprs = (
+            [it.expr for it in sel.items]
+            + [o.expr for o in sel.order_by]
+            + list(sel.group_by)
+        )
+        i = 0
+        for e in exprs:
+            # reversed pre-order = children before parents, so nested calls
+            # like fill_forward(lag(x)) materialize the inner lag first and
+            # the outer call's source resolves to its physical column
+            for node in reversed(list(_walk(e))):
+                if not (
+                    isinstance(node, ast.Call) and node.func in self._WINDOW_PREPASS
+                ):
+                    continue
+                c = canon(node)
+                if c in ctx.window_requests:
+                    continue
+                if not ctx.has_from:
+                    raise ValidationError(
+                        f"window function '{node.func}' requires FROM", pos=node.pos
+                    )
+                srccol = f"__wsrc_{i}"
+                outcol = f"__win_{i}"
+                base = base.withColumn(srccol, self._row(node.args[0], ctx, base))
+                if node.func in ("lag", "lead"):
+                    n = int(_literal_value(node.args[1])) if len(node.args) > 1 else 1
+                    base = ck.with_chunked_lag_lead(
+                        base, [ck.LagRequest(srccol, outcol, n, node.func)]
+                    )
+                elif node.func == "fill_forward":
+                    base = ck.with_chunked_fill_forward(base, srccol, outcol)
+                else:  # moving_avg
+                    dur = int(_literal_value(node.args[1]))
+                    base = ck.with_chunked_moving_avg(base, srccol, outcol, dur)
+                ctx.window_requests[c] = outcol
+                i += 1
+        return base
+
     # --- aggregate SELECT --------------------------------------------------
     def _translate_aggregate(self, sel: ast.Select, ctx: _Ctx, base: DataFrame) -> Translation:
-        # ema under an aggregate (e.g. avg(ema(value, 60, 0.5))) needs its
-        # physical column materialized before the groupBy, same as the
-        # non-aggregate path.
+        # ema (and any window call) under an aggregate — e.g.
+        # avg(ema(value, 60, 0.5)) — needs its physical column materialized
+        # before the groupBy, same as the non-aggregate path.
         base = self._materialize_emas(sel, ctx, base)
+        base = self._materialize_windows(sel, ctx, base)
         names = self._output_names(sel)
         item_names = {canon(item.expr): name for item, name in names}
 
@@ -587,19 +633,24 @@ class Translator:
                 if isinstance(node, ast.Call) and node.func in AGGREGATES:
                     agg_calls.setdefault(canon(node), node)
 
-        # pre-pass: irate/integral need per-series lag columns before groupBy
+        # pre-pass: irate/integral need per-series lag columns before groupBy.
+        # Chunked (bounded-partition) lag — each call needs exactly one
+        # predecessor, carried across chunk seams (functions/chunked.py).
+        from sydradb_spark.functions import chunked as ck
+
         lag_cols: dict[str, tuple[str, str, str]] = {}  # canon → (argcol, prev_arg, prev_ts)
+        lag_reqs: list[ck.LagRequest] = []
         li = 0
         for c, call in agg_calls.items():
             if call.func in ("irate", "integral"):
                 argcol = f"__lagarg_{li}"
                 base = base.withColumn(argcol, self._row(call.args[0], ctx, base).cast("double"))
-                w = ts_fn.series_window()
-                base = base.withColumn(f"__prev_{li}", F.lag(argcol).over(w)).withColumn(
-                    f"__prevts_{li}", F.lag("ts").over(w)
-                )
+                lag_reqs.append(ck.LagRequest(argcol, f"__prev_{li}", 1, "lag"))
+                lag_reqs.append(ck.LagRequest("ts", f"__prevts_{li}", 1, "lag"))
                 lag_cols[c] = (argcol, f"__prev_{li}", f"__prevts_{li}")
                 li += 1
+        if lag_reqs:
+            base = ck.with_chunked_lag_lead(base, lag_reqs)
 
         # grouping columns
         grp_names: list[str] = []

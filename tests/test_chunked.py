@@ -1,0 +1,119 @@
+"""Chunked window primitives == global per-series windows, on data spanning
+many small chunks (seams, empty chunks, nulls, duplicate timestamps)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sydradb_spark.functions import chunked as ck
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    # two series; irregular cadence with gaps that leave whole chunks empty
+    for sid in (1, 2):
+        for i in range(200):
+            ts = i * 7 + (500 if i >= 100 else 0)  # a 500s hole mid-series
+            val = None if (sid == 2 and i % 11 == 0) else float(i * sid)
+            rows.append((sid, ts, val))
+    # duplicate timestamps with distinct values (tiebreak path)
+    rows.append((1, 35, 3.5))
+    rows.append((1, 35, 3.6))
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    return df.cache()
+
+
+def _collected(df, cols):
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()],
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+@pytest.mark.parametrize("n,kind", [(1, "lag"), (3, "lag"), (1, "lead"), (2, "lead")])
+def test_chunked_lag_lead_matches_global(spark, frame, n, kind):
+    w = Window.partitionBy("series_id").orderBy("ts", "value")
+    fn = F.lag if kind == "lag" else F.lead
+    expected = frame.withColumn("out", fn("value", n).over(w))
+    got = ck.with_chunked_lag_lead(
+        frame, [ck.LagRequest("value", "out", n, kind)], chunk_s=50
+    )
+    cols = ["series_id", "ts", "value", "out"]
+    assert _collected(got, cols) == _collected(expected, cols)
+
+
+def test_chunked_fill_forward_matches_global(spark, frame):
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts", "value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = frame.withColumn("out", F.last("value", ignorenulls=True).over(w))
+    got = ck.with_chunked_fill_forward(frame, "value", "out", chunk_s=50)
+    cols = ["series_id", "ts", "value", "out"]
+    assert _collected(got, cols) == _collected(expected, cols)
+
+
+def test_chunked_moving_avg_matches_global(spark, frame):
+    dur = 30
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-dur, 0)
+    )
+    expected = frame.withColumn("out", F.avg("value").over(w))
+    got = ck.with_chunked_moving_avg(frame, "value", "out", dur, chunk_s=50)
+    cols = ["series_id", "ts", "value"]
+    e = {t[:3]: t[3] for t in _collected(expected, cols + ["out"])}
+    g = {t[:3]: t[3] for t in _collected(got, cols + ["out"])}
+    assert e.keys() == g.keys()
+    for k in e:
+        if e[k] is None:
+            assert g[k] is None
+        else:
+            assert g[k] == pytest.approx(e[k], rel=1e-12)
+
+
+def test_chunked_ema_matches_pandas_global(spark, frame):
+    alpha = 0.3
+    src = frame.where(F.col("value").isNotNull())
+    got = ck.with_chunked_ema(src, "value", "out", alpha, chunk_s=50)
+    gdf = got.toPandas().sort_values(["series_id", "ts", "value"]).reset_index(drop=True)
+    for sid, grp in gdf.groupby("series_id"):
+        expected = (
+            grp["value"].reset_index(drop=True).ewm(alpha=alpha, adjust=False).mean()
+        )
+        pd.testing.assert_series_equal(
+            grp["out"].reset_index(drop=True),
+            expected,
+            check_names=False,
+            rtol=1e-12,
+        )
+
+
+def test_chunked_stage_parallelism(spark):
+    """The point of chunking: ONE series spread over many chunks must not
+    collapse to a single window partition — per-chunk kernel groups are the
+    unit of parallelism."""
+    df = spark.range(0, 20_000).select(
+        F.lit(1).alias("series_id"),
+        F.col("id").alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    out = ck.with_chunked_lag_lead(
+        df.repartition(8), [ck.LagRequest("value", "prev", 1, "lag")], chunk_s=1000
+    )
+    n_chunks = out.select((F.col("ts") - F.col("ts") % 1000).alias("c")).distinct().count()
+    assert n_chunks == 20  # 20 bounded window partitions, not 1 per series
+    w = Window.partitionBy("series_id").orderBy("ts", "value")
+    expected = df.withColumn("eprev", F.lag("value").over(w))
+    assert (
+        out.join(expected, on=["series_id", "ts", "value"])
+        .where(~F.col("prev").eqNullSafe(F.col("eprev")))
+        .count()
+        == 0
+    )
