@@ -328,23 +328,25 @@ def _ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
-_BUCKET_Q = " + ".join(
-    f"(CASE WHEN qe[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
-)
-_BUCKET_C = " + ".join(
-    f"(CASE WHEN ce[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
+# multi-probe join: corpus bucket equals the query bucket or any 1-bit flip.
+# ±1 hyperplanes keep the projection bit-for-bit reproducible in DuckDB
+# (same index-order additions, no rounding in the ±1 multiply).
+_PROBES = ", ".join(
+    ["q.bucket"] + [f"xor(q.bucket, {1 << b})" for b in range(similarity.LSH_BITS)]
 )
 
 _q(
     "ann_lsh_cosine",
     _ann,
-    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {_BUCKET_Q} AS bucket
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+           {similarity.sign_bucket_sql("embedding")} AS bucket
            FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, embedding AS ce, {_BUCKET_C} AS bucket
+c AS (SELECT vec_id, embedding AS ce,
+      {similarity.sign_bucket_sql("embedding")} AS bucket
       FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT q.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
-  FROM c JOIN q USING (bucket)
+  FROM c JOIN q ON c.bucket IN ({_PROBES})
 )
 SELECT query_id, vec_id, round(cosine, 6) AS cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
@@ -386,17 +388,13 @@ def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 
-_EMB_BUCKET = " + ".join(
-    f"(CASE WHEN e[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(similarity.LSH_DIMS)
-)
-
 _q(
     "embedding_near_dups",
     _embed_dedup,
     f"""WITH t AS (
   SELECT vec_id, embedding AS e FROM embeddings
 ), tb AS (
-  SELECT vec_id, e, {_EMB_BUCKET} AS bucket FROM t
+  SELECT vec_id, e, {similarity.sign_bucket_sql("e")} AS bucket FROM t
 ), cand AS (
   SELECT x.vec_id AS a, y.vec_id AS b, x.e AS ea, y.e AS eb
   FROM tb x JOIN tb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

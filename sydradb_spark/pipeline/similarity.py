@@ -7,23 +7,42 @@ Two paths, same output shape (query_id, vec_id, cosine):
   corpus — a map-side join, no shuffle of the corpus — then a per-query top-k
   window. The dot product is `zip_with` + `aggregate` higher-order functions:
   all-JVM, no Python. This is the baseline and the verifier.
-- ``ann_sign_lsh``: the scale path. A sign-bit LSH bucket (one byte from the
-  signs of the first 8 dimensions here; real deployments use random
-  hyperplanes and more bits) partitions the corpus; queries probe only their
-  bucket, cutting the scanned corpus by ~2^bits at some recall cost. The
-  bucket id is deterministic arithmetic so a DuckDB oracle reproduces it.
+- ``ann_sign_lsh``: the scale path. Sign-random-projection LSH: each bucket
+  bit is the sign of the embedding's dot product with a seeded Rademacher
+  (±1) hyperplane; queries probe their own bucket plus every 1-bit flip
+  (multi-probe), cutting the scanned corpus by ~2^bits/(bits+1) at a recall
+  cost pinned by ``tests/test_pipeline.py::test_ann_lsh_recall``.
+
+±1 hyperplane entries are deliberate: the projection is then a pure signed
+sum of the raw floats — multiply-by-±1 is exact in IEEE — and Spark
+(`zip_with`+`aggregate`, index order) and DuckDB (`list_sum` comprehension,
+index order) execute the identical addition sequence, so bucket bits are
+bit-for-bit reproducible cross-engine and the LSH stays oracle-checkable.
 
 At 100 TB the corpus side stays partitioned/bucketed by ``bucket`` on disk so
-a probe prunes partitions instead of scanning; the brute path shards the
-query set when it outgrows a broadcast.
+a probe prunes partitions instead of scanning (size 2^bits to the corpus:
+bits ≈ log2(n / target_bucket_rows)); the brute path shards the query set
+when it outgrows a broadcast.
 """
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-LSH_DIMS = 8  # sign bits taken from dimensions 1..8
+LSH_BITS = 8  # default bucket width (2^8 buckets); scale with corpus size
+LSH_SEED = 7
+EMB_DIM = 64  # the testdata embeddings table dimension
+
+
+def hyperplanes(
+    dim: int = EMB_DIM, bits: int = LSH_BITS, seed: int = LSH_SEED
+) -> list[list[int]]:
+    """Seeded Rademacher (±1) projection matrix, ``bits`` rows × ``dim``."""
+    rng = random.Random(seed)
+    return [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(bits)]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -70,14 +89,37 @@ def knn_brute(
     )
 
 
-def sign_bucket(emb: Column, dims: int = LSH_DIMS) -> Column:
-    """Deterministic sign-LSH bucket: bit d set iff embedding[d+1] > 0."""
+def sign_bucket(emb: Column, planes: list[list[int]] | None = None) -> Column:
+    """Sign-random-projection bucket: bit b set iff dot(emb, plane_b) > 0."""
+    planes = planes if planes is not None else hyperplanes()
     bucket = F.lit(0)
-    for d in range(dims):
-        bucket = bucket + F.when(F.element_at(emb, d + 1) > 0, F.lit(1 << d)).otherwise(
-            F.lit(0)
+    for b, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket.cast("long")
+
+
+def sign_bucket_sql(arr: str, planes: list[list[int]] | None = None) -> str:
+    """The DuckDB twin of ``sign_bucket`` over array column ``arr`` — same
+    planes, same index-order additions, bit-for-bit equal buckets."""
+    planes = planes if planes is not None else hyperplanes()
+    terms = []
+    for b, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(p)}" for p in plane) + "]"
+        proj = (
+            f"list_sum([CAST({arr}[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, len({arr}))])"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def ivf_index(
@@ -153,16 +195,35 @@ def ann_ivf(
 
 
 def ann_sign_lsh(
-    queries: DataFrame, corpus: DataFrame, k: int, emb_col: str = "embedding"
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    emb_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-LSH bucket."""
+    """Approximate top-k: candidates share one of the query's probe buckets.
+
+    Multi-probe: the query's own bucket plus each single-bit flip — the
+    nearest neighbours a single-bucket probe misses usually differ in exactly
+    one marginal sign, so bits+1 probes recover most of the lost recall for
+    (bits+1)/2^bits of the corpus scanned. Probe buckets are distinct, so a
+    (query, corpus) pair matches at most once — no dedup needed."""
+    planes = planes if planes is not None else hyperplanes()
+    bits = len(planes)
+    qb = sign_bucket(F.col(emb_col), planes)
+    probe_buckets = [qb] + (
+        [qb.bitwiseXOR(F.lit(1 << b)) for b in range(bits)] if multi_probe else []
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("__qe"),
-        sign_bucket(F.col(emb_col)).alias("bucket"),
+        F.explode(F.array(*probe_buckets)).alias("bucket"),
     )
     c = corpus.select(
-        "vec_id", F.col(emb_col).alias("__ce"), sign_bucket(F.col(emb_col)).alias("bucket")
+        "vec_id",
+        F.col(emb_col).alias("__ce"),
+        sign_bucket(F.col(emb_col), planes).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), on="bucket").select(
         "query_id", "vec_id", cosine(F.col("__qe"), F.col("__ce")).alias("cosine")

@@ -99,11 +99,15 @@ def test_knn_rank_order(emb):
 
 
 def test_ann_sign_lsh_prunes(emb):
+    # two explicit hyperplanes for the 3-dim fixture: the opposite vector 12
+    # flips BOTH sign bits (Hamming 2), so even multi-probe (Hamming <= 1)
+    # must exclude it while near-neighbour 10 shares the exact bucket
+    planes = [[1, 1, 1], [1, -1, 1]]
     out = similarity.ann_sign_lsh(
-        emb.where("vec_id = 0"), emb.where("vec_id >= 10"), k=3
+        emb.where("vec_id = 0"), emb.where("vec_id >= 10"), k=3, planes=planes
     ).collect()
     got = {r["vec_id"] for r in out}
-    assert 10 in got and 12 not in got  # 12 is in a different sign bucket
+    assert 10 in got and 12 not in got
 
 
 def test_text_stats_and_lang(spark):
@@ -244,3 +248,47 @@ def test_resize_images_plumbing(spark):
     assert out[1]["width"] == 4 and out[1]["height"] == 2
     assert len(out[1]["payload"]) == 8 == len(out[2]["payload"])
     assert out[1]["payload"] == b"xxxxxxxx" and out[2]["payload"] == b"\0" * 8
+
+
+def test_ann_lsh_recall(spark):
+    """Sign-LSH with seeded Rademacher hyperplanes + multi-probe: recall@5
+    vs brute force pinned on clustered synthetic vectors at a fixed seed."""
+    import random
+
+    rng = random.Random(9)
+    dim = 16
+    centers = []
+    for c in range(4):
+        centers.append([rng.uniform(-1, 1) * 10 for _ in range(dim)])
+    rows = []
+    for i in range(160):
+        c = centers[i % 4]
+        rows.append((i, [v + rng.uniform(-0.5, 0.5) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where("vec_id < 4")
+    corpus = emb.where("vec_id >= 4")
+    planes = similarity.hyperplanes(dim=dim, bits=6, seed=3)
+
+    brute = {}
+    for r in similarity.knn_brute(queries, corpus, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann = {}
+    for r in similarity.ann_sign_lsh(queries, corpus, k=5, planes=planes).collect():
+        ann.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = [
+        len(brute[q] & ann.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.8, f"multi-probe sign-LSH recall@5 = {recall:.2f}"
+
+    # single-probe is strictly weaker — multi-probe must not hurt
+    single = {}
+    for r in similarity.ann_sign_lsh(
+        queries, corpus, k=5, planes=planes, multi_probe=False
+    ).collect():
+        single.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls_single = [
+        len(brute[q] & single.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    assert recall >= sum(recalls_single) / len(recalls_single)
