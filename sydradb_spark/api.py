@@ -18,21 +18,54 @@ from typing import Any
 from sydradb_spark.sydraql.engine import QueryResult
 
 
+# executed-plan time metrics worth surfacing as elapsed_ms, by metric key
+_TIME_METRIC_KEYS = ("scan time", "time in aggregation build", "sort time", "op time")
+
+
 def _plan_stats(df) -> dict[str, Any]:
-    """Harvest node names + output-row metrics from the executed plan
-    (best-effort; empty when the JVM internals move)."""
+    """Harvest {name, rows_out, elapsed_ms} for EVERY executed-plan node —
+    the reference's per-operator stats block (operator.zig:166-184,
+    wire/server.zig:320-353) — not just scan leaves. Best-effort; empty when
+    the JVM internals move. Descends into AQE's final plan."""
     try:
         qe = df._jdf.queryExecution()
         nodes = []
-        plan = qe.executedPlan()
-        it = plan.collectLeaves().iterator()  # leaves: scans with row counts
-        while it.hasNext():
-            node = it.next()
+        stack = [qe.executedPlan()]
+        while stack:
+            node = stack.pop()
+            name = node.nodeName()
+            if name == "AdaptiveSparkPlan":
+                # traverse the final (post-reoptimization) physical plan
+                try:
+                    stack.append(node.executedPlan())
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
+            if name.endswith("QueryStage"):
+                # AQE stage wrappers (Result/Shuffle/BroadcastQueryStage)
+                # expose their subtree via plan(), not children()
+                try:
+                    stack.append(node.plan())
+                    continue
+                except Exception:  # noqa: BLE001
+                    pass
             metrics = node.metrics()
             rows = None
             if metrics.contains("numOutputRows"):
                 rows = metrics.apply("numOutputRows").value()
-            nodes.append({"name": node.nodeName(), "rows_out": rows})
+            elapsed_ms = None
+            for key in _TIME_METRIC_KEYS:
+                if metrics.contains(key):
+                    elapsed_ms = metrics.apply(key).value()
+                    break
+            entry: dict[str, Any] = {"name": name, "rows_out": rows}
+            if elapsed_ms is not None:
+                entry["elapsed_ms"] = elapsed_ms
+            nodes.append(entry)
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        nodes.reverse()  # leaves (scans) first, root (project/limit) last
         return {"operators": nodes}
     except Exception:  # noqa: BLE001 — stats are advisory, never fail a query
         return {}

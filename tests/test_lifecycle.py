@@ -163,6 +163,30 @@ def test_api_response_shape(spark, points):
     assert {"parse_us", "validate_us", "plan_us", "execute_us"} <= set(resp["stats"])
 
 
+def test_api_per_operator_stats(spark, points):
+    """The stats block reports EVERY executed-plan operator with row counts
+    (reference operator.zig:166-184) — a filter and an aggregate must both
+    appear, not just the scan leaves."""
+    eng = SydraQLEngine(spark, points)
+    res = eng.query(
+        "select time_bucket(3600, time) as b, avg(value) as a from cpu.total "
+        "where time >= 1000000 and time < 1100000 and value > 150 "
+        "group by time_bucket(3600, time)"
+    )
+    resp = api.to_response(res)
+    ops = resp["stats"]["operators"]
+    names = [o["name"] for o in ops]
+    filters = [o for o in ops if "Filter" in o["name"]]
+    aggs = [o for o in ops if "Aggregate" in o["name"]]
+    assert filters and aggs, f"plan nodes missing from stats: {names}"
+    assert any(o["rows_out"] is not None for o in filters)
+    assert any(o["rows_out"] is not None for o in aggs)
+    # leaves-first ordering: the scan appears before the final aggregate
+    scan_i = min(i for i, n in enumerate(names) if "Scan" in n or "Exists" in n)
+    agg_i = max(i for i, n in enumerate(names) if "Aggregate" in n)
+    assert scan_i < agg_i
+
+
 def test_snapshot_restore(spark, tmp_path, points):
     table = str(tmp_path / "live")
     storage.write_points(points, table)
