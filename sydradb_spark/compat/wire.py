@@ -1,0 +1,201 @@
+"""Minimal PostgreSQL v3 wire-protocol front-end (simple query only).
+
+The reference serves pg clients over a socket (src/sydra/compat/wire/
+server.zig:249-429, session.zig:75-140): startup handshake → AuthenticationOk
+→ simple 'Q' queries answered with RowDescription / DataRow / CommandComplete.
+This is the same scope over the compat SQL→sydraQL translator and the Spark
+engine — extended-protocol messages (Parse/Bind/Execute), auth, and TLS are
+out of scope exactly as they are in the reference's simple-query path (TLS
+requests are answered 'N' = not supported, like server.zig's SSLRequest
+handling).
+
+Production posture: this front-end is a thin driver-side shim for pg-client
+compatibility (psql, BI tools poking at results). Heavy concurrent SQL
+traffic belongs on Spark Connect / Thrift; DEPLOY.md states the split.
+
+Text-format encoding only (format code 0), which every client supports.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+from typing import Any
+
+# pg type OIDs for the engine's output types (pg_type.dat, public catalog)
+_OID_INT8 = 20
+_OID_FLOAT8 = 701
+_OID_TEXT = 25
+_OID_BOOL = 16
+
+_SSL_REQUEST = 80877103
+_CANCEL_REQUEST = 80877102
+
+
+def _oid_for(spark_type: str) -> int:
+    if spark_type in ("bigint", "int", "smallint", "tinyint", "long"):
+        return _OID_INT8
+    if spark_type in ("double", "float", "decimal"):
+        return _OID_FLOAT8
+    if spark_type == "boolean":
+        return _OID_BOOL
+    return _OID_TEXT
+
+
+def _encode(value: Any) -> bytes | None:
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return b"t" if value else b"f"
+    if isinstance(value, float):
+        return repr(value).encode()
+    return str(value).encode()
+
+
+def _msg(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _error_response(message: str, sqlstate: str = "42601") -> bytes:
+    fields = (
+        b"S" + b"ERROR\x00"
+        + b"C" + sqlstate.encode() + b"\x00"
+        + b"M" + message.encode() + b"\x00"
+        + b"\x00"
+    )
+    return _msg(b"E", fields)
+
+
+def _row_description(fields: list[tuple[str, str]]) -> bytes:
+    out = struct.pack("!H", len(fields))
+    for name, spark_type in fields:
+        out += (
+            name.encode()
+            + b"\x00"
+            + struct.pack("!IHIhih", 0, 0, _oid_for(spark_type), -1, -1, 0)
+        )
+    return _msg(b"T", out)
+
+
+def _data_row(values: list[Any]) -> bytes:
+    out = struct.pack("!H", len(values))
+    for v in values:
+        enc = _encode(v)
+        if enc is None:
+            out += struct.pack("!i", -1)
+        else:
+            out += struct.pack("!I", len(enc)) + enc
+    return _msg(b"D", out)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("client closed")
+        buf += chunk
+    return buf
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:  # noqa: C901 — one message loop, kept together
+        server: PgWireServer = self.server.pgwire  # type: ignore[attr-defined]
+        sock = self.request
+        try:
+            self._startup(sock)
+            self._ready(sock)
+            while True:
+                tag = _recv_exact(sock, 1)
+                (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+                payload = _recv_exact(sock, length - 4)
+                if tag == b"X":  # Terminate
+                    return
+                if tag != b"Q":
+                    sock.sendall(
+                        _error_response(
+                            f"unsupported message type {tag!r} "
+                            "(simple query protocol only)",
+                            "0A000",
+                        )
+                    )
+                    self._ready(sock)
+                    continue
+                sql = payload.rstrip(b"\x00").decode("utf-8", "replace")
+                self._query(sock, server, sql)
+                self._ready(sock)
+        except (ConnectionError, OSError):
+            return
+
+    def _startup(self, sock: socket.socket) -> None:
+        while True:
+            (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+            body = _recv_exact(sock, length - 4)
+            (proto,) = struct.unpack("!I", body[:4])
+            if proto == _SSL_REQUEST:
+                sock.sendall(b"N")  # TLS not supported (server.zig SSLRequest)
+                continue
+            if proto == _CANCEL_REQUEST:
+                raise ConnectionError("cancel request")
+            break  # StartupMessage; parameters ignored (no auth, like ref dev mode)
+        sock.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
+        for k, v in (("server_version", "14.0 (sydradb-spark)"), ("client_encoding", "UTF8")):
+            sock.sendall(_msg(b"S", k.encode() + b"\x00" + v.encode() + b"\x00"))
+
+    @staticmethod
+    def _ready(sock: socket.socket) -> None:
+        sock.sendall(_msg(b"Z", b"I"))
+
+    @staticmethod
+    def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:
+        from sydradb_spark.compat.translator import translate
+
+        if not sql.strip():
+            sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
+            return
+        t = translate(sql)
+        if not t.ok:
+            sock.sendall(_error_response(t.message or "not supported", t.sqlstate or "0A000"))
+            return
+        try:
+            result = server.engine.query(t.sydraql)
+            df = result.df.limit(server.max_rows)
+            fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+            rows = df.collect()
+        except Exception as exc:  # noqa: BLE001 — surface as pg error
+            sock.sendall(_error_response(str(exc).split("\n")[0][:500], "42601"))
+            return
+        sock.sendall(_row_description(fields))
+        for row in rows:
+            sock.sendall(_data_row([row[name] for name, _ in fields]))
+        sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
+
+
+class PgWireServer:
+    """Threaded pg wire server over one SydraQLEngine.
+
+    ``port=0`` binds an ephemeral port; ``addr`` reports the bound address.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000):
+        self.engine = engine
+        self.max_rows = max_rows
+        self._tcp = socketserver.ThreadingTCPServer((host, port), _Handler, bind_and_activate=True)
+        self._tcp.daemon_threads = True
+        self._tcp.pgwire = self  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def addr(self) -> tuple[str, int]:
+        return self._tcp.server_address  # type: ignore[return-value]
+
+    def start(self) -> "PgWireServer":
+        self._thread = threading.Thread(target=self._tcp.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()

@@ -1,0 +1,125 @@
+"""pg wire front-end: a raw-socket v3-protocol client (no pg driver in the
+container) runs the startup handshake and simple queries end-to-end."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from sydradb_spark.compat.wire import PgWireServer
+from sydradb_spark.sydraql.engine import SydraQLEngine
+
+
+def _recv_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        assert chunk, "server closed early"
+        buf += chunk
+    return buf
+
+
+def _read_msg(sock):
+    tag = _recv_exact(sock, 1)
+    (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+    return tag, _recv_exact(sock, length - 4)
+
+
+def _connect(addr):
+    sock = socket.create_connection(addr, timeout=30)
+    params = b"user\x00test\x00database\x00sydra\x00\x00"
+    body = struct.pack("!I", 196608) + params
+    sock.sendall(struct.pack("!I", len(body) + 4) + body)
+    msgs = []
+    while True:
+        tag, payload = _read_msg(sock)
+        msgs.append((tag, payload))
+        if tag == b"Z":
+            break
+    assert msgs[0][0] == b"R" and struct.unpack("!I", msgs[0][1])[0] == 0  # AuthOk
+    return sock
+
+
+def _simple_query(sock, sql):
+    payload = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    cols, rows, err = None, [], None
+    while True:
+        tag, payload = _read_msg(sock)
+        if tag == b"T":
+            (n,) = struct.unpack("!H", payload[:2])
+            cols, off = [], 2
+            for _ in range(n):
+                end = payload.index(b"\x00", off)
+                name = payload[off:end].decode()
+                off = end + 1 + 18  # fixed-size field descriptor
+                cols.append(name)
+        elif tag == b"D":
+            (n,) = struct.unpack("!H", payload[:2])
+            off, vals = 2, []
+            for _ in range(n):
+                (ln,) = struct.unpack("!i", payload[off : off + 4])
+                off += 4
+                if ln == -1:
+                    vals.append(None)
+                else:
+                    vals.append(payload[off : off + ln].decode())
+                    off += ln
+            rows.append(vals)
+        elif tag == b"E":
+            fields = {}
+            for part in payload.split(b"\x00"):
+                if part:
+                    fields[chr(part[0])] = part[1:].decode()
+            err = fields
+        elif tag == b"Z":
+            return cols, rows, err
+
+
+@pytest.fixture(scope="module")
+def wire(spark, points):
+    server = PgWireServer(SydraQLEngine(spark, points)).start()
+    yield server
+    server.stop()
+
+
+def test_pgwire_select_roundtrip(wire):
+    sock = _connect(wire.addr)
+    cols, rows, err = _simple_query(
+        sock,
+        "SELECT time, value FROM cpu.total WHERE time >= 1000000 AND time < 1000060",
+    )
+    assert err is None
+    assert cols == ["time", "value"]
+    assert len(rows) == 5  # 15s cadence + the duplicate at ts=1000000
+    assert rows[0][0] == "1000000"
+    assert float(rows[0][1]) in (50.0, 100.0)
+    # second query on the same connection (ReadyForQuery cycling works)
+    cols2, rows2, err2 = _simple_query(sock, "SELECT 1")
+    assert err2 is None and rows2 == [["1"]]
+    sock.sendall(b"X" + struct.pack("!I", 4))
+    sock.close()
+
+
+def test_pgwire_error_path(wire):
+    sock = _connect(wire.addr)
+    _, _, err = _simple_query(sock, "SELECT * FROM nope nope nope")
+    assert err is not None and err["S"] == "ERROR"
+    # connection survives the error
+    _, rows, err2 = _simple_query(sock, "SELECT 1")
+    assert err2 is None and rows == [["1"]]
+    sock.close()
+
+
+def test_pgwire_ssl_refused_then_ok(wire):
+    sock = socket.create_connection(wire.addr, timeout=30)
+    sock.sendall(struct.pack("!II", 8, 80877103))  # SSLRequest
+    assert _recv_exact(sock, 1) == b"N"
+    params = b"user\x00t\x00\x00"
+    body = struct.pack("!I", 196608) + params
+    sock.sendall(struct.pack("!I", len(body) + 4) + body)
+    tag, _ = _read_msg(sock)
+    assert tag == b"R"
+    sock.close()
