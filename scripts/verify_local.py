@@ -75,9 +75,20 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("verify-local")
+    args = [a for a in sys.argv[1:] if a != "--default-session"]
+    default_session = "--default-session" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if default_session:
+        # faithful driver simulation: bare session, ANSI on, none of the
+        # repo-tuned confs — catches hidden config assumptions
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify-default"
+        ).getOrCreate()
+    else:
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
