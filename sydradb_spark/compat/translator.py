@@ -99,6 +99,16 @@ def _translate(sql: str) -> Translation:
                     return Translation(ok=True, sydraql=out)
         return _fallback()
 
+    m = re.match(r"select\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        # FROM-less expression select (OneRow): pass the select list through —
+        # sydraQL handles literals, aliases and arithmetic. Beyond the
+        # reference's literal `SELECT 1` case, which stays pinned above.
+        exprs = m.group(1).strip()
+        if exprs and not _RETURNING.search(exprs):
+            return Translation(ok=True, sydraql=f"select {exprs}")
+        return _fallback()
+
     m = re.match(
         r"insert\s+into\s+([^\s(]+)\s*(?:\(([^)]*)\))?\s*values\s*\((.*)\)\s*(.*)$",
         s,

@@ -166,24 +166,50 @@ _NDJSON_ROWS = [
 ]
 
 
+_CSV_ROWS = [
+    "series,ts,value,tags",
+    'pressure.p1,1694300000,101.3,"{""host"": ""a""}"',
+    "pressure.p1,1694300060,101.4,",
+]
+
+
 def _ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON (the reference HTTP/CLI ingest format) and CSV ingest into the
+    same stored table, queried back — one labeled union."""
+    from sydradb_spark.ingest import read_csv_points
+    from sydradb_spark.storage import write_points
+
     src = _scratch(sf_dir, "ndjson_src", fresh=True)
+    csv_src = _scratch(sf_dir, "csv_src", fresh=True)
     table = _scratch(sf_dir, "ndjson_table", fresh=True)
     os.makedirs(src)
+    os.makedirs(csv_src)
     with open(os.path.join(src, "batch1.ndjson"), "w") as f:
         f.write("\n".join(_NDJSON_ROWS) + "\n")
+    with open(os.path.join(csv_src, "batch1.csv"), "w") as f:
+        f.write("\n".join(_CSV_ROWS) + "\n")
     ingest_batch(spark, src, table)
+    write_points(read_csv_points(spark, csv_src), table, mode="append")
     eng = SydraQLEngine(spark, storage_path=table)
-    return eng.query(
+    nd = eng.query(
         "select time, value from weather.room1 where time >= 0 and time < 1700000000"
     ).df
+    cs = eng.query(
+        "select time, value from pressure.p1 where time >= 0 and time < 1700000000"
+    ).df
+    return nd.select(F.lit("ndjson").alias("fmt"), "time", "value").unionByName(
+        cs.select(F.lit("csv").alias("fmt"), "time", "value")
+    )
 
 
 _q(
     "ingest_ndjson_roundtrip",
     _ingest_roundtrip,
-    "SELECT * FROM (VALUES (CAST(1694300000 AS BIGINT), CAST(24.2 AS DOUBLE)), "
-    "(1694300010, 24.3), (1694300020, 24.4)) AS t(time, value)",
+    "SELECT * FROM (VALUES "
+    "('ndjson', CAST(1694300000 AS BIGINT), CAST(24.2 AS DOUBLE)), "
+    "('ndjson', 1694300010, 24.3), ('ndjson', 1694300020, 24.4), "
+    "('csv', 1694300000, 101.3), ('csv', 1694300060, 101.4)"
+    ") AS t(fmt, time, value)",
 )
 
 

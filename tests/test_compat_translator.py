@@ -22,6 +22,8 @@ OK = [
     ("DELETE FROM sessions", "delete from sessions"),
     ("INSERT INTO t VALUES (1, 2)", "insert into t values (1, 2)"),
     ("  SELECT a FROM b ;  ", "select a from b"),
+    ("SELECT 1 AS one", "select 1 AS one"),
+    ("SELECT 2 * 3 + 1 AS x, 'hi' AS s", "select 2 * 3 + 1 AS x, 'hi' AS s"),
 ]
 
 FALLBACK = [

@@ -97,8 +97,8 @@ def test_pgwire_select_roundtrip(wire):
     assert rows[0][0] == "1000000"
     assert float(rows[0][1]) in (50.0, 100.0)
     # second query on the same connection (ReadyForQuery cycling works)
-    cols2, rows2, err2 = _simple_query(sock, "SELECT 1")
-    assert err2 is None and rows2 == [["1"]]
+    cols2, rows2, err2 = _simple_query(sock, "SELECT 1 AS one")
+    assert err2 is None and cols2 == ["one"] and rows2 == [["1"]]
     sock.sendall(b"X" + struct.pack("!I", 4))
     sock.close()
 
