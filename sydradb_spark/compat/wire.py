@@ -150,8 +150,10 @@ class _Handler(socketserver.BaseRequestHandler):
 
     @staticmethod
     def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:
+        from sydradb_spark import metrics
         from sydradb_spark.compat.translator import translate
 
+        metrics.inc("sydra_compat_queries_total")
         if not sql.strip():
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
             return

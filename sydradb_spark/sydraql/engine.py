@@ -82,10 +82,17 @@ class SydraQLEngine:
                 self.points = self.points.localCheckpoint(eager=True)
 
     def query(self, text: str) -> QueryResult:
+        from sydradb_spark import metrics
+
         t0 = time.perf_counter()
-        stmt = parse(text)
-        t1 = time.perf_counter()
-        validate(stmt)
+        try:
+            stmt = parse(text)
+            t1 = time.perf_counter()
+            validate(stmt)
+        except Exception:
+            metrics.inc("sydra_query_errors_total")
+            raise
+        metrics.inc("sydra_queries_total")
         t2 = time.perf_counter()
 
         if isinstance(stmt, ast.Explain):
@@ -156,6 +163,10 @@ class SydraQLEngine:
             self.points = self.points.unionByName(new, allowMissingColumns=True)
         self._after_mutation()
         count = len(rows)
+        from sydradb_spark import metrics
+
+        metrics.inc("sydra_inserts_total")
+        metrics.inc("sydra_points_ingested_total", count)
         df = self.spark.createDataFrame([(count,)], "inserted: long")
         return QueryResult(df=df, columns=["inserted"])
 
@@ -188,5 +199,8 @@ class SydraQLEngine:
             # where the predicate is TRUE are deleted.
             self.points = self.points.filter(~F.coalesce(pred, F.lit(False)))
         self._after_mutation()
+        from sydradb_spark import metrics
+
+        metrics.inc("sydra_deletes_total")
         df = self.spark.createDataFrame([(1,)], "deleted: long")
         return QueryResult(df=df, columns=["deleted"])

@@ -303,3 +303,30 @@ def test_tag_find_repeated_key_or(spark, points):
         .select("series_id").distinct().collect()
     }
     assert got == direct and got
+
+
+def test_prometheus_metrics_text(spark, points, tmp_path):
+    """Counters + storage gauges render in Prometheus exposition format
+    (reference handleMetrics, http.zig:452-477)."""
+    from sydradb_spark import metrics
+
+    metrics.reset()
+    eng = SydraQLEngine(spark, points)
+    eng.query("select count() as n from cpu.total where time >= 0 and time < 2000000")
+    eng.query("insert into m.x (time, value) values (1, 1.0), (2, 2.0)")
+    with pytest.raises(Exception):
+        eng.query("select bogus_fn(value) from cpu.total where time >= 0 and time < 1")
+
+    table = str(tmp_path / "mtable")
+    storage.write_points(points, table)
+    text = metrics.to_prometheus_text(storage_path=table)
+
+    assert "# TYPE sydra_queries_total counter" in text
+    assert "sydra_queries_total 2" in text
+    assert "sydra_query_errors_total 1" in text
+    assert "sydra_inserts_total 1" in text
+    assert "sydra_points_ingested_total 2" in text
+    assert "# TYPE sydra_storage_partitions gauge" in text
+    n_parts = len(list((tmp_path / "mtable").glob("hour_bucket=*")))
+    assert f"sydra_storage_partitions {n_parts}" in text
+    assert "sydra_storage_bytes" in text
