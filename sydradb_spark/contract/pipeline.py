@@ -48,6 +48,7 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens_bpe"),
         _r6(q["distinct_ratio"]).alias("distinct_ratio"),
         _r6(q["mean_word_len"]).alias("mean_word_len"),
         _r6(q["space_ratio"]).alias("space_ratio"),
@@ -55,13 +56,25 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB's RE2 has no lookarounds, so the BPE-ish split count is mirrored
+# positionally: pieces = whitespace tokens + letter<->digit adjacencies.
+_BPE_TRANSITIONS = (
+    "list_sum([CASE WHEN "
+    "(lower(t[i]) BETWEEN 'a' AND 'z' AND t[i+1] BETWEEN '0' AND '9') OR "
+    "(t[i] BETWEEN '0' AND '9' AND lower(t[i+1]) BETWEEN 'a' AND 'z') "
+    "THEN 1 ELSE 0 END for i in generate_series(1, greatest(length(t) - 1, 0))])"
+)
+
+
 _q(
     "text_stats",
     _text_stats,
-    f"""WITH {_TOKS}
+    f"""WITH {_TOKS}, bt AS (SELECT doc_id, trim(text) AS t FROM documents),
+bpe AS (SELECT doc_id, coalesce({_BPE_TRANSITIONS}, 0) AS transitions FROM bt)
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(tk) + (SELECT transitions FROM bpe WHERE bpe.doc_id = toks.doc_id) AS BIGINT) AS n_tokens_bpe,
   round(CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS distinct_ratio,
   round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
   round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS space_ratio,
