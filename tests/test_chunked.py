@@ -117,3 +117,33 @@ def test_chunked_stage_parallelism(spark):
         .count()
         == 0
     )
+
+
+def test_chunked_lag_property(spark):
+    """Randomized seam fuzz: chunked lag equals the global window on random
+    (ts, value, null) frames for every (n, chunk_s) combination."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        rows = []
+        for sid in (1, 2, 3):
+            t = 0
+            for _ in range(rng.randint(5, 120)):
+                t += rng.randint(1, 40)
+                v = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
+                rows.append((sid, t, v))
+        df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+        n = rng.randint(1, 4)
+        chunk_s = rng.choice([7, 25, 100])
+        w = Window.partitionBy("series_id").orderBy("ts", "value")
+        expected = df.withColumn("eout", F.lag("value", n).over(w))
+        got = ck.with_chunked_lag_lead(
+            df, [ck.LagRequest("value", "out", n, "lag")], chunk_s=chunk_s
+        )
+        diff = (
+            got.join(expected, on=["series_id", "ts"])
+            .where(~F.col("out").eqNullSafe(F.col("eout")))
+            .count()
+        )
+        assert diff == 0, f"trial={trial} n={n} chunk_s={chunk_s}: {diff} mismatches"
