@@ -313,14 +313,19 @@ def with_chunked_ema(
     )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([ts_col, src_col], kind="mergesort").reset_index(drop=True)
         x = pdf[src_col].astype("float64")
-        pdf["__e"] = x.ewm(alpha=alpha, adjust=False).mean()
         padded = pd.concat([pd.Series([0.0]), x], ignore_index=True)
-        pdf["__z"] = (
-            padded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
-        )
-        pdf["__i"] = range(1, len(pdf) + 1)
+        z = padded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
+        # e (plain init s_1 = x_1) relates to z algebraically as
+        # z_i + (1-alpha)^i * x_1, but the closed form drifts in the last
+        # ulp vs the recursion — enough to flip a value across a rounding
+        # boundary in the oracle compare. Keep the exact recursion.
+        pdf["__e"] = x.ewm(alpha=alpha, adjust=False).mean()
+        pdf["__z"] = z.values
+        pdf["__i"] = np.arange(1, len(pdf) + 1, dtype="int64")
         return pdf[cols + ["__e", "__z", "__i"]]
 
     dfk = df.groupBy(partition, "__wchunk").applyInPandas(_kernel, schema=kernel_schema)
