@@ -90,21 +90,34 @@ def knn_brute(
 
 
 def sign_bucket(emb: Column, planes: list[list[int]] | None = None) -> Column:
-    """Sign-random-projection bucket: bit b set iff dot(emb, plane_b) > 0."""
+    """Sign-random-projection bucket: bit b set iff dot(emb, plane_b) > 0.
+
+    One nested higher-order expression (transform over the plane matrix →
+    per-plane zip_with/aggregate dot → indexed bit sum) instead of ``bits``
+    separate aggregate columns — same index-order float additions (so the
+    DuckDB oracle still matches bit-for-bit), materially less generated
+    code to JIT."""
     planes = planes if planes is not None else hyperplanes()
-    bucket = F.lit(0)
-    for b, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(p)) for p in plane]),
-                lambda x, p: x.cast("double") * p,
-            ),
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(p)) for p in plane]) for plane in planes]
+    )
+    projs = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(emb, p, lambda x, q: x.cast("double") * q),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket.cast("long")
+        ),
+    )
+    bits = F.transform(
+        projs,
+        # 2^i via pow (shiftleft needs a literal shift): exact in doubles
+        # for any realistic bit count
+        lambda pr, i: F.when(pr > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def sign_bucket_sql(arr: str, planes: list[list[int]] | None = None) -> str:
