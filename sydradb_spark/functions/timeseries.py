@@ -73,7 +73,11 @@ def series_window(order_extra: list[Column] | None = None) -> WindowSpec:
 
 def moving_avg(x: Column, ts_col: str, duration_s: int, partition: list[str]) -> Column:
     """moving_avg(x, dur): time-range windowed mean (functions.zig:373-382).
-    RANGE frame over epoch seconds: [ts - dur, ts]."""
+    RANGE frame over epoch seconds: [ts - dur, ts].
+
+    NOTE: one task per partition key AND O(frame) per row — the engine path
+    uses ``chunked.with_chunked_moving_avg`` instead; this Column form
+    remains for ad-hoc frames that are known-small."""
     w = (
         Window.partitionBy(*partition)
         .orderBy(F.col(ts_col).cast("long"))
@@ -83,7 +87,11 @@ def moving_avg(x: Column, ts_col: str, duration_s: int, partition: list[str]) ->
 
 
 def fill_forward(x: Column, w: WindowSpec) -> Column:
-    """fill_forward(x): carry last non-null forward (functions.zig:400-405)."""
+    """fill_forward(x): carry last non-null forward (functions.zig:400-405).
+
+    NOTE: binds one partition key to one task — the engine path uses
+    ``chunked.with_chunked_fill_forward``; this Column form remains for
+    ad-hoc known-small frames."""
     return F.last(x, ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
 
