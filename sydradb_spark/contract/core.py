@@ -103,12 +103,6 @@ SELECT 'tag_selector', ts, value FROM points
     ),
 )
 
-_q(
-    "onerow_literals",
-    ql("select 1 as one, 2.5 as two, 'hi' as msg"),
-    "SELECT 1 AS one, CAST(2.5 AS DOUBLE) AS two, 'hi' AS msg",
-)
-
 # --- §2.2 projections / filters ----------------------------------------------
 _q(
     "project_arith",

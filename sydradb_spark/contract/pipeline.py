@@ -190,10 +190,7 @@ _BAND_SIG_CASE = "CASE band " + " ".join(
     for b in range(dedup.NUM_BANDS)
 ) + " END"
 
-_q(
-    "minhash_lsh_pairs",
-    _minhash,
-    f"""WITH {_TOKS}, {_SHINGLES},
+_MINHASH_CTES = f"""{_TOKS}, {_SHINGLES},
 basehash AS (
   SELECT doc_id, {_HASH.format("sh")} % {dedup.MINHASH_M} AS hm FROM sh
 ),
@@ -223,8 +220,45 @@ jac AS (
   LEFT JOIN common m ON m.a = c.a AND m.b = c.b
   JOIN sizes na ON na.doc_id = c.a
   JOIN sizes nb ON nb.doc_id = c.b
+)"""
+
+_q(
+    "minhash_lsh_pairs",
+    _minhash,
+    f"WITH {_MINHASH_CTES}\n"
+    "SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.2",
 )
-SELECT a, b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.2""",
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, cluster_id = component min). The canonical-keeper step after
+    pair generation; iterative min-label propagation on Spark, transitive
+    closure in the oracle — same components exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_clusters(docs, threshold=0.2)
+
+
+_q(
+    "dedup_clusters",
+    _dedup_clusters,
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+ed AS (
+  SELECT a, b FROM jac WHERE jaccard >= 0.2
+  UNION
+  SELECT b, a FROM jac WHERE jaccard >= 0.2
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM ed
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+),
+allr AS (
+  SELECT src, dst FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM ed
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1""",
 )
 
 _SIMHASH_SQL = f"""dtok AS (

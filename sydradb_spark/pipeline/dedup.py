@@ -307,3 +307,59 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# --- near-dup clustering (connected components) -------------------------------
+def cluster_pairs(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id),
+    cluster_id = min doc id in the component. The canonical-keeper step a
+    training-data dedup pipeline runs after pair generation: keep cluster_id,
+    drop the rest.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbours — one join + one map-side-combining
+    groupBy per round, converging in <= component-diameter rounds (near-dup
+    components are shallow; web-scale CC runs the same loop in O(log n)
+    rounds). The loop is driver-side but each iteration is a full
+    distributed pass; ``localCheckpoint`` every round keeps lineage flat.
+    Singletons (docs with no pair) are not emitted — their cluster is
+    themselves by definition.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "b"), on="b"
+        ).select(F.col("a").alias("doc_id"), "lab")
+        new = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease; equal checksum == fixpoint
+        if (
+            new.agg(F.sum("lab")).collect()[0][0]
+            == labels.agg(F.sum("lab")).collect()[0][0]
+        ):
+            edges.unpersist()
+            return new.select("doc_id", F.col("lab").alias("cluster_id"))
+        labels = new
+
+
+def minhash_near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a non-trivial near-dup component
+    (MinHash-LSH pairs at ``threshold`` → connected components)."""
+    return cluster_pairs(minhash_near_dups(docs, threshold, text_col))

@@ -292,3 +292,14 @@ def test_ann_lsh_recall(spark):
         len(brute[q] & single.get(q, set())) / len(brute[q]) for q in brute
     ]
     assert recall >= sum(recalls_single) / len(recalls_single)
+
+
+def test_cluster_pairs_components(spark):
+    """min-label CC: chains collapse to the component min; separate
+    components stay separate; convergence needs multiple rounds for a
+    chain (diameter > 1)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (9, 9)], "a long, b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
