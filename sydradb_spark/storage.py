@@ -33,11 +33,21 @@ POINT_COLS = ["series_id", "series", "tags", "ts", "value", "hour_bucket"]
 def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Hour-partitioned write, ts-sorted within files (reference segment
     writer). One shuffle on hour_bucket; files within a partition are sorted
-    so Parquet page stats make ts-range reads skip pages."""
+    so Parquet page stats make ts-range reads skip pages.
+
+    Commits a file manifest (sydradb_spark.manifest) so readers flip between
+    consistent versions atomically: overwrite and new-table writes always
+    commit; appends extend the table's manifest when it has one. Appending
+    to a pre-manifest table keeps plain directory semantics."""
+    from sydradb_spark import manifest as mf
+
     # __ns is the events-adapter pushdown hint (tables.normalize_events) —
     # redundant with ts; stored tables prune via hour_bucket instead.
     if "__ns" in df.columns:
         df = df.drop("__ns")
+    fresh = not Path(path).exists()
+    manifested = mf.has_manifest(path)
+    before = set(mf.data_files(path)) if (manifested and mode == "append") else set()
     (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
         .repartition(F.col("hour_bucket"))
@@ -46,10 +56,30 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .mode(mode)
         .parquet(path)
     )
+    if mode == "overwrite" or fresh:
+        mf.commit(path, mf.data_files(path))
+    elif manifested:
+        new = [f for f in mf.data_files(path) if f not in before]
+        mf.commit(path, mf.read_files(path) + new)
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
-    df = spark.read.parquet(path)
+    """Read the table's LATEST manifest version (plain directory read for
+    pre-manifest tables)."""
+    from sydradb_spark import manifest as mf
+
+    if mf.has_manifest(path):
+        files = mf.read_files(path)
+        if not files:
+            from sydradb_spark.model import POINTS_SCHEMA
+
+            return spark.createDataFrame([], POINTS_SCHEMA)
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(*[f"{path}/{f}" for f in files])
+        )
+    else:
+        df = spark.read.parquet(path)
     extra = [c for c in df.columns if c not in POINT_COLS]
     # the partition column comes back as the inferred directory-value type
     return df.select(
@@ -174,15 +204,42 @@ def apply_retention(
 
 
 def drop_expired_partitions(path: str, cutoff_hour_bucket: int) -> list[int]:
-    """Global-TTL fast path: remove hour_bucket=N directories with
-    N + 3600 <= cutoff. Pure filesystem metadata — no data read/rewritten,
-    which is what makes retention O(partitions) instead of O(rows) at 100 TB.
-    Returns the dropped bucket values."""
+    """Global-TTL fast path: drop hour_bucket=N partitions with
+    N + 3600 <= cutoff. Pure metadata — no data read/rewritten, which is
+    what makes retention O(partitions) instead of O(rows) at 100 TB.
+    Manifest tables commit a filtered file list (one atomic pointer flip;
+    physical files go with ``manifest.vacuum``); plain tables remove the
+    directories. Returns the dropped bucket values."""
+    from sydradb_spark import manifest as mf
+
+    def _expired(bucket: int) -> bool:
+        return bucket + SECONDS_PER_HOUR <= cutoff_hour_bucket
+
+    if mf.has_manifest(path):
+        files = mf.read_files(path)
+        dropped = sorted(
+            {
+                int(f.split("=", 1)[1].split("/", 1)[0])
+                for f in files
+                if _expired(int(f.split("=", 1)[1].split("/", 1)[0]))
+            }
+        )
+        if dropped:
+            mf.commit(
+                path,
+                [
+                    f
+                    for f in files
+                    if not _expired(int(f.split("=", 1)[1].split("/", 1)[0]))
+                ],
+            )
+        return dropped
+
     dropped = []
     root = Path(path)
     for d in root.glob("hour_bucket=*"):
         bucket = int(d.name.split("=", 1)[1])
-        if bucket + SECONDS_PER_HOUR <= cutoff_hour_bucket:
+        if _expired(bucket):
             shutil.rmtree(d)
             dropped.append(bucket)
     return sorted(dropped)
@@ -221,11 +278,16 @@ def delete_where(
 ) -> None:
     """Partition-scoped anti-filter rewrite: only hour partitions overlapping
     the time bounds are read and rewritten; untouched partitions are never
-    opened. The rewrite stages into a temp dir and swaps each partition dir
-    via ``_swap_dir`` (rename-before-remove) — Spark cannot overwrite the
-    files a job is concurrently reading, and the swap order keeps the old
-    partition recoverable through a mid-swap crash. A production deployment
-    would use a table format's ACID replace (Delta / Iceberg)."""
+    opened.
+
+    Manifest tables get a true ATOMIC commit: replacement files append into
+    the live layout (Parquet part names never collide), then one manifest
+    commit drops every old file of the affected partitions and adds the new
+    ones — a crash at any point leaves LATEST on a fully consistent version
+    (the reference's MANIFEST swap; what Delta/Iceberg REPLACE WHERE does).
+    Pre-manifest tables keep the staged rename-before-remove dir swap."""
+    from sydradb_spark import manifest as mf
+
     df = read_points(spark, path)
     hb = hour_bucket_bounds(ts_min, ts_max)
     scoped = df.where(hb) if hb is not None else df
@@ -233,6 +295,26 @@ def delete_where(
     if not affected:
         return
     remaining = scoped.where(~F.coalesce(predicate, F.lit(False)))
+
+    if mf.has_manifest(path):
+        old = mf.read_files(path)
+        before = set(mf.data_files(path))
+        affected_dirs = {f"hour_bucket={b}/" for b in affected}
+        # plan reads an explicit file list (read_points), so appending new
+        # part files into the same directories is safe mid-job
+        (
+            remaining.select(*POINT_COLS)
+            .repartition(F.col("hour_bucket"))
+            .sortWithinPartitions("series_id", "ts")
+            .write.partitionBy("hour_bucket")
+            .mode("append")
+            .parquet(path)
+        )
+        new = [f for f in mf.data_files(path) if f not in before]
+        kept = [f for f in old if not any(f.startswith(d) for d in affected_dirs)]
+        mf.commit(path, kept + new)
+        return
+
     tmp = path.rstrip("/") + ".delete.tmp"
     if Path(tmp).exists():
         shutil.rmtree(tmp)

@@ -67,12 +67,17 @@ def test_retention_filter_and_partition_drop(spark, points, tmp_path, stored):
     assert kept.where(F.col("series").startswith("cpu.")).count() == 0
     assert kept.where(~F.col("series").startswith("cpu.")).count() > 0
 
-    # global partition drop: cutoff after every fixture hour → all dirs go
+    # global partition drop: cutoff after every fixture hour → all buckets go.
+    # On a manifest table the drop is a metadata commit; physical dirs stay
+    # until vacuum (and the pre-drop version remains time-travel readable).
+    from sydradb_spark import manifest as mf
+
     dropped = storage.drop_expired_partitions(stored, cutoff_hour_bucket=10**10)
     assert dropped
-    assert not list(os.listdir(stored)) or all(
-        not d.startswith("hour_bucket=") for d in os.listdir(stored)
-    )
+    assert storage.read_points(spark, stored).count() == 0
+    assert mf.read_files(stored) == []
+    mf.vacuum(stored, keep_versions=1)
+    assert all(not d.startswith("hour_bucket=") for d in os.listdir(stored))
 
 
 def test_tag_find_and_or(spark, points):

@@ -1,0 +1,95 @@
+"""Manifest-committed storage: atomic version flips, crash safety, time
+travel, vacuum (reference MANIFEST swap, src/sydra/storage/manifest.zig)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sydradb_spark import manifest as mf
+from sydradb_spark import storage
+from sydradb_spark.sydraql.engine import SydraQLEngine
+
+
+@pytest.fixture()
+def table(tmp_path, points):
+    path = str(tmp_path / "t")
+    storage.write_points(points, path)
+    return path
+
+
+def test_write_creates_manifest_and_roundtrips(spark, points, table):
+    assert mf.has_manifest(table)
+    assert mf.latest_version(table) == 1
+    assert storage.read_points(spark, table).count() == points.count()
+
+
+def test_append_extends_manifest(spark, points, table):
+    extra = points.limit(7)
+    storage.write_points(extra, table, mode="append")
+    assert mf.latest_version(table) == 2
+    assert storage.read_points(spark, table).count() == points.count() + 7
+
+
+def test_delete_commits_atomically_with_time_travel(spark, points, table):
+    n0 = storage.read_points(spark, table).count()
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("delete from cpu.total where time >= 0 and time < 2000000")
+    v = mf.latest_version(table)
+    assert v == 2
+    after = storage.read_points(spark, table)
+    assert after.where("series = 'cpu.total'").count() == 0
+    n_after = after.count()
+    assert 0 < n_after < n0
+    # previous version still fully readable (old files retained until vacuum)
+    old_files = mf.read_files(table, version=1)
+    old = spark.read.option("basePath", table).parquet(
+        *[f"{table}/{f}" for f in old_files]
+    )
+    assert old.count() == n0
+
+
+def test_crash_before_commit_preserves_old_version(spark, points, table):
+    """Staged data files without a manifest commit are invisible: readers
+    stay on LATEST. (Simulates a crash after file writes, before the
+    pointer rename.)"""
+    n0 = storage.read_points(spark, table).count()
+    extra = points.limit(5)
+    # stage files the way an append would, but "crash" before commit:
+    (
+        extra.select(*storage.POINT_COLS)
+        .write.partitionBy("hour_bucket")
+        .mode("append")
+        .parquet(table)
+    )
+    assert storage.read_points(spark, table).count() == n0  # unchanged
+    # the next real commit simply ignores the orphaned files; vacuum reaps
+    assert len(mf.data_files(table)) > len(mf.read_files(table))
+    removed = mf.vacuum(table, keep_versions=1)
+    assert removed
+    assert storage.read_points(spark, table).count() == n0
+
+
+def test_vacuum_keeps_recent_versions(spark, points, table):
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("delete from cpu.total where time >= 0 and time < 2000000")
+    eng.query("delete from weather.room2 where time >= 0 and time < 2000000")
+    assert mf.latest_version(table) == 3
+    mf.vacuum(table, keep_versions=2)
+    # latest and latest-1 remain readable; v1's exclusive files are gone
+    for v in (2, 3):
+        files = mf.read_files(table, version=v)
+        assert all((__import__("pathlib").Path(table) / f).exists() for f in files)
+    with pytest.raises(FileNotFoundError):
+        mf.read_files(table, version=1)
+
+
+def test_plain_table_fallback(spark, points, tmp_path):
+    """Tables written without a manifest keep plain directory semantics."""
+    path = str(tmp_path / "plain")
+    (
+        points.select(*storage.POINT_COLS)
+        .write.partitionBy("hour_bucket")
+        .parquet(path)
+    )
+    assert not mf.has_manifest(path)
+    assert storage.read_points(spark, path).count() == points.count()
