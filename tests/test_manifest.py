@@ -93,3 +93,23 @@ def test_plain_table_fallback(spark, points, tmp_path):
     )
     assert not mf.has_manifest(path)
     assert storage.read_points(spark, path).count() == points.count()
+
+
+def test_snapshot_is_metadata_only_and_isolated(spark, points, table):
+    """Manifest snapshot hardlinks data files (no byte copy) and stays
+    readable after the live table mutates and vacuums."""
+    import os
+    from pathlib import Path
+
+    dest = str(Path(table).parent / "snap")
+    storage.snapshot(table, dest)
+    f = next(Path(dest).glob("hour_bucket=*/*.parquet"))
+    assert os.stat(f).st_nlink >= 2  # hardlink, not a copy
+    n0 = storage.read_points(spark, dest).count()
+
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("delete from cpu.total where time >= 0 and time < 2000000")
+    mf.vacuum(table, keep_versions=1)
+    # live table changed; the snapshot still reads the original rows
+    assert storage.read_points(spark, dest).count() == n0
+    assert storage.read_points(spark, table).count() < n0
