@@ -93,6 +93,24 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_points_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time travel: read a specific committed manifest version (files are
+    immutable and retained until ``manifest.vacuum``)."""
+    from sydradb_spark import manifest as mf
+    from sydradb_spark.model import POINTS_SCHEMA
+
+    files = mf.read_files(path, version=version)
+    if not files:
+        return spark.createDataFrame([], POINTS_SCHEMA)
+    df = spark.read.option("basePath", path).parquet(*[f"{path}/{f}" for f in files])
+    extra = [c for c in df.columns if c not in POINT_COLS]
+    return df.select(
+        *POINT_COLS[:5],
+        F.col("hour_bucket").cast("long").alias("hour_bucket"),
+        *extra,
+    )
+
+
 def hour_bucket_bounds(ts_min: int | None, ts_max: int | None) -> Column | None:
     """ts bounds → hour_bucket partition predicate (SURVEY §4.1). A point at
     ts lives in partition (ts div 3600)*3600, so ts ∈ [mn, mx] implies

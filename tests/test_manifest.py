@@ -41,11 +41,7 @@ def test_delete_commits_atomically_with_time_travel(spark, points, table):
     n_after = after.count()
     assert 0 < n_after < n0
     # previous version still fully readable (old files retained until vacuum)
-    old_files = mf.read_files(table, version=1)
-    old = spark.read.option("basePath", table).parquet(
-        *[f"{table}/{f}" for f in old_files]
-    )
-    assert old.count() == n0
+    assert storage.read_points_version(spark, table, version=1).count() == n0
 
 
 def test_crash_before_commit_preserves_old_version(spark, points, table):
