@@ -63,17 +63,26 @@ def data_files(path: str) -> list[str]:
 
 
 def commit(path: str, files: list[str]) -> int:
-    """Write the next version's file list and atomically advance LATEST."""
+    """Write the next version's file list and atomically advance LATEST.
+
+    An advisory flock around the read-version/write/rename sequence
+    serializes same-host committers (two writers can no longer both claim
+    v{N+1}); cross-host concurrency still needs a real table format's
+    conditional commit — the documented Delta/Iceberg swap-in point."""
+    import fcntl
+
     mdir = _mdir(path)
     mdir.mkdir(parents=True, exist_ok=True)
-    cur = latest_version(path)
-    v = 1 if cur is None else cur + 1
-    (mdir / f"v{v}.json").write_text(
-        json.dumps({"version": v, "files": sorted(files)})
-    )
-    tmp = mdir / "LATEST.tmp"
-    tmp.write_text(str(v))
-    tmp.replace(mdir / "LATEST")  # rename(2): the atomic commit point
+    with open(mdir / "COMMIT_LOCK", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        cur = latest_version(path)
+        v = 1 if cur is None else cur + 1
+        (mdir / f"v{v}.json").write_text(
+            json.dumps({"version": v, "files": sorted(files)})
+        )
+        tmp = mdir / "LATEST.tmp"
+        tmp.write_text(str(v))
+        tmp.replace(mdir / "LATEST")  # rename(2): the atomic commit point
     return v
 
 
