@@ -299,17 +299,18 @@ def with_chunked_ema(
     bounded (series, chunk) group in parallel; the incoming state per chunk
     is folded sequentially ONLY over the one-row-per-chunk summary frame,
     then the final value is a vectorized JVM-side expression."""
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
-
     df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
-    cols = [f.name for f in df.schema.fields]
-    kernel_schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField("__e", DoubleType()),
-            StructField("__z", DoubleType()),
-            StructField("__i", LongType()),
-        ]
+    df = df.withColumn("__erid", F.monotonically_increasing_id())
+    part_t0 = dict(df.dtypes)[partition]
+    ts_t = dict(df.dtypes)[ts_col]
+    # Arrow transfer is the kernel's real cost: ship ONLY the five columns
+    # the recursion needs (a tags map alone can dwarf the numeric payload)
+    # and join results back by row id.
+    narrow = df.select("__erid", partition, "__wchunk", ts_col, src_col)
+    src_t = dict(df.dtypes)[src_col]
+    kernel_schema = (
+        f"__erid long, {partition} {part_t0}, __wchunk long, "
+        f"{ts_col} {ts_t}, {src_col} {src_t}, __e double, __z double, __i long"
     )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -326,9 +327,14 @@ def with_chunked_ema(
         pdf["__e"] = x.ewm(alpha=alpha, adjust=False).mean()
         pdf["__z"] = z.values
         pdf["__i"] = np.arange(1, len(pdf) + 1, dtype="int64")
-        return pdf[cols + ["__e", "__z", "__i"]]
+        return pdf
 
-    dfk = df.groupBy(partition, "__wchunk").applyInPandas(_kernel, schema=kernel_schema)
+    kernel_out = narrow.groupBy(partition, "__wchunk").applyInPandas(
+        _kernel, schema=kernel_schema
+    )
+    dfk = df.join(
+        kernel_out.select("__erid", "__e", "__z", "__i"), on="__erid"
+    ).drop("__erid")
 
     last_row = F.max_by(
         F.struct(F.col("__e").alias("e"), F.col("__z").alias("z")),
