@@ -147,3 +147,38 @@ def test_chunked_lag_property(spark):
             .count()
         )
         assert diff == 0, f"trial={trial} n={n} chunk_s={chunk_s}: {diff} mismatches"
+
+
+def test_chunked_moving_avg_property(spark):
+    """Randomized fuzz for the prefix-sum probe formulation: random frames,
+    nulls, duplicate timestamps, random dur/chunk sizes vs the global
+    RANGE-frame average."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(3):
+        rows = []
+        for sid in (1, 2):
+            t = 0
+            for _ in range(rng.randint(10, 150)):
+                t += rng.randint(0, 30)  # 0-step → duplicate timestamps
+                v = None if rng.random() < 0.1 else round(rng.uniform(-9, 9), 3)
+                rows.append((sid, t, v))
+        df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+        dur = rng.choice([10, 45, 200])
+        chunk_s = rng.choice([50, 120])
+        w = (
+            Window.partitionBy("series_id")
+            .orderBy(F.col("ts").cast("long"))
+            .rangeBetween(-dur, 0)
+        )
+        expected = df.withColumn("eout", F.avg("value").over(w))
+        got = ck.with_chunked_moving_avg(df, "value", "out", dur, chunk_s=chunk_s)
+        j = got.join(expected, on=["series_id", "ts", "value"])
+        bad = j.where(
+            ~(
+                (F.col("out").isNull() & F.col("eout").isNull())
+                | (F.abs(F.col("out") - F.col("eout")) < 1e-9)
+            )
+        ).count()
+        assert bad == 0, f"trial={trial} dur={dur} chunk={chunk_s}: {bad} mismatches"
