@@ -123,3 +123,28 @@ def test_pgwire_ssl_refused_then_ok(wire):
     tag, _ = _read_msg(sock)
     assert tag == b"R"
     sock.close()
+
+
+def test_pgwire_concurrent_connections(wire):
+    """Four clients at once: the threaded server answers all of them and
+    no connection sees another's frames (read path is thread-safe — lazy
+    translate + Spark's thread-safe actions)."""
+    import threading
+
+    results = []
+
+    def worker():
+        sock = _connect(wire.addr)
+        try:
+            _, rows, err = _simple_query(sock, "SELECT 1")
+            results.append((rows, err))
+        finally:
+            sock.close()
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 4
+    assert all(err is None and rows == [["1"]] for rows, err in results)
