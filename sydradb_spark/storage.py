@@ -263,6 +263,52 @@ def drop_expired_partitions(path: str, cutoff_hour_bucket: int) -> list[int]:
     return sorted(dropped)
 
 
+def optimize_partitions(
+    spark: SparkSession, path: str, max_files_per_partition: int = 4
+) -> list[int]:
+    """Merge small files within hour partitions — the maintenance job that
+    keeps streaming appends (one file per micro-batch per partition) from
+    degrading scans. Only partitions exceeding ``max_files_per_partition``
+    are rewritten: their rows re-shuffle into one file per hour value,
+    append into the live layout, and a single manifest commit swaps the
+    file lists atomically (readers never see a partial merge). Returns the
+    optimized hour_bucket values. Plain tables: use ``compact_storage``."""
+    from collections import defaultdict
+
+    from sydradb_spark import manifest as mf
+
+    if not mf.has_manifest(path):
+        raise ValueError("optimize_partitions requires a manifest table")
+    files = mf.read_files(path)
+    by_part: dict[int, list[str]] = defaultdict(list)
+    for f in files:
+        by_part[int(f.split("=", 1)[1].split("/", 1)[0])].append(f)
+    targets = sorted(
+        b for b, fs in by_part.items() if len(fs) > max_files_per_partition
+    )
+    if not targets:
+        return []
+    target_files = [f for b in targets for f in by_part[b]]
+    df = spark.read.option("basePath", path).parquet(
+        *[f"{path}/{f}" for f in target_files]
+    )
+    before = set(mf.data_files(path))
+    (
+        df.select(
+            *POINT_COLS[:5], F.col("hour_bucket").cast("long").alias("hour_bucket")
+        )
+        .repartition(F.col("hour_bucket"))
+        .sortWithinPartitions("series_id", "ts")
+        .write.partitionBy("hour_bucket")
+        .mode("append")
+        .parquet(path)
+    )
+    new = [f for f in mf.data_files(path) if f not in before]
+    dropped = set(target_files)
+    mf.commit(path, [f for f in files if f not in dropped] + new)
+    return targets
+
+
 # --- snapshot / restore -------------------------------------------------------
 def snapshot(path: str, dest: str) -> None:
     """Consistent copy of the stored table (reference snapshot.zig:3-47 copies

@@ -109,3 +109,31 @@ def test_snapshot_is_metadata_only_and_isolated(spark, points, table):
     # live table changed; the snapshot still reads the original rows
     assert storage.read_points(spark, dest).count() == n0
     assert storage.read_points(spark, table).count() < n0
+
+
+def test_optimize_partitions_merges_small_files(spark, points, tmp_path):
+    """Streaming-append shape: several small appends per partition →
+    optimize rewrites only oversized partitions, atomically, same rows."""
+    path = str(tmp_path / "opt")
+    for i in range(3):  # one file per partition per append
+        storage.write_points(points, path, mode="append" if i else "overwrite")
+    n0 = storage.read_points(spark, path).count()
+    files_before = mf.read_files(path)
+    per_part = {}
+    for f in files_before:
+        b = f.split("=", 1)[1].split("/", 1)[0]
+        per_part[b] = per_part.get(b, 0) + 1
+    assert max(per_part.values()) >= 3
+
+    optimized = storage.optimize_partitions(spark, path, max_files_per_partition=2)
+    assert optimized
+    files_after = mf.read_files(path)
+    per_part_after = {}
+    for f in files_after:
+        b = int(f.split("=", 1)[1].split("/", 1)[0])
+        per_part_after[b] = per_part_after.get(b, 0) + 1
+    assert all(per_part_after[b] == 1 for b in optimized)
+    assert storage.read_points(spark, path).count() == n0
+    # old small files reaped by vacuum, rows unchanged
+    mf.vacuum(path, keep_versions=1)
+    assert storage.read_points(spark, path).count() == n0
