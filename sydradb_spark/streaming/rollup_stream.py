@@ -57,14 +57,14 @@ def read_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> DataFrame
 
 
 def compact_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> None:
-    """Periodic job: rewrite the append-only partials as folded rows."""
-    import shutil
+    """Periodic job: rewrite the append-only partials as folded rows
+    (rename-before-remove swap — the old rollup stays recoverable through
+    a mid-swap crash, storage._swap_dir)."""
     from pathlib import Path
+
+    from sydradb_spark.storage import _swap_dir
 
     folded = read_rollup(spark, rollup_path, step_s)
     tmp = rollup_path.rstrip("/") + ".compact.tmp"
     folded.write.mode("overwrite").parquet(tmp)
-    live = Path(rollup_path)
-    if live.exists():
-        shutil.rmtree(live)
-    Path(tmp).rename(live)
+    _swap_dir(Path(tmp), Path(rollup_path))
