@@ -62,21 +62,41 @@ def data_files(path: str) -> list[str]:
     )
 
 
-def commit(path: str, files: list[str]) -> int:
+def commit(
+    path: str,
+    files: list[str] | None = None,
+    *,
+    mutate=None,
+) -> int:
     """Write the next version's file list and atomically advance LATEST.
 
-    An advisory flock around the read-version/write/rename sequence
-    serializes same-host committers (two writers can no longer both claim
-    v{N+1}); cross-host concurrency still needs a real table format's
-    conditional commit — the documented Delta/Iceberg swap-in point."""
+    Two forms:
+
+    - ``commit(path, files)`` — full replacement; for overwrite / fresh
+      tables where the new list doesn't depend on the old one.
+    - ``commit(path, mutate=fn)`` — read-modify-write; ``fn(old_files) ->
+      new_files`` runs while the commit lock is held, so the old list it
+      sees IS the list being replaced. Appenders/compactors must use this
+      form: computing the merged list outside the lock lets a concurrent
+      committer's files be dropped from LATEST (lost-append race).
+
+    An advisory flock around the read/mutate/write/rename sequence
+    serializes same-host committers; cross-host concurrency still needs a
+    real table format's conditional commit — the documented Delta/Iceberg
+    swap-in point."""
     import fcntl
 
+    if (files is None) == (mutate is None):
+        raise ValueError("pass exactly one of files= or mutate=")
     mdir = _mdir(path)
     mdir.mkdir(parents=True, exist_ok=True)
     with open(mdir / "COMMIT_LOCK", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         cur = latest_version(path)
         v = 1 if cur is None else cur + 1
+        if mutate is not None:
+            old = read_files(path) if cur is not None else []
+            files = list(mutate(old))
         (mdir / f"v{v}.json").write_text(
             json.dumps({"version": v, "files": sorted(files)})
         )
@@ -86,20 +106,45 @@ def commit(path: str, files: list[str]) -> int:
     return v
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
-    """Remove data files unreferenced by the last ``keep_versions`` manifests
-    (and the older manifest jsons). Returns removed file paths."""
+def vacuum(
+    path: str, keep_versions: int = 2, min_age_seconds: int = 600
+) -> list[str]:
+    """Remove data files unreferenced by the retained manifests (and the
+    older manifest jsons). Returns removed file paths.
+
+    Retained = the last ``keep_versions`` versions PLUS any version whose
+    manifest is younger than ``min_age_seconds``. The age window is the
+    local-race guard: a time-travel reader holding version N−k, or an
+    appender that has staged data files but not yet committed, survives a
+    concurrent vacuum as long as it started within the window. Files whose
+    own mtime is inside the window are likewise never deleted (they may be
+    a live writer's staged output). Set ``min_age_seconds=0`` only in
+    offline maintenance where no concurrent readers/writers exist."""
+    import time
+
     v = latest_version(path)
     if v is None:
         return []
+    now = time.time()
+    mdir = _mdir(path)
+
+    def _young(p: Path) -> bool:
+        try:
+            return now - p.stat().st_mtime < min_age_seconds
+        except FileNotFoundError:
+            return True  # racing with its creator — leave it alone
     keep = set()
-    kept_versions = range(max(1, v - keep_versions + 1), v + 1)
+    kept_versions = {
+        kv
+        for kv in range(1, v + 1)
+        if kv > v - keep_versions or _young(mdir / f"v{kv}.json")
+    }
     for kv in kept_versions:
         keep.update(read_files(path, kv))
     removed = []
     root = Path(path)
     for rel in data_files(path):
-        if rel not in keep:
+        if rel not in keep and not _young(root / rel):
             f = root / rel
             f.unlink()
             crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling

@@ -59,8 +59,10 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     if mode == "overwrite" or fresh:
         mf.commit(path, mf.data_files(path))
     elif manifested:
+        # physical part names are unique, so `new` is correct even under
+        # concurrent appends; merging into LATEST happens under the lock
         new = [f for f in mf.data_files(path) if f not in before]
-        mf.commit(path, mf.read_files(path) + new)
+        mf.commit(path, mutate=lambda old: old + new)
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
@@ -245,9 +247,9 @@ def drop_expired_partitions(path: str, cutoff_hour_bucket: int) -> list[int]:
         if dropped:
             mf.commit(
                 path,
-                [
+                mutate=lambda old: [
                     f
-                    for f in files
+                    for f in old
                     if not _expired(int(f.split("=", 1)[1].split("/", 1)[0]))
                 ],
             )
@@ -293,9 +295,12 @@ def optimize_partitions(
         *[f"{path}/{f}" for f in target_files]
     )
     before = set(mf.data_files(path))
+    extra = [c for c in df.columns if c not in POINT_COLS]
     (
         df.select(
-            *POINT_COLS[:5], F.col("hour_bucket").cast("long").alias("hour_bucket")
+            *POINT_COLS[:5],
+            F.col("hour_bucket").cast("long").alias("hour_bucket"),
+            *extra,
         )
         .repartition(F.col("hour_bucket"))
         .sortWithinPartitions("series_id", "ts")
@@ -305,7 +310,7 @@ def optimize_partitions(
     )
     new = [f for f in mf.data_files(path) if f not in before]
     dropped = set(target_files)
-    mf.commit(path, [f for f in files if f not in dropped] + new)
+    mf.commit(path, mutate=lambda old: [f for f in old if f not in dropped] + new)
     return targets
 
 
@@ -382,13 +387,13 @@ def delete_where(
     remaining = scoped.where(~F.coalesce(predicate, F.lit(False)))
 
     if mf.has_manifest(path):
-        old = mf.read_files(path)
         before = set(mf.data_files(path))
         affected_dirs = {f"hour_bucket={b}/" for b in affected}
+        extra = [c for c in remaining.columns if c not in POINT_COLS]
         # plan reads an explicit file list (read_points), so appending new
         # part files into the same directories is safe mid-job
         (
-            remaining.select(*POINT_COLS)
+            remaining.select(*POINT_COLS, *extra)
             .repartition(F.col("hour_bucket"))
             .sortWithinPartitions("series_id", "ts")
             .write.partitionBy("hour_bucket")
@@ -396,8 +401,13 @@ def delete_where(
             .parquet(path)
         )
         new = [f for f in mf.data_files(path) if f not in before]
-        kept = [f for f in old if not any(f.startswith(d) for d in affected_dirs)]
-        mf.commit(path, kept + new)
+        mf.commit(
+            path,
+            mutate=lambda old: [
+                f for f in old if not any(f.startswith(d) for d in affected_dirs)
+            ]
+            + new,
+        )
         return
 
     tmp = path.rstrip("/") + ".delete.tmp"

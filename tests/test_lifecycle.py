@@ -76,7 +76,7 @@ def test_retention_filter_and_partition_drop(spark, points, tmp_path, stored):
     assert dropped
     assert storage.read_points(spark, stored).count() == 0
     assert mf.read_files(stored) == []
-    mf.vacuum(stored, keep_versions=1)
+    mf.vacuum(stored, keep_versions=1, min_age_seconds=0)
     assert all(not d.startswith("hour_bucket=") for d in os.listdir(stored))
 
 

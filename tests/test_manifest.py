@@ -60,7 +60,7 @@ def test_crash_before_commit_preserves_old_version(spark, points, table):
     assert storage.read_points(spark, table).count() == n0  # unchanged
     # the next real commit simply ignores the orphaned files; vacuum reaps
     assert len(mf.data_files(table)) > len(mf.read_files(table))
-    removed = mf.vacuum(table, keep_versions=1)
+    removed = mf.vacuum(table, keep_versions=1, min_age_seconds=0)
     assert removed
     assert storage.read_points(spark, table).count() == n0
 
@@ -70,7 +70,7 @@ def test_vacuum_keeps_recent_versions(spark, points, table):
     eng.query("delete from cpu.total where time >= 0 and time < 2000000")
     eng.query("delete from weather.room2 where time >= 0 and time < 2000000")
     assert mf.latest_version(table) == 3
-    mf.vacuum(table, keep_versions=2)
+    mf.vacuum(table, keep_versions=2, min_age_seconds=0)
     # latest and latest-1 remain readable; v1's exclusive files are gone
     for v in (2, 3):
         files = mf.read_files(table, version=v)
@@ -105,10 +105,107 @@ def test_snapshot_is_metadata_only_and_isolated(spark, points, table):
 
     eng = SydraQLEngine(spark, storage_path=table)
     eng.query("delete from cpu.total where time >= 0 and time < 2000000")
-    mf.vacuum(table, keep_versions=1)
+    mf.vacuum(table, keep_versions=1, min_age_seconds=0)
     # live table changed; the snapshot still reads the original rows
     assert storage.read_points(spark, dest).count() == n0
     assert storage.read_points(spark, table).count() < n0
+
+
+def test_commit_mutate_merges_under_lock(tmp_path):
+    """Concurrent appenders commit via mutate= so the read-modify-write of
+    the file list happens under the flock: no writer's files are dropped
+    from LATEST (the lost-append race ADVICE flagged). With the pre-fix
+    pattern (read_files() outside the lock, then commit(files)) interleaved
+    appenders routinely lose each other's files."""
+    import threading
+
+    path = str(tmp_path / "mut")
+    mf.commit(path, ["hour_bucket=0/base.parquet"])
+    start = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender(name: str):
+        try:
+            start.wait(timeout=10)
+            for i in range(10):
+                rel = f"hour_bucket=0/{name}{i}.parquet"
+                mf.commit(path, mutate=lambda old, r=rel: old + [r])
+        except Exception as e:  # surfaced below — don't swallow in a thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(n,)) for n in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    files = set(mf.read_files(path))
+    assert len(files) == 21  # base + 10 per appender — none lost
+    assert mf.latest_version(path) == 21
+
+
+def test_commit_requires_exactly_one_form(tmp_path):
+    path = str(tmp_path / "forms")
+    with pytest.raises(ValueError):
+        mf.commit(path)
+    with pytest.raises(ValueError):
+        mf.commit(path, ["f"], mutate=lambda old: old)
+
+
+def test_vacuum_age_window_protects_live_readers(spark, points, table):
+    """Default-configured vacuum refuses to reap versions (and staged files)
+    younger than the retention window, so a concurrent time-travel reader
+    on version N-1 — and an appender that staged files but hasn't committed
+    yet — both survive."""
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query("delete from cpu.total where time >= 0 and time < 2000000")
+    eng.query("delete from weather.room2 where time >= 0 and time < 2000000")
+    assert mf.latest_version(table) == 3
+    n1 = storage.read_points_version(spark, table, version=1).count()
+    removed = mf.vacuum(table, keep_versions=1)  # default min_age_seconds
+    assert removed == []
+    # every version is still fully readable, not just the kept ones
+    for v in (1, 2, 3):
+        assert storage.read_points_version(spark, table, version=v).count() > 0
+    assert storage.read_points_version(spark, table, version=1).count() == n1
+
+
+def test_delete_preserves_extra_columns(spark, points, tmp_path):
+    """Manifest-path DELETE rewrites affected partitions with ALL columns —
+    an extra ingest-order column (seq) survives the rewrite instead of
+    producing mixed file schemas (ADVICE regression)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "extras")
+    storage.write_points(points.withColumn("seq", F.col("ts") % 1000), path)
+    before = storage.read_points(spark, path)
+    assert "seq" in before.columns
+    storage.delete_where(
+        spark,
+        path,
+        F.col("series") == "cpu.total",
+        ts_min=0,
+        ts_max=2_000_000,
+    )
+    after = storage.read_points(spark, path)
+    assert "seq" in after.columns
+    assert after.where(F.col("seq").isNull()).count() == 0
+    assert after.where("series = 'cpu.total'").count() == 0
+
+
+def test_optimize_preserves_extra_columns(spark, points, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "optextras")
+    seqd = points.withColumn("seq", F.col("ts") % 1000)
+    for i in range(3):
+        storage.write_points(seqd, path, mode="append" if i else "overwrite")
+    optimized = storage.optimize_partitions(spark, path, max_files_per_partition=2)
+    assert optimized
+    after = storage.read_points(spark, path)
+    assert "seq" in after.columns
+    assert after.where(F.col("seq").isNull()).count() == 0
+    assert after.count() == points.count() * 3
 
 
 def test_optimize_partitions_merges_small_files(spark, points, tmp_path):
@@ -135,5 +232,5 @@ def test_optimize_partitions_merges_small_files(spark, points, tmp_path):
     assert all(per_part_after[b] == 1 for b in optimized)
     assert storage.read_points(spark, path).count() == n0
     # old small files reaped by vacuum, rows unchanged
-    mf.vacuum(path, keep_versions=1)
+    mf.vacuum(path, keep_versions=1, min_age_seconds=0)
     assert storage.read_points(spark, path).count() == n0
