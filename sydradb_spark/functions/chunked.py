@@ -43,8 +43,14 @@ WINDOW_CHUNK_S = 86_400  # seconds of data per window partition
 
 
 def _chunk_col(ts_col: str, chunk_s: int) -> Column:
-    # integer div on longs (epoch seconds fit doubles, but stay exact anyway)
-    return (F.col(ts_col) - (F.col(ts_col) % F.lit(chunk_s))) / F.lit(chunk_s)
+    """Floor-division chunk id, exact in integer arithmetic. Spark's ``%``
+    follows the dividend's sign, so the former ``ts - ts % chunk`` truncated
+    toward zero and collapsed all of (-chunk, chunk) into chunk 0 —
+    misaligning boundaries (and moving_avg's ghost re-emit) for pre-1970
+    timestamps. ``((ts % c) + c) % c`` is the canonical non-negative mod."""
+    ts = F.col(ts_col)
+    c = F.lit(chunk_s)
+    return (ts - (((ts % c) + c) % c)) / c
 
 
 @dataclass(frozen=True)
@@ -226,32 +232,43 @@ def with_chunked_moving_avg(
       every frame fully local to one (series, chunk) partition.
     - PREFIX-SUM probes: Spark evaluates a sliding RANGE aggregate by
       re-scanning the frame per row — O(frame) per row (100 s for 10M points
-      at a 3600-row frame). Instead each row gets a PROBE row at
-      ``ts - dur - 1``; ONE expanding range window computes cumulative
-      sum/count for data rows and probes alike, and
-      ``avg = (S_row - S_probe) / (C_row - C_probe)``. Total work is O(n)
-      regardless of frame width. Cumulative sums stay chunk-local, so no
-      long-series cancellation creeps into the difference.
+      at a 3600-row frame). Instead ONE probe row per distinct
+      ``(series, chunk, ts - dur - 1)`` joins an expanding range window's
+      cumulative sum/count, and ``avg = (S_row - S_probe) / (C_row -
+      C_probe)``. Total work is O(n) regardless of frame width. Cumulative
+      sums stay chunk-local, so no long-series cancellation creeps into the
+      difference.
+
+    The probe join is keyed on CONTENT — ``(series, chunk, probe ts)`` —
+    which a probe's S/C are a pure function of, so no per-row synthetic id
+    is needed: a task retry after an upstream shuffle (which can renumber
+    ``monotonically_increasing_id``) cannot mismatch probes to data rows.
     """
     chunk_s = max(chunk_s, dur_s)
     base = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
-    base = base.withColumn("__rid", F.monotonically_increasing_id())
     ets = F.col(ts_col).cast("long")
 
-    data = base.withColumn("__ets", ets).withColumn("__probe", F.lit(0))
+    data = (
+        base.withColumn("__ets", ets)
+        .withColumn("__probe", F.lit(0))
+        .withColumn("__ghost", F.lit(0))
+    )
     ghosts = (
         base.where(ets >= (F.col("__wchunk") + 1) * F.lit(chunk_s) - F.lit(dur_s))
         .withColumn("__wchunk", F.col("__wchunk") + 1)
         .withColumn("__ets", ets)
         .withColumn("__probe", F.lit(0))
-        .withColumn("__rid", F.lit(None).cast("long"))  # never joined back
+        .withColumn("__ghost", F.lit(1))  # lookback mass only, never returned
     )
-    probes = base.select(
-        F.col(partition),
-        F.col("__wchunk"),
-        F.col("__rid"),
-        (ets - F.lit(dur_s + 1)).alias("__ets"),
-        F.lit(1).alias("__probe"),
+    probes = (
+        base.select(
+            F.col(partition),
+            F.col("__wchunk"),
+            (ets - F.lit(dur_s + 1)).alias("__ets"),
+        )
+        .distinct()  # S/C depend only on this key — one probe serves all peers
+        .withColumn("__probe", F.lit(1))
+        .withColumn("__ghost", F.lit(0))
     )
     u = data.unionByName(ghosts).unionByName(probes, allowMissingColumns=True)
 
@@ -268,17 +285,28 @@ def with_chunked_moving_avg(
     )
 
     pr = u.where(F.col("__probe") == 1).select(
-        F.col("__rid").alias("__prid"),
+        F.col(partition).alias("__pp"),
+        F.col("__wchunk").alias("__pw"),
+        F.col("__ets").alias("__pe"),
         F.col("__S").alias("__Sp"),
         F.col("__C").alias("__Cp"),
     )
-    dat = u.where((F.col("__probe") == 0) & F.col("__rid").isNotNull())
-    j = dat.join(pr, dat["__rid"] == pr["__prid"], "left")
+    dat = u.where((F.col("__probe") == 0) & (F.col("__ghost") == 0))
+    j = dat.join(
+        pr,
+        (dat[partition] == pr["__pp"])
+        & (dat["__wchunk"] == pr["__pw"])
+        & ((dat["__ets"] - F.lit(dur_s + 1)) == pr["__pe"]),
+        "left",
+    )
     c_frame = F.col("__C") - F.coalesce(F.col("__Cp"), F.lit(0))
     s_frame = F.coalesce(F.col("__S"), F.lit(0.0)) - F.coalesce(F.col("__Sp"), F.lit(0.0))
     return j.withColumn(
         out, F.when(c_frame > 0, s_frame / c_frame.cast("double"))
-    ).drop("__wchunk", "__rid", "__ets", "__probe", "__S", "__C", "__prid", "__Sp", "__Cp")
+    ).drop(
+        "__wchunk", "__ets", "__probe", "__ghost",
+        "__S", "__C", "__pp", "__pw", "__pe", "__Sp", "__Cp",
+    )
 
 
 def with_chunked_ema(
@@ -300,23 +328,26 @@ def with_chunked_ema(
     is folded sequentially ONLY over the one-row-per-chunk summary frame,
     then the final value is a vectorized JVM-side expression."""
     df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
-    df = df.withColumn("__erid", F.monotonically_increasing_id())
+    # deterministic per-chunk position: the kernel sorts by THIS column, so
+    # the Arrow-side order and the join-back key are the same thing — no
+    # monotonically_increasing_id, which a task retry after an upstream
+    # shuffle can renumber (silently mismatching kernel rows to data rows)
+    w_ord = Window.partitionBy(partition, "__wchunk").orderBy(ts_col, src_col)
+    df = df.withColumn("__i", F.row_number().over(w_ord).cast("long"))
     part_t0 = dict(df.dtypes)[partition]
     ts_t = dict(df.dtypes)[ts_col]
-    # Arrow transfer is the kernel's real cost: ship ONLY the five columns
-    # the recursion needs (a tags map alone can dwarf the numeric payload)
-    # and join results back by row id.
-    narrow = df.select("__erid", partition, "__wchunk", ts_col, src_col)
+    # Arrow transfer is the kernel's real cost: ship ONLY the columns the
+    # recursion needs (a tags map alone can dwarf the numeric payload) and
+    # join results back by (series, chunk, position).
+    narrow = df.select("__i", partition, "__wchunk", src_col)
     src_t = dict(df.dtypes)[src_col]
     kernel_schema = (
-        f"__erid long, {partition} {part_t0}, __wchunk long, "
-        f"{ts_col} {ts_t}, {src_col} {src_t}, __e double, __z double, __i long"
+        f"__i long, {partition} {part_t0}, __wchunk long, "
+        f"{src_col} {src_t}, __e double, __z double"
     )
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        pdf = pdf.sort_values([ts_col, src_col], kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values("__i").reset_index(drop=True)
         x = pdf[src_col].astype("float64")
         padded = pd.concat([pd.Series([0.0]), x], ignore_index=True)
         z = padded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].reset_index(drop=True)
@@ -326,19 +357,22 @@ def with_chunked_ema(
         # boundary in the oracle compare. Keep the exact recursion.
         pdf["__e"] = x.ewm(alpha=alpha, adjust=False).mean()
         pdf["__z"] = z.values
-        pdf["__i"] = np.arange(1, len(pdf) + 1, dtype="int64")
         return pdf
 
     kernel_out = narrow.groupBy(partition, "__wchunk").applyInPandas(
         _kernel, schema=kernel_schema
     )
     dfk = df.join(
-        kernel_out.select("__erid", "__e", "__z", "__i"), on="__erid"
-    ).drop("__erid")
+        kernel_out.select(partition, "__wchunk", "__i", "__e", "__z"),
+        on=[partition, "__wchunk", "__i"],
+    )
 
+    # carry state from each chunk's LAST row; __i is strictly increasing
+    # within a chunk, so duplicate (ts, value) points cannot flip the pick
+    # the way a (ts, src) struct key could
     last_row = F.max_by(
         F.struct(F.col("__e").alias("e"), F.col("__z").alias("z")),
-        F.struct(F.col(ts_col), F.col(src_col)),
+        F.col("__i"),
     )
     summary = dfk.groupBy(partition, "__wchunk").agg(
         last_row.alias("__last"), F.count("*").alias("__m")

@@ -95,6 +95,100 @@ def test_chunked_ema_matches_pandas_global(spark, frame):
         )
 
 
+def test_chunked_moving_avg_negative_ts(spark):
+    """Floor-division chunking: timestamps straddling 0 (pre-1970) land in
+    properly aligned chunks, so the ghost re-emit still feeds lookback
+    across the -chunk/0 boundary (the old trunc-toward-zero mod collapsed
+    all of (-50, 50) into chunk 0 and skipped the re-emit)."""
+    rows = [(1, ts, float(i)) for i, ts in enumerate(range(-120, 121, 7))]
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    dur = 30
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-dur, 0)
+    )
+    expected = df.withColumn("out", F.avg("value").over(w))
+    got = ck.with_chunked_moving_avg(df, "value", "out", dur, chunk_s=50)
+    e = {t[:2]: t[2] for t in _collected(expected, ["series_id", "ts", "out"])}
+    g = {t[:2]: t[2] for t in _collected(got, ["series_id", "ts", "out"])}
+    assert e.keys() == g.keys()
+    for k in e:
+        assert g[k] == pytest.approx(e[k], rel=1e-12)
+
+
+def test_chunked_lag_negative_ts(spark):
+    rows = [(1, ts, float(i)) for i, ts in enumerate(range(-120, 121, 7))]
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    w = Window.partitionBy("series_id").orderBy("ts", "value")
+    expected = df.withColumn("out", F.lag("value", 2).over(w))
+    got = ck.with_chunked_lag_lead(
+        df, [ck.LagRequest("value", "out", 2, "lag")], chunk_s=50
+    )
+    cols = ["series_id", "ts", "value", "out"]
+    assert _collected(got, cols) == _collected(expected, cols)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 17])
+def test_chunked_windows_survive_shuffled_input(spark, frame, parts):
+    """Join-back keys are content-derived (probe key / per-chunk row_number),
+    not monotonically_increasing_id, so an upstream shuffle with arbitrary
+    partitioning — the retry-renumbering hazard ADVICE flagged — cannot
+    mismatch kernel/probe rows to data rows."""
+    shuffled = frame.repartition(parts, F.col("ts") % 5)
+
+    dur = 30
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-dur, 0)
+    )
+    expected = frame.withColumn("out", F.avg("value").over(w))
+    got = ck.with_chunked_moving_avg(shuffled, "value", "out", dur, chunk_s=50)
+    e = {t[:3]: t[3] for t in _collected(expected, ["series_id", "ts", "value", "out"])}
+    g = {t[:3]: t[3] for t in _collected(got, ["series_id", "ts", "value", "out"])}
+    assert e.keys() == g.keys()
+    for k in e:
+        if e[k] is None:
+            assert g[k] is None
+        else:
+            assert g[k] == pytest.approx(e[k], rel=1e-12)
+
+    src = shuffled.where(F.col("value").isNotNull())
+    got_ema = ck.with_chunked_ema(src, "value", "out", 0.3, chunk_s=50)
+    gdf = got_ema.toPandas().sort_values(["series_id", "ts", "value"]).reset_index(drop=True)
+    for sid, grp in gdf.groupby("series_id"):
+        expected_ema = (
+            grp["value"].reset_index(drop=True).ewm(alpha=0.3, adjust=False).mean()
+        )
+        pd.testing.assert_series_equal(
+            grp["out"].reset_index(drop=True),
+            expected_ema,
+            check_names=False,
+            rtol=1e-12,
+        )
+
+
+def test_chunked_ema_duplicate_last_rows(spark):
+    """Cross-chunk EMA carry picks each chunk's LAST row by position (__i),
+    not by a (ts, value) struct — duplicate (ts, value) points at a chunk
+    edge must not poison the carried state."""
+    rows = []
+    for i in range(40):
+        rows.append((1, i * 5, float(i % 3)))
+    rows.append((1, 45, 1.0))
+    rows.append((1, 45, 0.0))  # exact duplicate of the i=9 row
+    rows.append((1, 95, 1.0))
+    rows.append((1, 95, 1.0))  # exact duplicate pair at a chunk_s=50 edge
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    got = ck.with_chunked_ema(df, "value", "out", 0.3, chunk_s=50)
+    gdf = got.toPandas().sort_values(["ts", "value"], kind="mergesort").reset_index(drop=True)
+    expected = gdf["value"].ewm(alpha=0.3, adjust=False).mean()
+    pd.testing.assert_series_equal(
+        gdf["out"], expected, check_names=False, rtol=1e-12
+    )
+
+
 def test_chunked_stage_parallelism(spark):
     """The point of chunking: ONE series spread over many chunks must not
     collapse to a single window partition — per-chunk kernel groups are the
