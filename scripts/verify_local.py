@@ -92,6 +92,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # generated oracles (ann_ivf centroid literals) must read the same data
+    # the Spark queries run on; the driver itself always compares at sf0.01
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
     for name, fn in qs.items():

@@ -20,7 +20,11 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLES)
-    return out
+    # an ORACLES value may be a zero-arg callable for SQL that must be
+    # GENERATED at oracle_sql() time (e.g. ann_ivf inlines sample-trained
+    # centroids as literals) — resolve lazily so generation cost/paths are
+    # only touched when the oracle is actually requested
+    return {k: (v() if callable(v) else v) for k, v in out.items()}
 
 
 def _modules():

@@ -8,6 +8,8 @@ so approximate operators (LSH) are still exactly checkable.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,7 +20,7 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def _q(name: str, fn, sql: str | None) -> None:
+def _q(name: str, fn, sql) -> None:  # sql: str | zero-arg callable | None
     QUERIES[name] = fn
     if sql is not None:
         ORACLES[name] = sql
@@ -456,19 +458,82 @@ SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.3""",
 )
 
 
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    """Deterministic sample-trained IVF centroids for ``sf_dir``, cached.
+
+    TRAINING isn't SQL-expressible, but the trained result is just
+    ``k × dim`` float64s — so train ONCE (driver-side numpy over the corpus,
+    fixed seeds/iterations) and inline the centroids as literals into BOTH
+    the Spark plan and the DuckDB oracle, exactly as ``sign_bucket_sql``
+    does for the LSH hyperplanes. Assignment, probe selection, and top-k
+    are then bit-for-bit checkable cross-engine."""
+    return _ivf_centroids_cached(sf_dir)
+
+
+@functools.lru_cache(maxsize=8)
+def _ivf_centroids_cached(sf_dir: str) -> tuple:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df["vec_id"] >= 5].sort_values("vec_id")
+    x = np.stack(df["embedding"].to_numpy())
+    cents = similarity.kmeans_fit_sample(x, k=_IVF_K, n_iters=8)
+    return tuple(tuple(c) for c in cents)
+
+
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer) — rows-only check: the trained
-    centroids aren't SQL-expressible; exactness vs brute force is pinned by
-    tests/test_pipeline.py::test_ann_ivf_recall instead."""
+    """IVF ANN: sample-trained coarse quantizer (centroids shared with the
+    generated oracle as literals), all-JVM assignment + probe + top-k."""
+    cents = [list(c) for c in _ivf_centroids(sf_dir)]
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, cents = similarity.ivf_index(emb.where(F.col("vec_id") >= 5), k=8, seed=42)
+    assigned = emb.where(F.col("vec_id") >= 5).withColumn(
+        "cluster", similarity.assign_cluster(F.col("embedding"), cents)
+    )
     out = similarity.ann_ivf(
-        emb.where(F.col("vec_id") < 5), assigned, cents, k=5, n_probe=2
+        emb.where(F.col("vec_id") < 5), assigned, cents,
+        k=_IVF_TOPK, n_probe=_IVF_NPROBE,
     )
     return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
 
 
-_q("ann_ivf_cosine", _ann_ivf, None)
+def _ann_ivf_oracle() -> str:
+    """Generated at oracle_sql() time: recomputes assignment (argmin over
+    the inlined centroid literals), the n_probe selection, and the exact
+    per-probe top-k. The driver compares at sf0.01; SPARK_GRAFT_ORACLE_SF_DIR
+    points the generator elsewhere for local runs at other scales."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = [list(c) for c in _ivf_centroids(sf_dir)]
+    assign_q = similarity.assign_cluster_sql("qe", cents)
+    assign_c = similarity.assign_cluster_sql("ce", cents)
+    d2s_q = similarity.centroid_d2s_sql("qe", cents)
+    return f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding AS ce, {assign_c} AS cluster FROM embeddings WHERE vec_id >= 5),
+qd AS (SELECT query_id, qe, t.j - 1 AS cluster, ({d2s_q})[t.j] AS d2
+       FROM q, generate_series(1, {_IVF_K}) AS t(j)),
+probes AS (
+  SELECT query_id, qe, cluster FROM qd
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cluster ASC) <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
+  FROM c JOIN probes p ON c.cluster = p.cluster
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {_IVF_TOPK}"""
+
+
+_q("ann_ivf_cosine", _ann_ivf, _ann_ivf_oracle)
 
 # --- multimodal ---------------------------------------------------------------
 _q(

@@ -135,6 +135,76 @@ def sign_bucket_sql(arr: str, planes: list[list[int]] | None = None) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def kmeans_fit_sample(x, k: int, n_iters: int = 8) -> list[list[float]]:
+    """Deterministic Lloyd's iterations over a driver-side sample.
+
+    IVF coarse quantizers are routinely trained on a sample (FAISS trains on
+    ~max(10k, 256*k) vectors regardless of corpus size); what matters here is
+    that the result is a plain list of float64 centroids that can be inlined
+    as LITERALS into both the Spark plan and a DuckDB oracle — fixed seed
+    rows, fixed iteration count, single-threaded numpy float64, so the same
+    input always yields bit-identical centroids."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    cents = x[:k].copy()
+    for _ in range(n_iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in cents]
+
+
+def centroid_d2s(emb: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances to each centroid literal, one nested
+    higher-order expression. ``(x-c)*(x-c)`` with index-order additions —
+    the same IEEE operation sequence ``centroid_d2s_sql`` emits, so argmin
+    assignment is bit-for-bit reproducible cross-engine (the LSH-planes
+    trick, applied to a trained quantizer)."""
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    return F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def assign_cluster(emb: Column, centroids: list[list[float]]) -> Column:
+    """Argmin over ``centroid_d2s`` (first match → lowest cluster id wins
+    ties, same as the SQL twin's list_indexof)."""
+    d2s = centroid_d2s(emb, centroids)
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def centroid_d2s_sql(arr: str, centroids: list[list[float]]) -> str:
+    """DuckDB twin of ``centroid_d2s``: a list literal of per-centroid
+    squared distances with identical index-order additions. Floats are
+    emitted with ``repr`` (round-trip exact)."""
+    terms = []
+    for c in centroids:
+        lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        diff = f"(CAST({arr}[i] AS DOUBLE) - ({lit})[i])"
+        terms.append(
+            f"list_sum([{diff} * {diff} for i in generate_series(1, len({arr}))])"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def assign_cluster_sql(arr: str, centroids: list[list[float]]) -> str:
+    d2s = centroid_d2s_sql(arr, centroids)
+    return f"(list_indexof({d2s}, list_min({d2s})) - 1)"
+
+
 def ivf_index(
     corpus: DataFrame, k: int = 16, emb_col: str = "embedding", seed: int = 42
 ) -> tuple[DataFrame, list[list[float]]]:
@@ -166,28 +236,23 @@ def ann_ivf(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """IVF probe: each query scans only its ``n_probe`` nearest centroids'
-    inverted lists. Probe selection is a broadcast join against the (tiny)
-    centroid table; candidate scan is a join on ``cluster`` — partition-
-    pruned when the corpus is stored bucketed by cluster."""
-    spark = queries.sparkSession
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cluster int, centroid array<double>"
-    )
+    inverted lists. Probe selection is a pure per-query expression over the
+    centroid literals (no centroid table, no extra join); candidate scan is
+    a join on ``cluster`` — partition-pruned when the corpus is stored
+    bucketed by cluster. Distances use the cross-engine-exact
+    ``centroid_d2s`` form so a DuckDB oracle reproduces the probe set."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col(emb_col).alias("__qe")
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("__qe"), F.col("centroid"), lambda x, y: (x.cast("double") - y) ** 2
+        F.col("vec_id").alias("query_id"),
+        F.col(emb_col).alias("__qe"),
+        F.posexplode(centroid_d2s(F.col(emb_col), centroids)).alias(
+            "cluster", "__d2"
         ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("cluster").asc())
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("cluster").asc()
+    )
     probes = (
-        q.join(F.broadcast(cent))
-        .withColumn("__d2", d2)
-        .withColumn("__pr", F.row_number().over(w_probe))
+        q.withColumn("__pr", F.row_number().over(w_probe))
         .where(F.col("__pr") <= n_probe)
         .select("query_id", "__qe", "cluster")
     )
