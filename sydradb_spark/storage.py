@@ -41,10 +41,12 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     to a pre-manifest table keeps plain directory semantics."""
     from sydradb_spark import manifest as mf
 
-    # __ns is the events-adapter pushdown hint (tables.normalize_events) —
-    # redundant with ts; stored tables prune via hour_bucket instead.
-    if "__ns" in df.columns:
-        df = df.drop("__ns")
+    # __ns/__tsr are the events-adapter pushdown hints
+    # (tables.normalize_events) — redundant with ts; stored tables prune via
+    # hour_bucket instead.
+    for hint in ("__ns", "__tsr"):
+        if hint in df.columns:
+            df = df.drop(hint)
     fresh = not Path(path).exists()
     manifested = mf.has_manifest(path)
     before = set(mf.data_files(path)) if (manifested and mode == "append") else set()

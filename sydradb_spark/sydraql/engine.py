@@ -160,6 +160,11 @@ class SydraQLEngine:
                 new = new.withColumn(
                     "__ns", (F.col("ts") * F.lit(1_000_000_000)).cast("long")
                 )
+            if "__tsr" in self.points.columns:
+                tsr_type = dict(self.points.dtypes)["__tsr"]
+                new = new.withColumn(
+                    "__tsr", F.timestamp_seconds(F.col("ts")).cast(tsr_type)
+                )
             self.points = self.points.unionByName(new, allowMissingColumns=True)
         self._after_mutation()
         count = len(rows)

@@ -182,6 +182,22 @@ class Translator:
                     base = base.filter(F.col("__ns") >= mn * 1_000_000_000)
                 if mx is not None:
                     base = base.filter(F.col("__ns") < (mx + 1) * 1_000_000_000)
+            elif "__tsr" in base.columns:
+                # same rewrite for the micros-parquet variant: __tsr is the
+                # raw TIMESTAMP(_NTZ) column; cast the epoch-second literal
+                # to its exact type (constant-folded, so the comparison still
+                # reaches the scan as a PushedFilter).
+                tsr_type = dict(base.dtypes)["__tsr"]
+                if mn is not None:
+                    base = base.filter(
+                        F.col("__tsr")
+                        >= F.timestamp_seconds(F.lit(mn)).cast(tsr_type)
+                    )
+                if mx is not None:
+                    base = base.filter(
+                        F.col("__tsr")
+                        < F.timestamp_seconds(F.lit(mx + 1)).cast(tsr_type)
+                    )
             base = base.filter(self._row(sel.where, ctx, base))
 
         needs_agg = bool(sel.group_by) or any(

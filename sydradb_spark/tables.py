@@ -2,10 +2,15 @@
 
 ``events`` plays the role of the reference's points stream (FIXTURES.md §F5):
 event_type → series metric, event timestamp → epoch-second ts, value → value.
-The parquet stores TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as long nanoseconds,
-normalized here to both an epoch-second long (``ts_s``) and a micros
-timestamp (``ts``).
+The parquet's ``ts`` physical type has drifted across driver runs —
+TIMESTAMP(NANOS) in rounds 2-3, TIMESTAMP(MICROS) since round 4 — so
+``normalize_events`` handles BOTH: nanos are read as long via
+``spark.sql.legacy.parquet.nanosAsLong`` (harmless when the column is
+micros); micros arrive as TIMESTAMP_NTZ and are interpreted as UTC
+wall-clock (matching DuckDB's naive-UTC ``epoch_ns``). Either way the
+output carries an epoch-second long (``ts_s``) plus the RAW parquet
+column under an alias (``__ns`` long-nanos / ``__tsr`` timestamp) so the
+translator can push time bounds down to the parquet scan.
 """
 
 from __future__ import annotations
@@ -30,10 +35,14 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects
+        # If events.parquet stores TIMESTAMP(NANOS), Spark's reader rejects it
         # unless read as long nanoseconds; the driver's session may not have
-        # set this, so set it at runtime (it is a dynamic SQLConf).
+        # set this, so set it at runtime (it is a dynamic SQLConf; no-op when
+        # the column is micros). UTC session tz makes the NTZ→LTZ cast in
+        # normalize_events interpret naive timestamps as UTC, matching the
+        # DuckDB oracle's epoch_ns semantics.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events(df)
@@ -57,7 +66,16 @@ def normalize_events(df: DataFrame) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
     else:
-        df = df.withColumn("ts_s", F.col("ts").cast("long"))
+        # TIMESTAMP(MICROS) parquet → TIMESTAMP_NTZ (or TIMESTAMP when the
+        # session maps NTZ to LTZ). A direct cast timestamp→long is
+        # disallowed in Spark 4; go through a TIMESTAMP cast (exact under the
+        # UTC session tz set by load_table) + unix_seconds. ``__tsr`` keeps
+        # the RAW parquet column alive so the translator's redundant time
+        # bound pushes to the scan (same trick as ``__ns`` for nanos).
+        df = (
+            df.withColumn("__tsr", F.col("ts"))
+            .withColumn("ts_s", F.unix_seconds(F.col("ts").cast("timestamp")))
+        )
     return df
 
 
@@ -87,11 +105,12 @@ def events_points(spark: SparkSession, sf_dir: str, with_seq: bool = False) -> D
     if with_seq:
         cols.append(F.col("event_id").alias("seq"))
         extra.append("seq")
-    if "__ns" in ev.columns:
-        # raw-nanos pushdown hint (normalize_events): the translator rewrites
-        # ts bounds onto this column so they reach the Parquet scan.
-        cols.append(F.col("__ns"))
-        extra.append("__ns")
+    for raw in ("__ns", "__tsr"):
+        if raw in ev.columns:
+            # raw-ts pushdown hint (normalize_events): the translator rewrites
+            # ts bounds onto this column so they reach the Parquet scan.
+            cols.append(F.col(raw))
+            extra.append(raw)
     # no spread() here: the events adapter feeds shuffle-bearing queries
     # (agg/window/sort) whose exchange redistributes anyway; an up-front
     # repartition of the single-file input just adds a shuffle.

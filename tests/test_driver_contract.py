@@ -1,0 +1,114 @@
+"""Mini-driver: every ``queries()`` entry vs its DuckDB oracle on REAL testdata.
+
+Round 4 lost 33 catalog entries (and the whole bench) to a silent testdata
+drift — events.parquet's ``ts`` flipped from timestamp[ns] to timestamp[us] —
+that no local test caught, because nothing in tests/ read the real
+/root/testdata parquet. This module closes that hole by mirroring the
+driver's verify loop at sf0.001: run the Spark query, run the oracle SQL in
+DuckDB over the same parquet files, and compare row count + column names +
+order-insensitive values. Entries without an oracle get the driver's weaker
+rows-only check (must execute and collect).
+
+Set SPARK_GRAFT_TEST_SF to point at a different sf dir (default sf0.001 so
+the whole catalog adds ~2-3 min, not more).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+from decimal import Decimal
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"testdata dir {SF_DIR} not present"
+)
+
+from sydradb_spark.contract import all_oracles, all_queries  # noqa: E402
+from sydradb_spark.tables import TABLES  # noqa: E402
+
+# generated oracles (ann_ivf_cosine) train their inlined literals from the
+# sf dir this env var names; align it with the dir the harness queries.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize one cell for cross-engine comparison (driver-hash spirit:
+    floats already r6-rounded by the catalog; Decimal/float unified; floats
+    bucketed to 6dp so ulp noise can't flip equality)."""
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _table(cols, rows):
+    """(sorted column names, multiset of rows with columns sorted by name)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    # key=repr: rows may mix None with ints/floats, which plain tuple
+    # comparison rejects; repr-order is deterministic and equality is still
+    # checked on the actual normalized values.
+    data = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
+    )
+    return names, data
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_entry_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_rows = df.collect()
+    spark_cols = df.columns
+
+    sql = ORACLES.get(name)
+    if sql is None:
+        # driver's weaker rows-only check: executes, stable schema, >= 0 rows
+        assert spark_cols
+        assert len(spark_rows) >= 0
+        return
+
+    rel = duck.sql(sql)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    s_names, s_data = _table(spark_cols, spark_rows)
+    d_names, d_data = _table(duck_cols, duck_rows)
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} oracle={len(duck_rows)}"
+    )
+    assert s_names == d_names, f"{name}: columns spark={s_names} oracle={d_names}"
+    if s_data != d_data:
+        diff = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(s_data, d_data)) if a != b
+        )
+        pytest.fail(f"{name}: value mismatch at sorted row {diff[0]}: "
+                    f"spark={diff[1]} oracle={diff[2]}")
