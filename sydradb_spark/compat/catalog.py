@@ -156,11 +156,20 @@ def build_snapshot(
             )
         )
 
+    for t in types:
+        if t.namespace not in ns_oid:
+            # reference buildSnapshot returns error.MissingNamespace
+            # (compat/catalog.zig) — fail loudly, never mis-assign the OID
+            # of whatever namespace happens to sort first.
+            raise KeyError(
+                f"type {t.name!r} references unknown namespace "
+                f"{t.namespace!r} (reference: error.MissingNamespace)"
+            )
     type_rows = [
         (
             t.oid,
             t.name,
-            ns_oid.get(t.namespace, NAMESPACE_OID_BASE),
+            ns_oid[t.namespace],
             t.length,
             t.by_value,
             "b",
@@ -207,12 +216,25 @@ def build_snapshot(
     }
 
 
+# The four seeded relations. pg_class/pg_attribute carry DEFAULT-valued
+# psql-compat columns beyond the reference's snapshot fields (describe.c for
+# server_version 14 reads relchecks/relhasindex/…/attcollation in its table
+# and column queries); the snapshot tuples stay reference-shaped and are
+# inserted by explicit column list (_SNAPSHOT_COLS).
 _DDL = {
     "pg_namespace": "(oid INT, nspname TEXT, nspowner INT)",
     "pg_class": (
         "(oid INT, relname TEXT, relnamespace INT, relkind TEXT,"
         " relpersistence TEXT, reltuples DOUBLE, relhaspkey BOOLEAN,"
-        " relispartition BOOLEAN, reltoastrelid INT, relowner INT)"
+        " relispartition BOOLEAN, reltoastrelid INT, relowner INT,"
+        " relchecks SMALLINT DEFAULT 0, relhasindex BOOLEAN DEFAULT false,"
+        " relhasrules BOOLEAN DEFAULT false,"
+        " relhastriggers BOOLEAN DEFAULT false,"
+        " relrowsecurity BOOLEAN DEFAULT false,"
+        " relforcerowsecurity BOOLEAN DEFAULT false,"
+        " reloftype INT DEFAULT 0, reltablespace INT DEFAULT 0,"
+        " relreplident TEXT DEFAULT 'd', relam INT DEFAULT 2,"
+        " relacl TEXT DEFAULT NULL, reloptions TEXT DEFAULT NULL)"
     ),
     "pg_type": (
         "(oid INT, typname TEXT, typnamespace INT, typlen SMALLINT,"
@@ -223,12 +245,88 @@ _DDL = {
         "(attrelid INT, attname TEXT, atttypid INT, attnum SMALLINT,"
         " attnotnull BOOLEAN, atthasdef BOOLEAN, attisdropped BOOLEAN,"
         " attlen SMALLINT, atttypmod INT, attidentity TEXT,"
-        " attgenerated TEXT, attndims INT)"
+        " attgenerated TEXT, attndims INT, attcollation INT DEFAULT 0)"
     ),
 }
 
+_SNAPSHOT_COLS = {
+    "pg_namespace": "oid, nspname, nspowner",
+    "pg_class": (
+        "oid, relname, relnamespace, relkind, relpersistence, reltuples,"
+        " relhaspkey, relispartition, reltoastrelid, relowner"
+    ),
+    "pg_type": (
+        "oid, typname, typnamespace, typlen, typbyval, typtype, typcategory,"
+        " typdelim, typelem, typarray, typbasetype, typcollation"
+    ),
+    "pg_attribute": (
+        "attrelid, attname, atttypid, attnum, attnotnull, atthasdef,"
+        " attisdropped, attlen, atttypmod, attidentity, attgenerated, attndims"
+    ),
+}
+
+# Empty relations psql's describe queries join against (footer/unconditional
+# queries in describe.c: default expressions, indexes, constraints,
+# inheritance, triggers, access methods, collations, row-level policies,
+# extended statistics, publications). Empty is correct — the engine has none
+# of these objects — but the tables must EXIST for DuckDB to bind the SQL.
+_SHIM_DDL = {
+    "pg_attrdef": "(adrelid INT, adnum SMALLINT, adbin TEXT)",
+    "pg_index": (
+        "(indexrelid INT, indrelid INT, indisprimary BOOLEAN,"
+        " indisunique BOOLEAN, indisclustered BOOLEAN, indisvalid BOOLEAN,"
+        " indisreplident BOOLEAN, indnullsnotdistinct BOOLEAN, indkey TEXT,"
+        " indpred TEXT, indexprs TEXT)"
+    ),
+    "pg_constraint": (
+        "(oid INT, conname TEXT, conrelid INT, contype TEXT, conindid INT,"
+        " confrelid INT, conparentid INT, condeferrable BOOLEAN,"
+        " condeferred BOOLEAN, convalidated BOOLEAN, conbin TEXT)"
+    ),
+    "pg_inherits": (
+        "(inhrelid INT, inhparent INT, inhseqno INT,"
+        " inhdetachpending BOOLEAN)"
+    ),
+    "pg_trigger": (
+        "(oid INT, tgrelid INT, tgname TEXT, tgenabled TEXT,"
+        " tgisinternal BOOLEAN, tgconstraint INT, tgparentid INT)"
+    ),
+    "pg_am": "(oid INT, amname TEXT, amtype TEXT)",
+    "pg_collation": "(oid INT, collname TEXT, collnamespace INT)",
+    "pg_policy": (
+        "(oid INT, polname TEXT, polrelid INT, polcmd TEXT,"
+        " polpermissive BOOLEAN, polroles INT[], polqual TEXT,"
+        " polwithcheck TEXT)"
+    ),
+    "pg_roles": "(oid INT, rolname TEXT)",
+    "pg_statistic_ext": (
+        "(oid INT, stxrelid INT, stxname TEXT, stxnamespace INT,"
+        " stxkeys TEXT, stxkind TEXT[], stxstattarget INT)"
+    ),
+    "pg_publication": (
+        "(oid INT, pubname TEXT, puballtables BOOLEAN, pubinsert BOOLEAN,"
+        " pubupdate BOOLEAN, pubdelete BOOLEAN, pubtruncate BOOLEAN,"
+        " pubviaroot BOOLEAN)"
+    ),
+    "pg_publication_rel": "(oid INT, prpubid INT, prrelid INT)",
+    "pg_depend": (
+        "(classid INT, objid INT, objsubid INT, refclassid INT,"
+        " refobjid INT, refobjsubid INT, deptype TEXT)"
+    ),
+    "pg_description": (
+        "(objoid INT, classoid INT, objsubid INT, description TEXT)"
+    ),
+    "pg_rewrite": "(oid INT, ev_class INT, rulename TEXT, ev_enabled TEXT)",
+}
+
+# 'heap' is the only access method psql's \d LEFT JOINs for (relam default 2).
+_SHIM_ROWS = {"pg_am": [(2, "heap", "t")]}
+
 # NULL-returning / constant shims for the pg_catalog functions psql's
 # introspection queries call; enough for \dt, \d and \d <table>.
+# DuckDB 1.0 macros cannot be overloaded by arity, so the 3-arg
+# pg_get_expr(adbin, adrelid, pretty) is REWRITTEN to the 2-arg form
+# (rewrite_catalog_sql) instead of defined twice.
 _MACROS = [
     "CREATE MACRO pg_table_is_visible(x) AS true",
     "CREATE MACRO pg_get_userbyid(x) AS 'sydra'",
@@ -239,6 +337,11 @@ _MACROS = [
     "CREATE MACRO col_description(a, b) AS CAST(NULL AS TEXT)",
     "CREATE MACRO shobj_description(a, b) AS CAST(NULL AS TEXT)",
     "CREATE MACRO pg_total_relation_size(x) AS CAST(0 AS BIGINT)",
+    "CREATE MACRO pg_get_indexdef(a, b, c) AS CAST(NULL AS TEXT)",
+    "CREATE MACRO pg_get_constraintdef(a, b) AS CAST(NULL AS TEXT)",
+    "CREATE MACRO pg_get_partkeydef(x) AS CAST(NULL AS TEXT)",
+    "CREATE MACRO pg_get_statisticsobjdef_columns(x) AS CAST(NULL AS TEXT)",
+    "CREATE MACRO pg_relation_is_publishable(x) AS false",
 ]
 
 _CATALOG_REF = re.compile(
@@ -248,7 +351,22 @@ _CATALOG_REF = re.compile(
 _OP_TILDE = re.compile(r"OPERATOR\s*\(\s*pg_catalog\s*\.\s*(!?~)\s*\)", re.IGNORECASE)
 _COLLATE = re.compile(r'\bCOLLATE\s+(?:pg_catalog\s*\.\s*)?(?:"?default"?|"C")', re.IGNORECASE)
 _QUALIFIER = re.compile(r"\bpg_catalog\s*\.", re.IGNORECASE)
+# ::regclass on a quoted RELATION NAME (ORM/driver reflection:
+# `WHERE attrelid = 'pg_catalog.pg_type'::regclass`) resolves through
+# pg_class like Postgres does; handled BEFORE the qualifier strip so the
+# schema inside the literal survives. Remaining regcasts (numeric-oid
+# regclass, regtype, regnamespace) just drop — the bare value compares fine.
+_REGCLASS_LIT = re.compile(
+    r"'((?:[A-Za-z_][\w$]*\.)?[A-Za-z_][\w$]*)'\s*::\s*"
+    r"(?:pg_catalog\s*\.\s*)?regclass",
+    re.IGNORECASE,
+)
 _REGCAST = re.compile(r"::\s*reg\w+")
+# DuckDB 1.0 macros can't overload by arity: drop the pretty-print flag from
+# psql's 3-arg pg_get_expr(d.adbin, d.adrelid, true).
+_PG_GET_EXPR3 = re.compile(
+    r"\bpg_get_expr\s*\(([^(),]+,[^(),]+),[^(),]+\)", re.IGNORECASE
+)
 # Postgres `~` is a partial match; DuckDB's `~` is a full match. Rewrite to
 # regexp_matches, which has Postgres semantics. psql only uses the operator
 # between a bare identifier/column and a string literal.
@@ -260,20 +378,44 @@ def is_catalog_query(sql: str) -> bool:
     return bool(_CATALOG_REF.search(sql))
 
 
+def _regclass_subquery(m: re.Match) -> str:
+    name = m.group(1)
+    if "." in name:
+        schema, rel = name.split(".", 1)
+        return (
+            "(SELECT c.oid FROM pg_class c JOIN pg_namespace n"
+            " ON c.relnamespace = n.oid"
+            f" WHERE n.nspname = '{schema}' AND c.relname = '{rel}')"
+        )
+    # unqualified: Postgres resolves via search_path; with only
+    # pg_catalog/public seeded, min(oid) is the deterministic first match.
+    return f"(SELECT min(c.oid) FROM pg_class c WHERE c.relname = '{name}')"
+
+
 def rewrite_catalog_sql(sql: str) -> str:
     s = _OP_TILDE.sub(lambda m: f" {m.group(1)} ", sql)
+    s = _REGCLASS_LIT.sub(_regclass_subquery, s)
     s = _COLLATE.sub("", s)
     s = _QUALIFIER.sub("", s)
+    s = _PG_GET_EXPR3.sub(lambda m: f"pg_get_expr({m.group(1)})", s)
     s = _REGCAST.sub("", s)
     s = _NEG_MATCH.sub(lambda m: f"NOT regexp_matches({m.group(1)}, {m.group(2)})", s)
     s = _POS_MATCH.sub(lambda m: f"regexp_matches({m.group(1)}, {m.group(2)})", s)
     return s
 
 
+_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
 def _spark_ish_type(duck_type: str) -> str:
-    """Map a DuckDB result type to the simpleString names wire._oid_for knows."""
+    """Map a DuckDB RESULT type name (relation .types, e.g. INTEGER/VARCHAR/
+    BOOLEAN — not the DBAPI description codes, which collapse to
+    NUMBER/STRING) to the simpleString names wire._oid_for knows."""
     t = duck_type.upper()
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT"):
+    if t in _INT_TYPES:
         return "bigint"
     if t in ("FLOAT", "REAL", "DOUBLE") or t.startswith("DECIMAL"):
         return "double"
@@ -308,7 +450,16 @@ class CatalogStore:
             rows = self.snapshot[table]
             if rows:
                 ph = ",".join("?" * len(rows[0]))
-                con.executemany(f"INSERT INTO {table} VALUES ({ph})", rows)
+                con.executemany(
+                    f"INSERT INTO {table} ({_SNAPSHOT_COLS[table]})"
+                    f" VALUES ({ph})",
+                    rows,
+                )
+        for table, ddl in _SHIM_DDL.items():
+            con.execute(f"CREATE TABLE {table} {ddl}")
+            for row in _SHIM_ROWS.get(table, ()):
+                ph = ",".join("?" * len(row))
+                con.execute(f"INSERT INTO {table} VALUES ({ph})", row)
         for macro in _MACROS:
             con.execute(macro)
         return con
@@ -319,6 +470,15 @@ class CatalogStore:
         with self._lock:
             if self._con is None:
                 self._con = self._connect()
-            cur = self._con.execute(rewrite_catalog_sql(sql))
-            cols = [(d[0], _spark_ish_type(str(d[1]))) for d in cur.description]
-            return cols, cur.fetchall()
+            # .sql() relation carries REAL DuckDB type names; the DBAPI
+            # cursor.description collapses them to NUMBER/STRING, which made
+            # every column (including oid/typarray INTs drivers probe) report
+            # as text OID 25.
+            rel = self._con.sql(rewrite_catalog_sql(sql.rstrip().rstrip(";")))
+            if rel is None:
+                return [], []
+            cols = [
+                (name, _spark_ish_type(str(t)))
+                for name, t in zip(rel.columns, rel.types)
+            ]
+            return cols, rel.fetchall()

@@ -151,11 +151,30 @@ class _Handler(socketserver.BaseRequestHandler):
     @staticmethod
     def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:
         from sydradb_spark import metrics
+        from sydradb_spark.compat import catalog as pg_catalog
         from sydradb_spark.compat.translator import translate
 
         metrics.inc("sydra_compat_queries_total")
         if not sql.strip():
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
+            return
+        if pg_catalog.is_catalog_query(sql):
+            # psql \dt / \d and driver type-OID probes: answered from the
+            # in-process catalog snapshot (compat/catalog.py), never Spark —
+            # metadata lookups are latency-bound, exactly as the reference
+            # serves them from its snapshot rather than the storage engine.
+            metrics.inc("sydra_compat_catalog_queries_total")
+            try:
+                fields, rows = server.catalog.execute(sql)
+            except Exception as exc:  # noqa: BLE001 — surface as pg error
+                sock.sendall(
+                    _error_response(str(exc).split("\n")[0][:500], "42P01")
+                )
+                return
+            sock.sendall(_row_description(fields))
+            for row in rows:
+                sock.sendall(_data_row(list(row)))
+            sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
             return
         t = translate(sql)
         if not t.ok:
@@ -182,8 +201,11 @@ class PgWireServer:
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000):
+        from sydradb_spark.compat.catalog import CatalogStore
+
         self.engine = engine
         self.max_rows = max_rows
+        self.catalog = CatalogStore()  # DuckDB connection opens lazily
         self._tcp = socketserver.ThreadingTCPServer((host, port), _Handler, bind_and_activate=True)
         self._tcp.daemon_threads = True
         self._tcp.pgwire = self  # type: ignore[attr-defined]
