@@ -36,23 +36,32 @@ class Translation:
 
 @dataclass
 class CompatStats:
-    """compat/stats.zig equivalent: counts + a bounded structured log."""
+    """compat/stats.zig equivalent (translations/fallbacks/cache_hits) plus
+    per-statement-class outcome counts and a bounded structured log."""
 
     translations: int = 0
     fallbacks: int = 0
+    cache_hits: int = 0
+    by_class: dict = field(default_factory=dict)
     log: list[dict] = field(default_factory=list)
     max_log: int = 256
 
-    def record(self, sql: str, out: Translation, duration_us: int) -> None:
+    def record(
+        self, sql: str, out: Translation, duration_us: int, cls: str = "other"
+    ) -> None:
+        outcome = "translated" if out.ok else "fallback"
         if out.ok:
             self.translations += 1
         else:
             self.fallbacks += 1
+        per = self.by_class.setdefault(cls, {"translated": 0, "fallback": 0})
+        per[outcome] += 1
         self.log.append(
             {
                 "sql": sql,
                 "sydraql": out.sydraql or "",
                 "fallback": not out.ok,
+                "class": cls,
                 "duration_us": duration_us,
             }
         )
@@ -60,10 +69,21 @@ class CompatStats:
             self.log.pop(0)
 
     def snapshot(self) -> dict:
-        return {"translations": self.translations, "fallbacks": self.fallbacks}
+        return {
+            "translations": self.translations,
+            "fallbacks": self.fallbacks,
+            "cache_hits": self.cache_hits,
+            "by_class": {k: dict(v) for k, v in self.by_class.items()},
+        }
 
 
 STATS = CompatStats()
+
+# Translation cache (reference keeps one per session and counts hits via
+# stats.noteCacheHit): pgwire clients resend identical machine-generated
+# statements, so a small exact-string cache removes the regex pass.
+_CACHE: dict[str, "tuple[Translation, str]"] = {}
+_CACHE_MAX = 256
 
 
 def _fallback() -> Translation:
@@ -73,11 +93,13 @@ def _fallback() -> Translation:
 _RETURNING = re.compile(r"(^|\s)returning(\s|$)", re.IGNORECASE)
 
 
-def _translate(sql: str) -> Translation:
+def _translate(sql: str) -> tuple[Translation, str]:
+    """Returns (translation, statement class) — the class feeds the
+    per-class outcome counters (CompatStats.by_class, metrics)."""
     s = sql.strip().rstrip(" \t\r\n;").strip()
 
     if s.lower() == "select 1":
-        return Translation(ok=True, sydraql="select 1")
+        return Translation(ok=True, sydraql="select 1"), "select_literal"
 
     m = re.match(r"select\s+(.+?)\s+from\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
@@ -96,8 +118,8 @@ def _translate(sql: str) -> Translation:
                     out = f"select {cols} from {table}"
                     if where:
                         out += f" where {where}"
-                    return Translation(ok=True, sydraql=out)
-        return _fallback()
+                    return Translation(ok=True, sydraql=out), "select_from"
+        return _fallback(), "select_from"
 
     m = re.match(r"select\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
@@ -106,8 +128,8 @@ def _translate(sql: str) -> Translation:
         # reference's literal `SELECT 1` case, which stays pinned above.
         exprs = m.group(1).strip()
         if exprs and not _RETURNING.search(exprs):
-            return Translation(ok=True, sydraql=f"select {exprs}")
-        return _fallback()
+            return Translation(ok=True, sydraql=f"select {exprs}"), "select_expr"
+        return _fallback(), "select_expr"
 
     m = re.match(
         r"insert\s+into\s+([^\s(]+)\s*(?:\(([^)]*)\))?\s*values\s*\((.*)\)\s*(.*)$",
@@ -122,41 +144,62 @@ def _translate(sql: str) -> Translation:
             m.group(4).strip(),
         )
         if tail:  # RETURNING or anything else after VALUES(...) → fallback
-            return _fallback()
+            return _fallback(), "insert"
         out = f"insert into {table}"
         if cols:
             out += f" ({cols})"
         out += f" values ({values})"
-        return Translation(ok=True, sydraql=out)
+        return Translation(ok=True, sydraql=out), "insert"
     if re.match(r"insert\s", s, re.IGNORECASE):
-        return _fallback()
+        return _fallback(), "insert"
 
     if re.match(r"update\s", s, re.IGNORECASE):
-        return _fallback()
+        return _fallback(), "update"
 
     m = re.match(r"delete\s+from\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
         rest = m.group(1).strip()
         if not rest or _RETURNING.search(rest):
-            return _fallback()
+            return _fallback(), "delete"
         table, where = rest, None
         wm = re.search(r"\swhere(\s+(.*))?$", rest, re.IGNORECASE | re.DOTALL)
         if wm:
             cond = (wm.group(2) or "").strip()
             before = rest[: wm.start()].strip()
             if not cond or not before:  # bare trailing WHERE → fallback
-                return _fallback()
+                return _fallback(), "delete"
             table, where = before, cond
         out = f"delete from {table}"
         if where:
             out += f" where {where}"
-        return Translation(ok=True, sydraql=out)
+        return Translation(ok=True, sydraql=out), "delete"
 
-    return _fallback()
+    return _fallback(), "other"
 
 
 def translate(sql: str, stats: CompatStats | None = None) -> Translation:
+    from sydradb_spark import metrics
+
+    st = stats or STATS
+    # cache only on the global-stats (wire server) path: callers passing an
+    # explicit CompatStats expect every call recorded.
+    use_cache = stats is None
+    if use_cache:
+        cached = _CACHE.get(sql)
+        if cached is not None:
+            st.cache_hits += 1
+            metrics.inc("sydra_compat_cache_hits_total")
+            return cached[0]
     t0 = time.perf_counter()
-    out = _translate(sql)
-    (stats or STATS).record(sql, out, int((time.perf_counter() - t0) * 1e6))
+    out, cls = _translate(sql)
+    st.record(sql, out, int((time.perf_counter() - t0) * 1e6), cls)
+    outcome = "translated" if out.ok else "fallback"
+    metrics.inc(f'sydra_compat_statements_total{{class="{cls}",outcome="{outcome}"}}')
+    metrics.inc(
+        "sydra_compat_translations_total" if out.ok else "sydra_compat_fallbacks_total"
+    )
+    if use_cache:
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)))
+        _CACHE[sql] = (out, cls)
     return out

@@ -113,6 +113,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 payload = _recv_exact(sock, length - 4)
                 if tag == b"X":  # Terminate
                     return
+                if tag == b"P":  # Parse — targeted response, server.zig:184-247
+                    self._parse_message(sock, payload)
+                    self._ready(sock)
+                    continue
                 if tag != b"Q":
                     sock.sendall(
                         _error_response(
@@ -147,6 +151,45 @@ class _Handler(socketserver.BaseRequestHandler):
     @staticmethod
     def _ready(sock: socket.socket) -> None:
         sock.sendall(_msg(b"Z", b"I"))
+
+    @staticmethod
+    def _parse_message(sock: socket.socket, payload: bytes) -> None:
+        """Extended-protocol Parse ('P'): validate the frame and answer the
+        reference's TARGETED errors (compat/wire/server.zig:184-247) instead
+        of a generic unsupported-tag response — psycopg3-default connections
+        see '0A000 extended protocol not implemented yet' for translatable
+        SQL, the translator's own sqlstate for untranslatable SQL, and
+        '08P01' for malformed frames."""
+        from sydradb_spark.compat.translator import translate
+
+        def _cstring(buf: bytes, off: int) -> tuple[str, int]:
+            end = buf.index(b"\x00", off)
+            return buf[off:end].decode("utf-8", "replace"), end + 1
+
+        try:
+            _name, off = _cstring(payload, 0)
+            sql, off = _cstring(payload, off)
+        except ValueError:
+            sock.sendall(_error_response("malformed parse message", "08P01"))
+            return
+        if len(payload) < off + 2:
+            sock.sendall(_error_response("parse message truncated", "08P01"))
+            return
+        (n_params,) = struct.unpack("!H", payload[off : off + 2])
+        if len(payload) < off + 2 + n_params * 4:
+            sock.sendall(_error_response("parse message truncated", "08P01"))
+            return
+        t = translate(sql.strip())
+        if t.ok:
+            sock.sendall(
+                _error_response("extended protocol not implemented yet", "0A000")
+            )
+        else:
+            sock.sendall(
+                _error_response(
+                    t.message or "translation failed", t.sqlstate or "0A000"
+                )
+            )
 
     @staticmethod
     def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:

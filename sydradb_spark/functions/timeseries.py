@@ -111,8 +111,18 @@ def with_ema(
     recursion runs per bounded (series, time-chunk) group in an Arrow
     kernel, and cross-chunk state folds over a one-row-per-chunk summary
     frame — a hot series no longer materializes in a single pandas frame on
-    one task. The ``dur`` argument orders samples only — the reference never
-    pinned a time-decay semantic.
+    one task.
+
+    DECIDED SEMANTIC for ``dur``: retained in the signature for reference
+    parity but intentionally inert — this is a DISCRETE-time EMA (constant
+    alpha per sample, ts order only). Rationale: (a) the reference registers
+    ema(x, dur, alpha) but never implements or specifies it
+    (functions.zig:383-393 is registry-only), so there is no behavior to
+    match; (b) discrete EMA is what comparable engines ship (e.g. InfluxDB's
+    exponential_moving_average takes no duration); (c) an irregular-sampling
+    time-decay variant (alpha scaled by gap/dur) can later reuse the same
+    signature and chunked kernel without breaking callers — only the kernel's
+    per-row alpha changes.
     """
     from sydradb_spark.functions.chunked import with_chunked_ema
 

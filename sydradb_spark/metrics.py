@@ -25,7 +25,14 @@ _HELP = {
     "sydra_points_ingested_total": "points written through the ingest paths",
     "sydra_inserts_total": "INSERT statements executed",
     "sydra_deletes_total": "DELETE statements executed",
-    "sydra_compat_queries_total": "pgwire/compat SQL statements translated",
+    "sydra_compat_queries_total": "pgwire/compat SQL statements received",
+    "sydra_compat_translations_total": "compat statements translated to sydraQL",
+    "sydra_compat_fallbacks_total": "compat statements answered 0A000",
+    "sydra_compat_cache_hits_total": "compat translation cache hits",
+    "sydra_compat_catalog_queries_total": "pg catalog introspection queries",
+    "sydra_compat_statements_total": (
+        "compat statements by statement class and outcome"
+    ),
 }
 
 
@@ -58,10 +65,17 @@ def to_prometheus_text(storage_path: str | None = None) -> str:
     with _LOCK:
         counters = dict(_COUNTERS)
     lines: list[str] = []
+    # counter keys may carry prometheus labels (`name{k="v"}`): HELP/TYPE are
+    # emitted once per base name, samples once per labeled series.
+    seen_base: set[str] = set()
     for name in sorted(set(_HELP) | set(counters)):
-        lines.append(f"# HELP {name} {_HELP.get(name, name)}")
-        lines.append(f"# TYPE {name} counter")
-        lines.append(f"{name} {counters.get(name, 0.0):g}")
+        base = name.split("{", 1)[0]
+        if base not in seen_base:
+            seen_base.add(base)
+            lines.append(f"# HELP {base} {_HELP.get(base, base)}")
+            lines.append(f"# TYPE {base} counter")
+        if name in counters or "{" not in name:
+            lines.append(f"{name} {counters.get(name, 0.0):g}")
     for name, value in sorted(storage_gauges(storage_path).items()):
         lines.append(f"# HELP {name} {name.replace('_', ' ')}")
         lines.append(f"# TYPE {name} gauge")

@@ -63,5 +63,48 @@ def test_stats_counters():
     translate("SELECT 1", stats)
     translate("UPDATE x SET y = 1", stats)
     translate("SELECT a FROM t", stats)
-    assert stats.snapshot() == {"translations": 2, "fallbacks": 1}
+    snap = stats.snapshot()
+    assert snap["translations"] == 2 and snap["fallbacks"] == 1
+    assert snap["cache_hits"] == 0
     assert len(stats.log) == 3 and stats.log[1]["fallback"] is True
+
+
+def test_stats_per_class_counters():
+    """Per-statement-class outcome counts (reference compat/stats.zig grown
+    a dimension: each of the five translator shapes counts separately)."""
+    stats = CompatStats()
+    translate("SELECT 1", stats)
+    translate("SELECT a FROM t", stats)
+    translate("SELECT a FROM t WHERE RETURNING x", stats)
+    translate("UPDATE x SET y = 1", stats)
+    translate("INSERT INTO t VALUES (1)", stats)
+    translate("VACUUM", stats)
+    by_class = stats.snapshot()["by_class"]
+    assert by_class["select_literal"] == {"translated": 1, "fallback": 0}
+    assert by_class["select_from"] == {"translated": 1, "fallback": 1}
+    assert by_class["update"] == {"translated": 0, "fallback": 1}
+    assert by_class["insert"] == {"translated": 1, "fallback": 0}
+    assert by_class["other"] == {"translated": 0, "fallback": 1}
+
+
+def test_translation_cache_hits_on_global_path():
+    from sydradb_spark.compat import translator as tr
+
+    tr._CACHE.clear()
+    before = tr.STATS.cache_hits
+    sql = "SELECT cached_col FROM cache_test_table_xyz"
+    first = translate(sql)
+    second = translate(sql)
+    assert first.sydraql == second.sydraql
+    assert tr.STATS.cache_hits == before + 1
+
+
+def test_metrics_render_labeled_compat_counters():
+    from sydradb_spark import metrics
+
+    translate("SELECT labeled_metric_probe FROM t")
+    text = metrics.to_prometheus_text()
+    assert "# TYPE sydra_compat_statements_total counter" in text
+    assert 'sydra_compat_statements_total{class="select_from",outcome="translated"}' in text
+    # HELP/TYPE emitted once per base name even with multiple labeled series
+    assert text.count("# TYPE sydra_compat_statements_total counter") == 1

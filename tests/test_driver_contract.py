@@ -82,6 +82,43 @@ def _table(cols, rows):
     return names, data
 
 
+def test_time_bounds_push_to_parquet_scan(spark):
+    """Time-ranged queries must prune parquet row groups: the translator's
+    redundant bound on the raw ts column (__ns long-nanos or __tsr
+    timestamp, tables.normalize_events) has to survive into PushedFilters —
+    at 100 TB this is the difference between a ranged read and a full scan."""
+    from sydradb_spark.contract.base import D3, T0
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+    from sydradb_spark.tables import events_points
+
+    eng = SydraQLEngine(spark, events_points(spark, SF_DIR))
+    df = eng.query(
+        f"select time, value from events.click where time >= {T0} and time < {D3}"
+    ).df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in events scan"
+    pushed = m.group(1)
+    assert "GreaterThanOrEqual(ts" in pushed or "GreaterThanOrEqual(__ns" in pushed, pushed
+    assert "LessThan(ts" in pushed or "LessThan(__ns" in pushed, pushed
+
+
+def test_events_points_schema_and_count(spark):
+    """Loader smoke on the real parquet: canonical schema regardless of the
+    file's physical ts type (ns-as-long vs micros drifted once already)."""
+    from sydradb_spark.tables import events_points
+
+    pts = events_points(spark, SF_DIR)
+    dt = dict(pts.dtypes)
+    # canonical point columns plus with_identity's derived ones
+    assert {"series", "tags", "ts", "value", "series_id", "hour_bucket"} <= set(dt)
+    assert dt["ts"] == "bigint" and dt["value"] == "double"
+    assert dt["series"] == "string" and dt["tags"] == "map<string,string>"
+    assert pts.count() > 0
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_entry_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)

@@ -125,6 +125,45 @@ def test_pgwire_ssl_refused_then_ok(wire):
     sock.close()
 
 
+def _parse_message(sock, sql, n_params=0, truncate=False):
+    """Send an extended-protocol Parse ('P') frame and read to ReadyForQuery."""
+    body = b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", n_params)
+    if truncate:
+        body = body[:-1]
+    sock.sendall(b"P" + struct.pack("!I", len(body) + 4) + body)
+    err = None
+    while True:
+        tag, payload = _read_msg(sock)
+        if tag == b"E":
+            fields = {}
+            for part in payload.split(b"\x00"):
+                if part:
+                    fields[chr(part[0])] = part[1:].decode()
+            err = fields
+        elif tag == b"Z":
+            return err
+
+
+def test_pgwire_parse_message_targeted_0a000(wire):
+    """Parse ('P') gets the reference's targeted responses
+    (compat/wire/server.zig:184-247): translatable SQL → 0A000 'extended
+    protocol not implemented yet'; untranslatable SQL → the translator's
+    sqlstate; malformed frame → 08P01. Connection survives all three."""
+    sock = _connect(wire.addr)
+    err = _parse_message(sock, "SELECT value FROM cpu.total WHERE time > 0")
+    assert err is not None and err["C"] == "0A000"
+    assert "extended protocol" in err["M"]
+    err2 = _parse_message(sock, "CREATE TABLE nope (x int)")
+    assert err2 is not None and err2["C"] == "0A000"
+    assert "extended protocol" not in err2["M"]  # translator fallback message
+    err3 = _parse_message(sock, "SELECT 1", truncate=True)
+    assert err3 is not None and err3["C"] == "08P01"
+    # simple query still works on the same connection afterwards
+    _, rows, err4 = _simple_query(sock, "SELECT 1")
+    assert err4 is None and rows == [["1"]]
+    sock.close()
+
+
 def test_pgwire_concurrent_connections(wire):
     """Four clients at once: the threaded server answers all of them and
     no connection sees another's frames (read path is thread-safe — lazy
