@@ -131,8 +131,18 @@ def minhash_band_signatures(sh: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Distinct (a, b) a<b sharing ≥1 LSH bucket. ``max_bucket`` drops
-    degenerate buckets (boilerplate collapse) before the join — at scale a
-    single 1M-doc bucket would mean 10¹² candidate pairs."""
+    degenerate buckets (boilerplate collapse) up front — at scale a single
+    1M-doc bucket would mean 10¹² candidate pairs.
+
+    Shape: size-filter via a partial-aggregating count (never materializes a
+    degenerate bucket's members anywhere), then per-bucket doc_id lists +
+    map-side i<j pair expansion. The count-join leaves the data hash-
+    partitioned by (band, sig), so the collect_list aggregate reuses that
+    partitioning — the whole candidate step costs two shuffles of the band
+    table (count partials + join) and one of the pair set (distinct),
+    replacing the previous self-join's extra full shuffle and join-output
+    shuffle. Pair expansion is a bounded JVM array transform (≤ max_bucket²/2
+    structs per bucket)."""
     if max_bucket is not None:
         sizes = band_sigs.groupBy("band", "sig").agg(F.count("*").alias("__n"))
         band_sigs = (
@@ -140,12 +150,24 @@ def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> 
             .where(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-    left = band_sigs.select("band", "sig", F.col("doc_id").alias("a"))
-    right = band_sigs.select("band", "sig", F.col("doc_id").alias("b"))
+    buckets = (
+        band_sigs.groupBy("band", "sig")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        left.join(right, on=["band", "sig"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
