@@ -41,10 +41,11 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     to a pre-manifest table keeps plain directory semantics."""
     from sydradb_spark import manifest as mf
 
-    # __ns/__tsr are the events-adapter pushdown hints
-    # (tables.normalize_events) — redundant with ts; stored tables prune via
-    # hour_bucket instead.
-    for hint in ("__ns", "__tsr"):
+    # __ns/__tsr/__ssrc are the events-adapter pushdown hints
+    # (tables.normalize_events / events_points) — redundant with ts/series;
+    # stored tables prune via hour_bucket, and series is a real stored
+    # column so its filters push natively.
+    for hint in ("__ns", "__tsr", "__ssrc"):
         if hint in df.columns:
             df = df.drop(hint)
     fresh = not Path(path).exists()

@@ -165,6 +165,13 @@ class SydraQLEngine:
                 new = new.withColumn(
                     "__tsr", F.timestamp_seconds(F.col("ts")).cast(tsr_type)
                 )
+            if "__ssrc" in self.points.columns:
+                # maintain the invariant __ssrc == series after the first '.'
+                # (identity when the series has no dot) so the translator's
+                # redundant selector bound keeps inserted rows.
+                new = new.withColumn(
+                    "__ssrc", F.regexp_replace(F.col("series"), r"^[^.]*\.", "")
+                )
             self.points = self.points.unionByName(new, allowMissingColumns=True)
         self._after_mutation()
         count = len(rows)

@@ -367,6 +367,14 @@ class Translator:
         if selector.kind == "by_id":
             return self.points.where(F.col("series_id") == F.lit(selector.series_id))
         df = self.points.where(F.col("series") == F.lit(selector.name))
+        if "__ssrc" in df.columns and "." in selector.name:
+            # redundant equality on the raw source column behind the series
+            # suffix (tables.events_points invariant: __ssrc == series after
+            # the first '.') — a literal comparison Catalyst pushes to the
+            # scan, unlike the un-invertible series concat.
+            df = df.where(
+                F.col("__ssrc") == F.lit(selector.name.split(".", 1)[1])
+            )
         if selector.tags:
             for k, v in selector.tags.items():
                 df = df.where(F.col("tags").getItem(k) == F.lit(v))

@@ -105,6 +105,15 @@ def events_points(spark: SparkSession, sf_dir: str, with_seq: bool = False) -> D
     if with_seq:
         cols.append(F.col("event_id").alias("seq"))
         extra.append("seq")
+    # __ssrc pushdown hint: the RAW parquet column behind the series suffix
+    # (invariant: __ssrc == series after the first '.'). Catalyst cannot
+    # invert the series concat, so a series-equality filter alone never
+    # reaches the scan; the translator adds a redundant equality on __ssrc,
+    # which pushes as EqualTo(event_type, ...) and lets the scan skip other
+    # event types' row groups — at 100 TB with k event types that is a ~k×
+    # decode reduction for single-series queries.
+    cols.append(F.col("event_type").alias("__ssrc"))
+    extra.append("__ssrc")
     for raw in ("__ns", "__tsr"):
         if raw in ev.columns:
             # raw-ts pushdown hint (normalize_events): the translator rewrites

