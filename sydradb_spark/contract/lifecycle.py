@@ -447,3 +447,200 @@ _q(
         f"AND NOT coalesce(ts >= {D3} AND host = 'h2', FALSE)"
     ),
 )
+
+
+# --- small-file OPTIMIZE (manifest-atomic merge) ------------------------------
+def _optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three appends leave multiple files per touched hour partition;
+    optimize_partitions merges them under one manifest commit. The returned
+    aggregate (vs the raw-points oracle) proves the merge is lossless, and
+    the ``merged`` flag (files strictly decreased, computed from the
+    manifest) proves it actually rewrote something."""
+    from sydradb_spark import manifest as mf
+
+    table = _scratch(sf_dir, "optimize_table", fresh=True)
+    pts = events_points(spark, sf_dir).where(F.col("ts") < D3)
+    storage.write_points(
+        pts.where(F.col("series") == "events.click"), table, mode="overwrite"
+    )
+    storage.write_points(
+        pts.where(F.col("series") == "events.view"), table, mode="append"
+    )
+    storage.write_points(
+        pts.where(~F.col("series").isin("events.click", "events.view")),
+        table,
+        mode="append",
+    )
+    before = len(mf.read_files(table))
+    storage.optimize_partitions(spark, table, max_files_per_partition=1)
+    after = len(mf.read_files(table))
+    return (
+        storage.read_points(spark, table)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_v"),
+            F.countDistinct("series").alias("n_series"),
+        )
+        .withColumn("merged", F.lit(1 if after < before else 0).cast("long"))
+    )
+
+
+_q(
+    "optimize_small_files",
+    _optimize_small_files,
+    oracle(
+        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
+        f"count(DISTINCT series) AS n_series, CAST(1 AS BIGINT) AS merged "
+        f"FROM points WHERE ts < {D3}"
+    ),
+)
+
+
+# --- manifest time travel -----------------------------------------------------
+def _manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write v1 (ts < D3), append v2 (D3 ≤ ts < D7); reading version 1 must
+    see exactly the pre-append table while LATEST sees both — the manifest
+    equivalent of table-format time travel."""
+    table = _scratch(sf_dir, "ttravel_table", fresh=True)
+    pts = events_points(spark, sf_dir)
+    storage.write_points(pts.where(F.col("ts") < D3), table, mode="overwrite")
+    storage.write_points(
+        pts.where((F.col("ts") >= D3) & (F.col("ts") < D7)), table, mode="append"
+    )
+    v1 = (
+        storage.read_points_version(spark, table, 1)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.lit(1).cast("long").alias("version"), "n", "sum_v")
+    )
+    latest = (
+        storage.read_points(spark, table)
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .select(F.lit(2).cast("long").alias("version"), "n", "sum_v")
+    )
+    return v1.unionByName(latest)
+
+
+_q(
+    "manifest_time_travel",
+    _manifest_time_travel,
+    oracle(
+        f"SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, "
+        f"{r6('sum(value)')} AS sum_v FROM points WHERE ts < {D3} "
+        f"UNION ALL "
+        f"SELECT CAST(2 AS BIGINT) AS version, count(*) AS n, "
+        f"{r6('sum(value)')} AS sum_v FROM points WHERE ts < {D7}"
+    ),
+)
+
+
+# --- snapshot / restore -------------------------------------------------------
+def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot (O(metadata) hardlink clone), destroy data with a durable
+    DELETE, restore — the post-restore aggregate must equal the original
+    table, proved against the raw-points oracle."""
+    table = _scratch(sf_dir, "snap_table", fresh=True)
+    snap = _scratch(sf_dir, "snap_copy", fresh=True)
+    pts = events_points(spark, sf_dir).where(F.col("ts") < D3)
+    storage.write_points(pts, table, mode="overwrite")
+    storage.snapshot(table, snap)
+    eng = SydraQLEngine(spark, storage_path=table)
+    eng.query(f"delete from events.click where time >= {T0}")
+    storage.restore(snap, table)
+    return storage.read_points(spark, table).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.countDistinct("series").alias("n_series"),
+    )
+
+
+_q(
+    "snapshot_restore_roundtrip",
+    _snapshot_restore,
+    oracle(
+        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
+        f"count(DISTINCT series) AS n_series FROM points WHERE ts < {D3}"
+    ),
+)
+
+
+# --- stateful streaming EMA == batch recursion (§2.11) ------------------------
+def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState EMA over three chronological micro-batches
+    (maxFilesPerTrigger=1) — cross-batch state carry must reproduce the
+    exact batch recursion, proved against the same recursive-CTE oracle
+    that checks window_ema."""
+    import json as _json
+    import time as _time
+
+    from sydradb_spark.streaming.stateful import streaming_ema
+
+    src = _scratch(sf_dir, "sema_src", fresh=True)
+    out_tbl = _scratch(sf_dir, "sema_out", fresh=True)
+    ckpt = _scratch(sf_dir, "sema_ckpt", fresh=True)
+    os.makedirs(src)
+    pts = (
+        events_points(spark, sf_dir)
+        .where(
+            (F.col("series") == "events.click")
+            & (F.col("tags")["host"] == "h0")
+            & (F.col("tags")["dc"] == "dc0")
+            & (F.col("ts") >= T0)
+            & (F.col("ts") < D7)
+        )
+        .select("ts", "value")
+    )
+    # three chronological source files with increasing mtimes so the file
+    # source replays them in order (EMA is arrival-order dependent)
+    rows = sorted(
+        ((r["ts"], r["value"]) for r in pts.collect()), key=lambda t: t
+    )
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        with open(os.path.join(src, f"chunk{i}.json"), "w") as f:
+            for ts, v in rows[lo:hi]:
+                f.write(_json.dumps({"series_id": 0, "ts": ts, "value": v}) + "\n")
+        os.utime(os.path.join(src, f"chunk{i}.json"), (i + 1, i + 1))
+        lo = hi
+        _time.sleep(0.01)
+    stream = (
+        spark.readStream.schema("series_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_ema(stream, alpha=0.5)
+        .writeStream.format("parquet")
+        .option("path", out_tbl)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_tbl)
+        .select(F.col("ts").alias("time"), F.round("ema", 6).alias("ema_v"))
+    )
+
+
+from sydradb_spark.contract.base import POINTS_CTE  # noqa: E402
+
+_q(
+    "stream_stateful_ema_equiv",
+    _stream_stateful_ema,
+    # identical recursion to the window_ema oracle: s_1 = x_1,
+    # s_i = 0.5·x_i + 0.5·s_{i-1} over (ts, value) order
+    POINTS_CTE.replace("WITH points AS", "WITH RECURSIVE points AS", 1)
+    + f""",
+f AS (
+  SELECT ts, value, CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
+  FROM points WHERE series = 'events.click' AND host = 'h0' AND dc = 'dc0'
+    AND ts >= {T0} AND ts < {D7}
+), e AS (
+  SELECT rn, ts, CAST(value AS DOUBLE) AS s FROM f WHERE rn = 1
+  UNION ALL
+  SELECT f.rn, f.ts, 0.5 * f.value + 0.5 * e.s FROM f JOIN e ON f.rn = e.rn + 1
+)
+SELECT ts AS time, {r6('s')} AS ema_v FROM e""",
+)
