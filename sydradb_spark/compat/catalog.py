@@ -424,6 +424,70 @@ def _spark_ish_type(duck_type: str) -> str:
     return "string"
 
 
+def snapshot_json(snapshot: dict[str, list[tuple]]) -> dict:
+    """The reference's ``/debug/compat/catalog`` JSON shape
+    (src/sydra/http.zig:491-623: namespaces/classes/attributes/types arrays
+    with the field names below; typinput/typoutput default 0,
+    compat/catalog.zig:58-59). Serving it over HTTP is one handler away —
+    like metrics, the engine side exposes the payload, the app the route."""
+    return {
+        "namespaces": [
+            {"oid": oid, "name": name}
+            for oid, name, _owner in snapshot["pg_namespace"]
+        ],
+        "classes": [
+            {
+                "oid": r[0],
+                "name": r[1],
+                "namespace": r[2],
+                "kind": r[3],
+                "persistence": r[4],
+                "tuples": r[5],
+                "has_pkey": r[6],
+                "is_partition": r[7],
+                "toast_oid": r[8],
+            }
+            for r in snapshot["pg_class"]
+        ],
+        "attributes": [
+            {
+                "rel_oid": a[0],
+                "name": a[1],
+                "type_oid": a[2],
+                "attnum": a[3],
+                "not_null": a[4],
+                "has_default": a[5],
+                "is_dropped": a[6],
+                "len": a[7],
+                "typmod": a[8],
+                "identity": a[9],
+                "generated": a[10],
+                "dims": a[11],
+            }
+            for a in snapshot["pg_attribute"]
+        ],
+        "types": [
+            {
+                "oid": t[0],
+                "name": t[1],
+                "namespace": t[2],
+                "len": t[3],
+                "byval": t[4],
+                "type": t[5],
+                "category": t[6],
+                "delim": t[7],
+                "elem": t[8],
+                "array": t[9],
+                "basetype": t[10],
+                "collation": t[11],
+                "input": 0,
+                "output": 0,
+            }
+            for t in snapshot["pg_type"]
+        ],
+    }
+
+
 class CatalogStore:
     """The seeded snapshot plus its DuckDB serving connection.
 

@@ -121,9 +121,29 @@ def test_events_points_schema_and_count(spark):
     assert pts.count() > 0
 
 
+# Entries whose docstrings declare a deliberate brute-force/all-pairs path
+# (small or broadcast side) — cartesian shapes are expected there.
+_BRUTE_OK = {"knn_cosine_brute", "ngram_jaccard_topk", "ann_ivf_cosine"}
+
+
+def _assert_plan_hygiene(name: str, df) -> None:
+    """Anti-pattern guard on the physical plan: no accidental cartesian
+    products outside the documented brute paths, and never row-at-a-time
+    Python UDF eval (BatchEvalPython) — Arrow kernels (ArrowEvalPython,
+    FlatMapGroupsInPandas, MapInPandas, ...) are the allowed Python shapes."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _BRUTE_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: broadcast nested-loop join (unkeyed join?)"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_catalog_entry_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
+    _assert_plan_hygiene(name, df)
     spark_rows = df.collect()
     spark_cols = df.columns
 

@@ -198,6 +198,38 @@ def test_is_catalog_query():
     assert not is_catalog_query("SELECT value FROM cpu.total WHERE time > 0")
 
 
+def test_snapshot_json_shape():
+    """Reference /debug/compat/catalog payload (http.zig:491-623): four
+    arrays, reference field names, 28-type seed, deterministic OIDs."""
+    import json
+
+    from sydradb_spark.compat.catalog import snapshot_json
+
+    j = snapshot_json(build_snapshot())
+    json.dumps(j)  # serializable
+    assert [ns["name"] for ns in j["namespaces"]] == ["pg_catalog", "public"]
+    assert j["namespaces"][0]["oid"] == 11000
+    assert len(j["classes"]) == 1
+    cls = j["classes"][0]
+    assert cls == {
+        "oid": 22000,
+        "name": "pg_type",
+        "namespace": 11000,
+        "kind": "r",
+        "persistence": "p",
+        "tuples": 0.0,
+        "has_pkey": False,
+        "is_partition": False,
+        "toast_oid": 0,
+    }
+    assert len(j["types"]) == 28
+    boolt = next(t for t in j["types"] if t["name"] == "bool")
+    assert boolt["oid"] == 16 and boolt["array"] == 1000
+    assert boolt["input"] == 0 and boolt["output"] == 0
+    assert len(j["attributes"]) == 11
+    assert {a["name"] for a in j["attributes"]} >= {"oid", "typname", "typarray"}
+
+
 def test_unknown_type_namespace_raises():
     with pytest.raises(KeyError, match="MissingNamespace"):
         build_snapshot(types=(TypeSpec("custom", 90000, -1, False, namespace="nope"),))
