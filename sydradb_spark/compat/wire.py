@@ -32,6 +32,7 @@ _OID_BOOL = 16
 
 _SSL_REQUEST = 80877103
 _CANCEL_REQUEST = 80877102
+_MAX_MESSAGE = 16 * 1024 * 1024  # server.zig:15 max_message_size
 
 
 def _oid_for(spark_type: str) -> int:
@@ -110,11 +111,16 @@ class _Handler(socketserver.BaseRequestHandler):
             while True:
                 tag = _recv_exact(sock, 1)
                 (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+                if length < 4 or length - 4 > _MAX_MESSAGE:
+                    return  # reference: InvalidMessageLength/MessageTooLarge
                 payload = _recv_exact(sock, length - 4)
                 if tag == b"X":  # Terminate
                     return
                 if tag == b"P":  # Parse — targeted response, server.zig:184-247
                     self._parse_message(sock, payload)
+                    self._ready(sock)
+                    continue
+                if tag == b"S":  # Sync — bare ReadyForQuery (server.zig:112)
                     self._ready(sock)
                     continue
                 if tag != b"Q":

@@ -158,6 +158,11 @@ def test_pgwire_parse_message_targeted_0a000(wire):
     assert "extended protocol" not in err2["M"]  # translator fallback message
     err3 = _parse_message(sock, "SELECT 1", truncate=True)
     assert err3 is not None and err3["C"] == "08P01"
+    # Sync ('S') answers a bare ReadyForQuery, no error (server.zig:112) —
+    # this is how an extended-protocol client resyncs after the Parse error
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    tag, payload = _read_msg(sock)
+    assert tag == b"Z" and payload == b"I"
     # simple query still works on the same connection afterwards
     _, rows, err4 = _simple_query(sock, "SELECT 1")
     assert err4 is None and rows == [["1"]]
