@@ -45,12 +45,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = normalize_events(df)
+        df = normalize_events(df, _long_ts_units_per_s(f"{sf_dir}/{name}.parquet"))
     return df
 
 
-def normalize_events(df: DataFrame) -> DataFrame:
+def _long_ts_units_per_s(path: str) -> int:
+    """Units-per-second for a LONG ``ts`` read, inferred from the parquet
+    footer statistics (no data read). The testdata's ts physical type has
+    already drifted once (nanos → micros); if it ever becomes a PLAIN int64
+    epoch column, a fixed div-by-1e9 would silently produce garbage. For a
+    real TIMESTAMP column the stats are datetimes and the comparison below
+    raises, falling back to nanoseconds — exactly right, since a long read
+    of a timestamp column only happens via nanosAsLong."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        mx = md.row_group(0).column(idx).statistics.max
+        for ups in (1, 1_000, 1_000_000, 1_000_000_000):
+            if mx < 4_000_000_000 * ups:  # < year ~2096 in this unit
+                return ups
+    except Exception:
+        pass
+    return 1_000_000_000
+
+
+def normalize_events(df: DataFrame, long_units_per_s: int = 1_000_000_000) -> DataFrame:
     ts_field = df.schema["ts"]
+    if isinstance(ts_field.dataType, LongType) and long_units_per_s != 1_000_000_000:
+        # plain int64 epoch column in s/ms/µs: correct ts_s, no raw-column
+        # pushdown hint (the translator's redundant bound is nanos-scaled;
+        # losing row-group pruning beats losing correctness, and this shape
+        # has never shipped in the testdata).
+        return df.withColumn("ts_s", F.expr(f"ts div {long_units_per_s}"))
     if isinstance(ts_field.dataType, LongType):
         # long nanoseconds (nanosAsLong) → epoch seconds + micros timestamp.
         # Integer division: epoch-ns (~1.7e18) exceeds double's 53-bit exact
