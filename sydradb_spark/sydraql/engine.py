@@ -124,13 +124,43 @@ class SydraQLEngine:
             return self._delete(stmt)
         raise UnsupportedStatement(f"cannot execute {type(stmt).__name__}")
 
+    def ingest_points(self, new) -> None:
+        """Append canonical (series, tags, ts, value) rows — the shared sink
+        behind sydraQL INSERT and the HTTP ingest route (reference
+        http.zig:657-712). Storage-backed: a durable partitioned append;
+        in-memory: a union with the events-adapter pushdown hints kept
+        consistent (a null hint would make the translator's redundant scan
+        bounds drop the new rows)."""
+        from sydradb_spark.model import with_identity
+
+        new = with_identity(new)
+        if self.storage_path is not None:
+            self._storage.write_points(new, self.storage_path, mode="append")
+            self.points = self._storage.read_points(self.spark, self.storage_path)
+        else:
+            if "__ns" in self.points.columns:
+                new = new.withColumn(
+                    "__ns", (F.col("ts") * F.lit(1_000_000_000)).cast("long")
+                )
+            if "__tsr" in self.points.columns:
+                tsr_type = dict(self.points.dtypes)["__tsr"]
+                new = new.withColumn(
+                    "__tsr", F.timestamp_seconds(F.col("ts")).cast(tsr_type)
+                )
+            if "__ssrc" in self.points.columns:
+                # invariant: __ssrc == series after the first '.' (identity
+                # when the series has no dot)
+                new = new.withColumn(
+                    "__ssrc", F.regexp_replace(F.col("series"), r"^[^.]*\.", "")
+                )
+            self.points = self.points.unionByName(new, allowMissingColumns=True)
+        self._after_mutation()
+
     # --- INSERT ------------------------------------------------------------
     # The reference parses INSERT but its plan builder rejects it
     # (plan.zig:99-104). We implement it. Storage-backed: a partitioned
     # Parquet append (durable, lineage-free); in-memory: a union.
     def _insert(self, stmt: ast.Insert) -> QueryResult:
-        from sydradb_spark.model import with_identity
-
         cols = [c.lower() for c in (stmt.columns or ["ts", "value"])]
         if set(cols) - {"ts", "time", "value"}:
             raise ValidationError(f"INSERT columns must be ts/time/value, got {cols}")
@@ -144,36 +174,11 @@ class SydraQLEngine:
                 # null-valued points only enter via ingest sources
                 raise ValidationError("INSERT requires non-null time and value")
             rows.append((stmt.target, {}, int(vals["ts"]), float(vals["value"])))
-        new = with_identity(
+        self.ingest_points(
             self.spark.createDataFrame(
                 rows, "series string, tags map<string,string>, ts long, value double"
             )
         )
-        if self.storage_path is not None:
-            self._storage.write_points(new, self.storage_path, mode="append")
-            self.points = self._storage.read_points(self.spark, self.storage_path)
-        else:
-            if "__ns" in self.points.columns:
-                # keep the events-adapter pushdown hint consistent: a null
-                # __ns would make the translator's redundant bound drop the
-                # inserted rows
-                new = new.withColumn(
-                    "__ns", (F.col("ts") * F.lit(1_000_000_000)).cast("long")
-                )
-            if "__tsr" in self.points.columns:
-                tsr_type = dict(self.points.dtypes)["__tsr"]
-                new = new.withColumn(
-                    "__tsr", F.timestamp_seconds(F.col("ts")).cast(tsr_type)
-                )
-            if "__ssrc" in self.points.columns:
-                # maintain the invariant __ssrc == series after the first '.'
-                # (identity when the series has no dot) so the translator's
-                # redundant selector bound keeps inserted rows.
-                new = new.withColumn(
-                    "__ssrc", F.regexp_replace(F.col("series"), r"^[^.]*\.", "")
-                )
-            self.points = self.points.unionByName(new, allowMissingColumns=True)
-        self._after_mutation()
         count = len(rows)
         from sydradb_spark import metrics
 

@@ -1,0 +1,168 @@
+"""HTTP front-end: the reference's route surface end-to-end over sockets
+(urllib against an ephemeral-port SydraHttpServer)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from sydradb_spark.server import SydraHttpServer
+from sydradb_spark.sydraql.engine import SydraQLEngine
+
+
+@pytest.fixture(scope="module")
+def http(spark, points):
+    server = SydraHttpServer(SydraQLEngine(spark, points)).start()
+    yield server
+    server.stop()
+
+
+def _url(http, path):
+    host, port = http.addr
+    return f"http://{host}:{port}{path}"
+
+
+def _get(http, path):
+    with urllib.request.urlopen(_url(http, path), timeout=30) as r:
+        return r.status, r.read()
+
+
+def _post(http, path, body: bytes, headers=None):
+    req = urllib.request.Request(
+        _url(http, path), data=body, headers=headers or {}, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read()
+
+
+def test_status_and_metrics(http):
+    status, body = _get(http, "/status")
+    assert status == 200 and json.loads(body) == {"status": "ok"}
+    status, body = _get(http, "/metrics")
+    assert status == 200
+    assert b"# TYPE sydra_queries_total counter" in body
+
+
+def test_debug_compat_routes(http):
+    status, body = _get(http, "/debug/compat/stats")
+    snap = json.loads(body)
+    assert status == 200
+    assert {"translations", "fallbacks", "cache_hits"} <= set(snap)
+    status, body = _get(http, "/debug/compat/catalog")
+    cat = json.loads(body)
+    assert status == 200
+    assert [ns["name"] for ns in cat["namespaces"]] == ["pg_catalog", "public"]
+    assert len(cat["types"]) == 28
+
+
+def test_sydraql_roundtrip(http):
+    status, body = _post(
+        http,
+        "/api/v1/sydraql",
+        b"select time, value from cpu.total where time >= 1000000 and time < 1000060",
+    )
+    assert status == 200
+    out = json.loads(body)
+    assert [c["name"] for c in out["columns"]] == ["time", "value"]
+    assert len(out["rows"]) == 5
+    assert out["stats"]["rows_returned"] == 5
+
+
+def test_sydraql_error_shape(http):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(http, "/api/v1/sydraql", b"select value from cpu.total")  # no time pred
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+
+def test_query_range_post_and_get(http):
+    body = json.dumps(
+        {
+            "series": "cpu.total",
+            "tags": {"host": "a", "env": "dev"},
+            "start": 1000000,
+            "end": 1000045,
+        }
+    ).encode()
+    status, out = _post(http, "/api/v1/query/range", body)
+    pts = json.loads(out)
+    assert status == 200
+    # 15s cadence → ts 1000000(+dup), 1000015, 1000030, 1000045
+    assert [p["ts"] for p in pts] == [1000000, 1000000, 1000015, 1000030, 1000045]
+    sid = http.series_id_for("cpu.total", {"host": "a", "env": "dev"})
+    status, out2 = _get(
+        http, f"/api/v1/query/range?series_id={sid}&start=1000000&end=1000045"
+    )
+    assert status == 200 and json.loads(out2) == pts
+
+
+def test_find_and_or(http):
+    status, out = _post(
+        http,
+        "/api/v1/query/find",
+        json.dumps({"tags": {"host": "a", "env": "prod"}}).encode(),
+    )
+    ids_and = json.loads(out)
+    assert status == 200 and len(ids_and) == 1  # weather.room1 only
+    status, out = _post(
+        http,
+        "/api/v1/query/find",
+        json.dumps({"op": "or", "tags": {"host": "a", "env": "prod"}}).encode(),
+    )
+    ids_or = json.loads(out)
+    assert set(ids_and) <= set(ids_or) and len(ids_or) == 3
+
+
+def test_ingest_then_query(spark, points):
+    server = SydraHttpServer(SydraQLEngine(spark, points)).start()
+    try:
+        lines = (
+            b'{"series": "http.new", "ts": 1000100, "value": 1.5, "tags": {"host": "z"}}\n'
+            b'{"series": "http.new", "ts": 1000160, "value": 2.5}\n'
+        )
+        status, out = _post(server, "/api/v1/ingest", lines)
+        assert status == 200 and json.loads(out) == {"ingested": 2}
+        status, out = _post(
+            server,
+            "/api/v1/sydraql",
+            b"select count() as n from http.new where time >= 1000000 and time < 2000000",
+        )
+        assert status == 200
+        assert json.loads(out)["rows"] == [[2]]
+    finally:
+        server.stop()
+
+
+def test_bearer_auth(spark, points):
+    server = SydraHttpServer(
+        SydraQLEngine(spark, points), auth_token="sekrit"
+    ).start()
+    try:
+        # /api/* without token → 401; non-api routes stay open
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/api/v1/sydraql", b"select 1")
+        assert e.value.code == 401
+        status, _ = _get(server, "/status")
+        assert status == 200
+        status, out = _post(
+            server,
+            "/api/v1/sydraql",
+            b"select 1",
+            headers={"Authorization": "Bearer sekrit"},
+        )
+        assert status == 200 and json.loads(out)["rows"] == [[1]]
+    finally:
+        server.stop()
+
+
+def test_not_found_and_length_required(http):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http, "/nope")
+    assert e.value.code == 404
+    # POST with no Content-Length is awkward via urllib; missing start/end instead
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        _post(http, "/api/v1/query/range", json.dumps({"series": "x"}).encode())
+    assert e2.value.code == 400
