@@ -53,13 +53,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
-def docs_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def docs_as_media(docs: DataFrame, text_col: str = "text", kind: str = "image") -> DataFrame:
     """Adapt the documents table into the media model (utf-8 payloads stand in
-    for image bytes — the driver testdata has no real binaries)."""
+    for media bytes — the driver testdata has no real binaries)."""
     payload = F.encode(F.col(text_col), "utf-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
+        F.lit(kind).alias("kind"),
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.octet_length(payload).cast("long").alias("n_bytes"),
@@ -107,6 +107,45 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     return media.where(F.col("kind") == "image").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode → features over ``kind == 'audio'`` rows; same
+    Arrow-batched mapInPandas shape as images. The decode kernel is a STUB
+    (sample rate / duration / RMS derived deterministically from the payload
+    bytes — a real build calls soundfile/torchaudio here); the schema, batch
+    flow and partition sizing are production-real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].str.len().fillna(0).astype("int64")
+            first = pdf["payload"].str[0:1].apply(
+                lambda b: b[0] if isinstance(b, bytes) and b else 0
+            )
+            rate = (8000 + (first % 4) * 8000).astype("int32")  # 8/16/24/32 kHz
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rate,
+                    # fake PCM16 mono: n_bytes / (2 * rate) seconds
+                    "duration_s": n / (2.0 * rate),
+                    "rms": first.astype("float64") / 255.0,
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

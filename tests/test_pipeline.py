@@ -142,6 +142,23 @@ def test_multimodal_features(spark):
     assert feats[2]["mean_luma"] == pytest.approx(ord("x") / 255.0)
 
 
+def test_audio_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x")], "doc_id long, text string"
+    )
+    media = multimodal.docs_as_media(docs, kind="audio")
+    feats = {r["media_id"]: r for r in multimodal.extract_audio_features(media).collect()}
+    # deterministic fake: rate from first byte, duration = n/(2*rate)
+    rate1 = 8000 + (ord("h") % 4) * 8000
+    assert feats[1]["sample_rate"] == rate1
+    assert feats[1]["duration_s"] == pytest.approx(11 / (2.0 * rate1))
+    assert feats[2]["rms"] == pytest.approx(ord("x") / 255.0)
+    # image rows are excluded from the audio path
+    assert multimodal.extract_audio_features(
+        multimodal.docs_as_media(docs)
+    ).count() == 0
+
+
 def test_video_sampling_stub_raises(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     media = multimodal.docs_as_media(docs)  # kind=image, not video
