@@ -1,0 +1,97 @@
+"""``python -m sydradb_spark`` — the serve binary + CSV importer.
+
+The reference's process entry point just runs the server (src/main.zig:8);
+``serve`` is that, over Spark: one engine on a storage-backed table, the
+HTTP front-end (server.py, reference http.zig routes) and the pgwire
+front-end (compat/wire.py) on local ports. ``csv-import`` realizes the
+reference's placeholder CSV CLI (cmd/sydra-csv/main.zig is a 1-line stub);
+``query`` is a one-shot sydraQL runner printing the HTTP response JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sydradb_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    serve = sub.add_parser("serve", help="run HTTP + pgwire front-ends")
+    serve.add_argument("--storage", required=True, help="points table path")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--http-port", type=int, default=8080)
+    serve.add_argument("--pg-port", type=int, default=5433)
+    serve.add_argument("--auth-token", default="", help="Bearer token for /api/*")
+    serve.add_argument("--max-rows", type=int, default=10_000)
+
+    csv = sub.add_parser("csv-import", help="append CSV points to a table")
+    csv.add_argument("file", help="CSV path: header series,ts,value[,tags]")
+    csv.add_argument("--storage", required=True)
+
+    q = sub.add_parser("query", help="run one sydraQL statement, print JSON")
+    q.add_argument("sydraql")
+    q.add_argument("--storage", required=True)
+    q.add_argument("--max-rows", type=int, default=10_000)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from sydradb_spark.session import get_spark
+
+        spark = get_spark(f"sydradb-{args.cmd}")
+
+    if args.cmd == "csv-import":
+        from sydradb_spark.ingest import read_csv_points
+        from sydradb_spark.storage import write_points
+
+        pts = read_csv_points(spark, args.file)
+        n = pts.count()
+        write_points(pts, args.storage, mode="append")
+        print(json.dumps({"ingested": n}))
+        return 0
+
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    engine = SydraQLEngine(spark, storage_path=args.storage)
+
+    if args.cmd == "query":
+        from sydradb_spark.api import to_response
+
+        print(json.dumps(to_response(engine.query(args.sydraql), args.max_rows), default=str))
+        return 0
+
+    # serve
+    from sydradb_spark.compat.wire import PgWireServer
+    from sydradb_spark.server import SydraHttpServer
+
+    http = SydraHttpServer(
+        engine,
+        host=args.host,
+        port=args.http_port,
+        auth_token=args.auth_token,
+        max_rows=args.max_rows,
+    ).start()
+    pg = PgWireServer(engine, host=args.host, port=args.pg_port, max_rows=args.max_rows).start()
+    print(
+        json.dumps({"http": list(http.addr), "pgwire": list(pg.addr)}),
+        flush=True,
+    )
+    try:
+        import threading
+
+        threading.Event().wait()  # run until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        http.stop()
+        pg.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

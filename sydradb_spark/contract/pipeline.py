@@ -482,7 +482,11 @@ def _ivf_centroids_cached(sf_dir: str) -> tuple:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = t.to_pandas()
-    df = df[df["vec_id"] >= 5].sort_values("vec_id")
+    # FAISS-style training-sample bound (max(10k, 256k_clusters) vectors):
+    # deterministic first-N by vec_id, so the driver-side trainer stays O(1)
+    # in corpus size; no-op at the test SFs (corpus < cap).
+    cap = max(10_000, 256 * _IVF_K)
+    df = df[df["vec_id"] >= 5].sort_values("vec_id").head(cap)
     x = np.stack(df["embedding"].to_numpy())
     cents = similarity.kmeans_fit_sample(x, k=_IVF_K, n_iters=8)
     return tuple(tuple(c) for c in cents)

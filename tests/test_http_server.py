@@ -166,3 +166,39 @@ def test_not_found_and_length_required(http):
     with pytest.raises(urllib.error.HTTPError) as e2:
         _post(http, "/api/v1/query/range", json.dumps({"series": "x"}).encode())
     assert e2.value.code == 400
+
+
+def test_cli_csv_import_and_query(spark, tmp_path):
+    """python -m sydradb_spark csv-import + query (in-process, injected
+    session — the serve path is covered by the HTTP/pgwire suites)."""
+    import contextlib
+    import io
+
+    from sydradb_spark.__main__ import main
+
+    csv = tmp_path / "pts.csv"
+    csv.write_text(
+        'series,ts,value,tags\n'
+        'cli.metric,1000,1.5,"{""host"": ""a""}"\n'
+        "cli.metric,2000,2.5,\n"
+    )
+    table = str(tmp_path / "table")
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(["csv-import", str(csv), "--storage", table], spark=spark)
+    assert rc == 0 and json.loads(out.getvalue()) == {"ingested": 2}
+
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main(
+            [
+                "query",
+                "select count() as n from cli.metric where time >= 0 and time < 10000",
+                "--storage",
+                table,
+            ],
+            spark=spark,
+        )
+    assert rc == 0
+    resp = json.loads(out.getvalue())
+    assert resp["rows"] == [[2]]
