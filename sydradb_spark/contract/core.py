@@ -592,3 +592,36 @@ _q(
         f"AND NOT coalesce(ts >= {MID} AND host = 'h3', FALSE)"
     ),
 )
+
+
+# --- OneRow expression select (§2.1 item 3, driver-checked) -------------------
+_q(
+    "onerow_literals",
+    ql(
+        "select 1 as a, 2.5 as b, 'x''y' as c, 1 + 2 * 3 as d, "
+        f"{r6('10 / 4')} as e"
+    ),
+    "SELECT CAST(1 AS BIGINT) AS a, 2.5 AS b, 'x''y' AS c, "
+    "CAST(1 + 2 * 3 AS BIGINT) AS d, "
+    + r6("10 / 4")
+    + " AS e",
+)
+
+# --- NULL semantics on empty input (§2.4 item 28, driver-checked) -------------
+# count() of nothing is 0; avg/min/max of nothing are NULL (reference
+# aggregate semantics) — an empty time slice [T0, T0+1) before any event of
+# this series pins it cross-engine. events at every sf start ON T0, so use a
+# series-absent window: the single second before the month begins.
+_q(
+    "agg_empty_semantics",
+    ql(
+        f"select count() as n, count(value) as nv, {r6('avg(value)')} as avg_v, "
+        f"min(value) as min_v, max(value) as max_v "
+        f"from events.click where time >= {T0 - 1} and time < {T0}"
+    ),
+    oracle(
+        f"SELECT count(*) AS n, count(value) AS nv, {r6('avg(value)')} AS avg_v, "
+        f"min(value) AS min_v, max(value) AS max_v FROM points "
+        f"WHERE series = 'events.click' AND ts >= {T0 - 1} AND ts < {T0}"
+    ),
+)

@@ -644,3 +644,62 @@ f AS (
 )
 SELECT ts AS time, {r6('s')} AS ema_v FROM e""",
 )
+
+
+# --- streaming NDJSON ingest durability (§2.11, driver-checked) ---------------
+def _stream_ingest_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming file-source ingest (two micro-batches via
+    maxFilesPerTrigger) → checkpointed hour-partitioned appends; the stored
+    table's aggregate must equal the raw points' — proving the streaming
+    write path loses nothing and dedups nothing."""
+    import json as _json
+
+    from sydradb_spark.ingest import stream_ndjson
+    from sydradb_spark.storage import read_points
+
+    src = _scratch(sf_dir, "singest_src", fresh=True)
+    table = _scratch(sf_dir, "singest_tbl", fresh=True)
+    ckpt = _scratch(sf_dir, "singest_ckpt", fresh=True)
+    os.makedirs(src)
+    pts = events_points(spark, sf_dir).where(
+        (F.col("series") == "events.purchase")
+        & (F.col("ts") >= T0)
+        & (F.col("ts") < D3)
+    )
+    rows = pts.select("series", "tags", "ts", "value").collect()
+    half = len(rows) // 2 or 1
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(os.path.join(src, f"chunk{i}.json"), "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "series": r["series"],
+                            "tags": dict(r["tags"]),
+                            "ts": r["ts"],
+                            "value": r["value"],
+                        }
+                    )
+                    + "\n"
+                )
+    q = stream_ndjson(spark, src, table, ckpt, available_now=True)
+    q.awaitTermination()
+    return read_points(spark, table).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.countDistinct("series_id").alias("n_series"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+_q(
+    "stream_ingest_durable",
+    _stream_ingest_durable,
+    oracle(
+        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
+        f"count(DISTINCT host || '|' || dc) AS n_series, "
+        f"min(ts) AS min_ts, max(ts) AS max_ts FROM points "
+        f"WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"
+    ),
+)
