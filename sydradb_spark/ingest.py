@@ -111,3 +111,30 @@ def read_csv_points(spark: SparkSession, path: str) -> DataFrame:
             tags.alias("tags"),
         )
     )
+
+
+def parse_kafka_values(raw: DataFrame) -> DataFrame:
+    """Kafka record values (binary NDJSON) → canonical points — the
+    transformation half of the Kafka source, testable without a broker."""
+    return parse_ndjson(
+        raw.select(
+            F.from_json(F.col("value").cast("string"), NDJSON_SCHEMA).alias("j")
+        ).select("j.*")
+    )
+
+
+def stream_kafka_points(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka → streaming points (SURVEY §7.1 phase 6). Requires the
+    spark-sql-kafka package on the classpath at runtime; the parse path is
+    shared with file ingest (parse_kafka_values) and covered by tests. Sink
+    it with ``.writeStream.foreachBatch(lambda b, _: write_points(b, path,
+    mode="append"))`` exactly like stream_ndjson."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return parse_kafka_values(raw)

@@ -124,3 +124,21 @@ def test_windowed_agg_drops_late_beyond_watermark(spark, tmp_path):
     run_once()
     late_updates = [r for r in emitted if r["bucket"] == 0]
     assert late_updates == []  # the closed window was never updated again
+
+
+def test_parse_kafka_values(spark):
+    """Kafka value parsing (broker-less): binary NDJSON payloads in a
+    Kafka-shaped frame come out as canonical identified points."""
+    from sydradb_spark.ingest import parse_kafka_values
+
+    raw = spark.createDataFrame(
+        [
+            (b'{"series": "k.cpu", "ts": 1000, "value": 1.5, "tags": {"h": "a"}}',),
+            (b'{"series": "k.cpu", "ts": 1060, "value": 2.5}',),
+        ],
+        "value binary",
+    )
+    out = parse_kafka_values(raw).orderBy("ts").collect()
+    assert [r["ts"] for r in out] == [1000, 1060]
+    assert out[0]["tags"] == {"h": "a"} and out[1]["tags"] == {}
+    assert out[0]["series_id"] is not None and out[0]["hour_bucket"] == 0
