@@ -136,5 +136,41 @@ def window_smoke(spark, n: int) -> None:
     pts.unpersist()
 
 
+
+
+def dedup_scale(mult: int = 10, sf_dir: str = "/root/testdata/sf0.1") -> None:
+    """``python scripts/scale_smoke.py --dedup [mult]`` — the SCALE_NOTES
+    minhash measurement: mult× the sf0.1 documents corpus (replica texts
+    tag-mutated so near-dup groups really span replicas), full
+    shingle → MinHash → LSH → exact-Jaccard-verify pipeline."""
+    from sydradb_spark.pipeline import dedup
+    from sydradb_spark.tables import load_table
+
+    spark = get_spark("dedup-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = (
+        spark.range(mult)
+        .crossJoin(base)
+        .select(
+            (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"),
+            F.when(F.col("id") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("id").cast("string"), F.lit(" "), F.col("text")))
+            .alias("text"),
+        )
+    ).persist()
+    n = big.count()
+    t0 = time.time()
+    pairs = dedup.minhash_near_dups(big, threshold=0.2).count()
+    dt = time.time() - t0
+    print(
+        f"minhash near-dups over {n:,} docs ({mult}x {sf_dir}): "
+        f"{dt:.1f}s ({n / dt:.0f} docs/s), {pairs} verified pairs >= 0.2"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--dedup":
+        dedup_scale(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    else:
+        main()
