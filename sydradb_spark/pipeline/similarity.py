@@ -272,15 +272,38 @@ def ann_ivf(
     )
 
 
-def ann_sign_lsh(
-    queries: DataFrame,
+def sign_index(
     corpus: DataFrame,
+    emb_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """(vec_id, __ce, bucket) — the materializable ANN index table.
+
+    This is the SERVING shape at scale: compute once (or maintain
+    incrementally on ingest), persist — ideally bucketed/partitioned by
+    ``bucket`` so a probe join touches only matching files — and answer
+    every query batch from it. Bucketing the corpus inline per call (the
+    ann_sign_lsh convenience wrapper) re-pays ``bits`` dot products per
+    corpus vector per call, which dominates when queries are few; measured
+    numbers in SCALE_NOTES.md."""
+    planes = planes if planes is not None else hyperplanes()
+    return corpus.select(
+        "vec_id",
+        F.col(emb_col).alias("__ce"),
+        sign_bucket(F.col(emb_col), planes).alias("bucket"),
+    )
+
+
+def ann_sign_lsh_indexed(
+    queries: DataFrame,
+    index: DataFrame,
     k: int,
     emb_col: str = "embedding",
     planes: list[list[int]] | None = None,
     multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share one of the query's probe buckets.
+    """Approximate top-k over a prebuilt ``sign_index`` table: candidates
+    share one of the query's probe buckets.
 
     Multi-probe: the query's own bucket plus each single-bit flip — the
     nearest neighbours a single-bucket probe misses usually differ in exactly
@@ -298,12 +321,7 @@ def ann_sign_lsh(
         F.col(emb_col).alias("__qe"),
         F.explode(F.array(*probe_buckets)).alias("bucket"),
     )
-    c = corpus.select(
-        "vec_id",
-        F.col(emb_col).alias("__ce"),
-        sign_bucket(F.col(emb_col), planes).alias("bucket"),
-    )
-    scored = c.join(F.broadcast(q), on="bucket").select(
+    scored = index.join(F.broadcast(q), on="bucket").select(
         "query_id", "vec_id", cosine(F.col("__qe"), F.col("__ce")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -313,4 +331,25 @@ def ann_sign_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ann_sign_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    emb_col: str = "embedding",
+    planes: list[list[int]] | None = None,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """One-shot convenience: buckets the corpus inline, then probes. For
+    repeated query batches, build ``sign_index`` once and use
+    ``ann_sign_lsh_indexed``."""
+    return ann_sign_lsh_indexed(
+        queries,
+        sign_index(corpus, emb_col, planes),
+        k,
+        emb_col=emb_col,
+        planes=planes,
+        multi_probe=multi_probe,
     )
