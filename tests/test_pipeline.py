@@ -320,3 +320,25 @@ def test_cluster_pairs_components(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dedup.cluster_pairs(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_ann_indexed_equals_inline(spark):
+    """ann_sign_lsh_indexed over a prebuilt sign_index returns exactly the
+    inline ann_sign_lsh results (the serving shape is a pure refactor)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where("vec_id < 3")
+    corpus = emb.where("vec_id >= 3")
+    planes = similarity.hyperplanes(dim=16, bits=6, seed=3)
+
+    inline = similarity.ann_sign_lsh(queries, corpus, k=4, planes=planes)
+    idx = similarity.sign_index(corpus, planes=planes).cache()
+    indexed = similarity.ann_sign_lsh_indexed(queries, idx, k=4, planes=planes)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, indexed.collect()))
+    assert a == b and len(a) > 0
