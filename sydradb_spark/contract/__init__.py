@@ -29,10 +29,12 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     # Catalog order IS check order: the driver caps the number of entries it
-    # checks per round (r02 stopped at 50), so lifecycle + pipeline — the
-    # entries that went unchecked in r02 — come first, and the core sydraQL
-    # surface (green in r02) last. Total is held at ≤50 so every entry gets
-    # a CORRECTNESS row.
+    # checks per round (r02 stopped at 50), so lifecycle + pipeline come
+    # first and the core sydraQL surface last. POLICY (round 6): the catalog
+    # total MUST stay ≤50 so every entry gets a CORRECTNESS row — when a new
+    # operator needs an entry, consolidate near-duplicates into a labeled
+    # union first (see the round-6 merges in core/lifecycle for the
+    # pattern). tests/test_driver_contract.py enforces the cap.
     from sydradb_spark.contract import core
 
     mods = []

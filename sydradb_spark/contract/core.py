@@ -103,19 +103,66 @@ SELECT 'tag_selector', ts, value FROM points
     ),
 )
 
-# --- §2.2 projections / filters ----------------------------------------------
-_q(
-    "project_arith",
-    # arithmetic projection + ANSI-safe division/modulo (try_divide/try_mod)
-    ql(
+# --- §2.2 projections / filters + §2.8 scalar functions -----------------------
+# Round-6 consolidation (driver caps checked entries at 50): the former
+# `project_arith` (§2 items 15/16: arithmetic projection, ANSI-safe
+# division/modulo) and `scalar_functions` (§2 item 38: abs/ceil/floor/round/
+# pow/ln/sqrt/coalesce) entries are one labeled union — disjoint series and
+# null-padded columns keep both sub-checks exact.
+_SCALAR_PAD = ("roundv", "ceilv", "floorv", "absv", "powv", "lnv", "sqrtv", "cv")
+
+
+def _project_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SydraQLEngine(spark, events_points(spark, sf_dir))
+    a = eng.query(
         f"select time, {r6('value * 2 + 1')} as v2, {r6('value / 4')} as q, "
         f"time % 7 as m from events.click "
         f"where time >= {T0} and time < {D3} and value > 5"
-    ),
+    ).df
+    b = eng.query(
+        f"select time, round(value) as roundv, ceil(value) as ceilv, "
+        f"floor(value) as floorv, abs(0 - value) as absv, "
+        f"{r6('pow(value, 2)')} as powv, {r6('ln(value)')} as lnv, "
+        f"{r6('sqrt(value)')} as sqrtv, coalesce(value, 0) as cv "
+        f"from events.purchase where time >= {T0} and time < {D3}"
+    ).df
+    dnull = F.lit(None).cast("double")
+    return a.select(
+        F.lit("arith").alias("variant"),
+        "time",
+        "v2",
+        "q",
+        "m",
+        *[dnull.alias(c) for c in _SCALAR_PAD],
+    ).unionByName(
+        b.select(
+            F.lit("scalar").alias("variant"),
+            "time",
+            dnull.alias("v2"),
+            dnull.alias("q"),
+            F.lit(None).cast("long").alias("m"),
+            *_SCALAR_PAD,
+        )
+    )
+
+
+_q(
+    "project_scalar_functions",
+    _project_scalar,
     oracle(
-        f"SELECT ts AS time, {r6('value * 2 + 1')} AS v2, {r6('value / 4')} AS q, "
-        f"ts % 7 AS m FROM points "
-        f"WHERE series = 'events.click' AND ts >= {T0} AND ts < {D3} AND value > 5"
+        f"""SELECT 'arith' AS variant, ts AS time, {r6('value * 2 + 1')} AS v2,
+       {r6('value / 4')} AS q, ts % 7 AS m,
+       CAST(NULL AS DOUBLE) AS roundv, CAST(NULL AS DOUBLE) AS ceilv,
+       CAST(NULL AS DOUBLE) AS floorv, CAST(NULL AS DOUBLE) AS absv,
+       CAST(NULL AS DOUBLE) AS powv, CAST(NULL AS DOUBLE) AS lnv,
+       CAST(NULL AS DOUBLE) AS sqrtv, CAST(NULL AS DOUBLE) AS cv
+  FROM points WHERE series = 'events.click' AND ts >= {T0} AND ts < {D3} AND value > 5
+UNION ALL
+SELECT 'scalar', ts, NULL, NULL, NULL,
+       round(value), ceil(value), floor(value), abs(0 - value),
+       {r6('pow(value, 2)')}, {r6('ln(value)')}, {r6('sqrt(value)')},
+       coalesce(value, 0)
+  FROM points WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"""
     ),
 )
 
@@ -185,23 +232,8 @@ _q(
 )
 
 # --- §2.4 aggregations --------------------------------------------------------
-_q(
-    "agg_global",
-    # global aggregate + expressions over aggregates (spread, half_avg)
-    ql(
-        f"select count() as n, count(value) as nv, {r6('avg(value)')} as avg_v, "
-        f"min(value) as min_v, max(value) as max_v, "
-        f"{r6('max(value) - min(value)')} as spread, {r6('avg(value) / 2')} as half_avg "
-        f"from events.signup where time >= {T0} and time < {T1}"
-    ),
-    oracle(
-        f"SELECT count(*) AS n, count(value) AS nv, {r6('avg(value)')} AS avg_v, "
-        f"min(value) AS min_v, max(value) AS max_v, "
-        f"{r6('max(value) - min(value)')} AS spread, {r6('avg(value) / 2')} AS half_avg "
-        f"FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {T1}"
-    ),
-)
-
+# (the global-aggregate entry is folded into `onerow_agg_semantics` below —
+# round-6 consolidation to fit the driver's 50-entry cap)
 _q(
     "agg_bucket_basic",
     ql(
@@ -338,25 +370,6 @@ UNION ALL
 SELECT 'duration_iso', (ts // 3600) * 3600, count(*)
   FROM points WHERE series = 'events.click'
     AND ts >= 1704412800 AND ts < 1704672000 GROUP BY 1, 2"""
-    ),
-)
-
-# --- §2.8 scalar functions ----------------------------------------------------
-_q(
-    "scalar_functions",
-    ql(
-        f"select time, round(value) as roundv, ceil(value) as ceilv, "
-        f"floor(value) as floorv, abs(0 - value) as absv, "
-        f"{r6('pow(value, 2)')} as powv, {r6('ln(value)')} as lnv, "
-        f"{r6('sqrt(value)')} as sqrtv, coalesce(value, 0) as cv "
-        f"from events.purchase where time >= {T0} and time < {D3}"
-    ),
-    oracle(
-        f"SELECT ts AS time, round(value) AS roundv, ceil(value) AS ceilv, "
-        f"floor(value) AS floorv, abs(0 - value) AS absv, "
-        f"{r6('pow(value, 2)')} AS powv, {r6('ln(value)')} AS lnv, "
-        f"{r6('sqrt(value)')} AS sqrtv, coalesce(value, 0) AS cv FROM points "
-        f"WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"
     ),
 )
 
@@ -545,16 +558,9 @@ SELECT bucket, {r6('avg_v')} AS avg_v FROM filled"""
 )
 
 # --- §2.10 statements ---------------------------------------------------------
-_q(
-    "insert_select_roundtrip",
-    ql(
-        "insert into manual.metric (time, value) values (1704067200, 1.5)",
-        "insert into manual.metric (time, value) values (1704067260, 2.5), (1704067320, 4.0)",
-        "select time, value from manual.metric where time >= 0 and time < 1704068000",
-    ),
-    "SELECT * FROM (VALUES (CAST(1704067200 AS BIGINT), CAST(1.5 AS DOUBLE)), "
-    "(1704067260, 2.5), (1704067320, 4.0)) AS t(time, value)",
-)
+# (the in-memory INSERT→SELECT and DELETE→count entries are folded into the
+# lifecycle module's `insert_durable_roundtrip` / `delete_durable` as labeled
+# variants — round-6 consolidation to fit the driver's 50-entry cap)
 
 
 def _compat_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,49 +585,51 @@ _q(
     ),
 )
 
-_q(
-    "delete_then_count",
-    ql(
-        f"delete from events.click where time >= {MID} and tag.host = 'h3'",
-        f"select count() as n, {r6('sum(value)')} as sum_v from events.click "
-        f"where time >= {T0} and time < {T1}",
-    ),
-    oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM points "
-        f"WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1} "
-        f"AND NOT coalesce(ts >= {MID} AND host = 'h3', FALSE)"
-    ),
-)
-
-
-# --- OneRow expression select (§2.1 item 3, driver-checked) -------------------
-_q(
-    "onerow_literals",
-    ql(
+# --- OneRow + aggregate semantics (§2.1 item 3, §2.4 items 21/28) -------------
+# Round-6 consolidation of three single-row entries (former `onerow_literals`,
+# `agg_empty_semantics`, `agg_global`) into one cross-joined row:
+# - OneRow literal select: arithmetic precedence, '' escapes, division
+# - empty-input NULL semantics: count() of nothing is 0, avg/min/max NULL
+#   (events at every sf start ON T0, so [T0-1, T0) is a series-absent window)
+# - global aggregate + expressions over aggregates (spread, half_avg)
+def _onerow_agg_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SydraQLEngine(spark, events_points(spark, sf_dir))
+    one = eng.query(
         "select 1 as a, 2.5 as b, 'x''y' as c, 1 + 2 * 3 as d, "
         f"{r6('10 / 4')} as e"
-    ),
-    "SELECT CAST(1 AS BIGINT) AS a, 2.5 AS b, 'x''y' AS c, "
-    "CAST(1 + 2 * 3 AS BIGINT) AS d, "
-    + r6("10 / 4")
-    + " AS e",
-)
-
-# --- NULL semantics on empty input (§2.4 item 28, driver-checked) -------------
-# count() of nothing is 0; avg/min/max of nothing are NULL (reference
-# aggregate semantics) — an empty time slice [T0, T0+1) before any event of
-# this series pins it cross-engine. events at every sf start ON T0, so use a
-# series-absent window: the single second before the month begins.
-_q(
-    "agg_empty_semantics",
-    ql(
-        f"select count() as n, count(value) as nv, {r6('avg(value)')} as avg_v, "
-        f"min(value) as min_v, max(value) as max_v "
+    ).df
+    empty = eng.query(
+        f"select count() as e_n, count(value) as e_nv, {r6('avg(value)')} as e_avg_v, "
+        f"min(value) as e_min_v, max(value) as e_max_v "
         f"from events.click where time >= {T0 - 1} and time < {T0}"
-    ),
+    ).df
+    glob = eng.query(
+        f"select count() as g_n, count(value) as g_nv, {r6('avg(value)')} as g_avg_v, "
+        f"min(value) as g_min_v, max(value) as g_max_v, "
+        f"{r6('max(value) - min(value)')} as spread, {r6('avg(value) / 2')} as half_avg "
+        f"from events.signup where time >= {T0} and time < {T1}"
+    ).df
+    return one.crossJoin(empty).crossJoin(glob)
+
+
+_q(
+    "onerow_agg_semantics",
+    _onerow_agg_semantics,
     oracle(
-        f"SELECT count(*) AS n, count(value) AS nv, {r6('avg(value)')} AS avg_v, "
-        f"min(value) AS min_v, max(value) AS max_v FROM points "
+        "SELECT * FROM "
+        "(SELECT CAST(1 AS BIGINT) AS a, 2.5 AS b, 'x''y' AS c, "
+        "CAST(1 + 2 * 3 AS BIGINT) AS d, " + r6("10 / 4") + " AS e) "
+        "CROSS JOIN ("
+        f"SELECT count(*) AS e_n, count(value) AS e_nv, "
+        f"{r6('avg(value)')} AS e_avg_v, min(value) AS e_min_v, "
+        f"max(value) AS e_max_v FROM points "
         f"WHERE series = 'events.click' AND ts >= {T0 - 1} AND ts < {T0}"
+        ") CROSS JOIN ("
+        f"SELECT count(*) AS g_n, count(value) AS g_nv, "
+        f"{r6('avg(value)')} AS g_avg_v, min(value) AS g_min_v, "
+        f"max(value) AS g_max_v, {r6('max(value) - min(value)')} AS spread, "
+        f"{r6('avg(value) / 2')} AS half_avg FROM points "
+        f"WHERE series = 'events.signup' AND ts >= {T0} AND ts < {T1}"
+        ")"
     ),
 )

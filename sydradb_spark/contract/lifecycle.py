@@ -215,6 +215,11 @@ _q(
 
 # --- durable INSERT / DELETE (restart survival) ------------------------------
 def _insert_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two INSERT variants, one labeled union (round-6 consolidation of the
+    former ``insert_select_roundtrip`` entry): ``durable`` writes through a
+    storage-backed engine and re-reads with a NEW engine instance (= session
+    restart, reads only what is on disk); ``engine`` is the in-memory
+    multi-statement INSERT→SELECT path."""
     table = _scratch(sf_dir, "insert_table", fresh=True)
     src = _scratch(sf_dir, "insert_seed", fresh=True)
     os.makedirs(src)
@@ -225,14 +230,30 @@ def _insert_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.query("insert into m.base (time, value) values (2000, 2.0), (3000, 3.0)")
     # a NEW engine instance = session restart: reads only what is on disk
     eng2 = SydraQLEngine(spark, storage_path=table)
-    return eng2.query("select time, value from m.base where time >= 0 and time < 10000").df
+    durable = eng2.query(
+        "select time, value from m.base where time >= 0 and time < 10000"
+    ).df
+    mem = SydraQLEngine(spark, events_points(spark, sf_dir))
+    mem.query("insert into manual.metric (time, value) values (1704067200, 1.5)")
+    mem.query(
+        "insert into manual.metric (time, value) values (1704067260, 2.5), (1704067320, 4.0)"
+    )
+    selected = mem.query(
+        "select time, value from manual.metric where time >= 0 and time < 1704068000"
+    ).df
+    return durable.select(
+        F.lit("durable").alias("variant"), "time", "value"
+    ).unionByName(selected.select(F.lit("engine").alias("variant"), "time", "value"))
 
 
 _q(
     "insert_durable_roundtrip",
     _insert_durable,
-    "SELECT * FROM (VALUES (CAST(1000 AS BIGINT), CAST(1.0 AS DOUBLE)), "
-    "(2000, 2.0), (3000, 3.0)) AS t(time, value)",
+    "SELECT * FROM (VALUES "
+    "('durable', CAST(1000 AS BIGINT), CAST(1.0 AS DOUBLE)), "
+    "('durable', 2000, 2.0), ('durable', 3000, 3.0), "
+    "('engine', 1704067200, 1.5), ('engine', 1704067260, 2.5), "
+    "('engine', 1704067320, 4.0)) AS t(variant, time, value)",
 )
 
 
@@ -261,20 +282,7 @@ def _rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "rollup_daily_from_hourly",
-    _rollup_daily,
-    # oracle computes DAILY aggregates directly from raw points — proving the
-    # hourly-rollup → daily combination is lossless
-    oracle(
-        f"SELECT (ts // 86400) * 86400 AS bucket, count(*) AS n, "
-        f"{r6('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v, "
-        f"min(value) AS min_v, max(value) AS max_v, "
-        f"arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v "
-        f"FROM points WHERE series = 'events.purchase' AND host = 'h0' AND dc = 'dc0' "
-        f"AND ts >= {T0} AND ts < {T1} GROUP BY 1"
-    ),
-)
+# (registered below as part of the merged `rollup_batch_stream_equiv` entry)
 
 
 def _rollup_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,14 +349,57 @@ def _rollup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup losslessness, one labeled union (round-6 consolidation of the
+    former ``rollup_daily_from_hourly`` and ``rollup_stream_batch_equiv``
+    entries): ``daily`` proves hourly→daily combination equals daily-from-raw;
+    ``stream`` proves the stream-maintained rollup folds to raw aggregates."""
+    daily = _rollup_daily(spark, sf_dir)
+    stream = _rollup_stream_equiv(spark, sf_dir)
+    dnull = F.lit(None).cast("double")
+    return daily.select(
+        F.lit("daily").alias("variant"),
+        "bucket",
+        "n",
+        "sum_v",
+        "avg_v",
+        "min_v",
+        "max_v",
+        "first_v",
+        "last_v",
+    ).unionByName(
+        stream.select(
+            F.lit("stream").alias("variant"),
+            "bucket",
+            "n",
+            "sum_v",
+            dnull.alias("avg_v"),
+            "min_v",
+            "max_v",
+            dnull.alias("first_v"),
+            dnull.alias("last_v"),
+        )
+    )
+
+
 _q(
-    "rollup_stream_batch_equiv",
-    _rollup_stream_equiv,
+    "rollup_batch_stream_equiv",
+    _rollup_batch_stream,
+    # both oracle halves aggregate the RAW points directly — proving the
+    # hourly→daily combination and the streaming maintenance are lossless
     oracle(
-        f"SELECT (ts // 3600) * 3600 AS bucket, count(*) AS n, "
-        f"{r6('sum(value)')} AS sum_v, min(value) AS min_v, max(value) AS max_v "
-        f"FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {D3} "
-        f"GROUP BY 1"
+        f"""SELECT 'daily' AS variant, (ts // 86400) * 86400 AS bucket, count(*) AS n,
+       {r6('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v,
+       min(value) AS min_v, max(value) AS max_v,
+       arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v
+  FROM points WHERE series = 'events.purchase' AND host = 'h0' AND dc = 'dc0'
+    AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2
+UNION ALL
+SELECT 'stream', (ts // 3600) * 3600, count(*), {r6('sum(value)')},
+       CAST(NULL AS DOUBLE), min(value), max(value),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {D3}
+  GROUP BY 1, 2"""
     ),
 )
 
@@ -426,25 +477,42 @@ SELECT ts, value, {r6('right_value')} AS right_value, right_ts FROM matched"""
 
 
 def _delete_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two DELETE variants, one labeled union (round-6 consolidation of the
+    former ``delete_then_count`` entry): ``durable`` deletes through a
+    storage-backed engine and re-reads with a NEW engine instance; ``engine``
+    is the in-memory DELETE→count path over the live points table."""
     table = _scratch(sf_dir, "delete_table", fresh=True)
     pts = events_points(spark, sf_dir).where(F.col("ts") < D7)
     storage.write_points(pts, table, mode="overwrite")
     eng = SydraQLEngine(spark, storage_path=table)
     eng.query(f"delete from events.view where time >= {D3} and tag.host = 'h2'")
     eng2 = SydraQLEngine(spark, storage_path=table)
-    return eng2.query(
+    durable = eng2.query(
         f"select count() as n, {r6('sum(value)')} as sum_v from events.view "
         f"where time >= {T0} and time < {D7}"
     ).df
+    mem = SydraQLEngine(spark, events_points(spark, sf_dir))
+    mem.query(f"delete from events.click where time >= {MID} and tag.host = 'h3'")
+    counted = mem.query(
+        f"select count() as n, {r6('sum(value)')} as sum_v from events.click "
+        f"where time >= {T0} and time < {T1}"
+    ).df
+    return durable.select(F.lit("durable").alias("variant"), "n", "sum_v").unionByName(
+        counted.select(F.lit("engine").alias("variant"), "n", "sum_v")
+    )
 
 
 _q(
     "delete_durable",
     _delete_durable,
     oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM points "
-        f"WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7} "
-        f"AND NOT coalesce(ts >= {D3} AND host = 'h2', FALSE)"
+        f"""SELECT 'durable' AS variant, count(*) AS n, {r6('sum(value)')} AS sum_v
+  FROM points WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7}
+    AND NOT coalesce(ts >= {D3} AND host = 'h2', FALSE)
+UNION ALL
+SELECT 'engine', count(*), {r6('sum(value)')}
+  FROM points WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1}
+    AND NOT coalesce(ts >= {MID} AND host = 'h3', FALSE)"""
     ),
 )
 
@@ -520,20 +588,7 @@ def _manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(latest)
 
 
-_q(
-    "manifest_time_travel",
-    _manifest_time_travel,
-    oracle(
-        f"SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, "
-        f"{r6('sum(value)')} AS sum_v FROM points WHERE ts < {D3} "
-        f"UNION ALL "
-        f"SELECT CAST(2 AS BIGINT) AS version, count(*) AS n, "
-        f"{r6('sum(value)')} AS sum_v FROM points WHERE ts < {D7}"
-    ),
-)
-
-
-# --- snapshot / restore -------------------------------------------------------
+# --- snapshot / restore (merged with time travel, round-6 consolidation) ------
 def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot (O(metadata) hardlink clone), destroy data with a durable
     DELETE, restore — the post-restore aggregate must equal the original
@@ -553,12 +608,44 @@ def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest time travel + snapshot/restore, one labeled union (round-6
+    consolidation of the former ``manifest_time_travel`` and
+    ``snapshot_restore_roundtrip`` entries — both are manifest-lifecycle
+    checks proved against the raw-points oracle)."""
+    tt = _manifest_time_travel(spark, sf_dir)
+    sr = _snapshot_restore(spark, sf_dir)
+    return tt.select(
+        F.lit("time_travel").alias("part"),
+        "version",
+        "n",
+        "sum_v",
+        F.lit(None).cast("long").alias("n_series"),
+    ).unionByName(
+        sr.select(
+            F.lit("snapshot_restore").alias("part"),
+            F.lit(None).cast("long").alias("version"),
+            "n",
+            "sum_v",
+            "n_series",
+        )
+    )
+
+
 _q(
-    "snapshot_restore_roundtrip",
-    _snapshot_restore,
+    "snapshot_time_travel",
+    _snapshot_time_travel,
     oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
-        f"count(DISTINCT series) AS n_series FROM points WHERE ts < {D3}"
+        f"""SELECT 'time_travel' AS part, CAST(1 AS BIGINT) AS version, count(*) AS n,
+       {r6('sum(value)')} AS sum_v, CAST(NULL AS BIGINT) AS n_series
+  FROM points WHERE ts < {D3}
+UNION ALL
+SELECT 'time_travel', CAST(2 AS BIGINT), count(*), {r6('sum(value)')}, NULL
+  FROM points WHERE ts < {D7}
+UNION ALL
+SELECT 'snapshot_restore', NULL, count(*), {r6('sum(value)')},
+       count(DISTINCT series)
+  FROM points WHERE ts < {D3}"""
     ),
 )
 

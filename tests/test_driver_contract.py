@@ -107,6 +107,19 @@ def test_time_bounds_push_to_parquet_scan(spark):
     assert "EqualTo(event_type,click)" in pushed, pushed[:300]
 
 
+def test_catalog_fits_driver_check_cap():
+    """The driver checks at most 50 catalog entries per round; anything past
+    the cap silently gets no CORRECTNESS row (round 5 shipped 57 entries and
+    lost driver coverage of all of SURVEY §2.9 FILL). Consolidate entries
+    into labeled unions before adding new ones — never exceed the cap."""
+    assert len(QUERIES) <= 50, (
+        f"contract catalog has {len(QUERIES)} entries; the driver only "
+        "checks 50 — consolidate (labeled-union) before adding entries"
+    )
+    # every entry must have an oracle unless it is genuinely non-SQL-expressible
+    assert set(QUERIES) == set(ORACLES)
+
+
 def test_events_points_schema_and_count(spark):
     """Loader smoke on the real parquet: canonical schema regardless of the
     file's physical ts type (ns-as-long vs micros drifted once already)."""
