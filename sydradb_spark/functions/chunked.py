@@ -230,82 +230,61 @@ def with_chunked_moving_avg(
       at most the immediately previous time chunk; each chunk's trailing
       ``dur`` seconds are re-emitted into the next chunk's partition, making
       every frame fully local to one (series, chunk) partition.
-    - PREFIX-SUM probes: Spark evaluates a sliding RANGE aggregate by
+    - PREFIX-DIFFERENCE frames: Spark evaluates a sliding RANGE aggregate by
       re-scanning the frame per row — O(frame) per row (100 s for 10M points
-      at a 3600-row frame). Instead ONE probe row per distinct
-      ``(series, chunk, ts - dur - 1)`` joins an expanding range window's
-      cumulative sum/count, and ``avg = (S_row - S_probe) / (C_row -
-      C_probe)``. Total work is O(n) regardless of frame width. Cumulative
-      sums stay chunk-local, so no long-series cancellation creeps into the
-      difference.
-
-    The probe join is keyed on CONTENT — ``(series, chunk, probe ts)`` —
-    which a probe's S/C are a pure function of, so no per-row synthetic id
-    is needed: a task retry after an upstream shuffle (which can renumber
-    ``monotonically_increasing_id``) cannot mismatch probes to data rows.
+      at a 3600-row frame). But a frame whose LOWER bound is unbounded is
+      add-only (``UnboundedPrecedingWindowFunctionFrame`` advances the upper
+      edge incrementally, never rescans), so two such frames in the SAME
+      window spec give the trailing sum as a difference in O(n):
+      ``S  = sum over [unbounded, 0]``        (prefix through ts)
+      ``Sp = sum over [unbounded, -(dur+1)]`` (prefix through ts - dur - 1)
+      ``avg = (S - Sp) / (C - Cp)``. Both frames share one partition+sort —
+      a single WindowExec, no probe rows, no join-back, and therefore no
+      synthetic row ids for a task retry to renumber (the round-4 content-
+      keyed probe join was retry-safe but evaluated the windowed union twice
+      through a self-join plus a distinct — measured 1.7x the cost of this
+      shape at sf0.1).
     """
     chunk_s = max(chunk_s, dur_s)
     base = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
     ets = F.col(ts_col).cast("long")
 
-    data = (
-        base.withColumn("__ets", ets)
-        .withColumn("__probe", F.lit(0))
-        .withColumn("__ghost", F.lit(0))
-    )
+    data = base.withColumn("__ets", ets).withColumn("__ghost", F.lit(0))
     ghosts = (
         base.where(ets >= (F.col("__wchunk") + 1) * F.lit(chunk_s) - F.lit(dur_s))
         .withColumn("__wchunk", F.col("__wchunk") + 1)
         .withColumn("__ets", ets)
-        .withColumn("__probe", F.lit(0))
         .withColumn("__ghost", F.lit(1))  # lookback mass only, never returned
     )
-    probes = (
-        base.select(
-            F.col(partition),
-            F.col("__wchunk"),
-            (ets - F.lit(dur_s + 1)).alias("__ets"),
-        )
-        .distinct()  # S/C depend only on this key — one probe serves all peers
-        .withColumn("__probe", F.lit(1))
-        .withColumn("__ghost", F.lit(0))
-    )
-    u = data.unionByName(ghosts).unionByName(probes, allowMissingColumns=True)
+    u = data.unionByName(ghosts)
 
-    # expanding RANGE frame: peers at equal __ets are included together, so a
-    # data row's S covers [.., ts] inclusive and a probe's S covers
-    # [.., ts - dur - 1] — exactly the prefix the frame excludes
-    w = (
+    # RANGE frames include peers at equal __ets together, so S covers
+    # [.., ts] inclusive and Sp covers [.., ts - dur - 1] — the difference is
+    # exactly the trailing [ts - dur, ts] frame
+    w_cum = (
         Window.partitionBy(partition, "__wchunk")
         .orderBy("__ets")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    u = u.withColumn("__S", F.sum(src).over(w)).withColumn(
-        "__C", F.count(src).over(w)
+    w_pre = (
+        Window.partitionBy(partition, "__wchunk")
+        .orderBy("__ets")
+        .rangeBetween(Window.unboundedPreceding, -(dur_s + 1))
     )
-
-    pr = u.where(F.col("__probe") == 1).select(
-        F.col(partition).alias("__pp"),
-        F.col("__wchunk").alias("__pw"),
-        F.col("__ets").alias("__pe"),
-        F.col("__S").alias("__Sp"),
-        F.col("__C").alias("__Cp"),
+    u = (
+        u.withColumn("__S", F.sum(src).over(w_cum))
+        .withColumn("__C", F.count(src).over(w_cum))
+        .withColumn("__Sp", F.sum(src).over(w_pre))
+        .withColumn("__Cp", F.count(src).over(w_pre))
     )
-    dat = u.where((F.col("__probe") == 0) & (F.col("__ghost") == 0))
-    j = dat.join(
-        pr,
-        (dat[partition] == pr["__pp"])
-        & (dat["__wchunk"] == pr["__pw"])
-        & ((dat["__ets"] - F.lit(dur_s + 1)) == pr["__pe"]),
-        "left",
+    c_frame = F.col("__C") - F.col("__Cp")
+    s_frame = F.coalesce(F.col("__S"), F.lit(0.0)) - F.coalesce(
+        F.col("__Sp"), F.lit(0.0)
     )
-    c_frame = F.col("__C") - F.coalesce(F.col("__Cp"), F.lit(0))
-    s_frame = F.coalesce(F.col("__S"), F.lit(0.0)) - F.coalesce(F.col("__Sp"), F.lit(0.0))
-    return j.withColumn(
-        out, F.when(c_frame > 0, s_frame / c_frame.cast("double"))
-    ).drop(
-        "__wchunk", "__ets", "__probe", "__ghost",
-        "__S", "__C", "__pp", "__pw", "__pe", "__Sp", "__Cp",
+    return (
+        u.where(F.col("__ghost") == 0)
+        .withColumn(out, F.when(c_frame > 0, s_frame / c_frame.cast("double")))
+        .drop("__wchunk", "__ets", "__ghost", "__S", "__C", "__Sp", "__Cp")
     )
 
 
