@@ -378,6 +378,23 @@ def is_catalog_query(sql: str) -> bool:
     return bool(_CATALOG_REF.search(sql))
 
 
+_LEADING_NOISE = re.compile(r"^(?:\s+|--[^\n]*\n|/\*.*?\*/)*", re.DOTALL)
+
+
+def _assert_select_only(sql: str) -> None:
+    """Reject anything but one SELECT/WITH statement. Semicolons in string
+    literals can false-positive the multi-statement check; psql's generated
+    introspection never contains them, and rejection fails closed."""
+    body = _LEADING_NOISE.sub("", sql)
+    first = body.split(None, 1)[0].upper() if body.split(None, 1) else ""
+    if first not in ("SELECT", "WITH"):
+        raise ValueError(
+            f"catalog store is read-only: expected SELECT, got {first or 'empty'!r}"
+        )
+    if body.rstrip().rstrip(";").count(";"):
+        raise ValueError("catalog store accepts a single statement only")
+
+
 def _regclass_subquery(m: re.Match) -> str:
     name = m.group(1)
     if "." in name:
@@ -526,11 +543,27 @@ class CatalogStore:
                 con.execute(f"INSERT INTO {table} VALUES ({ph})", row)
         for macro in _MACROS:
             con.execute(macro)
+        # Hardening: is_catalog_query routes any pg_*-mentioning statement
+        # here, and this connection is shared by every (unauthenticated)
+        # wire session — so the embedded engine must not be a general SQL
+        # engine. The reference serves introspection from a static snapshot
+        # executor (compat/catalog.zig), not a query engine; the DuckDB
+        # equivalent is: no filesystem/network reach (read_text/COPY/
+        # httpfs), and the setting frozen so no statement can turn it back.
+        con.execute("SET enable_external_access = false")
+        con.execute("SET lock_configuration = true")
         return con
 
     def execute(self, sql: str) -> tuple[list[tuple[str, str]], list[tuple]]:
         """Run one introspection statement; returns (fields, rows) where
-        fields are (name, spark-ish type) pairs as the wire encoder expects."""
+        fields are (name, spark-ish type) pairs as the wire encoder expects.
+
+        Read-only by construction: psql/driver introspection is always a
+        single SELECT (or WITH...SELECT), so anything else — DDL, DML, COPY,
+        multi-statement batches — is rejected before DuckDB sees it. Fails
+        closed: a false rejection surfaces as a pg error on an exotic
+        client, never as writable access to the shared catalog."""
+        _assert_select_only(sql)
         with self._lock:
             if self._con is None:
                 self._con = self._connect()

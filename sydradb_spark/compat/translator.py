@@ -19,6 +19,7 @@ get SQL-over-the-wire from Spark Connect / Thrift instead.
 from __future__ import annotations
 
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -177,6 +178,13 @@ def _translate(sql: str) -> tuple[Translation, str]:
     return _fallback(), "other"
 
 
+# Guards _CACHE and the global STATS against concurrent pgwire session
+# threads: an unguarded two-thread eviction can raise KeyError out of
+# translate() (dropping the client connection), and bare `+=` on counters
+# loses increments.
+_LOCK = threading.Lock()
+
+
 def translate(sql: str, stats: CompatStats | None = None) -> Translation:
     from sydradb_spark import metrics
 
@@ -185,21 +193,27 @@ def translate(sql: str, stats: CompatStats | None = None) -> Translation:
     # explicit CompatStats expect every call recorded.
     use_cache = stats is None
     if use_cache:
-        cached = _CACHE.get(sql)
+        with _LOCK:
+            cached = _CACHE.get(sql)
+            if cached is not None:
+                st.cache_hits += 1
         if cached is not None:
-            st.cache_hits += 1
             metrics.inc("sydra_compat_cache_hits_total")
             return cached[0]
     t0 = time.perf_counter()
     out, cls = _translate(sql)
-    st.record(sql, out, int((time.perf_counter() - t0) * 1e6), cls)
+    duration_us = int((time.perf_counter() - t0) * 1e6)
+    if use_cache:
+        with _LOCK:
+            st.record(sql, out, duration_us, cls)
+            if len(_CACHE) >= _CACHE_MAX:
+                _CACHE.pop(next(iter(_CACHE)))
+            _CACHE[sql] = (out, cls)
+    else:
+        st.record(sql, out, duration_us, cls)
     outcome = "translated" if out.ok else "fallback"
     metrics.inc(f'sydra_compat_statements_total{{class="{cls}",outcome="{outcome}"}}')
     metrics.inc(
         "sydra_compat_translations_total" if out.ok else "sydra_compat_fallbacks_total"
     )
-    if use_cache:
-        if len(_CACHE) >= _CACHE_MAX:
-            _CACHE.pop(next(iter(_CACHE)))
-        _CACHE[sql] = (out, cls)
     return out

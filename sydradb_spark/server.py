@@ -61,6 +61,11 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(status, json.dumps(obj, default=_json_default).encode())
 
     def _error(self, status: int, message: str) -> None:
+        # error paths may leave the request body unread; under HTTP/1.1
+        # keep-alive those bytes would be parsed as the next request line
+        # (framing desync). The reference sets keep_alive=false on every
+        # error path — mirror it.
+        self.close_connection = True
         self._send_json(status, {"error": message})
 
     def _body(self, cap: int) -> bytes | None:
@@ -81,6 +86,7 @@ class _Handler(BaseHTTPRequestHandler):
         auth = self.headers.get("Authorization", "")
         if auth == f"Bearer {token}":
             return True
+        self.close_connection = True  # unread body must not desync keep-alive
         self._send(401, b"unauthorized", "text/plain")
         return False
 
@@ -89,6 +95,16 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         if not self._authorized(url.path):
             return
+        try:
+            self._do_get(url)
+        except BrokenPipeError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — bad params answer 400,
+            # not a dropped connection (reference handleQueryGet parses
+            # params and responds 400 on bad input)
+            self._error(400, str(exc).split("\n")[0][:500])
+
+    def _do_get(self, url) -> None:
         if url.path == "/status":
             self._send_json(200, {"status": "ok"})
         elif url.path == "/metrics":
@@ -153,22 +169,40 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._body(_MAX_SYDRAQL)
         if body is None:
             return
+        # Per-line leniency mirrors the reference (http.zig handleIngest:
+        # parseFromSlice catch continue): malformed lines are skipped, not
+        # batch-fatal, and a missing `value` defaults to the first numeric
+        # in `fields` (else 0.0). The response reports lines ACTUALLY
+        # ingested, so a caller can detect drops.
         rows = []
         for line in body.decode("utf-8", "replace").splitlines():
             line = line.strip()
             if not line:
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+                series = str(obj["series"])
+                ts = int(obj["ts"])
+            except (ValueError, KeyError, TypeError):
+                continue
             tags = obj.get("tags") or {}
             if not isinstance(tags, dict):
                 tags = {}
+            if "value" in obj:
+                try:
+                    value = float(obj["value"])
+                except (TypeError, ValueError):
+                    continue
+            else:
+                fields = obj.get("fields")
+                value = 0.0
+                if isinstance(fields, dict):
+                    for v in fields.values():
+                        if isinstance(v, (int, float)) and not isinstance(v, bool):
+                            value = float(v)
+                            break
             rows.append(
-                (
-                    str(obj["series"]),
-                    {str(k): str(v) for k, v in tags.items()},
-                    int(obj["ts"]),
-                    float(obj["value"]),
-                )
+                (series, {str(k): str(v) for k, v in tags.items()}, ts, value)
             )
         if rows:
             new = self.app.engine.spark.createDataFrame(
@@ -188,9 +222,13 @@ class _Handler(BaseHTTPRequestHandler):
         if "series_id" in params:
             sid = int(params["series_id"])
         elif "series" in params:
-            sid = self.app.series_id_for(
-                str(params["series"]), params.get("tags") or {}
-            )
+            tags = params.get("tags") or {}
+            if isinstance(tags, str):  # GET passes tags as a JSON string
+                tags = json.loads(tags) if tags.strip() else {}
+            if not isinstance(tags, dict):
+                self._error(400, "tags must be a JSON object")
+                return
+            sid = self.app.series_id_for(str(params["series"]), tags)
         else:
             self._error(400, "missing series identifier")
             return

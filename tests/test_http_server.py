@@ -202,3 +202,60 @@ def test_cli_csv_import_and_query(spark, tmp_path):
     assert rc == 0
     resp = json.loads(out.getvalue())
     assert resp["rows"] == [[2]]
+
+
+def test_query_range_get_with_tags_param(http):
+    """ADVICE r05 (medium): GET passes tags as a JSON STRING in the query
+    string — it must be parsed, and bad GET params must answer 400, not
+    kill the connection with no response."""
+    import urllib.parse
+
+    tags = urllib.parse.quote('{"host": "a", "env": "dev"}')
+    status, out = _get(
+        http,
+        f"/api/v1/query/range?series=cpu.total&tags={tags}"
+        "&start=1000000&end=1000045",
+    )
+    assert status == 200
+    assert [p["ts"] for p in json.loads(out)] == [
+        1000000, 1000000, 1000015, 1000030, 1000045,
+    ]
+    # malformed tags JSON → 400 (an HTTP response, not a dropped socket)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(http, "/api/v1/query/range?series=cpu.total&tags=notjson&start=1&end=2")
+    assert e.value.code == 400
+    # non-integer start → 400 as well
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        _get(http, "/api/v1/query/range?series=cpu.total&start=abc&end=2")
+    assert e2.value.code == 400
+
+
+def test_ingest_lenient_per_line(spark, points):
+    """ADVICE r05 (low): mirror the reference's per-line ingest leniency —
+    malformed lines skip (not batch-fatal), missing value defaults to the
+    first numeric in `fields` (else 0.0), and the response counts only
+    lines actually ingested."""
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    server = SydraHttpServer(SydraQLEngine(spark, points)).start()
+    try:
+        lines = (
+            b"this is not json\n"
+            b'{"series": "http.lenient", "ts": 1000100,'
+            b' "fields": {"note": "x", "load": 3.5}}\n'
+            b'{"series": "http.lenient", "ts": 1000160}\n'
+            b'{"series": "http.lenient"}\n'
+            b'{"series": "http.lenient", "ts": 1000220, "value": "bad"}\n'
+        )
+        status, out = _post(server, "/api/v1/ingest", lines)
+        assert status == 200 and json.loads(out) == {"ingested": 2}
+        status, out = _post(
+            server,
+            "/api/v1/sydraql",
+            b"select count() as n, sum(value) as s from http.lenient"
+            b" where time >= 1000000 and time < 2000000",
+        )
+        assert status == 200
+        assert json.loads(out)["rows"] == [[2, 3.5]]
+    finally:
+        server.stop()

@@ -310,3 +310,58 @@ def test_wire_routes_catalog_queries(spark, points):
         sock.close()
     finally:
         server.stop()
+
+
+def test_catalog_store_is_read_only(store):
+    """ADVICE r05 (high): any pg_*-mentioning statement reaches the shared
+    DuckDB connection from unauthenticated wire sessions — the store must
+    reject writes/DDL/multi-statement batches and have no filesystem reach."""
+    fields, rows = store.execute("SELECT count(*) AS n FROM pg_class")
+    assert rows[0][0] >= 1
+    for bad in (
+        "DROP TABLE pg_class",
+        "DELETE FROM pg_class",
+        "INSERT INTO pg_class (oid) VALUES (1)",
+        "UPDATE pg_class SET relname = 'x'",
+        "COPY pg_class TO '/tmp/pwned.csv'",
+        "CREATE TABLE evil AS SELECT * FROM pg_class",
+        "SET enable_external_access = true",
+        "SELECT 1 FROM pg_class; DROP TABLE pg_class",
+        "/* sneaky */ ATTACH '/tmp/evil.db'",
+    ):
+        with pytest.raises(ValueError):
+            store.execute(bad)
+    # SELECT-shaped but needing filesystem access: blocked by DuckDB's
+    # enable_external_access=false (and lock_configuration pins it)
+    with pytest.raises(Exception, match="(?i)external|permission|disabled"):
+        store.execute(
+            "SELECT * FROM read_text('/etc/passwd') r JOIN pg_class c ON true"
+        )
+    # the catalog still answers after all the rejected attempts
+    _, rows2 = store.execute("SELECT count(*) AS n FROM pg_class")
+    assert rows2 == rows
+
+
+def test_translator_cache_thread_safety():
+    """ADVICE r05 (low): concurrent translate() calls share _CACHE/STATS;
+    eviction races must not raise out of translate()."""
+    import threading
+
+    from sydradb_spark.compat.translator import translate
+
+    errors = []
+
+    def hammer(tid: int) -> None:
+        try:
+            for i in range(400):
+                t = translate(f"SELECT c{tid}_{i} FROM t WHERE a = {i}")
+                assert t.ok
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
