@@ -69,6 +69,59 @@ def _error_response(message: str, sqlstate: str = "42601") -> bytes:
     return _msg(b"E", fields)
 
 
+def _notice_response(message: str) -> bytes:
+    """NoticeResponse carrying one diagnostic line, exactly the reference's
+    field layout (compat/wire/protocol.zig:203-218: S=NOTICE, M=message)."""
+    return _msg(b"N", b"S" + b"NOTICE\x00" + b"M" + message.encode() + b"\x00" + b"\x00")
+
+
+def _diagnostic_notices(
+    fields: list[tuple[str, str]],
+    result_stats: dict,
+    operators: list[dict],
+    rows_emitted: int,
+    stream_ms: int,
+    trace_id: str,
+) -> list[bytes]:
+    """The reference's post-row diagnostics (compat/wire/server.zig:281-312):
+    schema, trace_id, one line per operator, then the metrics summary —
+    psql shows them after the rows, so a user debugging through psql gets
+    the same per-operator visibility the HTTP stats block carries. Operator
+    stats come from the executed Spark plan (api._plan_stats) instead of
+    Volcano cursor counters; rows_scanned sums the scan leaves' output like
+    the reference sums its `scan` operators (server.zig:283-287)."""
+    out = []
+    if fields:
+        cols = ", ".join(
+            '{name:"%s",type:"%s",nullable:true}' % (n, t) for n, t in fields
+        )
+        out.append(_notice_response(f"schema=[{cols}]"))
+    if trace_id:
+        out.append(_notice_response(f"trace_id={trace_id}"))
+    rows_scanned = 0
+    for op in operators:
+        name = str(op.get("name", ""))
+        rows_out = op.get("rows_out") or 0
+        if "scan" in name.lower():
+            rows_scanned += int(rows_out)
+        elapsed_ms = int(op.get("elapsed_ms") or 0)
+        out.append(
+            _notice_response(
+                f"operator={name} rows_out={rows_out} elapsed_ms={elapsed_ms}"
+            )
+        )
+    plan_us = sum(
+        int(result_stats.get(k, 0)) for k in ("parse_us", "validate_us", "plan_us")
+    )
+    out.append(
+        _notice_response(
+            f"metrics rows={rows_emitted} scanned={rows_scanned} "
+            f"stream_ms={stream_ms} plan_ms={plan_us // 1000}"
+        )
+    )
+    return out
+
+
 def _row_description(fields: list[tuple[str, str]]) -> bytes:
     out = struct.pack("!H", len(fields))
     for name, spark_type in fields:
@@ -229,6 +282,10 @@ class _Handler(socketserver.BaseRequestHandler):
         if not t.ok:
             sock.sendall(_error_response(t.message or "not supported", t.sqlstate or "0A000"))
             return
+        import time
+        import uuid
+
+        t0 = time.perf_counter()
         try:
             result = server.engine.query(t.sydraql)
             df = result.df.limit(server.max_rows)
@@ -240,6 +297,18 @@ class _Handler(socketserver.BaseRequestHandler):
         sock.sendall(_row_description(fields))
         for row in rows:
             sock.sendall(_data_row([row[name] for name, _ in fields]))
+        from sydradb_spark.api import _plan_stats
+
+        stream_ms = int((time.perf_counter() - t0) * 1000)
+        for notice in _diagnostic_notices(
+            fields,
+            result.stats,
+            _plan_stats(df).get("operators", []),
+            rows_emitted=len(rows),
+            stream_ms=stream_ms,
+            trace_id=uuid.uuid4().hex[:16],
+        ):
+            sock.sendall(notice)
         sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
 
 

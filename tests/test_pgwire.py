@@ -192,3 +192,58 @@ def test_pgwire_concurrent_connections(wire):
         t.join(timeout=60)
     assert len(results) == 4
     assert all(err is None and rows == [["1"]] for rows, err in results)
+
+
+def _query_with_notices(sock, sql):
+    """Like _simple_query but also collects NoticeResponse ('N') messages."""
+    payload = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    notices, err, n_rows = [], None, 0
+    while True:
+        tag, payload = _read_msg(sock)
+        if tag == b"N":
+            fields = {}
+            for part in payload.split(b"\x00"):
+                if part:
+                    fields[chr(part[0])] = part[1:].decode()
+            notices.append(fields)
+        elif tag == b"D":
+            n_rows += 1
+        elif tag == b"E":
+            err = payload
+        elif tag == b"Z":
+            return notices, n_rows, err
+
+
+def test_pgwire_notice_diagnostics(wire):
+    """Reference parity (compat/wire/server.zig:295-312): after the DataRows
+    a SELECT emits NoticeResponse diagnostics — schema, trace_id, one line
+    per operator, then a metrics summary — and psql-visible severity is
+    NOTICE."""
+    sock = _connect(wire.addr)
+    notices, n_rows, err = _query_with_notices(
+        sock,
+        "SELECT time, value FROM cpu.total WHERE time >= 1000000 AND time < 1000060",
+    )
+    assert err is None and n_rows == 5
+    assert all(n["S"] == "NOTICE" for n in notices)
+    msgs = [n["M"] for n in notices]
+    assert msgs[0].startswith("schema=[")
+    assert '{name:"time",type:"bigint",nullable:true}' in msgs[0]
+    assert '{name:"value",type:"double",nullable:true}' in msgs[0]
+    assert msgs[1].startswith("trace_id=") and len(msgs[1]) > len("trace_id=")
+    ops = [m for m in msgs if m.startswith("operator=")]
+    assert ops, "expected per-operator notices"
+    assert all(" rows_out=" in m and " elapsed_ms=" in m for m in ops)
+    # at least one scan leaf surfaced from the executed plan
+    assert any("scan" in m.lower() for m in ops)
+    metrics_line = msgs[-1]
+    assert metrics_line.startswith("metrics rows=5 scanned=")
+    assert " stream_ms=" in metrics_line and " plan_ms=" in metrics_line
+    # the catalog path stays notice-free (reference serves it from the
+    # snapshot executor, not the query cursor)
+    notices2, _, err2 = _query_with_notices(
+        sock, "SELECT count(*) FROM pg_catalog.pg_class"
+    )
+    assert err2 is None and notices2 == []
+    sock.close()
