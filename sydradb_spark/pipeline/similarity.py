@@ -227,20 +227,22 @@ def ivf_index(
     return assigned, centroids
 
 
-def ann_ivf(
+def ann_ivf_indexed(
     queries: DataFrame,
-    corpus_assigned: DataFrame,
+    index: DataFrame,
     centroids: list[list[float]],
     k: int,
     n_probe: int = 2,
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe: each query scans only its ``n_probe`` nearest centroids'
-    inverted lists. Probe selection is a pure per-query expression over the
-    centroid literals (no centroid table, no extra join); candidate scan is
-    a join on ``cluster`` — partition-pruned when the corpus is stored
-    bucketed by cluster. Distances use the cross-engine-exact
-    ``centroid_d2s`` form so a DuckDB oracle reproduces the probe set."""
+    """IVF probe over a prebuilt index table ``(vec_id, __ce, cluster)`` —
+    the serving shape (see ``write_ivf_index``). Each query scans only its
+    ``n_probe`` nearest centroids' inverted lists. Probe selection is a pure
+    per-query expression over the centroid literals (no centroid table, no
+    extra join); the candidate scan is a broadcast join on ``cluster``,
+    which is the stored index's PARTITION column — exactly the selective
+    broadcast-on-partition-key shape Spark's dynamic partition pruning
+    targets, so at scale a probe reads n_probe/k of the files."""
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("__qe"),
@@ -256,10 +258,7 @@ def ann_ivf(
         .where(F.col("__pr") <= n_probe)
         .select("query_id", "__qe", "cluster")
     )
-    c = corpus_assigned.select(
-        "vec_id", F.col(emb_col).alias("__ce"), "cluster"
-    )
-    scored = c.join(F.broadcast(probes), on="cluster").select(
+    scored = index.join(F.broadcast(probes), on="cluster").select(
         "query_id", "vec_id", cosine(F.col("__qe"), F.col("__ce")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -270,6 +269,87 @@ def ann_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ann_ivf(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 2,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Inline convenience over a pre-assigned corpus frame — a pure
+    projection away from ``ann_ivf_indexed`` (pinned equal by
+    ``tests/test_pipeline.py::test_ivf_indexed_equals_inline``). For
+    repeated query batches, materialize ``write_ivf_index`` once instead of
+    re-assigning the corpus per call."""
+    return ann_ivf_indexed(
+        queries,
+        corpus_assigned.select("vec_id", F.col(emb_col).alias("__ce"), "cluster"),
+        centroids,
+        k,
+        n_probe=n_probe,
+        emb_col=emb_col,
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 16,
+    emb_col: str = "embedding",
+    sample: int = 4096,
+    n_iters: int = 8,
+) -> list[list[float]]:
+    """Materialize the IVF serving index (the ``sign_index`` pattern applied
+    to the trained quantizer): assignments written as parquet PARTITIONED BY
+    ``cluster`` plus a ``centroids.json`` sidecar.
+
+    Training is the bounded deterministic sample (first ``sample`` vectors
+    by vec_id through ``kmeans_fit_sample`` — FAISS-style: the coarse
+    quantizer never needs the full corpus), so the driver-side collect is
+    O(sample·dim), independent of corpus size. Assignment is the
+    cross-engine-exact ``assign_cluster`` expression, fully distributed.
+    Incremental maintenance on ingest is an append of newly assigned rows
+    into their cluster partitions; re-training (centroid drift) is a
+    rebuild, exactly like any IVF implementation. Returns the centroids."""
+    import json
+    import os
+
+    sample_x = [
+        list(r["__e"])
+        for r in corpus.select(
+            F.col(emb_col).cast("array<double>").alias("__e"), "vec_id"
+        )
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    ]
+    centroids = kmeans_fit_sample(sample_x, k, n_iters)
+    assigned = corpus.select(
+        "vec_id",
+        F.col(emb_col).alias("__ce"),
+        assign_cluster(F.col(emb_col), centroids).alias("cluster"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "assignments")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a ``write_ivf_index`` table: (assignments frame with its
+    cluster partition column, centroid list)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        centroids = json.load(f)
+    df = spark.read.parquet(os.path.join(path, "assignments"))
+    return df, [[float(v) for v in c] for c in centroids]
 
 
 def sign_index(

@@ -342,3 +342,39 @@ def test_ann_indexed_equals_inline(spark):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, indexed.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_indexed_equals_inline(spark, tmp_path):
+    """ann_ivf_indexed over a materialized write_ivf_index table (parquet
+    partitioned by cluster + centroids sidecar) returns exactly the inline
+    ann_ivf results — the serving split is a pure refactor, mirroring
+    sign_index (VERDICT r05 item 5)."""
+    import random
+
+    rng = random.Random(17)
+    centers = [[8.0, 0.0, 0.0, 0.0], [0.0, 8.0, 0.0, 0.0], [0.0, 0.0, 8.0, 0.0]]
+    rows = [
+        (i, [v + rng.uniform(-0.5, 0.5) for v in centers[i % 3]])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    queries = emb.where("vec_id < 3")
+    corpus = emb.where("vec_id >= 3")
+
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(corpus, path, k=3, sample=64)
+    idx, cents_loaded = similarity.read_ivf_index(spark, path)
+    assert cents_loaded == cents  # JSON round-trip exact (repr floats)
+    # the stored table is physically partitioned by cluster
+    assert sorted(p.name for p in (tmp_path / "ivf" / "assignments").glob("cluster=*")) == [
+        "cluster=0", "cluster=1", "cluster=2",
+    ]
+
+    inline_assigned = corpus.withColumn(
+        "cluster", similarity.assign_cluster(F.col("embedding"), cents)
+    )
+    inline = similarity.ann_ivf(queries, inline_assigned, cents, k=5, n_probe=2)
+    indexed = similarity.ann_ivf_indexed(queries, idx, cents, k=5, n_probe=2)
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, indexed.collect()))
+    assert a == b and len(a) == 15  # 3 queries x k=5
