@@ -66,19 +66,19 @@ def ingest_batch(spark: SparkSession, ndjson_path: str, table_path: str) -> None
     write_points(read_ndjson(spark, ndjson_path), table_path, mode="append")
 
 
-def stream_ndjson(
-    spark: SparkSession,
-    source_dir: str,
+def stream_points_sink(
+    points: DataFrame,
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
 ) -> StreamingQuery:
-    """File-source streaming ingest → foreachBatch hourly-partitioned append.
+    """The shared streaming sink: canonical points stream → foreachBatch
+    hourly-partitioned append. Every streaming source (file NDJSON, Kafka)
+    funnels through this one writer, so exactly-once semantics (checkpoint
+    offsets + idempotent appends) are pinned in one place.
 
     ``available_now=True`` drains what's there and stops (test/cron mode);
     False runs continuously (micro-batch service mode)."""
-    raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
-    points = parse_ndjson(raw)
 
     def sink(batch: DataFrame, _batch_id: int) -> None:
         write_points(batch, table_path, mode="append")
@@ -89,6 +89,20 @@ def stream_ndjson(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ndjson(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-source streaming ingest → the shared points sink."""
+    raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
+    return stream_points_sink(
+        parse_ndjson(raw), table_path, checkpoint_dir, available_now
+    )
 
 
 def read_csv_points(spark: SparkSession, path: str) -> DataFrame:
@@ -127,10 +141,11 @@ def stream_kafka_points(
     spark: SparkSession, bootstrap_servers: str, topic: str
 ) -> DataFrame:
     """Kafka → streaming points (SURVEY §7.1 phase 6). Requires the
-    spark-sql-kafka package on the classpath at runtime; the parse path is
-    shared with file ingest (parse_kafka_values) and covered by tests. Sink
-    it with ``.writeStream.foreachBatch(lambda b, _: write_points(b, path,
-    mode="append"))`` exactly like stream_ndjson."""
+    spark-sql-kafka package on the classpath at runtime (DEPLOY.md); only
+    this ``.format("kafka").load()`` line needs a broker — everything after
+    it (parse_kafka_values → stream_points_sink) is pinned end-to-end by
+    ``tests/test_streaming.py::test_kafka_chain_end_to_end`` over a
+    binary-value file stream shaped exactly like Kafka records."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -138,3 +153,21 @@ def stream_kafka_points(
         .load()
     )
     return parse_kafka_values(raw)
+
+
+def stream_kafka_ingest(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Kafka → parse → durable hourly-partitioned table: the full ingest
+    service, one call. Composition of the two halves the tests pin."""
+    return stream_points_sink(
+        stream_kafka_points(spark, bootstrap_servers, topic),
+        table_path,
+        checkpoint_dir,
+        available_now,
+    )

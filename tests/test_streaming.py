@@ -142,3 +142,59 @@ def test_parse_kafka_values(spark):
     assert [r["ts"] for r in out] == [1000, 1060]
     assert out[0]["tags"] == {"h": "a"} and out[1]["tags"] == {}
     assert out[0]["series_id"] is not None and out[0]["hour_bucket"] == 0
+
+
+def test_kafka_chain_end_to_end(spark, tmp_path):
+    """VERDICT r05 item 6: drive the full Kafka ingest chain —
+    parse_kafka_values → stream_points_sink foreachBatch → durable
+    hour-partitioned table — end-to-end over a STREAMING source. No broker
+    in the sandbox, so the source is a file stream reshaped to the Kafka
+    record schema (binary `value` plus the metadata columns); everything
+    downstream of .format("kafka").load() is exactly stream_kafka_ingest's
+    composition."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sydradb_spark.ingest import parse_kafka_values, stream_points_sink
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    lines = [
+        {"series": "k.e2e", "ts": 1000, "value": 1.5, "tags": {"h": "a"}},
+        {"series": "k.e2e", "ts": 4600, "value": 2.5},
+        {"series": "k.other", "ts": 1000, "value": 10.0},
+    ]
+    (src / "part0.txt").write_text("\n".join(json.dumps(x) for x in lines) + "\n")
+
+    # Kafka record shape: value binary + key/topic/partition/offset metadata
+    raw = (
+        spark.readStream.text(str(src))
+        .select(
+            F.encode(F.col("value"), "UTF-8").alias("value"),
+            F.lit(None).cast("binary").alias("key"),
+            F.lit("points").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.lit(0).cast("long").alias("offset"),
+        )
+    )
+    table = str(tmp_path / "ktable")
+    q = stream_points_sink(
+        parse_kafka_values(raw), table, str(tmp_path / "kckpt"), available_now=True
+    )
+    q.awaitTermination()
+
+    stored = read_points(spark, table)
+    rows = {(r["series"], r["ts"]): r for r in stored.collect()}
+    assert set(rows) == {("k.e2e", 1000), ("k.e2e", 4600), ("k.other", 1000)}
+    assert rows[("k.e2e", 1000)]["tags"] == {"h": "a"}
+    assert rows[("k.e2e", 4600)]["tags"] == {}
+    # hour partitioning survived the streaming write (ts 4600 → hour 3600)
+    assert rows[("k.e2e", 4600)]["hour_bucket"] == 3600
+    # the second drain is a no-op (checkpoint offsets, not re-ingestion)
+    q2 = stream_points_sink(
+        parse_kafka_values(raw), table, str(tmp_path / "kckpt"), available_now=True
+    )
+    q2.awaitTermination()
+    assert read_points(spark, table).count() == 3
