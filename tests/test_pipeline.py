@@ -378,3 +378,50 @@ def test_ivf_indexed_equals_inline(spark, tmp_path):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, indexed.collect()))
     assert a == b and len(a) == 15  # 3 queries x k=5
+
+
+def test_audio_features_real_wav(spark):
+    """VERDICT r05 item 7: a real RIFF/WAVE payload goes through the stdlib
+    wave decode — sample_rate/duration from the header, RMS from the actual
+    samples (sine amplitude/sqrt(2)) — while non-WAV payloads keep the
+    deterministic fake fallback in the same batch."""
+    import io
+    import math
+    import struct
+    import wave
+
+    rate, dur, amp, freq = 8000, 0.5, 0.25, 440.0
+    n = int(rate * dur)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+                )
+                for i in range(n)
+            )
+        )
+    wav_bytes = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", wav_bytes, "audio/wav", len(wav_bytes)),
+            (2, "audio", b"hello not a wav", "application/octet-stream", 15),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(media).collect()
+    }
+    assert feats[1]["sample_rate"] == rate
+    assert feats[1]["duration_s"] == pytest.approx(dur)
+    assert feats[1]["rms"] == pytest.approx(amp / math.sqrt(2), rel=1e-2)
+    # the non-WAV row in the same batch took the deterministic fake path
+    fake_rate = 8000 + (ord("h") % 4) * 8000
+    assert feats[2]["sample_rate"] == fake_rate
+    assert feats[2]["rms"] == pytest.approx(ord("h") / 255.0)
