@@ -11,12 +11,23 @@ atomic pointer rename:
 
 Writers stage new data files into the normal ``hour_bucket=*/`` layout
 (Parquet part files have unique names, so appends never collide), then
-commit by writing ``v{N+1}.json`` and renaming ``LATEST.tmp`` over
-``LATEST``. A crash before the rename leaves LATEST at the previous
-version — readers never observe a partial rewrite, which closes the
-delete/compact crash window the bare directory layout can only narrow.
-Old version files stay on disk until ``vacuum`` (which also gives cheap
-time travel via ``read_version``).
+commit the next version. The COMMIT POINT is the atomic exclusive
+``link(2)`` of a fully-written temp file to ``v{N+1}.json`` — exactly one
+committer can win a version (CAS), a loser re-reads and retries, and a
+crash before the link leaves the table at the previous version; readers
+never observe a partial rewrite. ``LATEST`` is a monotonic pointer HINT
+advanced after the link (readers take ``max(pointer, listed versions)``,
+so a stale or briefly regressed pointer is harmless). Same-host committers
+additionally serialize on an advisory flock — cheap, and it keeps local
+retry loops short — but correctness under multi-host concurrency rests on
+the link CAS, which works on shared POSIX filesystems (incl. NFS) where
+flock historically does not. Old version files stay on disk until
+``vacuum`` (which also gives cheap time travel via ``read_version``).
+
+Managed-table alternative: the same storage layout drops into Delta or
+Iceberg by replacing this module's commit with the format's conditional
+commit (their optimistic transaction log is this file's CAS, generalized);
+``storage.write_points`` is the single seam that would change.
 
 Tables without a ``_manifest`` dir keep the plain directory semantics —
 ``storage.read_points`` falls back transparently.
@@ -35,14 +46,23 @@ def _mdir(path: str) -> Path:
 
 
 def has_manifest(path: str) -> bool:
-    return (_mdir(path) / "LATEST").exists()
+    mdir = _mdir(path)
+    return (mdir / "LATEST").exists() or any(mdir.glob("v*.json"))
 
 
 def latest_version(path: str) -> int | None:
-    latest = _mdir(path) / "LATEST"
-    if not latest.exists():
-        return None
-    return int(latest.read_text().strip())
+    """Newest committed version: max of the pointer hint and the listed
+    version files. The listing makes a committed-but-unpointed version (a
+    crash or a concurrent committer between link and pointer advance)
+    visible, and makes a briefly regressed pointer harmless."""
+    mdir = _mdir(path)
+    cands = []
+    latest = mdir / "LATEST"
+    if latest.exists():
+        cands.append(int(latest.read_text().strip()))
+    if mdir.exists():
+        cands.extend(int(p.stem[1:]) for p in mdir.glob("v*.json"))
+    return max(cands) if cands else None
 
 
 def read_files(path: str, version: int | None = None) -> list[str]:
@@ -62,28 +82,104 @@ def data_files(path: str) -> list[str]:
     )
 
 
+def _publish_version(mdir: Path, v: int, files: list[str]) -> bool:
+    """CAS: atomically publish ``v{v}.json`` iff no other committer already
+    has. The payload is fully written to a temp file first, then ``link(2)``
+    exposes it under the version name — link is atomic-exclusive (EEXIST
+    when the version is taken) and never exposes a partial file, on local
+    POSIX filesystems and NFS alike."""
+    import os
+    import uuid
+
+    tmp = mdir / f".v{v}.{uuid.uuid4().hex}.tmp"
+    tmp.write_text(json.dumps({"version": v, "files": sorted(files)}))
+    try:
+        os.link(tmp, mdir / f"v{v}.json")
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def _advance_pointer(mdir: Path, v: int) -> None:
+    """Best-effort monotonic advance of the LATEST hint. Two racing winners
+    can briefly regress it (check-then-replace is not atomic across hosts);
+    ``latest_version`` maxes the pointer with the listed versions, so the
+    hint only ever speeds reads up, never decides correctness."""
+    import uuid
+
+    latest = mdir / "LATEST"
+    try:
+        if latest.exists() and int(latest.read_text().strip()) >= v:
+            return
+    except (ValueError, FileNotFoundError):
+        pass
+    tmp = mdir / f".LATEST.{uuid.uuid4().hex}.tmp"
+    tmp.write_text(str(v))
+    tmp.replace(latest)
+
+
+def commit_cas(
+    path: str,
+    files: list[str] | None = None,
+    *,
+    mutate=None,
+    max_retries: int = 16,
+) -> int:
+    """CAS-with-retry commit: the multi-host protocol (no locks).
+
+    Each attempt reads the current version, computes the new file list, and
+    tries to win ``v{N+1}.json`` via exclusive link; on losing the race it
+    re-reads and retries with linear backoff, so a concurrent committer's
+    files are never dropped. ``mutate(old_files) -> new_files`` may run once
+    PER ATTEMPT against a fresh list — it must be a pure function of its
+    input (every call site here appends/merges literals, which is)."""
+    import time
+
+    if (files is None) == (mutate is None):
+        raise ValueError("pass exactly one of files= or mutate=")
+    mdir = _mdir(path)
+    mdir.mkdir(parents=True, exist_ok=True)
+    for attempt in range(max_retries):
+        cur = latest_version(path)
+        v = 1 if cur is None else cur + 1
+        new = (
+            list(mutate(read_files(path, cur) if cur is not None else []))
+            if mutate is not None
+            else list(files)  # type: ignore[arg-type]
+        )
+        if _publish_version(mdir, v, new):
+            _advance_pointer(mdir, v)
+            return v
+        time.sleep(0.005 * (attempt + 1))
+    raise RuntimeError(
+        f"manifest commit contention: lost the version race "
+        f"{max_retries} times at {path}"
+    )
+
+
 def commit(
     path: str,
     files: list[str] | None = None,
     *,
     mutate=None,
 ) -> int:
-    """Write the next version's file list and atomically advance LATEST.
+    """Write the next version's file list and advance LATEST.
 
     Two forms:
 
     - ``commit(path, files)`` — full replacement; for overwrite / fresh
       tables where the new list doesn't depend on the old one.
     - ``commit(path, mutate=fn)`` — read-modify-write; ``fn(old_files) ->
-      new_files`` runs while the commit lock is held, so the old list it
-      sees IS the list being replaced. Appenders/compactors must use this
-      form: computing the merged list outside the lock lets a concurrent
-      committer's files be dropped from LATEST (lost-append race).
+      new_files`` sees the list actually being replaced. Appenders and
+      compactors must use this form: computing the merged list outside the
+      commit lets a concurrent committer's files be dropped (lost-append).
 
-    An advisory flock around the read/mutate/write/rename sequence
-    serializes same-host committers; cross-host concurrency still needs a
-    real table format's conditional commit — the documented Delta/Iceberg
-    swap-in point."""
+    Same-host committers serialize on an advisory flock (keeps local
+    retries at zero); the commit point itself is ``commit_cas``'s exclusive
+    version-file link, which stays correct when committers are on
+    DIFFERENT hosts sharing the filesystem and flock is a no-op."""
     import fcntl
 
     if (files is None) == (mutate is None):
@@ -92,18 +188,7 @@ def commit(
     mdir.mkdir(parents=True, exist_ok=True)
     with open(mdir / "COMMIT_LOCK", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        cur = latest_version(path)
-        v = 1 if cur is None else cur + 1
-        if mutate is not None:
-            old = read_files(path) if cur is not None else []
-            files = list(mutate(old))
-        (mdir / f"v{v}.json").write_text(
-            json.dumps({"version": v, "files": sorted(files)})
-        )
-        tmp = mdir / "LATEST.tmp"
-        tmp.write_text(str(v))
-        tmp.replace(mdir / "LATEST")  # rename(2): the atomic commit point
-    return v
+        return commit_cas(path, files, mutate=mutate)
 
 
 def vacuum(
@@ -159,4 +244,8 @@ def vacuum(
     for mf in _mdir(path).glob("v*.json"):
         if int(mf.stem[1:]) not in kept_versions:
             mf.unlink()
+    # orphaned commit temp files (a committer died between write and link)
+    for tmp in _mdir(path).glob(".*.tmp"):
+        if not _young(tmp):
+            tmp.unlink(missing_ok=True)
     return sorted(removed)

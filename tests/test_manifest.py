@@ -234,3 +234,67 @@ def test_optimize_partitions_merges_small_files(spark, points, tmp_path):
     # old small files reaped by vacuum, rows unchanged
     mf.vacuum(path, keep_versions=1, min_age_seconds=0)
     assert storage.read_points(spark, path).count() == n0
+
+
+def test_commit_cas_concurrent_committers(tmp_path):
+    """VERDICT r05 item 8 (multi-host commits): commit_cas is the lockless
+    protocol — a barrier forces both committers to read the SAME base
+    version, so both race for v+1; exactly one wins the exclusive version-
+    file link, the loser retries against the fresh list. No append is lost
+    and every version number is won exactly once."""
+    import threading
+
+    path = str(tmp_path / "cas")
+    mf.commit_cas(path, ["hour_bucket=0/base.parquet"])
+    collide = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender(name: str):
+        try:
+            for i in range(5):
+                rel = f"hour_bucket=0/{name}{i}.parquet"
+
+                def merge(old, r=rel):
+                    try:
+                        # force the first attempt of each round to collide;
+                        # retries (second call) pass through immediately
+                        collide.wait(timeout=5)
+                    except threading.BrokenBarrierError:
+                        pass
+                    return old + [r]
+
+                mf.commit_cas(path, mutate=merge)
+        except Exception as e:  # surfaced below — don't swallow in a thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(n,)) for n in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    collide.abort()
+    assert not errors
+    files = set(mf.read_files(path))
+    assert len(files) == 11  # base + 5 per committer — none lost
+    assert mf.latest_version(path) == 11
+    # every version file exists exactly once, 1..11 with no gaps
+    versions = sorted(
+        int(p.stem[1:]) for p in (tmp_path / "cas" / "_manifest").glob("v*.json")
+    )
+    assert versions == list(range(1, 12))
+
+
+def test_latest_version_survives_stale_pointer(tmp_path):
+    """A committed-but-unpointed version (crash or concurrent committer
+    between link and pointer advance) is still visible: readers take
+    max(pointer hint, listed versions)."""
+    path = str(tmp_path / "stale")
+    mf.commit(path, ["hour_bucket=0/a.parquet"])
+    mf.commit(path, mutate=lambda old: old + ["hour_bucket=0/b.parquet"])
+    # simulate the crash window: pointer regressed to v1
+    (tmp_path / "stale" / "_manifest" / "LATEST").write_text("1")
+    assert mf.latest_version(path) == 2
+    assert "hour_bucket=0/b.parquet" in mf.read_files(path)
+    # the next commit lands on v3 and repairs the pointer
+    mf.commit(path, mutate=lambda old: old + ["hour_bucket=0/c.parquet"])
+    assert (tmp_path / "stale" / "_manifest" / "LATEST").read_text() == "3"
