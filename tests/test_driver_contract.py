@@ -136,7 +136,14 @@ def test_events_points_schema_and_count(spark):
 
 # Entries whose docstrings declare a deliberate brute-force/all-pairs path
 # (small or broadcast side) — cartesian shapes are expected there.
-_BRUTE_OK = {"knn_cosine_brute", "ngram_jaccard_topk", "ann_ivf_cosine"}
+# onerow_agg_semantics cross-joins three SINGLE-ROW aggregate frames (the
+# round-6 consolidation); a 1x1x1 nested-loop join is the intended plan.
+_BRUTE_OK = {
+    "knn_cosine_brute",
+    "ngram_jaccard_topk",
+    "ann_ivf_cosine",
+    "onerow_agg_semantics",
+}
 
 
 def _assert_plan_hygiene(name: str, df) -> None:
