@@ -30,6 +30,16 @@ from sydradb_spark.model import SECONDS_PER_HOUR
 POINT_COLS = ["series_id", "series", "tags", "ts", "value", "hour_bucket"]
 
 
+def _write_tasks(spark: SparkSession) -> int:
+    """Explicit shuffle width for partitioned writes. ``repartition(col)``
+    without a count plans REPARTITION_BY_COL, which AQE re-optimizes through
+    extra query stages — measured 3.5x slower than the pinned
+    REPARTITION_BY_NUM shuffle for the hour-partitioned write at identical
+    file layout (ROUND6_NOTES §10). The count follows the session's shuffle
+    sizing, which cluster_conf scales with the data."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Hour-partitioned write, ts-sorted within files (reference segment
     writer). One shuffle on hour_bucket; files within a partition are sorted
@@ -53,7 +63,7 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     before = set(mf.data_files(path)) if (manifested and mode == "append") else set()
     (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
-        .repartition(F.col("hour_bucket"))
+        .repartition(_write_tasks(df.sparkSession), F.col("hour_bucket"))
         .sortWithinPartitions("series_id", "ts")
         .write.partitionBy("hour_bucket")
         .mode(mode)
@@ -305,7 +315,7 @@ def optimize_partitions(
             F.col("hour_bucket").cast("long").alias("hour_bucket"),
             *extra,
         )
-        .repartition(F.col("hour_bucket"))
+        .repartition(_write_tasks(spark), F.col("hour_bucket"))
         .sortWithinPartitions("series_id", "ts")
         .write.partitionBy("hour_bucket")
         .mode("append")
@@ -397,7 +407,7 @@ def delete_where(
         # part files into the same directories is safe mid-job
         (
             remaining.select(*POINT_COLS, *extra)
-            .repartition(F.col("hour_bucket"))
+            .repartition(_write_tasks(remaining.sparkSession), F.col("hour_bucket"))
             .sortWithinPartitions("series_id", "ts")
             .write.partitionBy("hour_bucket")
             .mode("append")
