@@ -276,3 +276,44 @@ def test_chunked_moving_avg_property(spark):
             )
         ).count()
         assert bad == 0, f"trial={trial} dur={dur} chunk={chunk_s}: {bad} mismatches"
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_chunked_moving_avg_random_shapes(spark, seed):
+    """Randomized armor for the prefix-difference rewrite: irregular cadence,
+    duplicate timestamps, nulls, negative ts, dur vs chunk ratios — chunked
+    must equal the naive global RANGE frame everywhere."""
+    import random
+
+    rng = random.Random(seed)
+    dur = rng.choice([7, 30, 55])
+    chunk_s = rng.choice([20, 50, 64])
+    rows = []
+    for sid in (0, 1):
+        t = -rng.randint(0, 100)
+        for _ in range(rng.randint(40, 120)):
+            t += rng.choice([0, 1, 2, 3, 5, 11, 40])  # 0 → duplicate ts
+            v = None if rng.random() < 0.1 else round(rng.uniform(-5, 5), 3)
+            rows.append((sid, t, v))
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-dur, 0)
+    )
+    expected = df.withColumn("out", F.avg("value").over(w))
+    got = ck.with_chunked_moving_avg(df, "value", "out", dur, chunk_s=chunk_s)
+    cols = ["series_id", "ts", "value"]
+    e = sorted(
+        _collected(expected, cols + ["out"]), key=lambda t: (t[0], t[1], repr(t[2]))
+    )
+    g = sorted(
+        _collected(got, cols + ["out"]), key=lambda t: (t[0], t[1], repr(t[2]))
+    )
+    assert len(e) == len(g)
+    for (te, ge) in zip(e, g):
+        assert te[:3] == ge[:3]
+        if te[3] is None:
+            assert ge[3] is None
+        else:
+            assert ge[3] == pytest.approx(te[3], rel=1e-12)
