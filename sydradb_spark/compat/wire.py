@@ -1,13 +1,26 @@
-"""Minimal PostgreSQL v3 wire-protocol front-end (simple query only).
+"""PostgreSQL v3 wire-protocol front-end (simple + extended query).
 
 The reference serves pg clients over a socket (src/sydra/compat/wire/
 server.zig:249-429, session.zig:75-140): startup handshake → AuthenticationOk
-→ simple 'Q' queries answered with RowDescription / DataRow / CommandComplete.
-This is the same scope over the compat SQL→sydraQL translator and the Spark
-engine — extended-protocol messages (Parse/Bind/Execute), auth, and TLS are
-out of scope exactly as they are in the reference's simple-query path (TLS
-requests are answered 'N' = not supported, like server.zig's SSLRequest
-handling).
+→ simple 'Q' queries answered with RowDescription / DataRow / CommandComplete;
+extended-protocol messages get targeted 0A000 errors (server.zig:184-247).
+This front-end goes BEYOND the reference there: Parse/Bind/Describe/Execute/
+Close/Flush/Sync are implemented (text format, $N parameters substituted as
+literals), so psycopg3- and JDBC-default connections — which always use the
+extended protocol — work against the same translator + engine path as psql.
+Auth and TLS stay out of scope like the reference (TLS requests answered 'N').
+
+Extended-protocol semantics notes:
+- Statements are prepared per connection; portals bind text-format
+  parameters ($N → quoted/numeric literal; binary format codes → 0A000).
+- A portal's statement runs ONCE (at Describe or Execute, whichever comes
+  first) and the result is cached on the portal — a Describe of an INSERT
+  portal therefore executes it early rather than twice; within one Sync
+  batch a client cannot observe the difference.
+- Execute answers with the same response content as the simple-query path
+  (summary rows for INSERT/DELETE, SELECT command tags) — consistency with
+  'Q' beats byte-exact pg command tags for this compat shim.
+- After an error the session skips messages until Sync, per protocol.
 
 Production posture: this front-end is a thin driver-side shim for pg-client
 compatibility (psql, BI tools poking at results). Heavy concurrent SQL
@@ -18,6 +31,7 @@ Text-format encoding only (format code 0), which every client supports.
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
@@ -154,10 +168,47 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+class _WireError(Exception):
+    """Protocol-level error with a SQLSTATE; the session skips to Sync."""
+
+    def __init__(self, message: str, sqlstate: str = "0A000"):
+        super().__init__(message)
+        self.message = message
+        self.sqlstate = sqlstate
+
+
+_NUMERIC_PARAM = re.compile(r"-?\d+(\.\d+)?([eE][+-]?\d+)?")
+_PLACEHOLDER = re.compile(r"\$(\d+)")
+
+
+def _substitute_params(sql: str, params: list[bytes | None]) -> str:
+    """$N placeholders → literals (text-format parameters). Numeric-looking
+    values pass through bare, everything else is a ''-escaped string, NULL
+    params become ``null``. Placeholders inside string literals are not
+    protected — psql/driver-generated SQL never puts them there."""
+
+    def repl(m: re.Match) -> str:
+        i = int(m.group(1)) - 1
+        if i < 0 or i >= len(params):
+            raise _WireError(f"no parameter ${m.group(1)}", "08P01")
+        v = params[i]
+        if v is None:
+            return "null"
+        s = v.decode("utf-8", "replace")
+        if _NUMERIC_PARAM.fullmatch(s):
+            return s
+        return "'" + s.replace("'", "''") + "'"
+
+    return _PLACEHOLDER.sub(repl, sql)
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901 — one message loop, kept together
         server: PgWireServer = self.server.pgwire  # type: ignore[attr-defined]
         sock = self.request
+        self._stmts: dict[str, str] = {}
+        self._portals: dict[str, dict] = {}
+        self._skip_to_sync = False
         try:
             self._startup(sock)
             self._ready(sock)
@@ -169,19 +220,29 @@ class _Handler(socketserver.BaseRequestHandler):
                 payload = _recv_exact(sock, length - 4)
                 if tag == b"X":  # Terminate
                     return
-                if tag == b"P":  # Parse — targeted response, server.zig:184-247
-                    self._parse_message(sock, payload)
+                if tag == b"S":  # Sync — close error window, ReadyForQuery
+                    self._skip_to_sync = False
+                    self._portals.pop("", None)  # unnamed portal ends at Sync
                     self._ready(sock)
                     continue
-                if tag == b"S":  # Sync — bare ReadyForQuery (server.zig:112)
-                    self._ready(sock)
+                if tag in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                    if self._skip_to_sync:
+                        continue  # protocol: discard until Sync after error
+                    try:
+                        self._extended(sock, server, tag, payload)
+                    except _WireError as we:
+                        sock.sendall(_error_response(we.message, we.sqlstate))
+                        self._skip_to_sync = True
+                    except Exception as exc:  # noqa: BLE001 — pg error
+                        sock.sendall(
+                            _error_response(str(exc).split("\n")[0][:500], "XX000")
+                        )
+                        self._skip_to_sync = True
                     continue
                 if tag != b"Q":
                     sock.sendall(
                         _error_response(
-                            f"unsupported message type {tag!r} "
-                            "(simple query protocol only)",
-                            "0A000",
+                            f"unsupported message type {tag!r}", "0A000"
                         )
                     )
                     self._ready(sock)
@@ -191,6 +252,177 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._ready(sock)
         except (ConnectionError, OSError):
             return
+
+    # --- extended protocol -------------------------------------------------
+    def _extended(self, sock, server: "PgWireServer", tag: bytes, payload: bytes) -> None:
+        if tag == b"P":
+            self._ext_parse(sock, payload)
+        elif tag == b"B":
+            self._ext_bind(sock, payload)
+        elif tag == b"D":
+            self._ext_describe(sock, server, payload)
+        elif tag == b"E":
+            self._ext_execute(sock, server, payload)
+        elif tag == b"C":
+            self._ext_close(sock, payload)
+        # b"H" Flush: every response is already written unbuffered — no-op
+
+    @staticmethod
+    def _cstring(buf: bytes, off: int) -> tuple[str, int]:
+        end = buf.index(b"\x00", off)
+        return buf[off:end].decode("utf-8", "replace"), end + 1
+
+    def _ext_parse(self, sock, payload: bytes) -> None:
+        """Parse: validate the frame, pre-check translatability (so an
+        unsupported statement errors HERE with the translator's sqlstate,
+        like the reference's targeted responses), store the statement."""
+        from sydradb_spark.compat.translator import translate
+
+        try:
+            name, off = self._cstring(payload, 0)
+            sql, off = self._cstring(payload, off)
+        except ValueError:
+            raise _WireError("malformed parse message", "08P01") from None
+        if len(payload) < off + 2:
+            raise _WireError("parse message truncated", "08P01")
+        (n_params,) = struct.unpack("!H", payload[off : off + 2])
+        if len(payload) < off + 2 + n_params * 4:
+            raise _WireError("parse message truncated", "08P01")
+        from sydradb_spark.compat import catalog as pg_catalog
+
+        if not pg_catalog.is_catalog_query(sql):
+            # neutralize $N so placeholders can't break the shape check
+            t = translate(_PLACEHOLDER.sub("0", sql.strip()))
+            if not t.ok:
+                raise _WireError(
+                    t.message or "translation failed", t.sqlstate or "0A000"
+                )
+        self._stmts[name] = sql.strip()
+        sock.sendall(_msg(b"1", b""))  # ParseComplete
+
+    def _ext_bind(self, sock, payload: bytes) -> None:
+        try:
+            portal, off = self._cstring(payload, 0)
+            stmt, off = self._cstring(payload, off)
+            (n_fmt,) = struct.unpack("!H", payload[off : off + 2])
+            off += 2
+            fmts = struct.unpack(f"!{n_fmt}H", payload[off : off + 2 * n_fmt])
+            off += 2 * n_fmt
+            (n_params,) = struct.unpack("!H", payload[off : off + 2])
+            off += 2
+            params: list[bytes | None] = []
+            for i in range(n_params):
+                (ln,) = struct.unpack("!i", payload[off : off + 4])
+                off += 4
+                if ln == -1:
+                    params.append(None)
+                else:
+                    params.append(payload[off : off + ln])
+                    off += ln
+                if n_fmt and fmts[i if n_fmt > 1 else 0] == 1:
+                    raise _WireError("binary parameter format not supported")
+            (n_rfmt,) = struct.unpack("!H", payload[off : off + 2])
+            off += 2
+            rfmts = struct.unpack(f"!{n_rfmt}H", payload[off : off + 2 * n_rfmt])
+        except (ValueError, struct.error):
+            raise _WireError("malformed bind message", "08P01") from None
+        if any(f == 1 for f in rfmts):
+            raise _WireError("binary result format not supported")
+        if stmt not in self._stmts:
+            raise _WireError(f"prepared statement {stmt!r} not found", "26000")
+        self._portals[portal] = {
+            "sql": _substitute_params(self._stmts[stmt], params)
+        }
+        sock.sendall(_msg(b"2", b""))  # BindComplete
+
+    def _prepare_portal(self, server: "PgWireServer", portal: dict) -> None:
+        """Run the portal's statement once; cache fields/rows (catalog) or
+        the lazy frame (engine) for Describe + Execute to share."""
+        if "kind" in portal:
+            return
+        from sydradb_spark.compat import catalog as pg_catalog
+        from sydradb_spark.compat.translator import translate
+
+        sql = portal["sql"]
+        if pg_catalog.is_catalog_query(sql):
+            from sydradb_spark import metrics
+
+            metrics.inc("sydra_compat_catalog_queries_total")
+            try:
+                fields, rows = server.catalog.execute(sql)
+            except Exception as exc:  # noqa: BLE001
+                raise _WireError(str(exc).split("\n")[0][:500], "42P01") from None
+            portal.update(kind="catalog", fields=fields, rows=rows)
+            return
+        t = translate(sql)
+        if not t.ok:
+            raise _WireError(t.message or "not supported", t.sqlstate or "0A000")
+        try:
+            result = server.engine.query(t.sydraql)
+            df = result.df.limit(server.max_rows)
+            fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        except Exception as exc:  # noqa: BLE001
+            raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
+        portal.update(kind="engine", df=df, result=result, fields=fields)
+
+    def _ext_describe(self, sock, server: "PgWireServer", payload: bytes) -> None:
+        try:
+            kind = payload[0:1].decode()
+            name, _ = self._cstring(payload, 1)
+        except (ValueError, IndexError):
+            raise _WireError("malformed describe message", "08P01") from None
+        if kind == "S":
+            if name not in self._stmts:
+                raise _WireError(f"prepared statement {name!r} not found", "26000")
+            n = len(set(_PLACEHOLDER.findall(self._stmts[name])))
+            # ParameterDescription: oid 0 = unspecified (engine is untyped here)
+            sock.sendall(_msg(b"t", struct.pack("!H", n) + b"\x00\x00\x00\x00" * n))
+            # RowDescription needs a bound portal; statement-describe answers
+            # NoData like an unexecutable shape — drivers re-Describe the portal
+            sock.sendall(_msg(b"n", b""))
+            return
+        if name not in self._portals:
+            raise _WireError(f"portal {name!r} not found", "34000")
+        portal = self._portals[name]
+        self._prepare_portal(server, portal)
+        if portal.get("fields"):
+            sock.sendall(_row_description(portal["fields"]))
+        else:
+            sock.sendall(_msg(b"n", b""))  # NoData
+
+    def _ext_execute(self, sock, server: "PgWireServer", payload: bytes) -> None:
+        try:
+            name, off = self._cstring(payload, 0)
+            # int32 row limit follows; 0 = no limit (we cap at max_rows anyway)
+        except ValueError:
+            raise _WireError("malformed execute message", "08P01") from None
+        if name not in self._portals:
+            raise _WireError(f"portal {name!r} not found", "34000")
+        portal = self._portals[name]
+        self._prepare_portal(server, portal)
+        fields = portal["fields"]
+        if portal["kind"] == "catalog":
+            rows = portal["rows"]
+            for row in rows:
+                sock.sendall(_data_row(list(row)))
+            sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
+            return
+        try:
+            collected = portal["df"].collect()
+        except Exception as exc:  # noqa: BLE001
+            raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
+        for row in collected:
+            sock.sendall(_data_row([row[n] for n, _ in fields]))
+        sock.sendall(_msg(b"C", f"SELECT {len(collected)}".encode() + b"\x00"))
+
+    def _ext_close(self, sock, payload: bytes) -> None:
+        try:
+            kind = payload[0:1].decode()
+            name, _ = self._cstring(payload, 1)
+        except (ValueError, IndexError):
+            raise _WireError("malformed close message", "08P01") from None
+        (self._stmts if kind == "S" else self._portals).pop(name, None)
+        sock.sendall(_msg(b"3", b""))  # CloseComplete
 
     def _startup(self, sock: socket.socket) -> None:
         while True:
@@ -210,45 +442,6 @@ class _Handler(socketserver.BaseRequestHandler):
     @staticmethod
     def _ready(sock: socket.socket) -> None:
         sock.sendall(_msg(b"Z", b"I"))
-
-    @staticmethod
-    def _parse_message(sock: socket.socket, payload: bytes) -> None:
-        """Extended-protocol Parse ('P'): validate the frame and answer the
-        reference's TARGETED errors (compat/wire/server.zig:184-247) instead
-        of a generic unsupported-tag response — psycopg3-default connections
-        see '0A000 extended protocol not implemented yet' for translatable
-        SQL, the translator's own sqlstate for untranslatable SQL, and
-        '08P01' for malformed frames."""
-        from sydradb_spark.compat.translator import translate
-
-        def _cstring(buf: bytes, off: int) -> tuple[str, int]:
-            end = buf.index(b"\x00", off)
-            return buf[off:end].decode("utf-8", "replace"), end + 1
-
-        try:
-            _name, off = _cstring(payload, 0)
-            sql, off = _cstring(payload, off)
-        except ValueError:
-            sock.sendall(_error_response("malformed parse message", "08P01"))
-            return
-        if len(payload) < off + 2:
-            sock.sendall(_error_response("parse message truncated", "08P01"))
-            return
-        (n_params,) = struct.unpack("!H", payload[off : off + 2])
-        if len(payload) < off + 2 + n_params * 4:
-            sock.sendall(_error_response("parse message truncated", "08P01"))
-            return
-        t = translate(sql.strip())
-        if t.ok:
-            sock.sendall(
-                _error_response("extended protocol not implemented yet", "0A000")
-            )
-        else:
-            sock.sendall(
-                _error_response(
-                    t.message or "translation failed", t.sqlstate or "0A000"
-                )
-            )
 
     @staticmethod
     def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:

@@ -126,11 +126,13 @@ def test_pgwire_ssl_refused_then_ok(wire):
 
 
 def _parse_message(sock, sql, n_params=0, truncate=False):
-    """Send an extended-protocol Parse ('P') frame and read to ReadyForQuery."""
+    """Send Parse ('P') + Sync and read to ReadyForQuery; returns the error
+    fields (None on ParseComplete)."""
     body = b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", n_params)
     if truncate:
         body = body[:-1]
     sock.sendall(b"P" + struct.pack("!I", len(body) + 4) + body)
+    sock.sendall(b"S" + struct.pack("!I", 4))
     err = None
     while True:
         tag, payload = _read_msg(sock)
@@ -144,25 +146,18 @@ def _parse_message(sock, sql, n_params=0, truncate=False):
             return err
 
 
-def test_pgwire_parse_message_targeted_0a000(wire):
-    """Parse ('P') gets the reference's targeted responses
-    (compat/wire/server.zig:184-247): translatable SQL → 0A000 'extended
-    protocol not implemented yet'; untranslatable SQL → the translator's
-    sqlstate; malformed frame → 08P01. Connection survives all three."""
+def test_pgwire_parse_message_responses(wire):
+    """Parse ('P'): translatable SQL → ParseComplete (beyond the reference's
+    0A000 — the extended protocol is implemented here); untranslatable SQL →
+    the translator's sqlstate AT PARSE TIME (the reference's targeted-error
+    spirit); malformed frame → 08P01. Connection survives all of it."""
     sock = _connect(wire.addr)
     err = _parse_message(sock, "SELECT value FROM cpu.total WHERE time > 0")
-    assert err is not None and err["C"] == "0A000"
-    assert "extended protocol" in err["M"]
+    assert err is None  # ParseComplete, no error
     err2 = _parse_message(sock, "CREATE TABLE nope (x int)")
     assert err2 is not None and err2["C"] == "0A000"
-    assert "extended protocol" not in err2["M"]  # translator fallback message
     err3 = _parse_message(sock, "SELECT 1", truncate=True)
     assert err3 is not None and err3["C"] == "08P01"
-    # Sync ('S') answers a bare ReadyForQuery, no error (server.zig:112) —
-    # this is how an extended-protocol client resyncs after the Parse error
-    sock.sendall(b"S" + struct.pack("!I", 4))
-    tag, payload = _read_msg(sock)
-    assert tag == b"Z" and payload == b"I"
     # simple query still works on the same connection afterwards
     _, rows, err4 = _simple_query(sock, "SELECT 1")
     assert err4 is None and rows == [["1"]]
@@ -246,4 +241,108 @@ def test_pgwire_notice_diagnostics(wire):
         sock, "SELECT count(*) FROM pg_catalog.pg_class"
     )
     assert err2 is None and notices2 == []
+    sock.close()
+
+
+def _send(sock, tag, body):
+    sock.sendall(tag + struct.pack("!I", len(body) + 4) + body)
+
+
+def _ext_bind(sock, portal=b"", stmt=b"", params=()):
+    body = portal + b"\x00" + stmt + b"\x00"
+    body += struct.pack("!H", 0)  # all-text param formats
+    body += struct.pack("!H", len(params))
+    for p in params:
+        if p is None:
+            body += struct.pack("!i", -1)
+        else:
+            body += struct.pack("!I", len(p)) + p
+    body += struct.pack("!H", 0)  # all-text result formats
+    _send(sock, b"B", body)
+
+
+def _drain_to_ready(sock):
+    msgs = []
+    while True:
+        tag, payload = _read_msg(sock)
+        msgs.append((tag, payload))
+        if tag == b"Z":
+            return msgs
+
+
+def test_pgwire_extended_protocol_roundtrip(wire):
+    """Full extended-protocol cycle (beyond the reference): Parse named
+    statement with a $1 parameter -> Bind twice with different values ->
+    Describe portal -> Execute -> Close -> Sync. This is the message flow
+    psycopg3/JDBC default connections use."""
+    sock = _connect(wire.addr)
+    sql = b"SELECT time, value FROM cpu.total WHERE time >= $1 AND time < 1000060"
+    _send(sock, b"P", b"s1\x00" + sql + b"\x00" + struct.pack("!H", 0))
+    _ext_bind(sock, portal=b"p1", stmt=b"s1", params=[b"1000000"])
+    _send(sock, b"D", b"P" + b"p1\x00")
+    _send(sock, b"E", b"p1\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    tags = [t for t, _ in msgs]
+    assert tags[0] == b"1"  # ParseComplete
+    assert tags[1] == b"2"  # BindComplete
+    assert tags[2] == b"T"  # RowDescription from Describe
+    n_rows = tags.count(b"D")
+    assert n_rows == 5  # same rowset as the simple-query test
+    complete = [p for t, p in msgs if t == b"C"]
+    assert complete == [b"SELECT 5\x00"]
+    assert b"E" not in tags
+
+    # rebind the SAME statement with a different parameter → 3 rows
+    _ext_bind(sock, portal=b"p2", stmt=b"s1", params=[b"1000015"])
+    _send(sock, b"E", b"p2\x00" + struct.pack("!i", 0))
+    _send(sock, b"C", b"S" + b"s1\x00")  # Close statement
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs2 = _drain_to_ready(sock)
+    tags2 = [t for t, _ in msgs2]
+    assert tags2[0] == b"2" and tags2.count(b"D") == 3
+    assert b"3" in tags2  # CloseComplete
+    # statement gone now: Bind → 26000, then skip-to-Sync
+    _ext_bind(sock, portal=b"p3", stmt=b"s1", params=[b"0"])
+    _send(sock, b"E", b"p3\x00" + struct.pack("!i", 0))  # must be skipped
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs3 = _drain_to_ready(sock)
+    errs = [p for t, p in msgs3 if t == b"E"]
+    assert len(errs) == 1 and b"26000" in errs[0]
+    assert [t for t, _ in msgs3].count(b"D") == 0  # Execute was discarded
+    sock.close()
+
+
+def test_pgwire_extended_string_param_and_catalog(wire):
+    """String parameters are quoted into literals; catalog introspection
+    works through the extended path too (drivers probe pg_type via
+    Parse/Bind/Execute)."""
+    sock = _connect(wire.addr)
+    # unnamed statement + portal, string param used in a projection
+    _send(
+        sock,
+        b"P",
+        b"\x00SELECT $1 AS label\x00" + struct.pack("!H", 0),
+    )
+    _ext_bind(sock, params=[b"it's text"])
+    _send(sock, b"D", b"P" + b"\x00")
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    rows = [p for t, p in msgs if t == b"D"]
+    assert len(rows) == 1 and b"it's text" in rows[0]
+
+    # catalog probe through extended protocol
+    _send(
+        sock,
+        b"P",
+        b"\x00SELECT typname FROM pg_catalog.pg_type WHERE oid = $1\x00"
+        + struct.pack("!H", 0),
+    )
+    _ext_bind(sock, params=[b"25"])
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs2 = _drain_to_ready(sock)
+    rows2 = [p for t, p in msgs2 if t == b"D"]
+    assert len(rows2) == 1 and b"text" in rows2[0]
     sock.close()
