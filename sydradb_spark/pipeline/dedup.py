@@ -385,3 +385,41 @@ def minhash_near_dup_clusters(
     """(doc_id, cluster_id) for every doc in a non-trivial near-dup component
     (MinHash-LSH pairs at ``threshold`` → connected components)."""
     return cluster_pairs(minhash_near_dups(docs, threshold, text_col))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus curation — the canonical training-data pipeline,
+    one composition: quality gate → exact dedup → near-dup collapse.
+
+    1. score + filter: `text.quality_score` (pure column expressions) drops
+       documents under ``min_quality``;
+    2. exact dedup: one combining shuffle on the content md5, deterministic
+       min-doc_id keeper;
+    3. near-dup collapse: MinHash-LSH pairs at ``near_dup_threshold`` →
+       connected components → keep each component's min doc_id.
+
+    Returns the SURVIVING docs with their quality score and a ``dropped``
+    lineage frame is intentionally not materialized — at 100 TB the keep
+    set is the product; audit trails come from re-running the stages, all
+    of which are deterministic. Stage order matters for cost: the quality
+    gate is the cheapest filter and runs first so dedup never shuffles
+    rejected docs; near-dup (the only multi-shuffle stage) sees the
+    smallest surviving set.
+    """
+    from sydradb_spark.pipeline.text import quality_score
+
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    kept = scored.where(F.col("quality") >= min_quality)
+    deduped = exact_dedup(kept, text_col)
+    clusters = cluster_pairs(
+        minhash_near_dups(deduped, near_dup_threshold, text_col)
+    )
+    # each near-dup component keeps its min doc_id; docs in no component
+    # (cluster frame only holds non-trivial components) survive untouched
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return deduped.join(losers, on="doc_id", how="anti")

@@ -425,3 +425,27 @@ def test_audio_features_real_wav(spark):
     fake_rate = 8000 + (ord("h") % 4) * 8000
     assert feats[2]["sample_rate"] == fake_rate
     assert feats[2]["rms"] == pytest.approx(ord("h") / 255.0)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The capstone composition: quality gate -> exact dedup -> near-dup
+    collapse, each stage's effect observable in the survivor set."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away home "
+        "with many fine words of a reasonable length for quality scoring"
+    )
+    near = good + " plus a tiny tail"
+    rows = [
+        (1, good),        # keeper (min doc_id of exact+near group)
+        (2, good),        # exact dup of 1 -> dropped
+        (3, near),        # near dup of 1 -> dropped
+        (4, "x"),         # fails the quality gate -> dropped
+        (5, "an entirely different document about completely other topics "
+            "discussing spark catalyst optimizer internals in plain words "
+            "written long enough to pass the quality gate easily today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.curate_corpus(docs, min_quality=0.6, near_dup_threshold=0.4)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 5]
+    assert all(r["quality"] >= 0.6 for r in out.collect())
