@@ -102,6 +102,16 @@ def _translate(sql: str) -> tuple[Translation, str]:
     if s.lower() == "select 1":
         return Translation(ok=True, sydraql="select 1"), "select_literal"
 
+    m = re.match(r"explain\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        # EXPLAIN <inner>: translate the inner statement, re-prefix — psql
+        # users get the engine's formatted Spark plan (beyond the reference
+        # translator, which has no EXPLAIN shape; the sydraQL engine does)
+        inner, cls = _translate(m.group(1))
+        if inner.ok:
+            return Translation(ok=True, sydraql=f"explain {inner.sydraql}"), "explain"
+        return inner, "explain"
+
     m = re.match(r"select\s+(.+?)\s+from\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
     if m:
         cols_raw, rest = m.group(1).strip(), m.group(2).strip()

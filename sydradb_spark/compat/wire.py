@@ -340,9 +340,11 @@ class _Handler(socketserver.BaseRequestHandler):
         the lazy frame (engine) for Describe + Execute to share."""
         if "kind" in portal:
             return
+        from sydradb_spark import metrics
         from sydradb_spark.compat import catalog as pg_catalog
         from sydradb_spark.compat.translator import translate
 
+        metrics.inc("sydra_compat_queries_total")
         sql = portal["sql"]
         if pg_catalog.is_catalog_query(sql):
             from sydradb_spark import metrics

@@ -346,3 +346,21 @@ def test_pgwire_extended_string_param_and_catalog(wire):
     rows2 = [p for t, p in msgs2 if t == b"D"]
     assert len(rows2) == 1 and b"text" in rows2[0]
     sock.close()
+
+
+def test_pgwire_explain_passthrough(wire):
+    """EXPLAIN SELECT through the wire: the translator re-prefixes the
+    translated inner statement and the engine answers with the formatted
+    Spark plan (beyond the reference translator, which has no EXPLAIN)."""
+    sock = _connect(wire.addr)
+    cols, rows, err = _simple_query(
+        sock,
+        "EXPLAIN SELECT value FROM cpu.total WHERE time >= 1000000 AND time < 1000060",
+    )
+    assert err is None and cols == ["plan"]
+    plan_text = "\n".join(r[0] for r in rows if r[0])
+    assert "Physical Plan" in plan_text or "Scan" in plan_text
+    # untranslatable inner statements keep their fallback sqlstate
+    _, _, err2 = _simple_query(sock, "EXPLAIN UPDATE t SET x = 1")
+    assert err2 is not None and err2["C"] == "0A000"
+    sock.close()
