@@ -91,18 +91,37 @@ def stream_points_sink(
     return writer.start()
 
 
+def dedupe_stream(points: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Suppress producer-retry duplicates at ingest: exact (series_id, ts,
+    value) repeats arriving within ``watermark`` of event time are dropped
+    by Spark's watermarked dedup state. Beyond the reference (which accepts
+    all points and dedups at compaction) — compaction's last-wins stays the
+    backstop for duplicates that outlive the watermark, so the two layers
+    compose. State size is bounded by the watermark horizon."""
+    return (
+        points.withColumn("__event_time", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("__event_time", watermark)
+        .dropDuplicatesWithinWatermark(["series_id", "ts", "value"])
+        .drop("__event_time")
+    )
+
+
 def stream_ndjson(
     spark: SparkSession,
     source_dir: str,
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    dedupe_watermark: str | None = None,
 ) -> StreamingQuery:
-    """File-source streaming ingest → the shared points sink."""
+    """File-source streaming ingest → the shared points sink; pass
+    ``dedupe_watermark`` (e.g. "1 hour") to drop producer-retry duplicates
+    within that event-time horizon."""
     raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
-    return stream_points_sink(
-        parse_ndjson(raw), table_path, checkpoint_dir, available_now
-    )
+    points = parse_ndjson(raw)
+    if dedupe_watermark is not None:
+        points = dedupe_stream(points, dedupe_watermark)
+    return stream_points_sink(points, table_path, checkpoint_dir, available_now)
 
 
 def read_csv_points(spark: SparkSession, path: str) -> DataFrame:

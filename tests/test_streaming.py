@@ -198,3 +198,44 @@ def test_kafka_chain_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination()
     assert read_points(spark, table).count() == 3
+
+
+def test_stream_ingest_dedupe_watermark(spark, tmp_path):
+    """dedupe_watermark drops producer-retry duplicates within the
+    event-time horizon: a line repeated across source files lands once,
+    distinct points all land, and (series, ts) pairs with DIFFERENT values
+    are both kept (dedup key includes value — it suppresses retries, not
+    legitimate revisions; compaction's last-wins handles those)."""
+    import json
+    import os
+    import time as _time
+
+    from sydradb_spark.ingest import stream_ndjson
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    a = {"series": "d.s", "ts": 1000, "value": 1.0}
+    b = {"series": "d.s", "ts": 1060, "value": 2.0}
+    c = {"series": "d.s", "ts": 1120, "value": 3.0}
+    rev = {"series": "d.s", "ts": 1060, "value": 9.0}  # revision, kept
+    (src / "f0.ndjson").write_text("\n".join(map(json.dumps, [a, b])) + "\n")
+    (src / "f1.ndjson").write_text("\n".join(map(json.dumps, [a, c, rev])) + "\n")
+    os.utime(src / "f0.ndjson", (1, 1))
+    os.utime(src / "f1.ndjson", (2, 2))
+    _time.sleep(0.01)
+
+    table = str(tmp_path / "dtable")
+    q = stream_ndjson(
+        spark,
+        str(src),
+        table,
+        str(tmp_path / "dckpt"),
+        available_now=True,
+        dedupe_watermark="1 hour",
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["ts"], r["value"]) for r in read_points(spark, table).collect()
+    )
+    assert rows == [(1000, 1.0), (1060, 2.0), (1060, 9.0), (1120, 3.0)]
