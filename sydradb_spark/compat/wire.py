@@ -379,8 +379,17 @@ class _Handler(socketserver.BaseRequestHandler):
             n = len(set(_PLACEHOLDER.findall(self._stmts[name])))
             # ParameterDescription: oid 0 = unspecified (engine is untyped here)
             sock.sendall(_msg(b"t", struct.pack("!H", n) + b"\x00\x00\x00\x00" * n))
-            # RowDescription needs a bound portal; statement-describe answers
-            # NoData like an unexecutable shape — drivers re-Describe the portal
+            if n == 0:
+                # parameter-less statement: a real RowDescription (JDBC's
+                # Parse→Describe(S)→Bind→Execute flow builds its result
+                # metadata from this) — prepare through a throwaway portal
+                portal = {"sql": self._stmts[name]}
+                self._prepare_portal(server, portal)
+                if portal.get("fields"):
+                    sock.sendall(_row_description(portal["fields"]))
+                    return
+            # parameterized (schema can depend on the values) → NoData;
+            # drivers fall back to the portal describe after Bind
             sock.sendall(_msg(b"n", b""))
             return
         if name not in self._portals:

@@ -364,3 +364,32 @@ def test_pgwire_explain_passthrough(wire):
     _, _, err2 = _simple_query(sock, "EXPLAIN UPDATE t SET x = 1")
     assert err2 is not None and err2["C"] == "0A000"
     sock.close()
+
+
+def test_pgwire_describe_statement(wire):
+    """Describe('S'): ParameterDescription always; a parameter-less
+    statement also gets a real RowDescription (the JDBC
+    Parse->Describe(S)->Bind->Execute flow builds result metadata from it),
+    a parameterized one answers NoData."""
+    sock = _connect(wire.addr)
+    _send(sock, b"P", b"d0\x00SELECT 1 AS one\x00" + struct.pack("!H", 0))
+    _send(sock, b"D", b"S" + b"d0\x00")
+    _send(
+        sock,
+        b"P",
+        b"d1\x00SELECT value FROM cpu.total WHERE time >= $1 AND time < $2\x00"
+        + struct.pack("!H", 0),
+    )
+    _send(sock, b"D", b"S" + b"d1\x00")
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    tags = [t for t, _ in msgs]
+    # d0: ParseComplete, ParamDesc(0), RowDescription
+    # d1: ParseComplete, ParamDesc(2), NoData
+    assert tags == [b"1", b"t", b"T", b"1", b"t", b"n", b"Z"]
+    pd0, pd1 = [p for t, p in msgs if t == b"t"]
+    assert struct.unpack("!H", pd0[:2])[0] == 0
+    assert struct.unpack("!H", pd1[:2])[0] == 2
+    rowdesc = [p for t, p in msgs if t == b"T"][0]
+    assert b"one" in rowdesc
+    sock.close()
