@@ -411,11 +411,17 @@ class _Handler(socketserver.BaseRequestHandler):
             raise _WireError(f"portal {name!r} not found", "34000")
         portal = self._portals[name]
         self._prepare_portal(server, portal)
+        if portal.get("done"):
+            # a completed portal has no more rows: re-Execute answers an
+            # empty completion, not a replay of the rowset
+            sock.sendall(_msg(b"C", b"SELECT 0\x00"))
+            return
         fields = portal["fields"]
         if portal["kind"] == "catalog":
             rows = portal["rows"]
             for row in rows:
                 sock.sendall(_data_row(list(row)))
+            portal["done"] = True
             sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
             return
         try:
@@ -424,6 +430,7 @@ class _Handler(socketserver.BaseRequestHandler):
             raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
         for row in collected:
             sock.sendall(_data_row([row[n] for n, _ in fields]))
+        portal["done"] = True
         sock.sendall(_msg(b"C", f"SELECT {len(collected)}".encode() + b"\x00"))
 
     def _ext_close(self, sock, payload: bytes) -> None:

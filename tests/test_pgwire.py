@@ -393,3 +393,20 @@ def test_pgwire_describe_statement(wire):
     rowdesc = [p for t, p in msgs if t == b"T"][0]
     assert b"one" in rowdesc
     sock.close()
+
+
+def test_pgwire_portal_exhaustion(wire):
+    """Re-Executing a completed portal answers an empty completion, not a
+    replay of the rowset (protocol: a portal's rows are consumed once)."""
+    sock = _connect(wire.addr)
+    _send(sock, b"P", b"\x00SELECT 1 AS one\x00" + struct.pack("!H", 0))
+    _ext_bind(sock)
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))  # re-execute
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    tags = [t for t, _ in msgs]
+    assert tags.count(b"D") == 1  # the row came back exactly once
+    completes = [p for t, p in msgs if t == b"C"]
+    assert completes == [b"SELECT 1\x00", b"SELECT 0\x00"]
+    sock.close()
