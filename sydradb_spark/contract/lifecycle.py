@@ -70,20 +70,6 @@ def _compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "compact_last_wins",
-    _compact,
-    oracle(
-        f""", kept AS (
-  SELECT series, host, dc, ts, arg_max(value, seq) AS value
-  FROM points GROUP BY 1, 2, 3, 4
-)
-SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM kept
-WHERE series = 'events.click'"""
-    ),
-)
-
-
 # --- retention: per-namespace TTL --------------------------------------------
 def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = events_points(spark, sf_dir)
@@ -91,12 +77,41 @@ def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("series").agg(F.count("*").alias("n"))
 
 
+def _retention_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention TTL + compaction last-wins, one labeled union (round-6
+    consolidation of the former ``retention_days`` and ``compact_last_wins``
+    entries — both whole-table maintenance jobs; merging them freed the
+    catalog slot the ``corpus_curation`` entry uses)."""
+    r = _retention(spark, sf_dir)
+    c = _compact(spark, sf_dir)
+    return r.select(
+        F.lit("retention").alias("part"),
+        "series",
+        "n",
+        F.lit(None).cast("double").alias("sum_v"),
+    ).unionByName(
+        c.select(
+            F.lit("compact").alias("part"),
+            F.lit(None).cast("string").alias("series"),
+            "n",
+            "sum_v",
+        )
+    )
+
+
 _q(
-    "retention_days",
-    _retention,
+    "retention_compaction",
+    _retention_compaction,
     oracle(
-        f"SELECT series, count(*) AS n FROM points "
-        f"WHERE {T1} - ((ts // 3600) * 3600 + 3600) <= {10 * 86400} GROUP BY 1"
+        f"""SELECT 'retention' AS part, series, count(*) AS n,
+       CAST(NULL AS DOUBLE) AS sum_v
+  FROM points WHERE {T1} - ((ts // 3600) * 3600 + 3600) <= {10 * 86400}
+  GROUP BY 1, 2
+UNION ALL
+SELECT 'compact', NULL, count(*), {r6('sum(value)')} FROM (
+  SELECT series, host, dc, ts, arg_max(value, seq) AS value
+  FROM points GROUP BY 1, 2, 3, 4
+) WHERE series = 'events.click'"""
     ),
 )
 

@@ -263,6 +263,66 @@ allr AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1""",
 )
 
+# --- end-to-end corpus curation ----------------------------------------------
+# quality gate → exact dedup → near-dup collapse, the full training-data
+# composition, oracle-checked: the quality closed form is the proven
+# text_lang_quality_fp formula, exact dedup is the proven md5 grouping, and
+# the near-dup stage is the proven MinHash chain + transitive closure — here
+# rebuilt over the POST-gate POST-dedup survivor set (`dkept`).
+_CURATE_Q = 0.6431  # ≥2.3e-4 from any doc's quality at sf0.001/0.01/0.1
+_CURATE_J = 0.2
+
+
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.curate_corpus(
+        docs, min_quality=_CURATE_Q, near_dup_threshold=_CURATE_J
+    )
+    return out.select("doc_id", _r6(F.col("quality")).alias("quality"))
+
+
+_CURATION_ORACLE = f"""WITH RECURSIVE qtoks AS (
+  SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents
+),
+qh AS (
+  SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS n_tok,
+    CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS dr,
+    CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl
+  FROM qtoks
+),
+scored AS (
+  SELECT doc_id, text,
+    (least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr
+     + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0 AS q
+  FROM qh
+),
+kept AS (SELECT doc_id, text, q FROM scored WHERE q >= {_CURATE_Q}),
+keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dkept AS (SELECT k.doc_id, k.text, k.q FROM kept k JOIN keep_ids ki USING (doc_id)),
+{_MINHASH_CTES.replace("FROM documents", "FROM dkept", 1)},
+ed AS (
+  SELECT a, b FROM jac WHERE jaccard >= {_CURATE_J}
+  UNION
+  SELECT b, a FROM jac WHERE jaccard >= {_CURATE_J}
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM ed
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
+),
+allr AS (
+  SELECT src, dst FROM reach
+  UNION
+  SELECT DISTINCT a, a FROM ed
+),
+clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, round(d.q, 6) AS quality
+FROM dkept d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
+
+_q("corpus_curation", _corpus_curation, _CURATION_ORACLE)
+
 _SIMHASH_SQL = f"""dtok AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
