@@ -449,3 +449,22 @@ def test_curate_corpus_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
     assert all(r["quality"] >= 0.6 for r in out.collect())
+
+
+def test_cluster_pairs_driver_and_distributed_agree(spark):
+    """The union-find fast path and the distributed min-label loop produce
+    identical components (driver_threshold=0 forces the loop)."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    slow = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs, driver_threshold=0).collect()
+    }
+    assert fast == slow and len(fast) > 0
