@@ -1,0 +1,150 @@
+"""Corpus-curation utilities a training-data pipeline needs around dedup:
+benchmark decontamination, PII redaction, and deterministic sampling.
+
+Scale design:
+- Decontamination joins the corpus n-gram stream against the BENCHMARK n-gram
+  set. Benchmarks are tiny relative to a 100 TB corpus (MBs of eval text), so
+  the benchmark side is distinct-hashed and broadcast: the corpus side is a
+  narrow explode → broadcast-hash-join, and only MATCHING grams reach the
+  per-doc count shuffle — contamination is rare, so the shuffle is near-empty.
+  No corpus-side groupBy ever sees non-matching grams.
+- PII redaction is pure ``regexp_replace`` / ``regexp_extract_all`` column
+  expressions — JVM-side, whole-stage-codegen, zero shuffle. Patterns avoid
+  lookarounds/alternation subtleties so RE2-based oracles (DuckDB) agree
+  bit-for-bit with Java regex.
+- Hash sampling replaces RNG sampling for reproducibility: membership is a
+  pure function of (salt, doc_id), so a 100 TB sample is resumable, stable
+  across retries/partitioning, and composable (disjoint salts → independent
+  samples; nested fractions → nested samples). Zero shuffle, prunes at scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sydradb_spark.pipeline.hashing import hash64
+
+DECONTAM_NGRAM = 5  # word n-gram width for benchmark-overlap detection
+
+# Cross-engine-safe PII patterns (no lookarounds; greedy quantifiers only, so
+# Java regex and RE2 find identical leftmost matches).
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def ngram_hashes(text: Column, n: int = DECONTAM_NGRAM) -> Column:
+    """Distinct hashed word n-grams of ``text`` (empty array when < n words).
+    Same md5-based hash64 family as dedup, so oracles reproduce exactly."""
+    toks = F.split(F.trim(text), r"\s+")
+    cnt = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: hash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + d + 1) for d in range(n)])
+        ),
+    )
+    return F.when(cnt >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def benchmark_ngram_set(bench: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct n-gram hashes of the benchmark corpus — the broadcast side."""
+    return (
+        bench.select(F.explode(ngram_hashes(F.col(text_col))).alias("gh"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame, bench: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_contaminated) for every doc sharing ≥1 word n-gram with the
+    benchmark set. Docs with zero overlap are not emitted (at corpus scale
+    that's almost everything — the report is the exception list)."""
+    grams = docs.select(
+        "doc_id", F.explode(ngram_hashes(F.col(text_col))).alias("gh")
+    )
+    hits = grams.join(F.broadcast(benchmark_ngram_set(bench, text_col)), on="gh")
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_contaminated"))
+
+
+def decontaminate(
+    docs: DataFrame, bench: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Drop every doc that shares a word n-gram with the benchmark corpus —
+    the standard eval-leakage guard run before training. Anti-join against
+    the (small) contaminated-id set."""
+    bad = contamination_report(docs, bench, text_col).select("doc_id")
+    return docs.join(bad, on="doc_id", how="anti")
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Columns: ``redacted`` text (emails → <EMAIL>, IPv4 → <IP>) and match
+    counts. Pure JVM regex — no UDF, no shuffle."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    # redact emails FIRST so an IPv4-shaped domain fragment can't double-count
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(no_email, F.lit(IPV4_RE), F.lit(0)))
+    return {
+        "redacted": F.regexp_replace(no_email, IPV4_RE, "<IP>"),
+        "n_emails": n_emails.cast("long"),
+        "n_ips": n_ips.cast("long"),
+    }
+
+
+def pii_redact_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_emails, n_ips) per document."""
+    r = redact_pii(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        r["redacted"].alias("redacted"),
+        r["n_emails"].alias("n_emails"),
+        r["n_ips"].alias("n_ips"),
+    )
+
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    salt: str = "s0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose
+    hash64(salt || key) mod 1e6 falls below fraction·1e6.
+
+    Reproducible under retries and repartitioning (membership is a pure
+    row function), composable (different salts are independent; a 1% sample
+    is a subset of the 10% sample at the same salt only if thresholds nest —
+    they do, since the bucket is fixed per row). This is how large pipelines
+    take stable train/dev splits; rand()-based sampling can't replay."""
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    return docs.where(bucket < int(fraction * SAMPLE_BUCKETS))
+
+
+def train_split(
+    docs: DataFrame,
+    test_fraction: float = 0.01,
+    salt: str = "split0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Adds a ``split`` column ('test' for the deterministic ``test_fraction``
+    bucket, else 'train') — same hash-bucket machinery as ``hash_sample``, so
+    the split is stable across runs and cluster layouts."""
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    return docs.withColumn(
+        "split",
+        F.when(bucket < int(test_fraction * SAMPLE_BUCKETS), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -3,10 +3,14 @@ string, ...)`` — exact, MinHash+LSH, SimHash, and n-gram Jaccard.
 
 Scale design (the point of these shapes at 100 TB):
 - Exact dedup is one hash-groupBy: a single shuffle on a 16-byte key.
-- MinHash-LSH never forms all pairs: candidate pairs come from a self-join on
-  (band, band-signature) buckets — cost is Σ bucket², not n². Degenerate
-  buckets (e.g. empty/boilerplate docs collapsing to one signature) are the
-  skew risk; AQE skew-join splitting plus the ``max_bucket`` guard bound them.
+- MinHash-LSH never forms all pairs: signatures are a NARROW zero-shuffle map
+  over docs (array higher-order functions — the shingle array is never
+  exploded for candidate generation), candidate pairs come from per-bucket
+  map-side pair expansion — cost is Σ bucket², not n². Degenerate buckets
+  (e.g. empty/boilerplate docs collapsing to one signature) are the skew
+  risk; AQE skew-join splitting plus the ``max_bucket`` guard bound them.
+  Exact-Jaccard verification is the only consumer of the exploded shingle
+  table, and it sees only candidate docs (broadcast semi filter).
 - SimHash near-dup uses banded fingerprints (4 bands × 16 bits): by pigeonhole
   any pair within Hamming distance 3 shares at least one exact band, so the
   banded join finds exactly the same pairs as the O(n²) scan.
@@ -107,10 +111,46 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) — per-band signature string (r consecutive minima
-    joined) for LSH bucketing."""
-    minh = minhash_signatures(sh)
+def minhash_signatures_narrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m{NUM_HASHES-1}) computed WITHOUT the shingle explode:
+    the k-shingle array stays an array and each signature column is an
+    ``array_min`` over a per-hash ``transform`` of the base-hash array.
+
+    This is the scale path: signature computation becomes a narrow map over
+    the documents table — zero shuffle — where the exploded form shuffles
+    every (doc, shingle) pair through a groupBy. Output is row-for-row
+    identical to ``minhash_signatures(shingle_table(docs))`` (docs with no
+    k-shingle produce no row in either). The base-hash array is aliased once
+    so Catalyst's CollapseProject keeps a single md5 pass per shingle (the
+    alias is non-cheap and referenced NUM_HASHES times, which blocks
+    re-inlining).
+    """
+    base = _spread(docs).select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col(text_col)),
+            lambda s: F.pmod(hash64(s), F.lit(MINHASH_M)),
+        ).alias("__hs"),
+    ).where(F.size("__hs") > 0)
+    return base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+
+
+def band_signatures(minh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band signatures from a (doc_id, m0..mN)
+    signature frame — per-band signature string (r consecutive minima
+    joined)."""
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -127,6 +167,13 @@ def minhash_band_signatures(sh: DataFrame) -> DataFrame:
     return minh.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) from a shingle_table() frame (exploded-input
+    compatibility path; ``minhash_signatures_narrow`` + ``band_signatures``
+    is the zero-shuffle route when you hold the docs frame)."""
+    return band_signatures(minhash_signatures(sh))
 
 
 def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
@@ -207,18 +254,31 @@ def minhash_near_dups(
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
     LSH band-bucket join → exact-Jaccard verify. Never all-pairs.
 
-    The shingle table feeds three consumers (signatures + both sides of the
-    verify join); persist it spill-to-disk so it's computed once — at corpus
-    scale recomputing the tokenize+hash pass 3x costs more than the spill.
+    Scale shape (round-6 rework): signatures come from the narrow
+    ``minhash_signatures_narrow`` path — a zero-shuffle map over docs — so
+    the exploded (doc, shingle) table is never shuffled for candidate
+    generation at all. The exploded table is only needed for exact-Jaccard
+    verification, and only for docs that appear in a candidate pair, so it
+    is broadcast-semi-filtered to the candidate set first: the verify joins
+    shuffle |candidate docs| × shingles rows, not |corpus| × shingles. The
+    candidate set is small by construction (LSH buckets are bounded by
+    ``max_bucket``), which is what makes the broadcast safe.
     """
     from pyspark import StorageLevel
 
-    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    # pairs feeds both sides of the verify join — persist so the LSH join
-    # runs once (the candidate set is tiny relative to the corpus)
-    pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # pairs feeds both sides of the verify join AND the candidate-doc filter
+    # — persist so the LSH candidate job runs once
+    pairs = lsh_candidate_pairs(
+        band_signatures(minhash_signatures_narrow(docs, text_col))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
+    sh = shingle_table(docs, text_col).join(
+        F.broadcast(cand_docs), on="doc_id", how="semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
@@ -226,27 +286,39 @@ def minhash_near_dups(
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct whitespace tokens.
 
-    Bit i is the sign of Σ±1 over token-hash bit i. Explodes tokens × 32 bit
-    positions; all-JVM arithmetic, two partial-aggregating shuffles.
+    Bit i is the sign of Σ±1 over token-hash bit i. Computed as a NARROW map
+    over the documents table: the distinct-token-hash array stays an array
+    and each bit's signed sum is an ``aggregate`` over it — zero shuffle,
+    where the exploded form (tokens × 32 bit positions) cost two
+    partial-aggregating shuffles of a 32×-larger intermediate. Same per-doc
+    arithmetic volume, all JVM-side, embarrassingly parallel at any corpus
+    size. The token-hash array is aliased once (non-cheap, referenced 32
+    times) so CollapseProject keeps a single md5 pass per token.
     """
-    toks = _spread(docs).select(
+    import operator
+    from functools import reduce
+
+    th = _spread(docs).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).select("doc_id", hash64(F.col("tok")).alias("th"))
-    # shiftright by the bit column needs expr (F.shiftright takes a literal)
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        F.expr("CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("contrib"),
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")),
+            lambda t: hash64(t),
+        ).alias("__th"),
     )
-    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")).alias(
-            "simhash"
+    bit_cols = []
+    for i in range(SIMHASH_BITS):
+        s = F.aggregate(
+            F.col("__th"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
-    )
+        bit_cols.append(
+            F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return th.select("doc_id", reduce(operator.add, bit_cols).alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
