@@ -136,20 +136,6 @@ def _tag_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("tag_kv", F.size("series_ids").alias("n_series"))
 
 
-_q(
-    "tag_index_counts",
-    _tag_index_counts,
-    oracle(
-        """, pairs AS (
-  SELECT 'host=' || host AS tag_kv, series, host, dc FROM points
-  UNION ALL
-  SELECT 'dc=' || dc AS tag_kv, series, host, dc FROM points
-)
-SELECT tag_kv, CAST(count(DISTINCT (series, host, dc)) AS INTEGER) AS n_series
-FROM pairs GROUP BY 1"""
-    ),
-)
-
 def _tag_find_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND and OR find over the inverted tag index, one labeled union."""
     a = _find("and", {"host": "h1", "dc": "dc1"})(spark, sf_dir)
@@ -159,14 +145,48 @@ def _tag_find_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tag_index_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted tag index: per-tag series counts + AND/OR find, one labeled
+    union (round-6 consolidation to keep the catalog ≤ the driver's 50-entry
+    check cap)."""
+    c = _tag_index_counts(spark, sf_dir).select(
+        F.lit("counts").alias("part"),
+        "tag_kv",
+        "n_series",
+        F.lit(None).cast("string").alias("series"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("string").alias("dc"),
+    )
+    f = _tag_find_and_or(spark, sf_dir).select(
+        F.concat(F.lit("find_"), F.col("mode")).alias("part"),
+        F.lit(None).cast("string").alias("tag_kv"),
+        F.lit(None).cast("int").alias("n_series"),
+        "series",
+        "host",
+        "dc",
+    )
+    return c.unionByName(f)
+
+
 _q(
-    "tag_find_and_or",
-    _tag_find_and_or,
+    "tag_index_find",
+    _tag_index_find,
     oracle(
-        """SELECT 'and' AS mode, series, host, dc FROM (
+        """, pairs AS (
+  SELECT 'host=' || host AS tag_kv, series, host, dc FROM points
+  UNION ALL
+  SELECT 'dc=' || dc AS tag_kv, series, host, dc FROM points
+)
+SELECT 'counts' AS part, tag_kv,
+       CAST(count(DISTINCT (series, host, dc)) AS INTEGER) AS n_series,
+       CAST(NULL AS VARCHAR) AS series, CAST(NULL AS VARCHAR) AS host,
+       CAST(NULL AS VARCHAR) AS dc
+FROM pairs GROUP BY 2
+UNION ALL
+SELECT 'find_and', NULL, NULL, series, host, dc FROM (
   SELECT DISTINCT series, host, dc FROM points WHERE host = 'h1' AND dc = 'dc1')
 UNION ALL
-SELECT 'or', series, host, dc FROM (
+SELECT 'find_or', NULL, NULL, series, host, dc FROM (
   SELECT DISTINCT series, host, dc FROM points WHERE host = 'h0' OR dc = 'dc1')"""
     ),
 )

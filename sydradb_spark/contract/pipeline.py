@@ -613,3 +613,83 @@ _q(
     "upper(hex(encode(substr(text, 1, 4)))) AS magic "
     "FROM documents",
 )
+
+
+# --- curation: decontamination, PII redaction, deterministic sampling ---------
+def _decontam_pii_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three curation utilities, one labeled union (null-padded columns):
+    - contam: docs sharing a word 5-gram with the 'benchmark' set (every
+      doc_id % 7 == 0 doc stands in for an eval benchmark) + hit counts;
+    - pii: email/IPv4 redaction counts + redacted text over a synthesized
+      PII suffix (the corpus itself carries no PII — the suffix makes the
+      redaction machinery observable and deterministic);
+    - sample: membership of the deterministic 20% hash sample (salt s0).
+    """
+    from sydradb_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    contam = curation.contamination_report(docs, bench).select(
+        F.lit("contam").alias("part"),
+        "doc_id",
+        F.col("n_contaminated").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    pii_in = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 now"),
+        ).alias("text"),
+    )
+    r = curation.pii_redact_docs(pii_in)
+    pii = r.select(
+        F.lit("pii").alias("part"),
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ips")).alias("n"),
+        F.col("redacted").alias("s"),
+    )
+    samp = curation.hash_sample(docs, 0.2, salt="s0").select(
+        F.lit("sample").alias("part"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return contam.unionByName(pii).unionByName(samp)
+
+
+def _decontam_oracle() -> str:
+    from sydradb_spark.pipeline import curation
+
+    email = curation.EMAIL_RE
+    ipv4 = curation.IPV4_RE
+    gram5 = " || ' ' || ".join(f"tk[i+{d}]" for d in range(5))
+    return (
+        "WITH " + _TOKS + ",\n"
+        "grams AS (SELECT DISTINCT doc_id, "
+        "('0x' || substr(md5(" + gram5 + "), 1, 15))::BIGINT AS gh\n"
+        "  FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS u(i)),\n"
+        "bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 7 = 0),\n"
+        "contam AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM grams g JOIN bench b ON g.gh = b.gh GROUP BY 1),\n"
+        "pii_in AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)\n"
+        "  || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now' AS s\n"
+        "  FROM documents),\n"
+        "pii AS (SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(s, '" + email + "'))\n"
+        "   + len(regexp_extract_all(regexp_replace(s, '" + email + "', '<EMAIL>', 'g'), '" + ipv4 + "')) AS BIGINT) AS n,\n"
+        "  regexp_replace(regexp_replace(s, '" + email + "', '<EMAIL>', 'g'), '" + ipv4 + "', '<IP>', 'g') AS red\n"
+        "  FROM pii_in),\n"
+        "samp AS (SELECT doc_id FROM documents\n"
+        "  WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 200000)\n"
+        "SELECT 'contam' AS part, doc_id, n, CAST(NULL AS VARCHAR) AS s FROM contam\n"
+        "UNION ALL SELECT 'pii', doc_id, n, red FROM pii\n"
+        "UNION ALL SELECT 'sample', doc_id, CAST(NULL AS BIGINT), NULL FROM samp"
+    )
+
+
+_q("decontam_pii_sample", _decontam_pii_sample, _decontam_oracle)

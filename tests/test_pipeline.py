@@ -468,3 +468,72 @@ def test_cluster_pairs_driver_and_distributed_agree(spark):
         for r in dedup.cluster_pairs(pairs, driver_threshold=0).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+# --- curation: decontamination, PII redaction, hash sampling ------------------
+from sydradb_spark.pipeline import curation
+
+
+@pytest.fixture(scope="module")
+def curation_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon nothing else here"),  # shares 5-gram w/ 1
+        (3, "totally unrelated text about query planners and shuffles"),
+        (4, "one two"),  # too short for a 5-gram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_decontaminate_drops_benchmark_overlap(spark, curation_docs):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon is a benchmark prompt")],
+        "doc_id long, text string",
+    )
+    report = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in curation.contamination_report(curation_docs, bench).collect()
+    }
+    # docs 1 and 2 share the 'alpha beta gamma delta epsilon' 5-gram
+    assert set(report) == {1, 2}
+    assert report[1] >= 1 and report[2] >= 1
+    clean = sorted(r["doc_id"] for r in curation.decontaminate(curation_docs, bench).collect())
+    assert clean == [3, 4]
+
+
+def test_redact_pii_counts_and_text(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org and carol@ex.io from 10.1.2.3 now"),
+        (2, "no pii here at all"),
+        (3, "ip only 192.168.0.254 twice 192.168.0.254"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.pii_redact_docs(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> from <IP> now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 0
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[3]["n_ips"] == 2 and out[3]["redacted"] == "ip only <IP> twice <IP>"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = set(r["doc_id"] for r in curation.hash_sample(df, 0.10).collect())
+    s10_again = set(r["doc_id"] for r in curation.hash_sample(df, 0.10).collect())
+    s30 = set(r["doc_id"] for r in curation.hash_sample(df, 0.30).collect())
+    assert s10 == s10_again  # replayable
+    assert s10 <= s30  # thresholds nest at the same salt
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.25 < len(s30) / 2000 < 0.35
+    other_salt = set(r["doc_id"] for r in curation.hash_sample(df, 0.10, salt="s1").collect())
+    assert other_salt != s10  # salts are independent
+
+
+def test_train_split_partitions_everything(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = curation.train_split(df, test_fraction=0.1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 1000
+    assert 50 < counts["test"] < 150
+    # same salt → same membership on a rerun
+    again = curation.train_split(df, test_fraction=0.1)
+    assert out.exceptAll(again).count() == 0
