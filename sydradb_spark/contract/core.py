@@ -79,10 +79,19 @@ def _scan_selector_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"select time, value from events.purchase{{host='h3', dc='dc1'}} "
         f"where time >= {T0} and time < {T1}"
     ).df
+    # fourth path (former filter_regex entry, merged round 6 to free a
+    # catalog slot for sessionize_gap): both regex operators in one
+    # conjunction
+    d = eng.query(
+        f"select time, value from events.view "
+        f"where time >= {T0} and time < {D7} and tag.host =~ 'h[02]' "
+        f"and tag.dc !~ '0$'"
+    ).df
     return (
         a.select(F.lit("by_id").alias("path"), "time", "value")
         .unionByName(b.select(F.lit("tag_where").alias("path"), "time", "value"))
         .unionByName(c.select(F.lit("tag_selector").alias("path"), "time", "value"))
+        .unionByName(d.select(F.lit("regex").alias("path"), "time", "value"))
     )
 
 
@@ -99,7 +108,11 @@ SELECT 'tag_where', ts, value FROM points
 UNION ALL
 SELECT 'tag_selector', ts, value FROM points
   WHERE series = 'events.purchase' AND host = 'h3' AND dc = 'dc1'
-    AND ts >= {T0} AND ts < {T1}"""
+    AND ts >= {T0} AND ts < {T1}
+UNION ALL
+SELECT 'regex', ts, value FROM points
+  WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7}
+    AND regexp_matches(host, 'h[02]') AND NOT regexp_matches(dc, '0$')"""
     ),
 )
 
@@ -166,18 +179,44 @@ SELECT 'scalar', ts, NULL, NULL, NULL,
     ),
 )
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series session windows (gap 600 s) via native F.session_window —
+    beyond-reference sessionization; same code path Structured Streaming
+    uses (streaming equivalence pinned in tests/test_streaming.py)."""
+    from sydradb_spark.streaming.windowed import sessionize
+
+    pts = events_points(spark, sf_dir).where(
+        (F.col("ts") >= T0) & (F.col("ts") < D3)
+    )
+    out = sessionize(pts, gap_s=600)
+    return out.select(
+        "series",
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.round(F.col("sum_v") * 1000000) / 1000000).alias("sum_v"),
+    )
+
+
 _q(
-    "filter_regex",
-    # both regex operators (=~ and !~) in one conjunction
-    ql(
-        f"select time, tag.host as host, tag.dc as dc, value from events.view "
-        f"where time >= {T0} and time < {D7} and tag.host =~ 'h[02]' "
-        f"and tag.dc !~ '0$'"
-    ),
+    "sessionize_gap",
+    _sessionize,
     oracle(
-        f"SELECT ts AS time, host, dc, value FROM points WHERE series = 'events.view' "
-        f"AND ts >= {T0} AND ts < {D7} AND regexp_matches(host, 'h[02]') "
-        f"AND NOT regexp_matches(dc, '0$')"
+        f""", s AS (
+  SELECT series, ts, value, seq,
+         CASE WHEN lag(ts) OVER (PARTITION BY series ORDER BY ts, seq) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY series ORDER BY ts, seq) > 600
+              THEN 1 ELSE 0 END AS brk
+  FROM points WHERE ts >= {T0} AND ts < {D3}
+), i AS (
+  SELECT series, ts, value,
+         sum(brk) OVER (PARTITION BY series ORDER BY ts, seq
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT series, min(ts) AS session_start, max(ts) + 600 AS session_end,
+       count(*) AS n_events, round(sum(value) * 1000000) / 1000000 AS sum_v
+FROM i GROUP BY series, sid"""
     ),
 )
 

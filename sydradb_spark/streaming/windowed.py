@@ -43,3 +43,47 @@ def windowed_agg(
             "max_v",
         )
     )
+
+
+def sessionize(
+    points: DataFrame,
+    gap_s: int = 600,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-series session windows via native ``F.session_window`` — one
+    declarative implementation that runs identically in batch and in
+    Structured Streaming (pass ``watermark`` for streams; state for a
+    session is dropped once the watermark passes its close).
+
+    A session groups consecutive events whose gaps are <= ``gap_s``; the
+    window end is last_event + gap, and windows that TOUCH merge —
+    next.start <= prev.end — so the gaps-and-islands oracle mirrors it with
+    ``diff > gap → new island``.
+    Input needs (series, ts epoch-s, value); output one row per session.
+
+    Scale: this is a single keyed aggregation — Spark merges overlapping
+    per-row windows during the shuffle (partial merge map-side), so cost is
+    one shuffle on series, state bounded by open sessions × series. The
+    beyond-reference op a telemetry store needs for user/device activity
+    segmentation.
+    """
+    pts = points.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+    if watermark is not None:
+        pts = pts.withWatermark("event_time", watermark)
+    return (
+        pts.groupBy(
+            F.col("series"),
+            F.session_window("event_time", f"{gap_s} seconds").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_v"),
+        )
+        .select(
+            "series",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_v",
+        )
+    )

@@ -239,3 +239,88 @@ def test_stream_ingest_dedupe_watermark(spark, tmp_path):
         (r["ts"], r["value"]) for r in read_points(spark, table).collect()
     )
     assert rows == [(1000, 1.0), (1060, 2.0), (1060, 9.0), (1120, 3.0)]
+
+
+def test_sessionize_batch_semantics(spark):
+    from sydradb_spark.streaming.windowed import sessionize
+
+    rows = [
+        ("a", 0, 1.0),
+        ("a", 100, 2.0),
+        ("a", 650, 3.0),   # 550s gap — same session
+        ("a", 1800, 4.0),  # 1150s gap — new session
+        ("b", 5000, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {
+        (r["series"], r["session_start"]): r
+        for r in sessionize(df, gap_s=600).collect()
+    }
+    assert out[("a", 0)]["n_events"] == 3
+    assert out[("a", 0)]["session_end"] == 650 + 600
+    assert out[("a", 0)]["sum_v"] == pytest.approx(6.0)
+    assert out[("a", 1800)]["n_events"] == 1
+    assert out[("a", 1800)]["session_end"] == 2400
+    assert out[("b", 5000)]["n_events"] == 1
+    # boundary: a gap of exactly 600 MERGES (session windows merge when they
+    # touch: next.start <= prev.end), pinning the >gap→break contract the
+    # oracle mirrors
+    df2 = spark.createDataFrame(
+        [("c", 0, 1.0), ("c", 600, 1.0), ("c", 1201, 1.0)],
+        "series string, ts long, value double",
+    )
+    starts = sorted(r["session_start"] for r in sessionize(df2, gap_s=600).collect())
+    assert starts == [0, 1201]
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    import json
+
+    from sydradb_spark.streaming.windowed import sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    data = [
+        {"series": "a", "ts": 0, "value": 1.0},
+        {"series": "a", "ts": 100, "value": 2.0},
+        {"series": "a", "ts": 650, "value": 3.0},
+        {"series": "a", "ts": 1800, "value": 4.0},
+        {"series": "b", "ts": 50, "value": 9.0},
+    ]
+    (src / "f1.ndjson").write_text("\n".join(json.dumps(d) for d in data))
+    emitted: list = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("series string, ts long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            sessionize(stream, gap_s=600, watermark="0 seconds")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, _id: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # sentinel far in the future advances the watermark past every real
+    # session end so append mode emits them as FINAL (exactly once)
+    (src / "f2.ndjson").write_text(json.dumps({"series": "zz", "ts": 10**6, "value": 0.0}))
+    run_once()
+    run_once()  # no-data batch flushes remaining closed state
+
+    got = {
+        (r["series"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_v"])
+        for r in emitted
+        if r["series"] != "zz"
+    }
+    batch = spark.createDataFrame(data)
+    want = {
+        (r["series"], r["session_start"]): (r["session_end"], r["n_events"], r["sum_v"])
+        for r in sessionize(batch, gap_s=600).collect()
+    }
+    assert got == want
