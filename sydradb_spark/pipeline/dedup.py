@@ -111,42 +111,6 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures_narrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, m0..m{NUM_HASHES-1}) computed WITHOUT the shingle explode:
-    the k-shingle array stays an array and each signature column is an
-    ``array_min`` over a per-hash ``transform`` of the base-hash array.
-
-    This is the scale path: signature computation becomes a narrow map over
-    the documents table — zero shuffle — where the exploded form shuffles
-    every (doc, shingle) pair through a groupBy. Output is row-for-row
-    identical to ``minhash_signatures(shingle_table(docs))`` (docs with no
-    k-shingle produce no row in either). The base-hash array is aliased once
-    so Catalyst's CollapseProject keeps a single md5 pass per shingle (the
-    alias is non-cheap and referenced NUM_HASHES times, which blocks
-    re-inlining).
-    """
-    base = _spread(docs).select(
-        "doc_id",
-        F.transform(
-            word_shingles(F.col(text_col)),
-            lambda s: F.pmod(hash64(s), F.lit(MINHASH_M)),
-        ).alias("__hs"),
-    ).where(F.size("__hs") > 0)
-    return base.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__hs"),
-                    lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
-                    % F.lit(MINHASH_P),
-                )
-            ).alias(f"m{i}")
-            for i in range(NUM_HASHES)
-        ],
-    )
-
-
 def band_signatures(minh: DataFrame) -> DataFrame:
     """(doc_id, band, sig) LSH band signatures from a (doc_id, m0..mN)
     signature frame — per-band signature string (r consecutive minima
@@ -254,32 +218,31 @@ def minhash_near_dups(
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
     LSH band-bucket join → exact-Jaccard verify. Never all-pairs.
 
-    Scale shape (round-6 rework): signatures come from the narrow
-    ``minhash_signatures_narrow`` path — a zero-shuffle map over docs — so
-    the exploded (doc, shingle) table is never shuffled for candidate
-    generation at all. The exploded table is only needed for exact-Jaccard
-    verification, and only for docs that appear in a candidate pair, so it
-    is broadcast-semi-filtered to the candidate set first: the verify joins
-    shuffle |candidate docs| × shingles rows, not |corpus| × shingles. The
-    candidate set is small by construction (LSH buckets are bounded by
-    ``max_bucket``), which is what makes the broadcast safe.
+    Scale shape (settled by a 50k-doc A/B, SCALE_NOTES round-6 addendum):
+    the shingle table is computed ONCE and persisted spill-to-disk; exploded
+    signatures beat an array-higher-order-function rewrite 6× on CPU
+    (codegen'd row arithmetic + map-side-combining min-aggregation vs
+    interpreted lambdas — the groupBy's shuffle is docs-bounded, not
+    shingle-bounded, thanks to partial aggregation, so "zero-shuffle" bought
+    nothing). Verification reads the PERSISTED table semi-filtered to
+    candidate docs (broadcast; candidates are bounded by ``max_bucket``), so
+    the verify joins shuffle candidate shingles only, never the corpus.
     """
     from pyspark import StorageLevel
 
+    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # pairs feeds both sides of the verify join AND the candidate-doc filter
     # — persist so the LSH candidate job runs once
-    pairs = lsh_candidate_pairs(
-        band_signatures(minhash_signatures_narrow(docs, text_col))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand_docs = (
         pairs.select(F.col("a").alias("doc_id"))
         .union(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_table(docs, text_col).join(
-        F.broadcast(cand_docs), on="doc_id", how="semi"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+    sh_cand = sh.join(F.broadcast(cand_docs), on="doc_id", how="semi")
+    return jaccard_for_pairs(pairs, sh_cand).where(F.col("jaccard") >= threshold)
 
 
 # --- SimHash ------------------------------------------------------------------
