@@ -374,27 +374,27 @@ def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "ngram_jaccard_topk",
-    _ngram_topk,
-    f"""WITH {_TOKS},
+# (registered below as half of the merged `near_dup_scores` entry — round-6
+# consolidation that freed a catalog slot for `corpus_mix`)
+_NGRAM_TOPK_CTES = f"""{_TOKS},
 shl AS (
   SELECT doc_id,
          list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
                         for i in generate_series(1, greatest(len(tk) - 2, 0))]) AS shs
   FROM toks WHERE doc_id < 100
 ),
-pairs AS (
+ngpairs AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_filter(a.shs, x -> list_contains(b.shs, x))) AS inter,
          len(a.shs) + len(b.shs) - len(list_filter(a.shs, x -> list_contains(b.shs, x))) AS un
   FROM shl a, shl b WHERE a.doc_id < b.doc_id
-)
-SELECT a, b, round(jaccard, 6) AS jaccard FROM (
-  SELECT a, b, CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END AS jaccard
-  FROM pairs)
-ORDER BY jaccard DESC, a, b LIMIT 10""",
-)
+),
+ngtop AS (
+  SELECT a, b, round(jaccard, 6) AS score FROM (
+    SELECT a, b, CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END AS jaccard
+    FROM ngpairs)
+  ORDER BY jaccard DESC, a, b LIMIT 10
+)"""
 
 # --- similarity search --------------------------------------------------------
 _DOT = (
@@ -497,10 +497,25 @@ def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 
+def _near_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled union of the two bounded brute-force near-dup scorers (merged
+    round 6 to free a slot for `corpus_mix`): exact n-gram Jaccard top-10
+    over a 100-doc subset + embedding-cosine near-dups over sign-LSH
+    candidates."""
+    ng = _ngram_topk(spark, sf_dir).select(
+        F.lit("ngram").alias("part"), "a", "b", F.col("jaccard").alias("score")
+    )
+    em = _embed_dedup(spark, sf_dir).select(
+        F.lit("embed").alias("part"), "a", "b", F.col("cosine").alias("score")
+    )
+    return ng.unionByName(em)
+
+
 _q(
-    "embedding_near_dups",
-    _embed_dedup,
-    f"""WITH t AS (
+    "near_dup_scores",
+    _near_dup_scores,
+    f"""WITH {_NGRAM_TOPK_CTES},
+t AS (
   SELECT vec_id, embedding AS e FROM embeddings
 ), tb AS (
   SELECT vec_id, e, {similarity.sign_bucket_sql("e")} AS bucket FROM t
@@ -514,7 +529,9 @@ _q(
      * sqrt(list_sum([CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in generate_series(1, len(eb))]))) AS cosine
   FROM cand
 )
-SELECT a, b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.3""",
+SELECT 'ngram' AS part, a, b, score FROM ngtop
+UNION ALL
+SELECT 'embed', a, b, round(cosine, 6) FROM scored WHERE cosine >= 0.3""",
 )
 
 
@@ -693,3 +710,39 @@ def _decontam_oracle() -> str:
 
 
 _q("decontam_pii_sample", _decontam_pii_sample, _decontam_oracle)
+
+
+# --- corpus mixing ------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 0.0, "src1": 0.4, "src2": 2.5, "src3": 2.0}
+
+
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix: drop src0, 40% of src1, 2.5 epochs of src2,
+    2 epochs of src3, everything else once (default weight 1.0)."""
+    from sydradb_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.mix_corpus(docs, _MIX_WEIGHTS, salt="mix0")
+    return out.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())
+
+_q(
+    "corpus_mix",
+    _corpus_mix,
+    f"""WITH w(source, w) AS (VALUES {_MIX_VALUES}),
+d AS (
+  SELECT doc_id, documents.source AS source, coalesce(w.w, 1.0) AS w
+  FROM documents LEFT JOIN w ON documents.source = w.source
+),
+e AS (
+  SELECT doc_id, source, w, u.e AS epoch
+  FROM d, unnest(generate_series(0, CAST(floor(w) AS INTEGER))) AS u(e)
+  WHERE w > 0
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
+WHERE epoch < floor(w)
+   OR ('0x' || substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+      < round((w - floor(w)) * 1000000)""",
+)

@@ -148,3 +148,51 @@ def train_split(
             F.lit("train")
         ),
     )
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix0",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted training-mix composition: per-source sampling weights with
+    epoch replication — the op that turns curated sources into a training
+    corpus at chosen proportions.
+
+    Weight semantics (the standard data-mixture contract):
+    - ``w == 0`` drops the source;
+    - ``w <= 1`` keeps a deterministic w-fraction (same hash-bucket
+      machinery as ``hash_sample`` — replayable, nested);
+    - ``w > 1`` replicates floor(w) full epochs and hash-samples the
+      fractional remainder into one more epoch. Output carries an ``epoch``
+      column (0-based) so downstream shuffling can keep replicas apart.
+
+    Scale: the weight table is a broadcast join (dozens of sources); epoch
+    expansion is a narrow explode bounded by ceil(w); membership is a pure
+    row function — no shuffle anywhere, prunes at the scan when sources are
+    partition columns. The fractional threshold is ``round(frac * 1e6)``
+    so engines that round vs truncate double→int agree exactly.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{source_col} string, __w double",
+    )
+    d = (
+        docs.join(F.broadcast(wdf), on=source_col, how="left")
+        .na.fill({"__w": float(default_weight)})
+        .where(F.col("__w") > 0)
+    )
+    n_full = F.floor(F.col("__w")).cast("int")
+    frac = F.col("__w") - F.floor(F.col("__w"))
+    threshold = F.round(frac * SAMPLE_BUCKETS).cast("long")
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    out = d.withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
+    keep = (F.col("epoch") < n_full) | (bucket < threshold)
+    return out.where(keep).drop("__w")

@@ -537,3 +537,38 @@ def test_train_split_partitions_everything(spark):
     # same salt → same membership on a rerun
     again = curation.train_split(df, test_fraction=0.1)
     assert out.exceptAll(again).count() == 0
+
+
+def test_mix_corpus_weight_semantics(spark):
+    rows = [(i, f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.mix_corpus(
+        df, {"src0": 0.0, "src1": 0.5, "src2": 2.0, "src3": 2.5}, salt="t0"
+    )
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "src0" not in per  # weight 0 drops the source
+    assert 30 < per["src1"] < 70  # ~50% of 100
+    assert per["src2"] == 200  # exactly 2 epochs, no fractional tail
+    assert 230 < per["src3"] < 270  # 2 full epochs + ~50% third
+    # epoch column: src2 rows appear once per epoch 0 and 1
+    epochs = sorted(
+        r["epoch"]
+        for r in out.where(F.col("doc_id") == 2).select("epoch").collect()
+    )
+    assert epochs == [0, 1]
+    # deterministic: rerun is identical
+    again = curation.mix_corpus(
+        df, {"src0": 0.0, "src1": 0.5, "src2": 2.0, "src3": 2.5}, salt="t0"
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # unlisted sources default to weight 1.0
+    out2 = curation.mix_corpus(df, {"src0": 3.0}, salt="t0")
+    per2 = {
+        r["source"]: r["n"]
+        for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per2["src1"] == per2["src2"] == per2["src3"] == 100
+    assert per2["src0"] == 300
