@@ -196,3 +196,61 @@ def mix_corpus(
     out = d.withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
     keep = (F.col("epoch") < n_full) | (bucket < threshold)
     return out.where(keep).drop("__w")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign each doc to a bin so no bin exceeds
+    ``budget`` tokens — the batch-construction step before training. Docs are
+    packed in ``key_col`` order within each ``group_col`` partition
+    (first-fit-on-current-bin: a doc that would overflow closes the bin and
+    opens the next). Oversized docs (> budget) get a bin of their own.
+
+    Output: (group, doc_id, n_tokens, bin_id, bin_fill) — ``bin_id`` is
+    0-based per group, ``bin_fill`` the running total within the bin.
+
+    Why applyInPandas: bin state is inherently sequential (each assignment
+    depends on the running fill), so this is the legitimate Arrow-batched
+    kernel case, like the winnowing rolling hash. Parallelism comes from the
+    grouping column — each group packs independently (the semantics a real
+    pipeline wants anyway: bins never mix sources), so the job scales with
+    the number of groups, and determinism is total: the pack is a pure
+    function of the (group, ordered keys, token counts) input, independent
+    of partitioning or retries.
+    """
+    from sydradb_spark.pipeline.text import token_count
+
+    if tokens_col is None:
+        docs = docs.withColumn("__ntok", token_count(F.col(text_col)).cast("long"))
+        tokens_col = "__ntok"
+    slim = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(key_col).alias("doc_id"),
+        F.col(tokens_col).alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_id, fill = 0, 0
+        bins, fills = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+            fills.append(fill)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    return slim.groupBy("grp").applyInPandas(
+        pack, "grp string, doc_id long, n_tokens long, bin_id long, bin_fill long"
+    )

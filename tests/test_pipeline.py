@@ -572,3 +572,33 @@ def test_mix_corpus_weight_semantics(spark):
     }
     assert per2["src1"] == per2["src2"] == per2["src3"] == 100
     assert per2["src0"] == 300
+
+
+def test_pack_sequences_greedy(spark):
+    rows = [
+        ("s1", 1, "a b c"),          # 3 tokens
+        ("s1", 2, "a b c d"),        # 4
+        ("s1", 3, "a b"),            # 2
+        ("s1", 4, "a b c d e f g h i j k l"),  # 12 > budget → own bin
+        ("s1", 5, "a"),              # 1
+        ("s2", 6, "a b c d e"),      # 5
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r["grp"], r["doc_id"]): (r["bin_id"], r["bin_fill"])
+        for r in curation.pack_sequences(df, budget=8).collect()
+    }
+    # budget 8, s1 in doc order: 3 → bin0(3); +4=7 → bin0(7); +2 would be 9
+    # → bin1(2); 12 oversized → bin2(12); +1 would be 13 → bin3(1)
+    assert out[("s1", 1)] == (0, 3)
+    assert out[("s1", 2)] == (0, 7)
+    assert out[("s1", 3)] == (1, 2)
+    assert out[("s1", 4)] == (2, 12)
+    assert out[("s1", 5)] == (3, 1)
+    assert out[("s2", 6)] == (0, 5)
+    # deterministic under repartitioning
+    again = {
+        (r["grp"], r["doc_id"]): (r["bin_id"], r["bin_fill"])
+        for r in curation.pack_sequences(df.repartition(7), budget=8).collect()
+    }
+    assert again == out
