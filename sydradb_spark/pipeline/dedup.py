@@ -463,24 +463,32 @@ def curate_corpus(
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.5,
     text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """End-to-end corpus curation — the canonical training-data pipeline,
-    one composition: quality gate → exact dedup → near-dup collapse.
+    one composition: quality gate → exact dedup → near-dup collapse, with
+    optional benchmark decontamination and PII redaction stages.
 
     1. score + filter: `text.quality_score` (pure column expressions) drops
        documents under ``min_quality``;
     2. exact dedup: one combining shuffle on the content md5, deterministic
        min-doc_id keeper;
     3. near-dup collapse: MinHash-LSH pairs at ``near_dup_threshold`` →
-       connected components → keep each component's min doc_id.
+       connected components → keep each component's min doc_id;
+    4. (``benchmark`` given) decontamination: drop survivors sharing a word
+       n-gram with the benchmark corpus (broadcast n-gram set, anti-join);
+    5. (``redact=True``) PII redaction: rewrite ``text_col`` through
+       `curation.redact_pii` (pure JVM regex; the LAST stage, so dedup
+       keys and quality scores reflect the original text).
 
-    Returns the SURVIVING docs with their quality score and a ``dropped``
+    Returns the SURVIVING docs with their quality score; a ``dropped``
     lineage frame is intentionally not materialized — at 100 TB the keep
     set is the product; audit trails come from re-running the stages, all
     of which are deterministic. Stage order matters for cost: the quality
     gate is the cheapest filter and runs first so dedup never shuffles
     rejected docs; near-dup (the only multi-shuffle stage) sees the
-    smallest surviving set.
+    smallest surviving set; decontamination scans only survivors.
     """
     from sydradb_spark.pipeline.text import quality_score
 
@@ -493,4 +501,13 @@ def curate_corpus(
     # each near-dup component keeps its min doc_id; docs in no component
     # (cluster frame only holds non-trivial components) survive untouched
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return deduped.join(losers, on="doc_id", how="anti")
+    out = deduped.join(losers, on="doc_id", how="anti")
+    if benchmark is not None:
+        from sydradb_spark.pipeline.curation import decontaminate
+
+        out = decontaminate(out, benchmark, text_col)
+    if redact:
+        from sydradb_spark.pipeline.curation import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(F.col(text_col))["redacted"])
+    return out

@@ -602,3 +602,23 @@ def test_pack_sequences_greedy(spark):
         for r in curation.pack_sequences(df.repartition(7), budget=8).collect()
     }
     assert again == out
+
+
+def test_curate_corpus_optional_stages(spark, curation_docs):
+    # defaults unchanged: no benchmark, no redaction
+    base = dedup.curate_corpus(curation_docs, min_quality=0.0, near_dup_threshold=0.9)
+    base_ids = set(r["doc_id"] for r in base.collect())
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon anything")], "doc_id long, text string"
+    )
+    decon = dedup.curate_corpus(
+        curation_docs, min_quality=0.0, near_dup_threshold=0.9, benchmark=bench
+    )
+    decon_ids = set(r["doc_id"] for r in decon.collect())
+    assert decon_ids == base_ids - {1, 2}  # benchmark 5-gram overlap dropped
+    pii = spark.createDataFrame(
+        [(7, "seven words here to pass every gate contact me bob@x.io ok")],
+        "doc_id long, text string",
+    )
+    red = dedup.curate_corpus(pii, min_quality=0.0, near_dup_threshold=0.9, redact=True)
+    assert "<EMAIL>" in red.collect()[0]["text"]
