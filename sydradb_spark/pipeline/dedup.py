@@ -218,31 +218,32 @@ def minhash_near_dups(
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
     LSH band-bucket join → exact-Jaccard verify. Never all-pairs.
 
-    Scale shape (settled by a 50k-doc A/B, SCALE_NOTES round-6 addendum):
-    the shingle table is computed ONCE and persisted spill-to-disk; exploded
-    signatures beat an array-higher-order-function rewrite 6× on CPU
-    (codegen'd row arithmetic + map-side-combining min-aggregation vs
-    interpreted lambdas — the groupBy's shuffle is docs-bounded, not
-    shingle-bounded, thanks to partial aggregation, so "zero-shuffle" bought
-    nothing). Verification reads the PERSISTED table semi-filtered to
-    candidate docs (broadcast; candidates are bounded by ``max_bucket``), so
-    the verify joins shuffle candidate shingles only, never the corpus.
+    The shingle table feeds three consumers (signatures + both sides of the
+    verify join); persist it spill-to-disk so it's computed once — at corpus
+    scale recomputing the tokenize+hash pass 3x costs more than the spill.
+
+    Scale shape (settled by round-6 A/Bs at 5k and 50k docs, SCALE_NOTES
+    addendum — this exact wiring won every measurement): exploded signatures
+    beat an array-higher-order-function rewrite 6× on CPU (codegen'd row
+    arithmetic + map-side-combining min-aggregation vs interpreted lambdas;
+    the groupBy's shuffle is docs-bounded thanks to partial aggregation, so
+    "zero-shuffle" HOFs bought nothing). Two rejected verify variants:
+    semi-filtering the persisted table to candidate docs (+3 s/call of
+    broadcast job overhead, no local win) and joining candidate shingle
+    ARRAYS per pair (7× slower — the array build recomputes upstream and
+    array_intersect loses to the codegen'd exploded join). The verify join
+    against the persisted exploded table lets AQE broadcast the tiny pair
+    frame, so the corpus-side join is cache-local anyway.
     """
     from pyspark import StorageLevel
 
     sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    # pairs feeds both sides of the verify join AND the candidate-doc filter
-    # — persist so the LSH candidate job runs once
+    # pairs feeds both sides of the verify join — persist so the LSH join
+    # runs once (the candidate set is tiny relative to the corpus)
     pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cand_docs = (
-        pairs.select(F.col("a").alias("doc_id"))
-        .union(pairs.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(F.broadcast(cand_docs), on="doc_id", how="semi")
-    return jaccard_for_pairs(pairs, sh_cand).where(F.col("jaccard") >= threshold)
+    return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -381,10 +382,14 @@ def cluster_pairs(
     Hybrid strategy (the shape every production CC uses): near-dup edge sets
     are SMALL relative to the corpus — candidate generation already bounded
     them — so up to ``driver_threshold`` edges a driver-side union-find
-    answers in one collect + one parallelize (micro-benched ~4 s faster than
-    the 4-6 round loop at sf0.1 purely from per-round job overhead). Beyond
-    the threshold, iterative min-label propagation: each round every node
-    takes the min label among itself and its neighbours — one join + one
+    answers the common case. The size probe IS the edge fetch: one
+    ``limit(threshold+1).collect()`` both decides the path and hands the
+    driver the edges, so the (expensive, typically unpersisted) pair frame
+    upstream — LSH candidates + exact-Jaccard verify — is evaluated ONCE,
+    not once for count and again for collect (measured 2x the whole verify
+    phase in curate_corpus before this change). Beyond the threshold,
+    iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbours — one join + one
     map-side-combining groupBy per round, converging in <= component-diameter
     rounds (near-dup components are shallow; web-scale CC runs the same loop
     in O(log n) rounds), ``localCheckpoint`` every round keeping lineage
@@ -393,10 +398,10 @@ def cluster_pairs(
     themselves by definition.
     """
     spark = pairs.sparkSession
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    probe = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
+    if not probe:
         return spark.createDataFrame([], "doc_id long, cluster_id long")
-    if n_pairs <= driver_threshold:
+    if len(probe) <= driver_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -408,7 +413,7 @@ def cluster_pairs(
             return root
 
         nodes: set[int] = set()
-        for r in pairs.select(a_col, b_col).collect():
+        for r in probe:
             nodes.add(r[0])
             nodes.add(r[1])
             ra, rb = find(r[0]), find(r[1])
@@ -492,9 +497,14 @@ def curate_corpus(
     """
     from sydradb_spark.pipeline.text import quality_score
 
+    from pyspark import StorageLevel
+
     scored = docs.withColumn("quality", quality_score(F.col(text_col)))
     kept = scored.where(F.col("quality") >= min_quality)
-    deduped = exact_dedup(kept, text_col)
+    # deduped feeds the near-dup stage (shingles + verify) AND the final
+    # anti-join — persist so the quality+dedup chain runs once (A/B at
+    # sf0.1: 3.5 s vs 4.0 s median for the whole composition)
+    deduped = exact_dedup(kept, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     clusters = cluster_pairs(
         minhash_near_dups(deduped, near_dup_threshold, text_col)
     )
