@@ -46,7 +46,7 @@ _HASH = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = text.quality_columns(F.col("text"))
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
@@ -56,6 +56,14 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(q["space_ratio"]).alias("space_ratio"),
         _r6(q["punct_ratio"]).alias("punct_ratio"),
     )
+    # round-6 extension: Gopher-style repetition signals ride the same entry
+    rep = text.repetition_stats(docs).select(
+        "doc_id",
+        "n_lines",
+        _r6(F.col("dup_line_ratio")).alias("dup_line_ratio"),
+        _r6(F.col("top_bigram_ratio")).alias("top_bigram_ratio"),
+    )
+    return stats.join(rep, on="doc_id")
 
 
 # DuckDB's RE2 has no lookarounds, so the BPE-ish split count is mirrored
@@ -72,16 +80,40 @@ _q(
     "text_stats",
     _text_stats,
     f"""WITH {_TOKS}, bt AS (SELECT doc_id, trim(text) AS t FROM documents),
-bpe AS (SELECT doc_id, coalesce({_BPE_TRANSITIONS}, 0) AS transitions FROM bt)
-SELECT doc_id,
+bpe AS (SELECT doc_id, coalesce({_BPE_TRANSITIONS}, 0) AS transitions FROM bt),
+rep AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS ls,
+         CASE WHEN len(tk) >= 2
+              THEN [tk[i] || ' ' || tk[i+1] for i in generate_series(1, len(tk) - 1)]
+              ELSE [] END AS bg
+  FROM toks
+),
+rep2 AS (
+  SELECT doc_id,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CASE WHEN len(ls) > 1
+              THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+              ELSE 0.0 END AS dup_line_ratio,
+         CASE WHEN len(bg) > 0
+              THEN CAST(list_max(list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+              ELSE 0.0 END AS top_bigram_ratio
+  FROM rep
+)
+SELECT toks.doc_id AS doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(len(tk) + (SELECT transitions FROM bpe WHERE bpe.doc_id = toks.doc_id) AS BIGINT) AS n_tokens_bpe,
   round(CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS distinct_ratio,
   round(CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END, 6) AS mean_word_len,
   round(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS space_ratio,
-  round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio
-FROM toks""",
+  round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+  rep2.n_lines AS n_lines,
+  round(rep2.dup_line_ratio, 6) AS dup_line_ratio,
+  round(rep2.top_bigram_ratio, 6) AS top_bigram_ratio
+FROM toks JOIN rep2 ON rep2.doc_id = toks.doc_id""",
 )
 
 

@@ -622,3 +622,22 @@ def test_curate_corpus_optional_stages(spark, curation_docs):
     )
     red = dedup.curate_corpus(pii, min_quality=0.0, near_dup_threshold=0.9, redact=True)
     assert "<EMAIL>" in red.collect()[0]["text"]
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "line one\nline two\nline one\n\nline two"),   # 4 non-empty, 2 dups
+        (2, "spam spam spam spam spam"),                    # one bigram dominates
+        (3, "all words here are different okay"),
+        (4, "x"),                                           # no bigrams, one line
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 4
+    assert out[1]["dup_line_ratio"] == pytest.approx(0.5)
+    assert out[2]["top_bigram_ratio"] == pytest.approx(1.0)  # 'spam spam' x4
+    assert out[3]["dup_line_ratio"] == 0.0
+    assert out[3]["top_bigram_ratio"] == pytest.approx(0.2)  # 5 bigrams all unique
+    assert out[4]["n_lines"] == 1 and out[4]["top_bigram_ratio"] == 0.0
+    assert out[5]["n_lines"] == 0 and out[5]["dup_line_ratio"] == 0.0
