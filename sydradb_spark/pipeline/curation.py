@@ -126,7 +126,9 @@ def hash_sample(
         hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
         F.lit(SAMPLE_BUCKETS),
     )
-    return docs.where(bucket < int(fraction * SAMPLE_BUCKETS))
+    # round, not truncate: 0.3 * 1e6 is 299999.99…; round keeps the
+    # threshold the number the caller wrote (and what an oracle computes)
+    return docs.where(bucket < round(fraction * SAMPLE_BUCKETS))
 
 
 def train_split(
@@ -144,9 +146,9 @@ def train_split(
     )
     return docs.withColumn(
         "split",
-        F.when(bucket < int(test_fraction * SAMPLE_BUCKETS), F.lit("test")).otherwise(
-            F.lit("train")
-        ),
+        F.when(
+            bucket < round(test_fraction * SAMPLE_BUCKETS), F.lit("test")
+        ).otherwise(F.lit("train")),
     )
 
 

@@ -140,7 +140,7 @@ def test_events_points_schema_and_count(spark):
 # round-6 consolidation); a 1x1x1 nested-loop join is the intended plan.
 _BRUTE_OK = {
     "knn_cosine_brute",
-    "ngram_jaccard_topk",
+    "near_dup_scores",  # carries the documented ngram_jaccard brute half
     "ann_ivf_cosine",
     "onerow_agg_semantics",
 }
