@@ -237,14 +237,15 @@ def _ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_q(
-    "ingest_ndjson_roundtrip",
-    _ingest_roundtrip,
+# (registered below as `ingest_roundtrips` together with the streaming
+# variant — round-6 consolidation that freed a catalog slot for the
+# C4-style line-dedup entry)
+_INGEST_BATCH_ORACLE = (
     "SELECT * FROM (VALUES "
     "('ndjson', CAST(1694300000 AS BIGINT), CAST(24.2 AS DOUBLE)), "
     "('ndjson', 1694300010, 24.3), ('ndjson', 1694300020, 24.4), "
     "('csv', 1694300000, 101.3), ('csv', 1694300060, 101.4)"
-    ") AS t(fmt, time, value)",
+    ") AS t(fmt, time, value)"
 )
 
 
@@ -815,13 +816,48 @@ def _stream_ingest_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch NDJSON+CSV ingest round-trip AND streaming checkpointed ingest
+    durability, one labeled union (round-6 consolidation — both prove the
+    same contract: what was ingested is exactly what reads back)."""
+    lnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+    batch = _ingest_roundtrip(spark, sf_dir).select(
+        F.concat(F.lit("batch_"), F.col("fmt")).alias("part"),
+        "time",
+        "value",
+        lnull.alias("n"),
+        dnull.alias("sum_v"),
+        lnull.alias("n_series"),
+        lnull.alias("min_ts"),
+        lnull.alias("max_ts"),
+    )
+    stream = _stream_ingest_durable(spark, sf_dir).select(
+        F.lit("stream").alias("part"),
+        lnull.alias("time"),
+        dnull.alias("value"),
+        "n",
+        "sum_v",
+        F.col("n_series").cast("long").alias("n_series"),
+        "min_ts",
+        "max_ts",
+    )
+    return batch.unionByName(stream)
+
+
 _q(
-    "stream_ingest_durable",
-    _stream_ingest_durable,
+    "ingest_roundtrips",
+    _ingest_roundtrips,
     oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
-        f"count(DISTINCT host || '|' || dc) AS n_series, "
-        f"min(ts) AS min_ts, max(ts) AS max_ts FROM points "
-        f"WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"
+        f"""SELECT 'batch_' || fmt AS part, time, value,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_v,
+       CAST(NULL AS BIGINT) AS n_series, CAST(NULL AS BIGINT) AS min_ts,
+       CAST(NULL AS BIGINT) AS max_ts
+FROM ({_INGEST_BATCH_ORACLE})
+UNION ALL
+SELECT 'stream', NULL, NULL, count(*),
+       {r6('sum(value)')},
+       count(DISTINCT host || '|' || dc), min(ts), max(ts) FROM points
+  WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"""
     ),
 )

@@ -778,3 +778,66 @@ WHERE epoch < floor(w)
    OR ('0x' || substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
       < round((w - floor(w)) * 1000000)""",
 )
+
+
+# --- C4-style global line dedup -----------------------------------------------
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal over documents with a synthesized shared
+    header (every doc) and a shared footer (every doc_id % 3 == 0 doc) —
+    the corpus itself has no repeated lines, so the synthesis makes the
+    global-frequency machinery observable. Returns per-doc removal counts +
+    a cleaned-text fingerprint."""
+    from sydradb_spark.pipeline import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header line\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("common footer")).otherwise(
+                F.concat(F.lit("footer "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    out = curation.remove_boilerplate_lines(d2, max_docs_per_line=2)
+    return out.select(
+        "doc_id",
+        "n_lines_removed",
+        F.substring(F.md5(F.col("text")), 1, 16).alias("fp"),
+    )
+
+
+_q(
+    "line_dedup",
+    _line_dedup,
+    """WITH d2 AS (
+  SELECT doc_id,
+         'shared header line' || chr(10) || text || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'common footer'
+              ELSE 'footer ' || CAST(doc_id AS VARCHAR) END AS t
+  FROM documents
+),
+split AS (SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM d2),
+ln AS (
+  SELECT doc_id, u.i AS pos, ls[u.i] AS line
+  FROM split, unnest(generate_series(1, len(ls))) AS u(i)
+),
+bad AS (
+  SELECT line FROM ln WHERE trim(line) <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) > 2
+),
+kept AS (
+  SELECT doc_id, pos, line FROM ln WHERE line NOT IN (SELECT line FROM bad)
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d2.doc_id AS doc_id,
+       CAST(len(string_split(d2.t, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_lines_removed,
+       substr(md5(coalesce(reb.t2, '')), 1, 16) AS fp
+FROM d2 LEFT JOIN reb ON reb.doc_id = d2.doc_id""",
+)

@@ -256,3 +256,58 @@ def pack_sequences(
     return slim.groupBy("grp").applyInPandas(
         pack, "grp string, doc_id long, n_tokens long, bin_id long, bin_fill long"
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_docs_per_line: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style global line dedup: any (non-blank) line that appears in more
+    than ``max_docs_per_line`` DISTINCT documents is boilerplate (navigation,
+    cookie banners, licence footers) and is removed from every document.
+
+    Returns (doc_id, <text_col> cleaned, n_lines_removed); documents whose
+    every line was boilerplate come back with empty text, not dropped.
+
+    Scale shape: three key-bounded shuffles — line-frequency count (map-side
+    partial ``countDistinct`` approximated exactly by (line, doc) dedup +
+    count), an anti join of the line stream against the boilerplate set, and
+    the per-doc rebuild (``collect_list`` of (pos, line) structs, sorted and
+    joined map-side). No step is corpus-quadratic; the boilerplate set is
+    the only globally-shared state and it's join-keyed, never collected.
+    """
+    ln = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    bad = (
+        ln.where(F.trim(F.col("line")) != "")
+        .select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") > max_docs_per_line)
+        .select("line")
+    )
+    kept = ln.join(bad, on="line", how="anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean"),
+        F.count("*").alias("__kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        docs.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            (n_lines - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -641,3 +641,25 @@ def test_repetition_stats(spark):
     assert out[3]["top_bigram_ratio"] == pytest.approx(0.2)  # 5 bigrams all unique
     assert out[4]["n_lines"] == 1 and out[4]["top_bigram_ratio"] == 0.0
     assert out[5]["n_lines"] == 0 and out[5]["dup_line_ratio"] == 0.0
+
+
+def test_remove_boilerplate_lines(spark):
+    cookie = "accept our cookies"
+    rows = [
+        (1, f"{cookie}\nunique content one\nfooter inc"),
+        (2, f"{cookie}\nunique content two\nfooter inc"),
+        (3, f"{cookie}\nunique content three\nfooter inc"),
+        (4, "standalone doc\n\nwith a blank line"),
+        (5, cookie),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.remove_boilerplate_lines(df, 2).collect()}
+    # cookie + footer appear in 3 docs (> 2) → removed everywhere
+    assert out[1]["text"] == "unique content one"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "unique content two"
+    # blank lines are never counted as boilerplate
+    assert out[4]["text"] == "standalone doc\n\nwith a blank line"
+    assert out[4]["n_lines_removed"] == 0
+    # fully-boilerplate doc survives with empty text
+    assert out[5]["text"] == "" and out[5]["n_lines_removed"] == 1
