@@ -202,6 +202,18 @@ def _substitute_params(sql: str, params: list[bytes | None]) -> str:
     return _PLACEHOLDER.sub(repl, sql)
 
 
+# COPY <series> [(cols)] FROM STDIN [[WITH] (FORMAT text|csv)] — the psql
+# \copy bulk-load path. The reference has no COPY at all (its wire server
+# answers only simple queries); this is beyond-reference, implemented
+# because bulk load over psql is the single most common "get data in"
+# gesture a Postgres user tries first.
+_COPY_STDIN = re.compile(
+    r"copy\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*from\s+stdin"
+    r"\s*(?:with\s*)?(?:\(\s*format\s+(\w+)\s*\))?\s*$",
+    re.IGNORECASE,
+)
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901 — one message loop, kept together
         server: PgWireServer = self.server.pgwire  # type: ignore[attr-defined]
@@ -248,7 +260,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._ready(sock)
                     continue
                 sql = payload.rstrip(b"\x00").decode("utf-8", "replace")
-                self._query(sock, server, sql)
+                m = _COPY_STDIN.match(sql.strip().rstrip(";").strip())
+                if m:
+                    self._copy_in(sock, server, m)
+                else:
+                    self._query(sock, server, sql)
                 self._ready(sock)
         except (ConnectionError, OSError):
             return
@@ -460,6 +476,85 @@ class _Handler(socketserver.BaseRequestHandler):
     @staticmethod
     def _ready(sock: socket.socket) -> None:
         sock.sendall(_msg(b"Z", b"I"))
+
+    def _copy_in(self, sock: socket.socket, server: "PgWireServer", m: re.Match) -> None:
+        """COPY <series> [(cols)] FROM STDIN — CopyInResponse, drain
+        CopyData until CopyDone/CopyFail, then feed the rows through the
+        engine's INSERT path in chunks (inherits durability + validation).
+        text format (tab-separated, \\N null) and csv are supported."""
+        table = m.group(1)
+        cols = [c.strip() for c in (m.group(2) or "time, value").split(",") if c.strip()]
+        fmt = (m.group(3) or "text").lower()
+        if fmt not in ("text", "csv"):
+            sock.sendall(_error_response(f"COPY format {fmt} not supported", "0A000"))
+            return
+        ncols = len(cols)
+        sock.sendall(
+            _msg(b"G", struct.pack("!bH", 0, ncols) + struct.pack(f"!{ncols}H", *([0] * ncols)))
+        )
+        buf = bytearray()
+        failed: str | None = None
+        while True:
+            tag = _recv_exact(sock, 1)
+            (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+            if length < 4 or length - 4 > _MAX_MESSAGE:
+                raise ConnectionError("oversized CopyData")
+            pl = _recv_exact(sock, length - 4)
+            if tag == b"d":  # CopyData
+                buf.extend(pl)
+            elif tag == b"c":  # CopyDone
+                break
+            elif tag == b"f":  # CopyFail
+                failed = pl.rstrip(b"\x00").decode("utf-8", "replace")
+                break
+            elif tag in (b"H", b"S"):  # Flush/Sync mid-copy: ignore
+                continue
+            else:
+                failed = f"unexpected message {tag!r} during COPY"
+                break
+        if failed is not None:
+            sock.sendall(_error_response(f"COPY failed: {failed}", "57014"))
+            return
+        sep = "," if fmt == "csv" else "\t"
+        rows: list[list[str]] = []
+        for line in bytes(buf).decode("utf-8", "replace").split("\n"):
+            line = line.rstrip("\r")
+            if not line or line == "\\.":
+                continue
+            parts = [p.strip() for p in line.split(sep)]
+            if len(parts) != ncols:
+                sock.sendall(
+                    _error_response(
+                        f"COPY row has {len(parts)} columns, expected {ncols}",
+                        "22P04",
+                    )
+                )
+                return
+            rows.append(parts)
+        if not rows:
+            sock.sendall(_msg(b"C", b"COPY 0\x00"))
+            return
+
+        def lit(s: str) -> str:
+            if s == "\\N":
+                return "null"
+            if _NUMERIC_PARAM.fullmatch(s):
+                return s
+            return "'" + s.replace("'", "''") + "'"
+
+        chunk = 500  # bounded INSERT statements, engine-validated per chunk
+        try:
+            for i in range(0, len(rows), chunk):
+                vals = ", ".join(
+                    "(" + ", ".join(lit(v) for v in r) + ")" for r in rows[i : i + chunk]
+                )
+                server.engine.query(
+                    f"insert into {table} ({', '.join(cols)}) values {vals}"
+                )
+        except Exception as exc:  # noqa: BLE001 — surface as pg error
+            sock.sendall(_error_response(str(exc).split("\n")[0][:500], "42601"))
+            return
+        sock.sendall(_msg(b"C", f"COPY {len(rows)}".encode() + b"\x00"))
 
     @staticmethod
     def _query(sock: socket.socket, server: "PgWireServer", sql: str) -> None:

@@ -410,3 +410,67 @@ def test_pgwire_portal_exhaustion(wire):
     completes = [p for t, p in msgs if t == b"C"]
     assert completes == [b"SELECT 1\x00", b"SELECT 0\x00"]
     sock.close()
+
+
+def _copy_in(sock, sql, data_chunks, fail=None):
+    payload = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    tag, pl = _read_msg(sock)
+    if tag == b"E":  # error before copy mode
+        # drain to ReadyForQuery
+        while tag != b"Z":
+            tag, pl = _read_msg(sock)
+        return None, pl
+    assert tag == b"G", f"expected CopyInResponse, got {tag!r}"
+    for chunk in data_chunks:
+        sock.sendall(b"d" + struct.pack("!I", len(chunk) + 4) + chunk)
+    if fail is not None:
+        body = fail.encode() + b"\x00"
+        sock.sendall(b"f" + struct.pack("!I", len(body) + 4) + body)
+    else:
+        sock.sendall(b"c" + struct.pack("!I", 4))
+    tags = {}
+    while True:
+        tag, pl = _read_msg(sock)
+        tags[tag] = pl
+        if tag == b"Z":
+            return tags, None
+
+
+def test_pgwire_copy_from_stdin(wire):
+    sock = _connect(sock_addr := wire.addr)
+    # csv format, explicit columns, split across two CopyData messages
+    tags, _ = _copy_in(
+        sock,
+        "COPY copytest.series (time, value) FROM STDIN WITH (FORMAT csv)",
+        [b"5000,1.5\n5060,", b"2.5\n5120,3.5\n"],
+    )
+    assert b"C" in tags and tags[b"C"].rstrip(b"\x00") == b"COPY 3"
+    cols, rows, err = _simple_query(
+        sock, "SELECT time, value FROM copytest.series WHERE time >= 0 ORDER BY time"
+    )
+    assert err is None
+    assert [(r[0], float(r[1])) for r in rows] == [
+        ("5000", 1.5), ("5060", 2.5), ("5120", 3.5),
+    ]
+    # text format (tab separator), default columns
+    tags, _ = _copy_in(
+        sock, "COPY copytest.series FROM STDIN", [b"6000\t9.0\n"]
+    )
+    assert tags[b"C"].rstrip(b"\x00") == b"COPY 1"
+    # CopyFail aborts with an error, connection stays usable
+    tags, _ = _copy_in(
+        sock, "COPY copytest.series FROM STDIN", [b"7000\t1.0\n"], fail="client abort"
+    )
+    assert b"E" in tags
+    cols, rows, err = _simple_query(
+        sock, "SELECT count() AS n FROM copytest.series WHERE time >= 0"
+    )
+    assert err is None and rows == [["4"]]  # 3 csv + 1 text, aborted row absent
+    # malformed row: column count mismatch → error, no partial ingest
+    tags, _ = _copy_in(
+        sock, "COPY copytest.series FROM STDIN (FORMAT csv)", [b"1,2,3\n"]
+    )
+    assert b"E" in tags
+    sock.sendall(b"X" + struct.pack("!I", 4))
+    sock.close()
