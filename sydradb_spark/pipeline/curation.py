@@ -311,3 +311,49 @@ def remove_boilerplate_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+URL_RE = r"https?://[^\s/$.?#][^\s]*"
+DOMAIN_FROM_URL_RE = r"https?://([^\s/:?#]+)"
+
+
+def extract_domains(text: Column) -> Column:
+    """Distinct lowercased domains of the http(s) URLs in a document —
+    pure JVM regex, zero shuffle."""
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(DOMAIN_FROM_URL_RE), F.lit(1)),
+            lambda d: F.lower(d),
+        )
+    )
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(domain, n_docs) — how many documents cite each domain. The per-domain
+    histogram a web-corpus curator cuts blocklists and mix weights from.
+    One explode + one combining shuffle on domain."""
+    return (
+        docs.select("doc_id", F.explode(extract_domains(F.col(text_col))).alias("domain"))
+        .groupBy("domain")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame, blocked: DataFrame | list[str], text_col: str = "text"
+) -> DataFrame:
+    """Drop documents citing any blocked domain. ``blocked`` is a frame with
+    a ``domain`` column or a plain list; blocklists are small → broadcast
+    anti-join against the doc→domain stream (the same shape as benchmark
+    decontamination)."""
+    spark = docs.sparkSession
+    if isinstance(blocked, list):
+        blocked = spark.createDataFrame([(d.lower(),) for d in blocked], "domain string")
+    doc_domains = docs.select(
+        "doc_id", F.explode(extract_domains(F.col(text_col))).alias("domain")
+    )
+    bad_docs = doc_domains.join(
+        F.broadcast(blocked.select(F.lower(F.col("domain")).alias("domain"))),
+        on="domain",
+    ).select("doc_id").distinct()
+    return docs.join(bad_docs, on="doc_id", how="anti")

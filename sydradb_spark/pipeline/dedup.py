@@ -470,11 +470,16 @@ def curate_corpus(
     text_col: str = "text",
     benchmark: DataFrame | None = None,
     redact: bool = False,
+    boilerplate_max_docs: int | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the canonical training-data pipeline,
-    one composition: quality gate → exact dedup → near-dup collapse, with
-    optional benchmark decontamination and PII redaction stages.
+    one composition: [boilerplate-line removal] → quality gate → exact
+    dedup → near-dup collapse, with optional benchmark decontamination and
+    PII redaction stages.
 
+    0. (``boilerplate_max_docs`` given) C4-style global line dedup runs
+       FIRST — cleaning before dedup, so boilerplate can't mask real
+       near-dups or prop up quality scores;
     1. score + filter: `text.quality_score` (pure column expressions) drops
        documents under ``min_quality``;
     2. exact dedup: one combining shuffle on the content md5, deterministic
@@ -499,6 +504,14 @@ def curate_corpus(
 
     from pyspark import StorageLevel
 
+    if boilerplate_max_docs is not None:
+        from sydradb_spark.pipeline.curation import remove_boilerplate_lines
+
+        other_cols = [c for c in docs.columns if c not in ("doc_id", text_col)]
+        cleaned = remove_boilerplate_lines(docs, boilerplate_max_docs, text_col)
+        docs = docs.select("doc_id", *other_cols).join(
+            cleaned.select("doc_id", text_col), on="doc_id"
+        )
     scored = docs.withColumn("quality", quality_score(F.col(text_col)))
     kept = scored.where(F.col("quality") >= min_quality)
     # deduped feeds the near-dup stage (shingles + verify) AND the final

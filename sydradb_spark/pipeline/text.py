@@ -237,3 +237,37 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .join(per_doc, on="doc_id", how="left")
         .na.fill({"top_bigram_ratio": 0.0})
     )
+
+
+def corpus_sketch_stats(docs: DataFrame, text_col: str = "text", rsd: float = 0.02) -> DataFrame:
+    """One-row approximate corpus profile — the 100 TB-scale version of the
+    questions `corpus_stats` answers exactly per source:
+
+    - ``approx_vocab``: HyperLogLog++ distinct-token estimate
+      (`approx_count_distinct`, ``rsd`` relative error). The exact
+      equivalent shuffles every distinct token corpus-wide; the sketch is
+      map-side partials of a few KB merged on one reducer.
+    - ``p50/p90/p99_tokens``: `percentile_approx` over per-doc token counts
+      (Greenwald-Khanna, bounded state — an exact percentile would sort the
+      corpus).
+    - ``n_docs`` / ``total_tokens``: exact (plain combining sums).
+
+    Deliberately NOT driver-contract-checked: sketches are
+    implementation-defined, so there is no cross-engine oracle — accuracy
+    is pinned against exact answers in pytest at small scale instead.
+    """
+    toks = tokens(F.col(text_col))
+    per_doc = docs.select(F.size(toks).alias("__n"), toks.alias("__t"))
+    counts = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.percentile_approx("__n", 0.5).cast("long").alias("p50_tokens"),
+        F.percentile_approx("__n", 0.9).cast("long").alias("p90_tokens"),
+        F.percentile_approx("__n", 0.99).cast("long").alias("p99_tokens"),
+    )
+    vocab = (
+        per_doc.select(F.explode("__t").alias("__tok"))
+        .agg(F.approx_count_distinct("__tok", rsd=rsd).alias("approx_vocab"))
+    )
+    # two 1-row aggregates → one profile row; the cross join is 1×1
+    return counts.crossJoin(vocab)

@@ -663,3 +663,57 @@ def test_remove_boilerplate_lines(spark):
     assert out[4]["n_lines_removed"] == 0
     # fully-boilerplate doc survives with empty text
     assert out[5]["text"] == "" and out[5]["n_lines_removed"] == 1
+
+
+def test_domain_extraction_and_blocklist(spark):
+    rows = [
+        (1, "see https://Example.COM/page and http://other.org/x?y=1"),
+        (2, "plain text no urls"),
+        (3, "dup https://example.com/a https://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["domain"]: r["n_docs"] for r in curation.domain_stats(df).collect()}
+    assert stats == {"example.com": 2, "other.org": 1}
+    kept = sorted(
+        r["doc_id"]
+        for r in curation.filter_blocked_domains(df, ["EXAMPLE.com"]).collect()
+    )
+    assert kept == [2]
+
+
+def test_curate_corpus_boilerplate_stage(spark):
+    footer = "all rights reserved by someone"
+    rows = [
+        (1, f"unique interesting document text one here\n{footer}"),
+        (2, f"unique interesting document text two here\n{footer}"),
+        (3, f"unique interesting document text three here\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.curate_corpus(
+            df, min_quality=0.0, near_dup_threshold=0.95, boilerplate_max_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for t in out.values():
+        assert footer not in t
+
+
+def test_corpus_sketch_stats_accuracy(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = text.corpus_sketch_stats(docs).collect()[0]
+    exact_vocab = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert row["n_docs"] == 500
+    assert abs(row["approx_vocab"] - exact_vocab) / exact_vocab < 0.1
+    # percentiles bracket the exact median from both sides loosely
+    ns = sorted(
+        r["n"] for r in docs.select(F.size(text.tokens(F.col("text"))).alias("n")).collect()
+    )
+    assert abs(row["p50_tokens"] - ns[len(ns) // 2]) <= max(2, ns[len(ns) // 2] * 0.05)
+    assert row["p90_tokens"] <= row["p99_tokens"] <= ns[-1]
+    assert row["total_tokens"] == sum(ns)
