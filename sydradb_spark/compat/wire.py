@@ -515,13 +515,28 @@ class _Handler(socketserver.BaseRequestHandler):
         if failed is not None:
             sock.sendall(_error_response(f"COPY failed: {failed}", "57014"))
             return
-        sep = "," if fmt == "csv" else "\t"
+        text_data = bytes(buf).decode("utf-8", "replace")
         rows: list[list[str]] = []
-        for line in bytes(buf).decode("utf-8", "replace").split("\n"):
-            line = line.rstrip("\r")
-            if not line or line == "\\.":
+        if fmt == "csv":
+            import csv as _csv
+            import io as _io
+
+            # real CSV parsing (quoted fields, embedded commas/newlines) —
+            # psql \copy quotes freely
+            reader = _csv.reader(_io.StringIO(text_data))
+            candidates = [row for row in reader if row]
+        else:
+            candidates = [
+                line.split("\t")
+                for line in (
+                    ln.rstrip("\r") for ln in text_data.split("\n")
+                )
+                if line and line != "\\."
+            ]
+        for parts in candidates:
+            if parts == ["\\."]:
                 continue
-            parts = [p.strip() for p in line.split(sep)]
+            parts = [p.strip() for p in parts]
             if len(parts) != ncols:
                 sock.sendall(
                     _error_response(
