@@ -213,6 +213,14 @@ _COPY_STDIN = re.compile(
     re.IGNORECASE,
 )
 
+# COPY <series> [(cols)] TO STDOUT or COPY (<select>) TO STDOUT — the export
+# twin (psql `\copy ... to file`).
+_COPY_STDOUT = re.compile(
+    r"copy\s+(?:\(\s*(.+?)\s*\)|([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?)\s*to\s+stdout"
+    r"\s*(?:with\s*)?(?:\(\s*format\s+(\w+)\s*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901 — one message loop, kept together
@@ -260,9 +268,13 @@ class _Handler(socketserver.BaseRequestHandler):
                     self._ready(sock)
                     continue
                 sql = payload.rstrip(b"\x00").decode("utf-8", "replace")
-                m = _COPY_STDIN.match(sql.strip().rstrip(";").strip())
+                stripped = sql.strip().rstrip(";").strip()
+                m = _COPY_STDIN.match(stripped)
+                mo = _COPY_STDOUT.match(stripped) if not m else None
                 if m:
                     self._copy_in(sock, server, m)
+                elif mo:
+                    self._copy_out(sock, server, mo)
                 else:
                     self._query(sock, server, sql)
                 self._ready(sock)
@@ -569,6 +581,61 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as exc:  # noqa: BLE001 — surface as pg error
             sock.sendall(_error_response(str(exc).split("\n")[0][:500], "42601"))
             return
+        sock.sendall(_msg(b"C", f"COPY {len(rows)}".encode() + b"\x00"))
+
+    def _copy_out(self, sock: socket.socket, server: "PgWireServer", m: re.Match) -> None:
+        """COPY ... TO STDOUT: run the inner select (or a full-range scan of
+        the named series) through the engine, stream rows as CopyData in
+        text or csv format."""
+        inner, table, cols_raw, fmt = m.group(1), m.group(2), m.group(3), (
+            m.group(4) or "text"
+        ).lower()
+        if fmt not in ("text", "csv"):
+            sock.sendall(_error_response(f"COPY format {fmt} not supported", "0A000"))
+            return
+        if inner:
+            from sydradb_spark.compat.translator import translate
+
+            t = translate(inner)
+            if not t.ok:
+                sock.sendall(
+                    _error_response(t.message or "not supported", t.sqlstate or "0A000")
+                )
+                return
+            stmt = t.sydraql
+        else:
+            cols = ", ".join(
+                c.strip() for c in (cols_raw or "time, value").split(",") if c.strip()
+            )
+            stmt = f"select {cols} from {table} where time >= 0"
+        try:
+            df = server.engine.query(stmt).df.limit(server.max_rows)
+            rows = df.collect()
+            names = df.columns
+        except Exception as exc:  # noqa: BLE001 — surface as pg error
+            sock.sendall(_error_response(str(exc).split("\n")[0][:500], "42601"))
+            return
+        ncols = len(names)
+        sock.sendall(
+            _msg(b"H", struct.pack("!bH", 0, ncols) + struct.pack(f"!{ncols}H", *([0] * ncols)))
+        )
+        if fmt == "csv":
+            import csv as _csv
+            import io as _io
+
+            for row in rows:
+                out = _io.StringIO()
+                _csv.writer(out, lineterminator="\n").writerow(
+                    ["" if row[n] is None else row[n] for n in names]
+                )
+                sock.sendall(_msg(b"d", out.getvalue().encode()))
+        else:
+            for row in rows:
+                line = "\t".join(
+                    "\\N" if row[n] is None else str(row[n]) for n in names
+                )
+                sock.sendall(_msg(b"d", line.encode() + b"\n"))
+        sock.sendall(_msg(b"c", b""))
         sock.sendall(_msg(b"C", f"COPY {len(rows)}".encode() + b"\x00"))
 
     @staticmethod

@@ -474,3 +474,43 @@ def test_pgwire_copy_from_stdin(wire):
     assert b"E" in tags
     sock.sendall(b"X" + struct.pack("!I", 4))
     sock.close()
+
+
+def _copy_out(sock, sql):
+    payload = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+    data, complete, err = b"", None, None
+    while True:
+        tag, pl = _read_msg(sock)
+        if tag == b"d":
+            data += pl
+        elif tag == b"C":
+            complete = pl.rstrip(b"\x00").decode()
+        elif tag == b"E":
+            err = pl
+        elif tag == b"Z":
+            return data, complete, err
+
+
+def test_pgwire_copy_to_stdout(wire):
+    sock = _connect(wire.addr)
+    # load a couple rows first
+    _copy_in(
+        sock,
+        "COPY copyout.series (time, value) FROM STDIN WITH (FORMAT csv)",
+        [b"100,1.5\n200,2.5\n"],
+    )
+    data, complete, err = _copy_out(
+        sock, "COPY copyout.series (time, value) TO STDOUT WITH (FORMAT csv)"
+    )
+    assert err is None and complete == "COPY 2"
+    assert sorted(data.decode().strip().split("\n")) == ["100,1.5", "200,2.5"]
+    # text format + inner-select form
+    data, complete, err = _copy_out(
+        sock,
+        "COPY (SELECT time, value FROM copyout.series WHERE time >= 150) TO STDOUT",
+    )
+    assert err is None and complete == "COPY 1"
+    assert data.decode() == "200\t2.5\n"
+    sock.sendall(b"X" + struct.pack("!I", 4))
+    sock.close()
