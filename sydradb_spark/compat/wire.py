@@ -493,7 +493,13 @@ class _Handler(socketserver.BaseRequestHandler):
         """COPY <series> [(cols)] FROM STDIN — CopyInResponse, drain
         CopyData until CopyDone/CopyFail, then feed the rows through the
         engine's INSERT path in chunks (inherits durability + validation).
-        text format (tab-separated, \\N null) and csv are supported."""
+        text format (tab-separated, \\N null) and csv are supported.
+
+        Deviation from Postgres: chunked inserts are not atomic ACROSS
+        chunks — an engine error mid-load leaves earlier chunks applied
+        (the manifest keeps each chunk commit itself atomic). Rows are
+        validated before any insert runs, so the malformed-input paths
+        (bad column count, CopyFail) apply nothing."""
         table = m.group(1)
         cols = [c.strip() for c in (m.group(2) or "time, value").split(",") if c.strip()]
         fmt = (m.group(3) or "text").lower()
