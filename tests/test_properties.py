@@ -215,3 +215,62 @@ def test_fill_spine_guard_raises(spark, monkeypatch):
     dense = fill_mod.fill_buckets(agg, "bucket", 1, [], ["v"], "previous")
     with _pytest.raises(Exception, match="FILL spine exceeds"):
         dense.collect()
+
+
+# --- curation operator properties --------------------------------------------
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=50),
+)
+def test_pack_sequences_never_overfills(spark, token_counts, budget):
+    from sydradb_spark.pipeline.curation import pack_sequences
+
+    rows = [("g", i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long")
+    out = pack_sequences(df, budget=budget, tokens_col="n").collect()
+    assert len(out) == len(token_counts)  # every doc assigned exactly once
+    fills: dict = {}
+    for r in out:
+        fills.setdefault(r["bin_id"], []).append((r["doc_id"], r["n_tokens"]))
+    for bin_id, members in fills.items():
+        total = sum(n for _, n in members)
+        # a bin only exceeds budget when a single oversized doc owns it
+        assert total <= budget or len(members) == 1
+    # bins are consecutive from 0
+    assert sorted(fills) == list(range(len(fills)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        min_size=1,
+    )
+)
+def test_mix_corpus_counts_bounded(spark, weights):
+    from sydradb_spark.pipeline.curation import mix_corpus
+
+    n_per = 60
+    rows = [(s_i * n_per + i, f"s{s_i}") for s_i in range(3) for i in range(n_per)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    per = {
+        r["source"]: r["n"]
+        for r in mix_corpus(df, weights, salt="prop")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s in ("s0", "s1", "s2"):
+        w = weights.get(s, 1.0)
+        got = per.get(s, 0)
+        import math
+
+        full = math.floor(w)
+        frac = w - full
+        # exact epochs are deterministic; the fractional tail is a
+        # hash-binomial — allow generous slack around its mean
+        lo = full * n_per + max(0, int(frac * n_per) - 25)
+        hi = full * n_per + min(n_per, int(frac * n_per) + 25)
+        assert lo <= got <= hi, (s, w, got)
