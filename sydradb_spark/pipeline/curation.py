@@ -20,6 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -310,6 +311,71 @@ def remove_boilerplate_lines(
             .cast("long")
             .alias("n_lines_removed"),
         )
+    )
+
+
+# Control chars to strip: C0 set minus \t (09), \n (0A) — \r is handled by
+# the CRLF rewrite before this class applies — plus DEL (7F). Hex escapes are
+# identical in Java regex and RE2, so DuckDB oracles agree bit-for-bit.
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(text: Column, nfc: bool = True) -> Column:
+    """Canonical text cleanup — the normalization pass a corpus runs before
+    hashing/dedup so byte-level noise doesn't defeat content equality:
+
+    1. Unicode NFC composition (``é`` as one codepoint, not ``e`` + U+0301).
+       No JVM builtin exposes ICU normalization through PySpark, so this is
+       the legitimate Arrow-batched kernel case (sequential per-string
+       library call); skipped when ``nfc=False`` for a pure-codegen pipeline.
+    2. CRLF / lone CR → LF.
+    3. Strip remaining control characters (C0 minus tab/newline, plus DEL).
+    4. Collapse runs of spaces/tabs to a single space.
+    5. Strip spaces around newlines.
+    6. Collapse 3+ consecutive newlines to 2 (paragraph break).
+    7. Trim leading/trailing whitespace.
+
+    Steps 2-7 are pure JVM ``regexp_replace`` chains — whole-stage codegen,
+    zero shuffle; every pattern avoids lookarounds so RE2 (DuckDB oracle)
+    and Java regex transform identically.
+    """
+    c = text
+    if nfc:
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        @pandas_udf(StringType())
+        def _nfc(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+            )
+
+        c = _nfc(c)
+    c = F.regexp_replace(c, r"\r\n?", "\n")
+    c = F.regexp_replace(c, CONTROL_RE, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" *\n *", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def normalize_docs(docs: DataFrame, text_col: str = "text", nfc: bool = True) -> DataFrame:
+    """(doc_id, <text_col> normalized, changed, n_chars_before, n_chars_after)
+    per document — ``changed`` flags rows the cleanup touched (the usual
+    monitoring signal for how dirty a source is)."""
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("__orig"),
+        normalize_text(F.col(text_col), nfc=nfc).alias(text_col),
+    )
+    return staged.select(
+        "doc_id",
+        text_col,
+        (F.col(text_col) != F.col("__orig")).alias("changed"),
+        F.length("__orig").cast("long").alias("n_chars_before"),
+        F.length(text_col).cast("long").alias("n_chars_after"),
     )
 
 

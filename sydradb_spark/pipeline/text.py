@@ -239,6 +239,61 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking step a
+    training/RAG pipeline runs before tokenization or embedding.
+
+    Output: ``(doc_id, chunk_idx, chunk_start, chunk_text, n_chunk_tokens)``.
+    Chunks start at multiples of ``stride = chunk_size - overlap``; the final
+    start is the smallest multiple of stride whose window reaches the end of
+    the document, so every token is covered exactly once past the overlap and
+    no redundant all-overlap tail chunk is emitted. Documents with zero
+    tokens produce zero chunks.
+
+    Scale shape: tokenize → closed-form start list → ``posexplode`` → array
+    ``slice`` — a purely narrow per-row expansion, zero shuffles, output rows
+    ≈ input tokens / stride regardless of document skew (one pathological
+    100 MB doc expands in its own task without a repartition).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("require 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # smallest multiple of stride with start + chunk_size >= n (0 if the doc
+    # fits in one chunk); integer arithmetic only so the oracle is exact
+    over = n - F.lit(chunk_size) + F.lit(stride - 1)
+    start_max = F.when(
+        n <= chunk_size, F.lit(0)
+    ).otherwise((over - (over % stride)).cast("int"))
+    base = docs.select(
+        "doc_id", toks.alias("__tk"), n.alias("__n"), start_max.alias("__smax")
+    ).where(F.col("__n") > 0)
+    exploded = base.select(
+        "doc_id",
+        "__tk",
+        "__n",
+        F.posexplode(F.sequence(F.lit(0), F.col("__smax"), F.lit(stride))).alias(
+            "chunk_idx", "chunk_start"
+        ),
+    )
+    chunk = F.slice(F.col("__tk"), F.col("chunk_start") + 1, chunk_size)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.least(F.col("__n") - F.col("chunk_start"), F.lit(chunk_size))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+
+
 def corpus_sketch_stats(docs: DataFrame, text_col: str = "text", rsd: float = 0.02) -> DataFrame:
     """One-row approximate corpus profile — the 100 TB-scale version of the
     questions `corpus_stats` answers exactly per source:

@@ -717,3 +717,63 @@ def test_corpus_sketch_stats_accuracy(spark):
     assert abs(row["p50_tokens"] - ns[len(ns) // 2]) <= max(2, ns[len(ns) // 2] * 0.05)
     assert row["p90_tokens"] <= row["p99_tokens"] <= ns[-1]
     assert row["total_tokens"] == sum(ns)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks: starts 0,6 @ size 8 stride 6
+        (2, "only three tokens"),                     # single short chunk
+        (3, ""),                                      # no chunks
+        (4, " ".join(f"t{i}" for i in range(16))),   # 16 toks: starts 0,6,12? smax: n>size -> ceil((16-8)/6)*6=12 -> 0,6,12
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_size=8, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in out.collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (4, 0), (4, 1), (4, 2)}
+    # full coverage: every token appears in some chunk; overlap tokens shared
+    assert got[(1, 0)]["chunk_text"].split() == [f"w{i}" for i in range(8)]
+    assert got[(1, 1)]["chunk_text"].split() == [f"w{i}" for i in range(6, 10)]
+    assert got[(1, 1)]["chunk_start"] == 6
+    assert got[(1, 1)]["n_chunk_tokens"] == 4
+    assert got[(2, 0)]["n_chunk_tokens"] == 3
+    assert got[(4, 2)]["chunk_text"].split() == [f"t{i}" for i in range(12, 16)]
+    # invalid params refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_chunk_documents_is_narrow(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row expansion, zero shuffles
+
+
+def test_normalize_docs(spark):
+    from sydradb_spark.pipeline import curation
+
+    rows = [
+        (1, "á plain line"),                      # NFC composes to á
+        (2, "dos\r\nline\rold mac"),                     # CRLF + lone CR
+        (3, "ctrl\x00\x08here"),                         # control chars stripped
+        (4, "wide   \t gaps"),                           # run collapse
+        (5, "  trim me  \n\n\n\nnext para  "),          # trim + paragraph collapse
+        (6, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.normalize_docs(df).collect()}
+    assert out[1]["text"] == "á plain line" and out[1]["changed"]
+    assert out[2]["text"] == "dos\nline\nold mac" and out[2]["changed"]
+    assert out[3]["text"] == "ctrlhere" and out[3]["changed"]
+    assert out[4]["text"] == "wide gaps" and out[4]["changed"]
+    assert out[5]["text"] == "trim me\n\nnext para" and out[5]["changed"]
+    assert out[6]["text"] == "already clean" and not out[6]["changed"]
+    assert out[3]["n_chars_before"] == 10 and out[3]["n_chars_after"] == 8
+    # pure-codegen path (nfc=False) agrees on ASCII input
+    ascii_df = df.where(F.col("doc_id") >= 2)
+    a = {r["doc_id"]: r["text"] for r in curation.normalize_docs(ascii_df, nfc=False).collect()}
+    assert a == {k: v["text"] for k, v in out.items() if k >= 2}
