@@ -380,20 +380,18 @@ _q(
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (registered as the 'simhash' part of the merged `near_dup_scores`
+    # entry — the late-round-6 consolidation that freed a slot for
+    # `doc_chunking`; the signatures keep their own driver row.)
     docs = load_table(spark, sf_dir, "documents")
     out = dedup.simhash_near_pairs(docs, max_hamming=3)
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
-_q(
-    "simhash_near_pairs",
-    _simhash_pairs,
-    f"""WITH {_SIMHASH_SQL}
-SELECT a.doc_id AS a, b.doc_id AS b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+_SIMHASH_PAIRS_SELECT = """SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS score
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-)
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
 def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,23 +528,30 @@ def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the two bounded brute-force near-dup scorers (merged
-    round 6 to free a slot for `corpus_mix`): exact n-gram Jaccard top-10
-    over a 100-doc subset + embedding-cosine near-dups over sign-LSH
-    candidates."""
+    """Labeled union of the (a, b, score)-shaped near-dup scorers (merged
+    round 6 to free slots for `corpus_mix` and `doc_chunking`): exact n-gram
+    Jaccard top-10 over a 100-doc subset, embedding-cosine near-dups over
+    sign-LSH candidates, and SimHash banded pairs (score = hamming)."""
     ng = _ngram_topk(spark, sf_dir).select(
         F.lit("ngram").alias("part"), "a", "b", F.col("jaccard").alias("score")
     )
     em = _embed_dedup(spark, sf_dir).select(
         F.lit("embed").alias("part"), "a", "b", F.col("cosine").alias("score")
     )
-    return ng.unionByName(em)
+    sh = _simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("part"),
+        "a",
+        "b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return ng.unionByName(em).unionByName(sh)
 
 
 _q(
     "near_dup_scores",
     _near_dup_scores,
     f"""WITH {_NGRAM_TOPK_CTES},
+{_SIMHASH_SQL},
 t AS (
   SELECT vec_id, embedding AS e FROM embeddings
 ), tb AS (
@@ -563,7 +568,9 @@ t AS (
 )
 SELECT 'ngram' AS part, a, b, score FROM ngtop
 UNION ALL
-SELECT 'embed', a, b, round(cosine, 6) FROM scored WHERE cosine >= 0.3""",
+SELECT 'embed', a, b, round(cosine, 6) FROM scored WHERE cosine >= 0.3
+UNION ALL
+SELECT 'simhash', a, b, score FROM ({_SIMHASH_PAIRS_SELECT})""",
 )
 
 
@@ -672,7 +679,11 @@ def _decontam_pii_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     - pii: email/IPv4 redaction counts + redacted text over a synthesized
       PII suffix (the corpus itself carries no PII — the suffix makes the
       redaction machinery observable and deterministic);
-    - sample: membership of the deterministic 20% hash sample (salt s0).
+    - sample: membership of the deterministic 20% hash sample (salt s0);
+    - normalize: NFC + control-char/whitespace cleanup over a synthesized
+      dirty suffix (decomposed accent, CRLF, control char, space runs —
+      the corpus itself is clean, so the suffix makes every normalization
+      step observable); n = chars removed, s = normalized text.
     """
     from sydradb_spark.pipeline import curation
 
@@ -708,7 +719,21 @@ def _decontam_pii_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("string").alias("s"),
     )
-    return contam.unionByName(pii).unionByName(samp)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" x\r\ncafe\u0301  end\x01 "),
+        ).alias("text"),
+    )
+    nd = curation.normalize_docs(dirty)
+    norm = nd.select(
+        F.lit("normalize").alias("part"),
+        "doc_id",
+        (F.col("n_chars_before") - F.col("n_chars_after")).alias("n"),
+        F.col("text").alias("s"),
+    )
+    return contam.unionByName(pii).unionByName(samp).unionByName(norm)
 
 
 def _decontam_oracle() -> str:
@@ -734,10 +759,25 @@ def _decontam_oracle() -> str:
         "  regexp_replace(regexp_replace(s, '" + email + "', '<EMAIL>', 'g'), '" + ipv4 + "', '<IP>', 'g') AS red\n"
         "  FROM pii_in),\n"
         "samp AS (SELECT doc_id FROM documents\n"
-        "  WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 200000)\n"
+        "  WHERE ('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 200000),\n"
+        # normalize part: same dirty suffix, then the exact normalize_text
+        # chain — nfc, CRLF->LF, strip C0-minus-tab/LF + DEL, collapse
+        # spaces/tabs, strip spaces around LF, squeeze 3+ LFs, trim.
+        "norm_in AS (SELECT doc_id, text || ' x' || chr(13) || chr(10)\n"
+        "  || 'cafe' || chr(769) || '  end' || chr(1) || ' ' AS s FROM documents),\n"
+        "norm AS (SELECT doc_id, s, regexp_replace(regexp_replace(regexp_replace(\n"
+        "    regexp_replace(regexp_replace(regexp_replace(nfc_normalize(s),\n"
+        "    '\\r\\n?', chr(10), 'g'),\n"
+        "    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),\n"
+        "    '[ \\t]+', ' ', 'g'),\n"
+        "    ' *\\n *', chr(10), 'g'),\n"
+        "    '\\n{3,}', chr(10) || chr(10), 'g'),\n"
+        "    '^\\s+|\\s+$', '', 'g') AS clean FROM norm_in)\n"
         "SELECT 'contam' AS part, doc_id, n, CAST(NULL AS VARCHAR) AS s FROM contam\n"
         "UNION ALL SELECT 'pii', doc_id, n, red FROM pii\n"
-        "UNION ALL SELECT 'sample', doc_id, CAST(NULL AS BIGINT), NULL FROM samp"
+        "UNION ALL SELECT 'sample', doc_id, CAST(NULL AS BIGINT), NULL FROM samp\n"
+        "UNION ALL SELECT 'normalize', doc_id,\n"
+        "  CAST(length(s) - length(clean) AS BIGINT), clean FROM norm"
     )
 
 
@@ -840,4 +880,43 @@ SELECT d2.doc_id AS doc_id,
        CAST(len(string_split(d2.t, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_lines_removed,
        substr(md5(coalesce(reb.t2, '')), 1, 16) AS fp
 FROM d2 LEFT JOIN reb ON reb.doc_id = d2.doc_id""",
+)
+
+
+# --- document chunking --------------------------------------------------------
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # chunk_size - overlap(8)
+
+
+def _doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, overlap 8) — the pre-
+    tokenization split a training/RAG pipeline feeds to the embedder."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_SIZE - _CHUNK_STRIDE
+    )
+
+
+_q(
+    "doc_chunking",
+    _doc_chunking,
+    f"""WITH {_TOKS},
+par AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+st AS (
+  SELECT doc_id, tk, n,
+         CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+              ELSE ((n - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}) * {_CHUNK_STRIDE}
+         END AS smax
+  FROM par
+),
+ch AS (
+  SELECT doc_id, tk, n, u.i AS s
+  FROM st, unnest(generate_series(0, smax, {_CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       array_to_string(list_slice(tk, s + 1, s + {_CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(least(n - s, {_CHUNK_SIZE}) AS BIGINT) AS n_chunk_tokens
+FROM ch""",
 )
