@@ -81,6 +81,14 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
+    # the dedup/curation operator tree (md5 hashing, higher-order array
+    # functions, explode chains, the union-find probe) JITs ~20-25s of
+    # codegen classes on its first execution in a fresh JVM — run it once
+    # over a 64-doc subset so the timed runs measure the operators, not
+    # one-time class compilation (same rationale as the write warm-up)
+    from sydradb_spark.pipeline.dedup import curate_corpus
+
+    curate_corpus(load_table(spark, sf_dir, "documents").limit(64)).count()
 
     # Median-of-3 per query: single-shot timings drifted 1.1-1.2x between
     # rounds with no code change (unfalsifiable noise). Run 1 includes

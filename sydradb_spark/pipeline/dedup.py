@@ -382,12 +382,14 @@ def cluster_pairs(
     Hybrid strategy (the shape every production CC uses): near-dup edge sets
     are SMALL relative to the corpus — candidate generation already bounded
     them — so up to ``driver_threshold`` edges a driver-side union-find
-    answers the common case. The size probe IS the edge fetch: one
-    ``limit(threshold+1).collect()`` both decides the path and hands the
-    driver the edges, so the (expensive, typically unpersisted) pair frame
-    upstream — LSH candidates + exact-Jaccard verify — is evaluated ONCE,
-    not once for count and again for collect (measured 2x the whole verify
-    phase in curate_corpus before this change). Beyond the threshold,
+    answers the common case. The size probe is persist → count → collect:
+    the persist makes the (expensive) LSH-candidate + exact-Jaccard-verify
+    chain materialize exactly once in one fully-parallel pass, the count
+    reads the cached result, and the collect fetches it only when it fits
+    the driver budget. (A ``limit(threshold+1).collect()`` probe — the
+    previous shape — re-ran the upstream in Spark's incremental
+    scale-up-limit passes: measured 2x the whole cold verify phase at
+    sf0.1.) Beyond the threshold,
     iterative min-label propagation: each round every node takes the min
     label among itself and its neighbours — one join + one
     map-side-combining groupBy per round, converging in <= component-diameter
@@ -397,11 +399,17 @@ def cluster_pairs(
     Singletons (docs with no pair) are not emitted — their cluster is
     themselves by definition.
     """
+    from pyspark import StorageLevel
+
     spark = pairs.sparkSession
-    probe = pairs.select(a_col, b_col).limit(driver_threshold + 1).collect()
-    if not probe:
+    slim = pairs.select(a_col, b_col).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = slim.count()
+    if n_pairs == 0:
+        slim.unpersist()
         return spark.createDataFrame([], "doc_id long, cluster_id long")
-    if len(probe) <= driver_threshold:
+    if n_pairs <= driver_threshold:
+        probe = slim.collect()
+        slim.unpersist()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -424,11 +432,13 @@ def cluster_pairs(
         rows = [(x, find(x)) for x in sorted(nodes)]
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
     edges = (
-        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        slim.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(slim.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .distinct()
         .persist()
     )
+    edges.count()  # materialize from the cached pair frame, then release it
+    slim.unpersist()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
