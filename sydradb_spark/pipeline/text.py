@@ -294,6 +294,57 @@ def chunk_documents(
     )
 
 
+def vocab_topk(docs: DataFrame, n: int = 50_000, text_col: str = "text") -> DataFrame:
+    """(token, count, rank) for the corpus's ``n`` most frequent whitespace
+    tokens — the vocabulary sweep run before tokenizer training and for
+    vocabulary-coverage decisions.
+
+    Scale shape: explode → map-side-combining ``groupBy(token)`` (shuffle
+    bounded by DISTINCT tokens — Zipf-bounded, not corpus-bounded) →
+    ``orderBy().limit(n)`` which Catalyst fuses to ``TakeOrderedAndProject``
+    (per-partition heaps, no global sort). The rank window runs on the
+    already-limited n rows, so the single-partition window is bounded by
+    ``n``, never by the corpus. Ties break on the token string, so the
+    cut at rank n is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    top = counts.orderBy(F.col("count").desc(), "token").limit(n)
+    w = Window.orderBy(F.col("count").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def token_coverage(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One row ``(total_tokens, covered_tokens, coverage)``: the fraction of
+    corpus token OCCURRENCES found in ``vocab`` (a frame with a ``token``
+    column) — the number that decides whether a vocabulary is big enough.
+    Vocabularies are small next to a corpus → broadcast left-semi-shaped
+    join on the exploded token stream, one combining aggregate."""
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    hit = toks.join(
+        F.broadcast(vocab.select("token").distinct()), on="token", how="left_semi"
+    )
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    covered = hit.agg(F.count("*").alias("covered_tokens"))
+    return total.crossJoin(covered).select(
+        "total_tokens",
+        "covered_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
+    )
+
+
 def corpus_sketch_stats(docs: DataFrame, text_col: str = "text", rsd: float = 0.02) -> DataFrame:
     """One-row approximate corpus profile — the 100 TB-scale version of the
     questions `corpus_stats` answers exactly per source:

@@ -777,3 +777,46 @@ def test_normalize_docs(spark):
     ascii_df = df.where(F.col("doc_id") >= 2)
     a = {r["doc_id"]: r["text"] for r in curation.normalize_docs(ascii_df, nfc=False).collect()}
     assert a == {k: v["text"] for k, v in out.items() if k >= 2}
+
+
+def test_vocab_topk_oracle(spark):
+    """vocab_topk against a DuckDB oracle on the real sf0.01 corpus: same
+    (token, count) multiset, deterministic tie-broken ranks, and the
+    TakeOrderedAndProject fusion in the plan (no global sort)."""
+    import duckdb
+
+    n = 200
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = text.vocab_topk(docs, n=n).collect()
+    oracle = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        ),
+        c AS (SELECT u.t AS token, count(*) AS cnt FROM toks, unnest(tk) AS u(t) GROUP BY 1)
+        SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM c ORDER BY cnt DESC, token LIMIT {n}
+        """
+    ).fetchall()
+    assert [(r["token"], r["count"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (t, c, r) for t, c, r in oracle
+    ]
+    plan = text.vocab_topk(docs, n=n)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_coverage(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a d"), (3, "")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    row = text.token_coverage(docs, vocab).collect()[0]
+    assert row["total_tokens"] == 6
+    assert row["covered_tokens"] == 4  # a,b,a + a
+    assert abs(row["coverage"] - round(4 / 6, 6)) < 1e-12
+    # full-vocab coverage is exactly 1
+    full = text.vocab_topk(docs, n=100).select("token")
+    row2 = text.token_coverage(docs, full).collect()[0]
+    assert row2["coverage"] == 1.0
