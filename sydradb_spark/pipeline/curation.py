@@ -240,14 +240,18 @@ def pack_sequences(
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bin_id, fill = 0, 0
+        bin_id, fill, ndocs = 0, 0, 0
         bins, fills = [], []
         for n in pdf["n_tokens"]:
             n = int(n)
-            if fill > 0 and fill + n > budget:
+            # close on any NON-EMPTY bin (doc count, not fill — a bin holding
+            # only zero-token docs must still not absorb an oversized doc)
+            if ndocs > 0 and fill + n > budget:
                 bin_id += 1
                 fill = 0
+                ndocs = 0
             fill += n
+            ndocs += 1
             bins.append(bin_id)
             fills.append(fill)
         pdf["bin_id"] = bins

@@ -108,6 +108,16 @@ REGISTRY: dict[str, Signature] = {
             Ty.FLOAT,
             requires_sorted_input=True,
         ),
+        # beyond-reference scale path: Greenwald-Khanna sketch percentile
+        # (bounded state per group; exact `percentile` sorts the group).
+        # Exact for groups under the sketch accuracy (1e4 rows) — identical
+        # answers at test scale, bounded memory at 100 TB scale.
+        Signature(
+            "approx_percentile",
+            Kind.AGGREGATE,
+            (_num(), Param(Ty.FLOAT, nullable=False)),
+            Ty.FLOAT,
+        ),
         Signature("rate", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
         Signature("irate", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
         Signature("delta", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),

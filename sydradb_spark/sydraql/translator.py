@@ -756,6 +756,13 @@ class Translator:
         if f == "percentile":
             p = float(_literal_value(call.args[1]))
             return F.percentile(x, F.lit(p))
+        if f == "approx_percentile":
+            # Greenwald-Khanna sketch (bounded state, map-side partials) —
+            # the 100 TB path next to the exact sort-based `percentile`;
+            # returns float like the exact form (percentile_approx itself
+            # returns the input type)
+            p = float(_literal_value(call.args[1]))
+            return F.percentile_approx(x, F.lit(p)).cast("double")
         if f == "rate":
             return ts_fn.rate_agg(x, ts)
         if f == "delta":

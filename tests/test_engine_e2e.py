@@ -377,3 +377,19 @@ def test_in_memory_mutation_lineage_bounded(spark, points):
         "select count() as n from m.depth where time >= 0 and time < 2000"
     ).df.collect()[0]["n"]
     assert n == 40
+
+
+def test_approx_percentile(engine):
+    """approx_percentile (GK sketch, beyond-reference scale path) matches the
+    exact percentile's neighborhood at test scale: the sketch is exact for
+    groups under its accuracy (1e4 rows), and the answer is always one of
+    the group's actual values."""
+    got = rows(
+        engine,
+        "select approx_percentile(value, 0.5) as p from weather.room1 "
+        "where time >= 1000000 and time < 1000100",
+    )
+    vals = sorted([i * 0.5 for i in range(10)] + [999.0])
+    assert got[0][0] in vals
+    assert abs(got[0][0] - vals[5]) <= 0.5  # adjacent to the exact median
+
