@@ -388,6 +388,42 @@ def normalize_docs(docs: DataFrame, text_col: str = "text", nfc: bool = True) ->
     )
 
 
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard0",
+    mode: str = "error",
+) -> None:
+    """Export a curated corpus as deterministic training shards: each row is
+    hash-assigned to ``shard = hash64(salt:key) mod n_shards`` (stable under
+    retries, repartitioning, and cluster size — the same replayability
+    argument as `hash_sample`), written as one sorted parquet file per shard
+    under ``path/shard=K/``.
+
+    Scale shape: one shuffle (`repartition(n_shards, shard)` — pinned task
+    count, the REPARTITION_BY_NUM lesson from the storage writer) +
+    `sortWithinPartitions(key)` so every shard file is internally ordered
+    and bit-reproducible; readers get deterministic batch order per shard.
+    Size shards via ``n_shards`` ≈ corpus_bytes / target_shard_bytes; at
+    100 TB with 512 MB shards that is ~200k tasks — within a single Spark
+    stage's comfort zone.
+    """
+    shard = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(key_col)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 URL_RE = r"https?://[^\s/$.?#][^\s]*"
 DOMAIN_FROM_URL_RE = r"https?://([^\s/:?#]+)"
 

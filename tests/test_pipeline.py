@@ -820,3 +820,43 @@ def test_token_coverage(spark):
     full = text.vocab_topk(docs, n=100).select("token")
     row2 = text.token_coverage(docs, full).collect()[0]
     assert row2["coverage"] == 1.0
+
+
+def test_write_training_shards(spark, tmp_path):
+    from sydradb_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    curation.write_training_shards(docs, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # every row in the shard its hash says; assignment is a pure row function
+    from sydradb_spark.pipeline.hashing import hash64
+
+    expect = docs.select(
+        "doc_id",
+        F.pmod(hash64(F.concat(F.lit("shard0:"), F.col("doc_id").cast("string"))), F.lit(4))
+        .cast("int")
+        .alias("shard"),
+    )
+    mismatch = (
+        back.select("doc_id", F.col("shard").cast("int").alias("shard"))
+        .exceptAll(expect)
+        .count()
+    )
+    assert mismatch == 0
+    # shards are sorted within files (deterministic batch order)
+    import glob
+
+    one = sorted(glob.glob(f"{out}/shard=*/*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(one, columns=["doc_id"]).column("doc_id").to_pylist()
+    assert ids == sorted(ids)
+    # re-export with the same salt is byte-identical assignment
+    out2 = str(tmp_path / "shards2")
+    curation.write_training_shards(docs, out2, n_shards=4)
+    again = spark.read.parquet(out2).select("doc_id", "shard")
+    assert again.exceptAll(back.select("doc_id", "shard")).count() == 0
