@@ -860,3 +860,30 @@ def test_write_training_shards(spark, tmp_path):
     curation.write_training_shards(docs, out2, n_shards=4)
     again = spark.read.parquet(out2).select("doc_id", "shard")
     assert again.exceptAll(back.select("doc_id", "shard")).count() == 0
+
+
+def test_incremental_dedup(spark, tmp_path):
+    """Continuous-crawl dedup: batch 2 drops docs whose content is already
+    in the index built from batch 1, in-batch dups collapse, and appending
+    the survivors' hashes makes the index catch them in batch 3."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "fpidx")
+    dedup.build_fingerprint_index(b1).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_dedup(b2, idx)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    # maintain: append survivors' hashes, batch 3 sees them
+    dedup.build_fingerprint_index(out).write.mode("append").parquet(idx_path)
+    idx2 = spark.read.parquet(idx_path)
+    b3 = spark.createDataFrame(
+        [(20, "gamma"), (21, "epsilon")], "doc_id long, text string"
+    )
+    out3 = dedup.incremental_dedup(b3, idx2)
+    assert sorted(r["doc_id"] for r in out3.collect()) == [21]
