@@ -294,6 +294,80 @@ def chunk_documents(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, shared, overlap) for document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints — CONTAINMENT detection (a quoted paragraph, a
+    mirrored section) that whole-document Jaccard scores near zero.
+    ``overlap`` = shared / min(|fp_a|, |fp_b|) ∈ (0, 1]: the fraction of the
+    smaller document's fingerprint mass found in the other, i.e. an estimate
+    of how much of it is contained.
+
+    Scale shape (same discipline as `dedup.lsh_candidate_pairs`): explode
+    fingerprints → drop any fingerprint present in > ``max_fp_docs``
+    documents via a partial-aggregating count (a boilerplate hash shared by
+    1M docs would otherwise mean 10¹² pairs) → per-fingerprint doc lists +
+    map-side i<j pair expansion (bounded ≤ max_fp_docs²/2 per fingerprint)
+    → one combining ``groupBy(a, b).count()`` for the shared totals. No
+    all-pairs stage anywhere; the per-doc size join is key-bounded.
+    """
+    fps = _spread_docs(docs).select(
+        "doc_id", winnow_fingerprints(F.col(text_col), k, w).alias("__fps")
+    )
+    sizes = fps.select("doc_id", F.size("__fps").alias("__nfp")).where(
+        F.col("__nfp") > 0
+    )
+    ex = fps.select("doc_id", F.explode("__fps").alias("fp"))
+    counts = ex.groupBy("fp").agg(F.count("*").alias("__n"))
+    ex = ex.join(counts, on="fp").where(F.col("__n") <= max_fp_docs).drop("__n")
+    buckets = (
+        ex.groupBy("fp").agg(F.collect_list("doc_id").alias("ids")).where(F.size("ids") >= 2)
+    )
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("__nfp").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("__nfp").alias("__nb"))
+    return (
+        shared.join(sa, on="a")
+        .join(sb, on="b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("__na"), F.col("__nb")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    from sydradb_spark.util import spread
+
+    return spread(docs)
+
+
 def vocab_topk(docs: DataFrame, n: int = 50_000, text_col: str = "text") -> DataFrame:
     """(token, count, rank) for the corpus's ``n`` most frequent whitespace
     tokens — the vocabulary sweep run before tokenizer training and for

@@ -887,3 +887,56 @@ def test_incremental_dedup(spark, tmp_path):
     )
     out3 = dedup.incremental_dedup(b3, idx2)
     assert sorted(r["doc_id"] for r in out3.collect()) == [21]
+
+
+def test_winnow_overlap_pairs_containment(spark):
+    """winnow_overlap_pairs against an independent pure-Python winnow oracle,
+    plus the motivating property: a paragraph CONTAINED in a much larger
+    document scores high overlap while whole-doc Jaccard is low."""
+
+    def py_winnow(t, k=text.WINNOW_K, w=text.WINNOW_W):
+        t = t.strip()
+        if len(t) < k + w - 1:
+            return set()
+        base, mod = text.WINNOW_BASE, text.WINNOW_MOD
+        lead = pow(base, k - 1, mod)
+        codes = [ord(c) for c in t]
+        h = 0
+        for c in codes[:k]:
+            h = (h * base + c) % mod
+        hs = [h]
+        for i in range(k, len(t)):
+            h = ((h - codes[i - k] * lead) * base + codes[i]) % mod
+            hs.append(h)
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    big = " ".join(f"filler{i} content body" for i in range(60)) + " " + para
+    rows = [
+        (1, para),                      # the paragraph alone
+        (2, big),                       # contains it verbatim
+        (3, "completely unrelated text about spark plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["overlap"])
+        for r in text.winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    fps = {i: py_winnow(t) for i, t in rows}
+    expect = {}
+    for a in (1, 2, 3):
+        for b in range(a + 1, 4):
+            sh = len(fps[a] & fps[b])
+            if sh >= 1:
+                expect[(a, b)] = (sh, round(sh / min(len(fps[a]), len(fps[b])), 6))
+    assert got == expect
+    # containment property: (1,2) overlap is high though doc 2 is much larger
+    assert got[(1, 2)][1] > 0.8
+    # and trigram whole-doc Jaccard would call them near-disjoint
+    from sydradb_spark.pipeline import dedup as dd
+
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df.where(F.col("doc_id") < 3)).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.2
