@@ -379,3 +379,53 @@ def test_curate_stream_gates_and_dedupes(spark, tmp_path):
     )
     st = sorted(r["text"] for r in spark.read.parquet(str(out_dir)).collect())
     assert bt == st
+
+
+def test_curate_stream_dedupe_state_survives_restart(spark, tmp_path):
+    """The watermarked content-dedup state is checkpointed: a duplicate
+    arriving in a NEW query run (same checkpoint) is still dropped."""
+    import json
+    import os
+
+    from sydradb_spark.streaming.curation_stream import curate_stream
+
+    good = " ".join(f"word{i} token text quality" for i in range(40))
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "rckpt")
+    out_dir = str(tmp_path / "rout")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ingest_ts long"
+        ).json(str(src))
+        q = (
+            curate_stream(stream, min_quality=0.6)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "r0.ndjson").write_text(
+        json.dumps({"doc_id": 1, "text": good, "ingest_ts": 1000}) + "\n"
+    )
+    os.utime(src / "r0.ndjson", (1, 1))
+    drain()
+    # second RUN: a content dup within the watermark + a fresh doc
+    (src / "r1.ndjson").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 2, "text": good, "ingest_ts": 1100},
+                {"doc_id": 3, "text": good + " fresh", "ingest_ts": 1200},
+            ]
+        )
+        + "\n"
+    )
+    os.utime(src / "r1.ndjson", (2, 2))
+    drain()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 3]
