@@ -1,0 +1,181 @@
+"""Differential fuzzing: template-generated sydraQL queries run through the
+ENGINE and through a hand-paired DuckDB SQL twin over the same points —
+SURVEY §5 level-4 testing beyond the fixed golden corpus. Cases are
+generated with a fixed seed (deterministic, debuggable, no shrink loops
+against Spark latency); every case asserts row-for-row equality after
+sorting, floats at 1e-9 relative tolerance.
+
+Template coverage: global aggregates (avg/sum/min/max/count, expr-on-agg),
+time_bucket grouping, arithmetic/scalar projections, ORDER BY + LIMIT
+(values are distinct per series so ties can't make LIMIT ambiguous), exact
+percentile (DuckDB quantile_cont), first/last on the gap-free series.
+rate/irate/delta/integral and FILL stay with their dedicated oracle
+entries (driver contract) — this file fuzzes the compositional surface.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+T0 = 1_000_000
+SERIES_SPAN = {
+    # series -> (max offset seconds) for range generation
+    "weather.room1": 7200,
+    "weather.room2": 3600,
+    "cpu.total": 3600,
+}
+
+
+def _rows():
+    """Mirror of the conftest `points` fixture rows (series, ts, value)."""
+    rows = []
+    for i in range(720):
+        rows.append(("weather.room1", T0 + i * 10, i * 0.5))
+    for i in range(60):
+        if 10 <= i < 20:
+            continue
+        rows.append(("weather.room2", T0 + i * 60, float(i)))
+    for i in range(240):
+        rows.append(("cpu.total", T0 + i * 15, 100.0 + i * 3))
+    rows.append(("weather.room1", 1_000_050, 999.0))
+    rows.append(("cpu.total", T0, 50.0))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(series VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", _rows())
+    yield con
+    con.close()
+
+
+def _gen_cases():
+    rnd = random.Random(7)
+    cases = []
+
+    def rng(series):
+        span = SERIES_SPAN[series]
+        a = T0 + rnd.randrange(0, span)
+        b = a + rnd.randrange(1, span)
+        return a, b
+
+    for _ in range(8):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        agg = rnd.choice(["avg", "sum", "min", "max"])
+        cases.append(
+            (
+                f"agg-{agg}-{s}-{a}",
+                f"select {agg}(value) as v, count() as c from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT {agg}(value) AS v, count(*) AS c FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    for _ in range(6):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        w = rnd.choice([30, 60, 300, 900])
+        cases.append(
+            (
+                f"bucket-{s}-{w}-{a}",
+                f"select time_bucket({w}, time) as b, avg(value) as v, "
+                f"count() as c from {s} where time >= {a} and time < {b} "
+                f"group by b",
+                f"SELECT (ts // {w}) * {w} AS b, avg(value) AS v, count(*) AS c "
+                f"FROM pts WHERE series = '{s}' AND ts >= {a} AND ts < {b} "
+                f"GROUP BY 1",
+            )
+        )
+    for _ in range(5):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        m = rnd.randrange(2, 9)
+        c = rnd.randrange(-5, 6)
+        cases.append(
+            (
+                f"proj-{s}-{m}-{c}-{a}",
+                f"select value * {m} + {c} as x, abs(value - {c}) as y, "
+                f"floor(value) as f from {s} where time >= {a} and time < {b}",
+                f"SELECT value * {m} + {c} AS x, abs(value - {c}) AS y, "
+                f"floor(value) AS f FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        k = rnd.randrange(1, 12)
+        cases.append(
+            (
+                f"topk-{s}-{k}-{a}",
+                f"select value from {s} where time >= {a} and time < {b} "
+                f"order by value desc limit {k}",
+                f"SELECT value FROM pts WHERE series = '{s}' AND ts >= {a} "
+                f"AND ts < {b} ORDER BY value DESC LIMIT {k}",
+            )
+        )
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        p = rnd.choice([0.1, 0.25, 0.5, 0.9, 0.99])
+        cases.append(
+            (
+                f"pct-{s}-{p}-{a}",
+                f"select percentile(value, {p}) as p from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT quantile_cont(value, {p}) AS p FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    for _ in range(3):
+        a, b = rng("weather.room2")  # gap-free of duplicate ts → ties impossible
+        cases.append(
+            (
+                f"firstlast-{a}",
+                f"select first(value) as f, last(value) as l, "
+                f"max(value) - min(value) as spread from weather.room2 "
+                f"where time >= {a} and time < {b}",
+                f"SELECT arg_min(value, ts) AS f, arg_max(value, ts) AS l, "
+                f"max(value) - min(value) AS spread FROM pts "
+                f"WHERE series = 'weather.room2' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    return cases
+
+
+CASES = _gen_cases()
+
+
+def _canon(rows):
+    def key(r):
+        return tuple(
+            (v is None, round(v, 6) if isinstance(v, float) else v) for v in r
+        )
+
+    return sorted((tuple(r) for r in rows), key=key)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_differential(engine, ddb, case):
+    _, sydraql, sql = case
+    got = _canon([list(r) for r in engine.query(sydraql).df.collect()])
+    want = _canon(ddb.execute(sql).fetchall())
+    assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}\n{sydraql}"
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9), (
+                    g,
+                    w,
+                    sydraql,
+                )
+            else:
+                assert gv == wv, (g, w, sydraql)
