@@ -147,6 +147,86 @@ def _gen_cases():
                 f"WHERE series = 'weather.room2' AND ts >= {a} AND ts < {b}",
             )
         )
+    # value predicates on top of the time range
+    for _ in range(5):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        c = rnd.randrange(0, 200)
+        op = rnd.choice([">=", "<", ">", "<="])
+        cases.append(
+            (
+                f"valpred-{s}-{op}{c}-{a}",
+                f"select value from {s} where time >= {a} and time < {b} "
+                f"and value {op} {c}",
+                f"SELECT value FROM pts WHERE series = '{s}' AND ts >= {a} "
+                f"AND ts < {b} AND value {op} {c}",
+            )
+        )
+    # limit + offset over a deterministic order
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        k, o = rnd.randrange(1, 8), rnd.randrange(0, 6)
+        cases.append(
+            (
+                f"limoff-{s}-{k}-{o}-{a}",
+                f"select value from {s} where time >= {a} and time < {b} "
+                f"order by value limit {k} offset {o}",
+                f"SELECT value FROM pts WHERE series = '{s}' AND ts >= {a} "
+                f"AND ts < {b} ORDER BY value LIMIT {k} OFFSET {o}",
+            )
+        )
+    # scalar battery (fixture values are all >= 0, so sqrt/ln stay real)
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        cases.append(
+            (
+                f"scalar-{s}-{a}",
+                f"select sqrt(value) as sq, pow(value, 2) as p2, "
+                f"ln(value + 1) as lg, ceil(value / 7) as ce, "
+                f"coalesce(value, 0) as co from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT sqrt(value) AS sq, pow(value, 2) AS p2, "
+                f"ln(value + 1) AS lg, ceil(value / 7) AS ce, "
+                f"coalesce(value, 0) AS co FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    # expressions over aggregates
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        m = rnd.randrange(2, 5)
+        cases.append(
+            (
+                f"aggexpr-{s}-{m}-{a}",
+                f"select avg(value) * {m} + max(value) as x, "
+                f"sum(value) / count() as mean2 from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT avg(value) * {m} + max(value) AS x, "
+                f"sum(value) / count(*) AS mean2 FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    # bucketed min/max/sum with a value predicate
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        w = rnd.choice([60, 300, 600])
+        c = rnd.randrange(0, 100)
+        cases.append(
+            (
+                f"bucketpred-{s}-{w}-{c}-{a}",
+                f"select time_bucket({w}, time) as b, min(value) as mn, "
+                f"max(value) as mx, sum(value) as sm from {s} "
+                f"where time >= {a} and time < {b} and value >= {c} group by b",
+                f"SELECT (ts // {w}) * {w} AS b, min(value) AS mn, "
+                f"max(value) AS mx, sum(value) AS sm FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} "
+                f"AND value >= {c} GROUP BY 1",
+            )
+        )
     return cases
 
 
