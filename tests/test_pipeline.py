@@ -940,3 +940,65 @@ def test_winnow_overlap_pairs_containment(spark):
         for r in dd.ngram_jaccard_pairs(df.where(F.col("doc_id") < 3)).collect()
     }
     assert jac.get((1, 2), 0.0) < 0.2
+
+
+def test_funnel_oracle_real_events(spark):
+    """funnel/funnel_stages against an independent pure-Python greedy walk
+    over the real sf0.01 events table (view -> click -> purchase, 1h gaps)."""
+    import duckdb
+
+    from sydradb_spark.pipeline.events import funnel, funnel_stages
+    from sydradb_spark.tables import load_table
+
+    steps, within = ["view", "click", "purchase"], 3600.0
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got_stage = {
+        r["user"]: r["stage"] for r in funnel_stages(ev, steps, within).collect()
+    }
+    got = {r["step_idx"]: r["n_users"] for r in funnel(ev, steps, within).collect()}
+
+    raw = duckdb.sql(
+        "SELECT user_id, epoch(ts) AS ts, event_type FROM "
+        "'/root/testdata/sf0.01/events.parquet' WHERE event_type IN "
+        "('view','click','purchase') ORDER BY user_id, ts, event_type"
+    ).fetchall()
+    byuser: dict = {}
+    for u, ts, ty in raw:
+        byuser.setdefault(u, []).append((float(ts), ty))
+    expect_stage = {}
+    for u, seq in byuser.items():
+        stage, t = 0, None
+        for ts, ty in seq:
+            if stage < len(steps) and ty == steps[stage] and (
+                stage == 0 or (ts > t and ts <= t + within)
+            ):
+                stage += 1
+                t = ts
+        expect_stage[u] = stage
+    assert got_stage == expect_stage
+    for i in range(1, 4):
+        assert got[i] == sum(1 for s in expect_stage.values() if s >= i)
+    # sanity: the funnel is actually discriminating on this data
+    assert got[1] > got[3] >= 0
+
+
+def test_funnel_semantics_synthetic(spark):
+    from sydradb_spark.pipeline.events import funnel_stages
+
+    rows = [
+        # user 1 completes in order within gaps
+        (1, 10.0, "a"), (1, 20.0, "b"), (1, 25.0, "c"),
+        # user 2 has b before a -> stalls at a only if a comes first... b@5
+        # doesn't match stage 1 (needs a); a@10 matches; later b@12 matches
+        (2, 5.0, "b"), (2, 10.0, "a"), (2, 12.0, "b"),
+        # user 3: gap too large between a and b
+        (3, 0.0, "a"), (3, 100.0, "b"),
+        # user 4: simultaneous a,b at same ts -> b NOT strictly after a
+        (4, 7.0, "a"), (4, 7.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    got = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(df, ["a", "b", "c"], within=30.0).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
