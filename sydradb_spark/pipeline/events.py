@@ -118,3 +118,39 @@ def funnel(
         F.col("r.step").alias("step"),
         F.col("r.n_users").alias("n_users"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    bucket_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, age, n_users) — classic cohort retention: users are cohorted
+    by the bucket of their FIRST activity; each later active bucket counts
+    them at ``age`` = buckets since cohort. `n_users` at age 0 is the cohort
+    size; the ratio n_users(age)/n_users(0) is the retention curve.
+
+    Scale shape: one combining `groupBy(user)` for first-activity, a join
+    back on the user key (both sides hash-partitioned by user, so Catalyst
+    reuses the exchange), and a combining `groupBy(cohort, age)` with
+    `countDistinct(user)` — expanded by Spark into two-stage partial
+    aggregation, never a global set. No window functions, no per-user state.
+    """
+    ts = F.col(ts_col)
+    dt = dict(events.dtypes).get(ts_col, "")
+    if dt.startswith("timestamp"):
+        ts = ts.cast("timestamp").cast("double")
+    else:
+        ts = ts.cast("double")
+    b = (F.floor(ts / bucket_seconds) * bucket_seconds).cast("long")
+    ev = events.select(F.col(user_col).alias("user"), b.alias("b")).distinct()
+    first = ev.groupBy("user").agg(F.min("b").alias("cohort"))
+    aged = ev.join(first, on="user").select(
+        "user",
+        "cohort",
+        ((F.col("b") - F.col("cohort")) / bucket_seconds).cast("long").alias("age"),
+    )
+    return aged.groupBy("cohort", "age").agg(
+        F.countDistinct("user").alias("n_users")
+    )

@@ -1002,3 +1002,36 @@ def test_funnel_semantics_synthetic(spark):
         for r in funnel_stages(df, ["a", "b", "c"], within=30.0).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_retention_cohorts_oracle(spark):
+    """retention_cohorts against a DuckDB twin over the real sf0.01 events."""
+    import duckdb
+
+    from sydradb_spark.pipeline.events import retention_cohorts
+    from sydradb_spark.tables import load_table
+
+    w = 86400  # daily cohorts
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = {
+        (r["cohort"], r["age"]): r["n_users"]
+        for r in retention_cohorts(ev, bucket_seconds=w).collect()
+    }
+    oracle = duckdb.sql(
+        f"""
+        WITH ev AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST(floor(epoch(ts) / {w}) * {w} AS BIGINT) AS b
+          FROM '/root/testdata/sf0.01/events.parquet'
+        ),
+        first AS (SELECT u, min(b) AS cohort FROM ev GROUP BY 1)
+        SELECT cohort, CAST((b - cohort) / {w} AS BIGINT) AS age,
+               count(DISTINCT ev.u) AS n
+        FROM ev JOIN first ON ev.u = first.u GROUP BY 1, 2
+        """
+    ).fetchall()
+    assert got == {(c, a): n for c, a, n in oracle}
+    # age-0 row exists for every cohort and dominates its curve
+    for (c, a), n in got.items():
+        assert got[(c, 0)] >= 1
+        assert n <= got[(c, 0)] or a == 0
