@@ -274,3 +274,62 @@ def test_mix_corpus_counts_bounded(spark, weights):
         lo = full * n_per + max(0, int(frac * n_per) - 25)
         hi = full * n_per + min(n_per, int(frac * n_per) + 25)
         assert lo <= got <= hi, (s, w, got)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=120), min_size=1, max_size=12
+    ),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=8),
+)
+def test_chunk_documents_covers_every_token(spark, doc_sizes, chunk, overlap):
+    """Every token of every doc appears in some chunk at its position, and
+    concatenating each chunk's non-overlap suffix reconstructs the doc."""
+    from sydradb_spark.pipeline.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(doc_sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=chunk, overlap=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_text"].split())
+        )
+    for i, n in enumerate(doc_sizes):
+        toks = [f"t{i}_{j}" for j in range(n)]
+        chunks = sorted(got.get(i, []))
+        if n == 0:
+            assert chunks == []
+            continue
+        # positions: chunk c starts at c*stride and matches the doc slice
+        for c, start, words in chunks:
+            assert start == c * stride
+            assert words == toks[start : start + chunk]
+        # coverage: union of chunk ranges is exactly [0, n)
+        covered = set()
+        for _, start, words in chunks:
+            covered.update(range(start, start + len(words)))
+        assert covered == set(range(n))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=16))
+def test_normalize_docs_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) — the regex chain and NFC are
+    a closure; re-cleaning clean text changes nothing."""
+    from sydradb_spark.pipeline.curation import normalize_docs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = normalize_docs(df).select("doc_id", "text")
+    twice = normalize_docs(once).select("doc_id", "text", "changed")
+    rows = twice.collect()
+    assert all(not r["changed"] for r in rows)
