@@ -1035,3 +1035,55 @@ def test_retention_cohorts_oracle(spark):
     for (c, a), n in got.items():
         assert got[(c, 0)] >= 1
         assert n <= got[(c, 0)] or a == 0
+
+
+def test_json_key_stats_oracle(spark):
+    """json_key_stats against a pure-Python json.loads oracle over varied
+    shapes (ints, floats, bools, strings, nulls, nested, non-object rows),
+    plus the real sf0.01 events props column."""
+    import json as _json
+
+    from sydradb_spark.pipeline.jsonprof import json_key_stats
+
+    rows = [
+        (1, '{"a": 1, "b": "x", "c": true}'),
+        (2, '{"a": 2.5, "b": null, "d": [1,2]}'),
+        (3, '{"a": "oops", "e": {"nested": 1}}'),
+        (4, '{"a": -3, "b": "y"}'),
+        (5, "not json at all"),
+        (6, '{"f": 1e5}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    got = {r["key"]: r.asDict() for r in json_key_stats(df, "props").collect()}
+
+    def classify(v):
+        if v is None:
+            return "n_null"
+        if isinstance(v, bool):
+            return "n_bool"
+        if isinstance(v, int):
+            return "n_int"
+        if isinstance(v, float):
+            return "n_float"
+        return "n_string"  # strings, nested objects/arrays
+
+    expect: dict = {}
+    for _, p in rows:
+        try:
+            obj = _json.loads(p)
+        except ValueError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        for k, v in obj.items():
+            e = expect.setdefault(
+                k,
+                {"n_rows": 0, "n_int": 0, "n_float": 0, "n_bool": 0, "n_string": 0, "n_null": 0},
+            )
+            e["n_rows"] += 1
+            e[classify(v)] += 1
+    assert {k: {kk: vv for kk, vv in v.items() if kk != "key"} for k, v in got.items()} == expect
+    # real events table: the single key 'k' is int-typed on every row
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    real = {r["key"]: r for r in json_key_stats(ev, "props").collect()}
+    assert real["k"]["n_rows"] == 10000 and real["k"]["n_int"] == 10000
