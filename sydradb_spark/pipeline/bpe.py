@@ -1,0 +1,175 @@
+"""Distributed byte-pair-encoding: train a merge list on a corpus, encode
+documents with it — the tokenizer-construction step of a training-data
+pipeline, done with Spark shapes that survive 100 TB.
+
+Scale design (the standard BPE-trainer factorization):
+- The corpus collapses FIRST to the distinct-word frequency table (one
+  combining `groupBy(word)`), and everything after runs on that table —
+  Zipf-bounded (~10M rows for web-scale corpora), not corpus-bounded.
+- Each merge round is one partial-aggregating `groupBy(pair)` over the
+  word table's adjacent symbol pairs plus a 1-row argmax collect (the
+  driver only ever sees the winning pair), then a narrow per-row merge
+  rewrite. Rounds are sequential by definition of BPE; cost is
+  n_merges × O(word-table), independent of corpus size.
+- `localCheckpoint` every few rounds keeps the lineage flat (same
+  discipline as connected components).
+- Encoding joins documents' words against the (small, broadcast) trained
+  vocabulary: unseen words fall back to applying the merges directly via
+  an Arrow-batched kernel (sequential merge application is the legitimate
+  pandas-UDF case, and it touches only the unseen-word MINORITY).
+
+Determinism: ties on pair frequency break lexicographically, so the merge
+list is a pure function of the corpus — retries and re-runs reproduce it
+exactly (pinned against a pure-Python reference implementation in tests).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, standard BPE
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the corpus's distinct-word frequencies; the ONLY
+    corpus-wide pass the trainer makes."""
+    from sydradb_spark.pipeline.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pairs_col(syms):
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _merge_col(syms, left, right):
+    """Replace every non-overlapping left,right adjacency (leftmost-first)
+    with the concatenation — expressed as a fold over the symbol array."""
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, s):
+        prev = F.element_at(acc["out"], -1)
+        can = (
+            (~acc["skip"])
+            & (F.size(acc["out"]) > 0)
+            & (prev == F.lit(left))
+            & (s == F.lit(right))
+        )
+        merged = F.concat(
+            F.slice(acc["out"], 1, F.size(acc["out"]) - 1),
+            F.array(F.concat(prev, s)),
+        )
+        return F.when(
+            can, F.struct(merged.alias("out"), F.lit(True).alias("skip"))
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(s)).alias("out"),
+                F.lit(False).alias("skip"),
+            )
+        )
+
+    return F.aggregate(syms, zero, step, lambda acc: acc["out"])
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns the ordered
+    merge list. Stops early when no adjacent pair repeats."""
+    wf = word_freq_table(docs, text_col)
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: F.length(c) > 0)
+    syms = F.concat(chars, F.array(F.lit(END)))  # chars + end marker
+    table = wf.select("freq", syms.alias("syms")).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        best = (
+            table.select("freq", F.explode(_pairs_col(F.col("syms"))).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+            .where(F.col("c") >= 2)
+            .orderBy(F.col("c").desc(), F.col("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["p"].split(" ")
+        merges.append((left, right))
+        table = table.select(
+            "freq", _merge_col(F.col("syms"), left, right).alias("syms")
+        )
+        if (r + 1) % 8 == 0:
+            table = table.localCheckpoint()
+    return merges
+
+
+def _apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word) + [END]
+    for left, right in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tokens array<string>, n_tokens) — encode each document with
+    the trained merges. The per-word encoding is computed ONCE per distinct
+    word in the batch (Arrow kernel over the distinct-word frame) and
+    broadcast-joined back, so the sequential merge loop never touches the
+    corpus row count."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from sydradb_spark.pipeline.text import tokens
+
+    mlist = list(merges)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _enc(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _apply_merges(w, mlist) if w else [END])
+
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
+    )
+    vocab = exploded.select("word").distinct().select(
+        "word", _enc(F.col("word")).alias("toks")
+    )
+    joined = exploded.join(F.broadcast(vocab), on="word")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                lambda s: s["toks"],
+            )
+        ).alias("tokens")
+    )
+    return per_doc.select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )

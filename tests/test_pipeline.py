@@ -1141,3 +1141,62 @@ def test_minhash_recall_measured(spark):
     # and every reported pair is verified-exact (no false positives at all)
     for (a, b), j in pairs.items():
         assert abs(truth.get((a, b), -1) - j) < 1e-9 or j >= 0.5
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train against a pure-Python reference trainer (same tie-breaks)
+    on a small corpus, and bpe_encode round-trips through the merges."""
+    from collections import Counter
+
+    from sydradb_spark.pipeline import bpe
+
+    rows = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "newest widest widest low lowest"),
+        (3, "low low newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def apply_one(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_train(texts, n):
+        wf = Counter(w for t in texts for w in t.split())
+        table = {tuple(list(w) + [bpe.END]): f for w, f in wf.items()}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for syms, f in table.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            eligible = {p: c for p, c in pc.items() if c >= 2}
+            if not eligible:
+                break
+            top = max(eligible.values())
+            l, r = sorted(" ".join(p) for p, c in eligible.items() if c == top)[0].split(" ")
+            merges.append((l, r))
+            table = {
+                tuple(apply_one(list(s), l, r)): f for s, f in table.items()
+            }
+        return merges
+
+    got = bpe.bpe_train(df, n_merges=12)
+    want = ref_train([t for _, t in rows], 12)
+    assert got == want, (got, want)
+    # encoding: concatenating each word's tokens reproduces word + END marker
+    enc = {r["doc_id"]: r for r in bpe.bpe_encode(df, got).collect()}
+    for doc_id, text in rows:
+        toks = enc[doc_id]["tokens"]
+        rebuilt = "".join(toks).replace(bpe.END, " ").strip()
+        assert rebuilt == " ".join(text.split())
+        assert enc[doc_id]["n_tokens"] == len(toks)
+    # merges compress: tokenized length strictly below char count
+    assert enc[1]["n_tokens"] < sum(len(w) + 1 for w in rows[0][1].split())
