@@ -419,6 +419,72 @@ def token_coverage(
     )
 
 
+def train_bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, c12, c1) — word-bigram counts with their left-unigram
+    totals: the model table of a CCNet-style n-gram LM quality filter.
+    Two combining shuffles (bigram count, unigram count) + one key-bounded
+    join; table size is bounded by distinct bigrams (Zipf), not corpus.
+    Persist it partitioned by ``w1`` and the scorer's join co-locates."""
+    bg = (
+        docs.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return bg.join(uni, on="w1")
+
+
+def lm_score_docs(
+    docs: DataFrame,
+    lm: DataFrame,
+    alpha: float = 0.4,
+    vocab_size: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — mean per-bigram log-probability of
+    each document under the bigram LM, with add-alpha smoothing
+    P(w2|w1) = (c12 + α) / (c1 + α·V). Low avg_logprob = unnatural text
+    (keyboard mash, SEO spam, wrong-language) — the perplexity-bucket
+    signal a quality pipeline cuts on. Docs with < 2 tokens score NULL.
+
+    Scale shape: the doc side explodes to bigrams (narrow), left-joins the
+    model on (w1, w2) then (w1) — both key-bounded shuffles against the
+    Zipf-bounded model table — and one combining per-doc aggregate. Exactly
+    mirrorable in SQL, so the whole scorer is oracle-checkable.
+    """
+    import math
+
+    la, lav = float(alpha), float(alpha) * vocab_size
+    ex = docs.select(
+        "doc_id", F.explode(word_bigrams(F.col(text_col))).alias("bg")
+    ).select(
+        "doc_id",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    model = lm.select("w1", "w2", "c12")
+    uni = lm.select("w1", "c1").distinct()
+    scored = (
+        ex.join(model, on=["w1", "w2"], how="left")
+        .join(uni, on="w1", how="left")
+        .select(
+            "doc_id",
+            (
+                F.log(F.coalesce(F.col("c12"), F.lit(0)) + F.lit(la))
+                - F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(lav))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )
+
+
 def corpus_sketch_stats(docs: DataFrame, text_col: str = "text", rsd: float = 0.02) -> DataFrame:
     """One-row approximate corpus profile — the 100 TB-scale version of the
     questions `corpus_stats` answers exactly per source:

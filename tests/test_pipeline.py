@@ -1200,3 +1200,59 @@ def test_bpe_train_matches_reference(spark):
         assert enc[doc_id]["n_tokens"] == len(toks)
     # merges compress: tokenized length strictly below char count
     assert enc[1]["n_tokens"] < sum(len(w) + 1 for w in rows[0][1].split())
+
+
+def test_lm_score_oracle(spark):
+    """train_bigram_lm + lm_score_docs against a DuckDB twin over the real
+    sf0.01 corpus, plus the discriminative property: natural text outscores
+    shuffled-vocabulary gibberish under a model trained on the corpus."""
+    import duckdb
+
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    lm = text.train_bigram_lm(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in text.lm_score_docs(docs, lm).collect()
+    }
+    a, v = 0.4, 100_000
+    oracle = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+          FROM '/root/testdata/sf0.01/documents.parquet'
+        ),
+        bg AS (
+          SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS u(i)
+          WHERE len(tk) >= 2
+        ),
+        m AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        un AS (SELECT w1, sum(c12) AS c1 FROM m GROUP BY 1)
+        SELECT bg.doc_id,
+               count(*) AS nb,
+               round(avg(ln(coalesce(m.c12, 0) + {a}) - ln(coalesce(un.c1, 0) + {a * v})), 6) AS lp
+        FROM bg LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                LEFT JOIN un ON bg.w1 = un.w1
+        GROUP BY 1
+        """
+    ).fetchall()
+    expect = {d: (nb, lp) for d, nb, lp in oracle}
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d][0] == expect[d][0]
+        assert abs(got[d][1] - expect[d][1]) < 1e-6, (d, got[d], expect[d])
+    # discriminativeness: shuffled-word gibberish scores below real docs
+    import random as _r
+
+    rnd = _r.Random(3)
+    sample = docs.limit(20).collect()
+    vocab = [w for r in sample for w in r["text"].split()][:2000]
+    gib = " ".join(rnd.choice(vocab) for _ in range(300))
+    both = spark.createDataFrame(
+        [(900001, sample[0]["text"]), (900002, gib)], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["avg_logprob"] for r in text.lm_score_docs(both, lm).collect()}
+    assert s[900001] > s[900002]
