@@ -79,18 +79,116 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload) -> tuple[int, int, float] | None:
+    """REAL image decode for PNG payloads using only the stdlib (zlib) —
+    chunk parse, IDAT inflate, full filter reconstruction (None/Sub/Up/
+    Average/Paeth) for 8-bit gray/RGB/RGBA, non-interlaced. Returns
+    (width, height, mean_luma in [0,1]) or None when not decodable PNG —
+    the caller falls back to the deterministic fake, the same
+    optional-decoder pattern as WAV audio. A production build swaps in
+    PIL/torchvision for the full format zoo; this proves the kernel seam
+    with real bytes."""
+    import zlib
+
+    import numpy as np
+
+    if not isinstance(payload, (bytes, bytearray)) or not bytes(payload).startswith(
+        _PNG_SIG
+    ):
+        return None
+    data = bytes(payload)
+    pos, idat, ihdr = 8, b"", None
+    try:
+        while pos + 8 <= len(data):
+            ln = int.from_bytes(data[pos : pos + 4], "big")
+            typ = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = body
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + crc
+        if ihdr is None or len(ihdr) < 13:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+        channels = {0: 1, 2: 3, 6: 4}.get(color)
+        if depth != 8 or channels is None or interlace != 0 or not w or not h:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        img = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            off = y * (stride + 1)
+            f = raw[off]
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+                np.int64
+            )
+            if f == 0:
+                rec = line
+            elif f == 2:  # Up
+                rec = (line + prev) % 256
+            else:  # Sub/Average/Paeth need the running left value
+                rec = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = rec[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    elif f == 4:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    else:
+                        return None
+                    rec[x] = (line[x] + pred) % 256
+            img[y] = rec
+            prev = rec
+        px = img.reshape(h, w, channels).astype(np.float64)
+        if channels == 1:
+            luma = px[:, :, 0]
+        else:
+            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        return w, h, float(luma.mean() / 255.0)
+    except (zlib.error, ValueError, IndexError):
+        return None
+
+
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB decode kernel. A real deployment replaces this body with e.g.
-    PIL/torchvision; everything around it (Arrow batching, schema, partition
-    shape) is production-real. The fake is deterministic on payload bytes so
-    tests pin the plumbing."""
-    n = payloads.str.len().fillna(0).astype("int64")
-    first = payloads.str[0:1].apply(lambda b: b[0] if isinstance(b, bytes) and b else 0)
+    """Image decode kernel: PNG payloads get a REAL stdlib decode
+    (`_decode_png` — dimensions and mean luma from the actual pixels);
+    anything else falls back to the deterministic fake so the Arrow
+    batching/schema plumbing stays pinned without image libraries in the
+    container (a production build adds PIL/torchvision in the same seam)."""
+    widths: list[int] = []
+    heights: list[int] = []
+    lumas: list[float] = []
+    for b in payloads:
+        dec = _decode_png(b)
+        if dec is None:
+            n = len(b) if isinstance(b, (bytes, bytearray)) else 0
+            first = b[0] if isinstance(b, (bytes, bytearray)) and b else 0
+            dec = (64 + (n % 64), 64 + (first % 64), first / 255.0)
+        widths.append(dec[0])
+        heights.append(dec[1])
+        lumas.append(dec[2])
     return pd.DataFrame(
         {
-            "width": (64 + (n % 64)).astype("int32"),
-            "height": (64 + (first % 64)).astype("int32"),
-            "mean_luma": (first.astype("float64") / 255.0),
+            "width": pd.Series(widths, dtype="int32"),
+            "height": pd.Series(heights, dtype="int32"),
+            "mean_luma": pd.Series(lumas, dtype="float64"),
         }
     )
 

@@ -1256,3 +1256,65 @@ def test_lm_score_oracle(spark):
     )
     s = {r["doc_id"]: r["avg_logprob"] for r in text.lm_score_docs(both, lm).collect()}
     assert s[900001] > s[900002]
+
+
+def test_image_features_real_png(spark):
+    """A pure-Python-encoded PNG (mixed row filters) decodes through the
+    image kernel with exact dimensions and mean luma."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sydradb_spark.pipeline import multimodal
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    def encode_png(px):  # px: h x w x 3 uint8
+        h, w, _ = px.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b""
+        prev = np.zeros(w * 3, dtype=np.int64)
+        for y in range(h):
+            line = px[y].reshape(-1).astype(np.int64)
+            if y % 2 == 0:  # filter 0 (None)
+                raw += b"\x00" + bytes(line.astype(np.uint8))
+            else:  # filter 2 (Up)
+                raw += b"\x02" + bytes(((line - prev) % 256).astype(np.uint8))
+            prev = line
+        idat = zlib.compress(raw)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    png = encode_png(px)
+    # direct kernel check (exact luma)
+    w, h, luma = multimodal._decode_png(png)
+    assert (w, h) == (17, 13)
+    want = float(
+        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean() / 255.0
+    )
+    assert abs(luma - want) < 1e-12
+    # through the Spark op: real decode for the PNG row, fake for the other
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), "image/png", len(png)),
+            (2, "image", bytearray(b"notapng"), "application/octet-stream", 7),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (17, 13)
+    assert abs(out[1]["mean_luma"] - want) < 1e-12
+    assert out[2]["width"] == 64 + (7 % 64)  # fake path unchanged
