@@ -1318,3 +1318,64 @@ def test_image_features_real_png(spark):
     assert (out[1]["width"], out[1]["height"]) == (17, 13)
     assert abs(out[1]["mean_luma"] - want) < 1e-12
     assert out[2]["width"] == 64 + (7 % 64)  # fake path unchanged
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path):
+    """Capstone composition over the real sf0.001 corpus: normalize →
+    curate (quality gate + exact dedup + near-dup collapse) → decontaminate
+    → chunk → pack → export shards. Asserts the global invariants each
+    stage owes the next: no duplicate content survives, every chunk
+    respects the token window, no pack bin overfills, the shard export is
+    lossless and deterministic."""
+    from sydradb_spark.pipeline import bpe, curation, dedup, text
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "source"
+    )
+    n0 = docs.count()
+
+    norm = curation.normalize_docs(docs).select("doc_id", "text")
+    norm = norm.join(docs.select("doc_id", "source"), on="doc_id")
+
+    curated = dedup.curate_corpus(norm, min_quality=0.3, near_dup_threshold=0.5)
+    n1 = curated.count()
+    assert 0 < n1 <= n0
+    # invariant: no two survivors share content
+    assert curated.select(F.md5("text")).distinct().count() == n1
+
+    bench_docs = norm.where(F.col("doc_id") % 13 == 0)
+    clean = curation.decontaminate(curated, bench_docs)
+    # invariant: nothing sharing a 5-gram with the benchmark set remains
+    assert curation.contamination_report(clean, bench_docs).count() == 0
+
+    chunks = text.chunk_documents(clean, chunk_size=64, overlap=8)
+    assert chunks.where(F.col("n_chunk_tokens") > 64).count() == 0
+    # every surviving doc with >= 1 token is chunked
+    with_tokens = clean.where(F.size(text.tokens(F.col("text"))) > 0).count()
+    assert chunks.select("doc_id").distinct().count() == with_tokens
+
+    packed = curation.pack_sequences(
+        chunks.select(
+            F.lit("all").alias("source"),
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("n_chunk_tokens").alias("n"),
+        ),
+        budget=256,
+        tokens_col="n",
+    )
+    over = (
+        packed.groupBy("grp", "bin_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("m"))
+        .where((F.col("t") > 256) & (F.col("m") > 1))
+        .count()
+    )
+    assert over == 0  # only single oversized chunks may exceed the budget
+
+    out = str(tmp_path / "final_shards")
+    curation.write_training_shards(clean, out, n_shards=3)
+    back = spark.read.parquet(out)
+    assert back.count() == clean.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in clean.select("doc_id").collect()
+    )
