@@ -34,14 +34,10 @@ END = "</w>"  # end-of-word marker, standard BPE
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) — the corpus's distinct-word frequencies; the ONLY
-    corpus-wide pass the trainer makes."""
-    from sydradb_spark.pipeline.text import tokens
+    corpus-wide pass the trainer makes. Shared with `text.vocab_topk`."""
+    from sydradb_spark.pipeline.text import word_freq_table as _wft
 
-    return (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
+    return _wft(docs, text_col)
 
 
 def _pairs_col(syms):
@@ -155,9 +151,14 @@ def bpe_encode(
     def _enc(words: pd.Series) -> pd.Series:
         return words.map(lambda w: _apply_merges(w, mlist) if w else [END])
 
+    from pyspark import StorageLevel
+
+    # exploded feeds BOTH the distinct-word vocab and the join side —
+    # persist so the corpus-wide tokenize pass runs once, not twice (same
+    # shared-input discipline as the minhash shingle table)
     exploded = docs.select(
         "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "word")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = exploded.select("word").distinct().select(
         "word", _enc(F.col("word")).alias("toks")
     )
@@ -170,6 +171,13 @@ def bpe_encode(
             )
         ).alias("tokens")
     )
-    return per_doc.select(
-        "doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    # zero-token docs produce no exploded rows — re-attach them with an
+    # empty encoding so the per-document contract holds for every input row
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .withColumn(
+            "tokens", F.coalesce(F.col("tokens"), F.array().cast("array<string>"))
+        )
+        .select("doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))
     )

@@ -417,7 +417,14 @@ def write_training_shards(
     (
         docs.withColumn("shard", shard)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions(key_col)
+        # sort on (shard, key): the dynamic-partition write requires an
+        # ordering on the partition column and would otherwise insert its
+        # own Sort above this one — a sort whose spill-merge breaks
+        # equal-shard ties arbitrarily, silently unsorting the shard files
+        # at exactly the data sizes that spill. Leading with `shard` makes
+        # this sort satisfy the writer's requirement, so the key order
+        # inside each shard survives verbatim.
+        .sortWithinPartitions("shard", key_col)
         .write.partitionBy("shard")
         .mode(mode)
         .parquet(path)

@@ -3,18 +3,60 @@
 
 Scale design: ONE shuffle. Events are filtered to the funnel's step types
 at the scan (predicate pushdown on `event_type`), grouped per user, and the
-ordered walk runs as a JVM array fold over each user's (small) event list.
-The alternative — one join per funnel step — costs k shuffles and
-re-materializes the user set each step; the fold costs one `groupBy(user)`
-regardless of k. The fold lambda evaluates interpreted (no codegen for
-`aggregate` HOFs), but it touches only the filtered per-user arrays, which
-is orders of magnitude less data than the scan.
+exact per-user DP runs as an Arrow-batched kernel over each user's (small)
+event array. The alternative — one join per funnel step — costs k shuffles
+and re-materializes the user set each step; the kernel costs one
+`groupBy(user)` regardless of k and touches only the filtered per-user
+arrays, orders of magnitude less data than the scan.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _funnel_dp(seq, steps: list[str], within: float):
+    """Exact per-user funnel DP. ``seq`` is the ts-ascending (ts, type)
+    list. dp[i] holds the two largest DISTINCT last-matched timestamps for
+    "reached stage i" — two suffice: when extending with an event at ts,
+    the best predecessor is the largest recorded t < ts (events ascend, so
+    ties can only sit at the current maximum), and larger t maximizes the
+    t + within upper bound. A greedy single-path walk is NOT exact here:
+    with a per-step gap window, a stalled early attempt must not block a
+    later restart (a@0, a@95, b@100, within=10 reaches stage 2 via a@95).
+    Returns (stage, t_first, t_last)."""
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    NEG = float("-inf")
+    dp = [[NEG, NEG] for _ in range(k + 1)]  # [max, second-max-distinct]
+    t_first = None
+    for ts, ty in seq:
+        i = step_idx.get(ty)
+        if i is None:
+            continue
+        if i == 0:
+            if t_first is None:
+                t_first = ts
+            best = ts
+        else:
+            m1, m2 = dp[i]
+            prev = m1 if m1 < ts else m2  # largest recorded t strictly < ts
+            best = ts if (prev != NEG and ts <= prev + within) else None
+        if best is not None:
+            m1, m2 = dp[i + 1]
+            if best > m1:
+                dp[i + 1] = [best, m1]
+            elif best != m1 and best > m2:
+                dp[i + 1] = [m1, best]
+    stage = 0
+    for i in range(k, 0, -1):
+        if dp[i][0] != NEG:
+            stage = i
+            break
+    t_last = dp[stage][0] if stage else None
+    return stage, t_first, t_last
 
 
 def funnel_stages(
@@ -25,15 +67,24 @@ def funnel_stages(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """(user, stage, t_first, t_last) — how far each user got through the
-    ordered ``steps`` with at most ``within`` seconds between consecutive
-    matched steps. ``stage`` = number of steps completed (0..len(steps));
-    greedy earliest matching, which is optimal for chain existence (matching
-    a step earlier never prevents a later step from matching).
-    """
+    """(user, stage, t_first, t_last) — the deepest stage each user reached
+    through the ordered ``steps`` with at most ``within`` seconds between
+    consecutive matched steps (exact: any event subsequence counts, so a
+    stalled attempt never blocks a later restart). ``t_first`` is the first
+    step-1 match, ``t_last`` the last-matched timestamp of the deepest
+    stage. The per-user DP is inherently sequential → Arrow-batched kernel
+    over the per-user event arrays (same justification as winnowing); the
+    job's distributed cost stays the single groupBy(user)."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    steps_arr = F.array(*[F.lit(s) for s in steps])
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField as SF,
+        StructType as ST,
+    )
+
     ts = F.col(ts_col)
     dt = dict(events.dtypes).get(ts_col, "")
     if dt.startswith("timestamp"):
@@ -49,39 +100,29 @@ def funnel_stages(
     per_user = ev.groupBy("user").agg(
         F.array_sort(F.collect_list(F.struct("__ts", "__ty"))).alias("__seq")
     )
-    zero = F.struct(
-        F.lit(0).alias("stage"),
-        F.lit(None).cast("double").alias("t0"),
-        F.lit(None).cast("double").alias("t"),
+    steps_l, within_f = list(steps), float(within)
+    out_t = ST(
+        [
+            SF("stage", IntegerType()),
+            SF("t_first", DoubleType()),
+            SF("t_last", DoubleType()),
+        ]
     )
 
-    def step(acc, e):
-        stage = acc["stage"]
-        matches = (
-            (stage < F.lit(len(steps)))
-            & (e["__ty"] == F.element_at(steps_arr, stage + 1))
-            & (
-                (stage == 0)
-                | ((e["__ts"] > acc["t"]) & (e["__ts"] <= acc["t"] + F.lit(within)))
-            )
-        )
-        return F.when(
-            matches,
-            F.struct(
-                (stage + 1).alias("stage"),
-                F.coalesce(acc["t0"], e["__ts"]).alias("t0"),
-                e["__ts"].alias("t"),
-            ),
-        ).otherwise(acc)
+    @pandas_udf(out_t)
+    def _walk(seqs: pd.Series) -> pd.DataFrame:
+        rows = [
+            _funnel_dp([(e["__ts"], e["__ty"]) for e in s], steps_l, within_f)
+            for s in seqs
+        ]
+        return pd.DataFrame(rows, columns=["stage", "t_first", "t_last"])
 
-    walked = per_user.select(
-        "user", F.aggregate("__seq", zero, step).alias("__w")
-    )
+    walked = per_user.select("user", _walk(F.col("__seq")).alias("__w"))
     return walked.select(
         "user",
-        F.col("__w.stage").alias("stage"),
-        F.col("__w.t0").alias("t_first"),
-        F.col("__w.t").alias("t_last"),
+        F.col("__w.stage").cast("int").alias("stage"),
+        F.col("__w.t_first").alias("t_first"),
+        F.col("__w.t_last").alias("t_last"),
     )
 
 

@@ -25,8 +25,12 @@ def json_key_stats(df: DataFrame, col: str) -> DataFrame:
 
     Values are classified from their text form (`from_json` to
     map<string,string> renders scalars as their JSON literal text, nested
-    objects/arrays as JSON text → classified 'string'). Rows that are not
-    JSON objects parse to null maps and contribute nothing.
+    objects/arrays as JSON text → classified 'string'). Known limitation of
+    this codegen-only path: `from_json` unquotes scalars, so a QUOTED
+    number ("1") is indistinguishable from the number 1 and counts as
+    n_int — int→numeric-string drift needs a raw-text kernel; int→word,
+    int→null, int→float, and presence/absence drift are all visible. Rows
+    that are not JSON objects parse to null maps and contribute nothing.
     """
     m = F.from_json(F.col(col), "map<string,string>")
     kv = df.select(F.explode(m).alias("key", "val"))

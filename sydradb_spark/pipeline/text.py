@@ -368,6 +368,17 @@ def _spread_docs(docs: DataFrame) -> DataFrame:
     return spread(docs)
 
 
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — corpus distinct-word frequencies: one combining
+    shuffle, output Zipf-bounded. Shared base of `vocab_topk` and the BPE
+    trainer (`pipeline.bpe`)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
 def vocab_topk(docs: DataFrame, n: int = 50_000, text_col: str = "text") -> DataFrame:
     """(token, count, rank) for the corpus's ``n`` most frequent whitespace
     tokens — the vocabulary sweep run before tokenizer training and for
@@ -383,10 +394,8 @@ def vocab_topk(docs: DataFrame, n: int = 50_000, text_col: str = "text") -> Data
     """
     from pyspark.sql.window import Window
 
-    counts = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("count"))
+    counts = word_freq_table(docs, text_col).select(
+        F.col("word").alias("token"), F.col("freq").alias("count")
     )
     top = counts.orderBy(F.col("count").desc(), "token").limit(n)
     w = Window.orderBy(F.col("count").desc(), "token")
@@ -399,15 +408,22 @@ def token_coverage(
     """One row ``(total_tokens, covered_tokens, coverage)``: the fraction of
     corpus token OCCURRENCES found in ``vocab`` (a frame with a ``token``
     column) — the number that decides whether a vocabulary is big enough.
-    Vocabularies are small next to a corpus → broadcast left-semi-shaped
-    join on the exploded token stream, one combining aggregate."""
+    Vocabularies are small next to a corpus → ONE pass over the exploded
+    token stream: broadcast left join with a hit indicator, then a single
+    combining aggregate (a separate total/covered pair would scan and
+    re-tokenize the corpus twice)."""
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    hit = toks.join(
-        F.broadcast(vocab.select("token").distinct()), on="token", how="left_semi"
+    marked = toks.join(
+        F.broadcast(
+            vocab.select("token").distinct().withColumn("__hit", F.lit(1))
+        ),
+        on="token",
+        how="left",
     )
-    total = toks.agg(F.count("*").alias("total_tokens"))
-    covered = hit.agg(F.count("*").alias("covered_tokens"))
-    return total.crossJoin(covered).select(
+    return marked.agg(
+        F.count("*").alias("total_tokens"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("covered_tokens"),
+    ).select(
         "total_tokens",
         "covered_tokens",
         F.when(
@@ -449,7 +465,9 @@ def lm_score_docs(
     each document under the bigram LM, with add-alpha smoothing
     P(w2|w1) = (c12 + α) / (c1 + α·V). Low avg_logprob = unnatural text
     (keyboard mash, SEO spam, wrong-language) — the perplexity-bucket
-    signal a quality pipeline cuts on. Docs with < 2 tokens score NULL.
+    signal a quality pipeline cuts on. Docs with < 2 tokens are still
+    emitted, with n_bigrams 0 and avg_logprob NULL (a scorer that silently
+    drops rows breaks 'every doc has a score' joins downstream).
 
     Scale shape: the doc side explodes to bigrams (narrow), left-joins the
     model on (w1, w2) then (w1) — both key-bounded shuffles against the
@@ -479,9 +497,18 @@ def lm_score_docs(
             ).alias("__lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logprob",
+        )
     )
 
 

@@ -943,8 +943,10 @@ def test_winnow_overlap_pairs_containment(spark):
 
 
 def test_funnel_oracle_real_events(spark):
-    """funnel/funnel_stages against an independent pure-Python greedy walk
-    over the real sf0.01 events table (view -> click -> purchase, 1h gaps)."""
+    """funnel/funnel_stages against an INDEPENDENT exact oracle (full
+    feasible-set DP: every stage keeps ALL achievable last-matched
+    timestamps — O(n·k), obviously correct) over the real sf0.01 events
+    (view -> click -> purchase, 1h gaps)."""
     import duckdb
 
     from sydradb_spark.pipeline.events import funnel, funnel_stages
@@ -965,20 +967,27 @@ def test_funnel_oracle_real_events(spark):
     byuser: dict = {}
     for u, ts, ty in raw:
         byuser.setdefault(u, []).append((float(ts), ty))
-    expect_stage = {}
-    for u, seq in byuser.items():
-        stage, t = 0, None
+
+    def exact_stage(seq):
+        # feasible-SET DP: reach[i] = all last-ts values achievable at stage i
+        k = len(steps)
+        idx = {s: i for i, s in enumerate(steps)}
+        reach = [set() for _ in range(k + 1)]
         for ts, ty in seq:
-            if stage < len(steps) and ty == steps[stage] and (
-                stage == 0 or (ts > t and ts <= t + within)
-            ):
-                stage += 1
-                t = ts
-        expect_stage[u] = stage
+            i = idx[ty]
+            if i == 0:
+                reach[1].add(ts)
+            elif any(t < ts <= t + within for t in reach[i]):
+                reach[i + 1].add(ts)
+        for i in range(k, 0, -1):
+            if reach[i]:
+                return i
+        return 0
+
+    expect_stage = {u: exact_stage(seq) for u, seq in byuser.items()}
     assert got_stage == expect_stage
     for i in range(1, 4):
         assert got[i] == sum(1 for s in expect_stage.values() if s >= i)
-    # sanity: the funnel is actually discriminating on this data
     assert got[1] > got[3] >= 0
 
 
@@ -988,20 +997,32 @@ def test_funnel_semantics_synthetic(spark):
     rows = [
         # user 1 completes in order within gaps
         (1, 10.0, "a"), (1, 20.0, "b"), (1, 25.0, "c"),
-        # user 2 has b before a -> stalls at a only if a comes first... b@5
-        # doesn't match stage 1 (needs a); a@10 matches; later b@12 matches
+        # user 2: b before a doesn't count; later b does
         (2, 5.0, "b"), (2, 10.0, "a"), (2, 12.0, "b"),
         # user 3: gap too large between a and b
         (3, 0.0, "a"), (3, 100.0, "b"),
         # user 4: simultaneous a,b at same ts -> b NOT strictly after a
         (4, 7.0, "a"), (4, 7.0, "b"),
+        # user 5: stalled first attempt must not block the restart
+        # (a@0 stalls, a@95 -> b@100 completes within 10)
+        (5, 0.0, "a"), (5, 95.0, "a"), (5, 100.0, "b"),
+        # user 6: tie at the top — a@5, a@10, b@10: only a@5 is strictly
+        # before b@10, and 10 <= 5 + 30 -> stage 2 via the second-max path
+        (6, 5.0, "a"), (6, 10.0, "a"), (6, 10.0, "b"),
     ]
     df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
     got = {
         r["user"]: r["stage"]
         for r in funnel_stages(df, ["a", "b", "c"], within=30.0).collect()
     }
-    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 2, 6: 2}
+    # and the within=10 restart case specifically
+    got10 = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(df, ["a", "b"], within=10.0).collect()
+    }
+    assert got10[5] == 2  # a@95 -> b@100
+    assert got10[3] == 1
 
 
 def test_retention_cohorts_oracle(spark):
@@ -1155,7 +1176,9 @@ def test_bpe_train_matches_reference(spark):
         (2, "newest widest widest low lowest"),
         (3, "low low newest"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = spark.createDataFrame(
+        rows + [(4, "")], "doc_id long, text string"  # empty doc: ([], 0)
+    )
 
     def apply_one(syms, l, r):
         out, i = [], 0
@@ -1200,6 +1223,8 @@ def test_bpe_train_matches_reference(spark):
         assert enc[doc_id]["n_tokens"] == len(toks)
     # merges compress: tokenized length strictly below char count
     assert enc[1]["n_tokens"] < sum(len(w) + 1 for w in rows[0][1].split())
+    # the zero-token doc is still emitted, with an empty encoding
+    assert enc[4]["tokens"] == [] and enc[4]["n_tokens"] == 0
 
 
 def test_lm_score_oracle(spark):
@@ -1256,6 +1281,12 @@ def test_lm_score_oracle(spark):
     )
     s = {r["doc_id"]: r["avg_logprob"] for r in text.lm_score_docs(both, lm).collect()}
     assert s[900001] > s[900002]
+    # short docs are emitted with 0 bigrams and NULL score, not dropped
+    short = spark.createDataFrame([(1, "word"), (2, "")], "doc_id long, text string")
+    sr = {r["doc_id"]: r for r in text.lm_score_docs(short, lm).collect()}
+    assert set(sr) == {1, 2}
+    assert sr[1]["n_bigrams"] == 0 and sr[1]["avg_logprob"] is None
+    assert sr[2]["n_bigrams"] == 0 and sr[2]["avg_logprob"] is None
 
 
 def test_image_features_real_png(spark):
