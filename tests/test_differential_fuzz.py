@@ -209,6 +209,36 @@ def _gen_cases():
                 f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
             )
         )
+    # implicit ascending-time order under LIMIT (no ORDER BY in sydraQL —
+    # the engine's documented implicit order; room2 has unique ts)
+    for _ in range(3):
+        a, b = rng("weather.room2")
+        k = rnd.randrange(1, 10)
+        cases.append(
+            (
+                f"implimit-{k}-{a}",
+                f"select value from weather.room2 where time >= {a} "
+                f"and time < {b} limit {k}",
+                f"SELECT value FROM pts WHERE series = 'weather.room2' "
+                f"AND ts >= {a} AND ts < {b} ORDER BY ts LIMIT {k}",
+            )
+        )
+    # 3-arg time_bucket with a non-default origin
+    for _ in range(3):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        w = rnd.choice([60, 300])
+        o = T0 + rnd.randrange(0, w)
+        cases.append(
+            (
+                f"origin-{s}-{w}-{o}-{a}",
+                f"select time_bucket({w}, time, {o}) as b, count() as c "
+                f"from {s} where time >= {a} and time < {b} group by b",
+                f"SELECT ((ts - {o}) // {w}) * {w} + {o} AS b, count(*) AS c "
+                f"FROM pts WHERE series = '{s}' AND ts >= {a} AND ts < {b} "
+                f"GROUP BY 1",
+            )
+        )
     # bucketed min/max/sum with a value predicate
     for _ in range(4):
         s = rnd.choice(list(SERIES_SPAN))
