@@ -129,3 +129,64 @@ def with_ema(
     return with_chunked_ema(
         df, src_col, out_col, alpha, partition=partition_col, ts_col=ts_col
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    value_col: str = "value",
+) -> DataFrame:
+    """(bin, lo, hi, n) — fixed-range equal-width histogram of a value
+    column; beyond-reference profiling (the reference's stats stop at
+    percentile). Out-of-range values clamp into the edge bins so totals
+    are conserved. ONE combining groupBy on the bin index — bin count
+    bounded by ``n_bins``, not data; at 100 TB this is a map-side-partial
+    aggregate like any count.
+    """
+    if not (hi > lo and n_bins > 0):
+        raise ValueError("require hi > lo and n_bins > 0")
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("hi"),
+            "n",
+        )
+    )
+
+
+def anomalies_zscore(
+    df: DataFrame,
+    threshold: float = 3.0,
+    partition_col: str = "series_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` population standard
+    deviations from their series mean — the basic monitoring outlier sweep
+    (beyond-reference; the rate/delta family covers trends, not outliers).
+    Adds ``zscore``. Series with stddev 0 (constant) flag nothing.
+
+    Scale shape: one combining per-series aggregate (mean, stddev_pop — a
+    few doubles per series) joined back on the series key; both sides hash
+    to the same partitioning, so Catalyst reuses the exchange. No window,
+    no sort.
+    """
+    stats = df.groupBy(partition_col).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (
+        df.join(stats, on=partition_col)
+        .where((F.col("__sd") > 0) & (F.abs(z) > threshold))
+        .withColumn("zscore", F.round(z, 6))
+        .drop("__mu", "__sd")
+    )

@@ -1410,3 +1410,53 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in clean.select("doc_id").collect()
     )
+
+
+def test_value_histogram_oracle(spark):
+    """value_histogram against a DuckDB twin over the real sf0.01 events."""
+    import duckdb
+
+    from sydradb_spark.functions.timeseries import value_histogram
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        r["bin"]: (r["n"], r["lo"], r["hi"])
+        for r in value_histogram(ev, lo=0.0, hi=100.0, n_bins=10).collect()
+    }
+    oracle = duckdb.sql(
+        """
+        SELECT least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 9) AS bin,
+               count(*) AS n
+        FROM '/root/testdata/sf0.01/events.parquet'
+        WHERE value IS NOT NULL GROUP BY 1
+        """
+    ).fetchall()
+    assert {b: n for b, n in oracle} == {b: n for b, (n, _, _) in got.items()}
+    assert sum(n for n, _, _ in got.values()) == ev.where(F.col("value").isNotNull()).count()
+    for b, (_, lo, hi) in got.items():
+        assert abs(lo - b * 10.0) < 1e-9 and abs(hi - (b + 1) * 10.0) < 1e-9
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        value_histogram(ev, lo=5.0, hi=5.0)
+
+
+def test_anomalies_zscore(spark):
+    from sydradb_spark.functions.timeseries import anomalies_zscore
+
+    rows = (
+        [(1, i, 10.0 + (i % 3)) for i in range(50)]  # tame series
+        + [(1, 99, 1000.0)]                           # one wild outlier
+        + [(2, i, 5.0) for i in range(10)]            # constant series
+    )
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    out = anomalies_zscore(df, threshold=3.0).collect()
+    assert [(r["series_id"], r["ts"]) for r in out] == [(1, 99)]
+    assert out[0]["zscore"] > 3.0
+    # python oracle for the zscore value
+    import statistics
+
+    vals = [v for s, _, v in rows if s == 1]
+    mu = statistics.fmean(vals)
+    sd = statistics.pstdev(vals)
+    assert abs(out[0]["zscore"] - round((1000.0 - mu) / sd, 6)) < 1e-9
