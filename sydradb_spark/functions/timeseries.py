@@ -190,3 +190,57 @@ def anomalies_zscore(
         .withColumn("zscore", F.round(z, 6))
         .drop("__mu", "__sd")
     )
+
+
+def lttb(
+    df: DataFrame,
+    n_out: int,
+    partition_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling to ``n_out`` points per
+    series — the standard chart-serving downsampler (TimescaleDB ships the
+    same op): first/last points kept, each interior bucket keeps the point
+    forming the largest triangle with the previous pick and the next
+    bucket's centroid, preserving visual extremes where averaging flattens
+    them. Beyond-reference (the reference serves raw ranges).
+
+    Scale/usage note: the selection is sequential over a series' points, so
+    each (series) group runs in one Arrow task — this operator is for
+    SERVING bounded chart ranges (apply AFTER the pruned time-range scan,
+    where a range holds at most hours-to-days of points), not for
+    corpus-wide batch rewriting; the chunked-window machinery does not
+    apply because bucket picks depend on the previous pick.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + interior)")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        t = pdf[ts_col].to_numpy(dtype="float64")
+        v = pdf[value_col].to_numpy(dtype="float64")
+        # n_out-2 interior buckets over points 1..n-2
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        keep = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            s, e = edges[b], edges[b + 1]
+            nxt_s, nxt_e = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx = t[nxt_s:nxt_e].mean() if nxt_e > nxt_s else t[e - 1]
+            cy = v[nxt_s:nxt_e].mean() if nxt_e > nxt_s else v[e - 1]
+            area = np.abs(
+                (t[prev] - cx) * (v[s:e] - v[prev]) - (t[prev] - t[s:e]) * (cy - v[prev])
+            )
+            prev = s + int(area.argmax())
+            keep.append(prev)
+        keep.append(n - 1)
+        return pdf.iloc[keep]
+
+    return df.groupBy(partition_col).applyInPandas(pick, df.schema)

@@ -1460,3 +1460,56 @@ def test_anomalies_zscore(spark):
     mu = statistics.fmean(vals)
     sd = statistics.pstdev(vals)
     assert abs(out[0]["zscore"] - round((1000.0 - mu) / sd, 6)) < 1e-9
+
+
+def test_lttb_downsampling(spark):
+    """LTTB against a pure-Python reference on a noisy series with planted
+    spikes: exact pick-for-pick equality, endpoints preserved, spikes
+    survive where plain bucket-averaging would flatten them."""
+    import numpy as np
+
+    from sydradb_spark.functions.timeseries import lttb
+
+    rng = np.random.RandomState(5)
+    n = 500
+    vals = np.sin(np.arange(n) / 20.0) + rng.normal(0, 0.05, n)
+    vals[123] = 8.0  # spikes
+    vals[377] = -7.0
+    rows = [(1, int(i), float(v)) for i, v in enumerate(vals)] + [
+        (2, i, float(i)) for i in range(10)  # short series: passthrough
+    ]
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    out = lttb(df, n_out=50)
+    got = {
+        s: sorted((r["ts"], r["value"]) for r in grp)
+        for s, grp in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: (r["series_id"], r["ts"])),
+            key=lambda r: r["series_id"],
+        )
+    }
+
+    def ref_lttb(t, v, n_out):
+        n = len(t)
+        if n <= n_out:
+            return list(range(n))
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        keep, prev = [0], 0
+        for b in range(n_out - 2):
+            s, e = edges[b], edges[b + 1]
+            ns, ne = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            cx = t[ns:ne].mean() if ne > ns else t[e - 1]
+            cy = v[ns:ne].mean() if ne > ns else v[e - 1]
+            area = np.abs((t[prev] - cx) * (v[s:e] - v[prev]) - (t[prev] - t[s:e]) * (cy - v[prev]))
+            prev = s + int(area.argmax())
+            keep.append(prev)
+        keep.append(n - 1)
+        return keep
+
+    t = np.arange(n, dtype="float64")
+    want = [(int(i), float(vals[i])) for i in ref_lttb(t, vals, 50)]
+    assert got[1] == sorted(want)
+    assert len(got[1]) == 50
+    assert got[1][0][0] == 0 and got[1][-1][0] == n - 1  # endpoints kept
+    picked_ts = {ts for ts, _ in got[1]}
+    assert 123 in picked_ts and 377 in picked_ts  # spikes survive
+    assert len(got[2]) == 10  # short series passes through untouched
