@@ -232,18 +232,38 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._error(400, "missing series identifier")
             return
+        # optional chart downsampling: max_points=N applies LTTB to the
+        # range BEFORE the driver collect (beyond the reference, which only
+        # serves raw ranges) — spikes survive where bucket-averaging loses
+        # them, and the response size is bounded by N instead of max_rows
+        max_points = params.get("max_points")
+        if max_points is not None:
+            try:
+                max_points = int(max_points)
+            except (TypeError, ValueError):
+                self._error(400, "max_points must be an integer")
+                return
+            if max_points < 3:
+                self._error(400, "max_points must be >= 3")
+                return
         from pyspark.sql import functions as F
 
         eng = self.app.engine
         pts = (
             eng.points.where(F.col("series_id") == sid)
             .where((F.col("ts") >= start) & (F.col("ts") <= end))
-            .orderBy("ts", "value")
+        )
+        if max_points is not None:
+            from sydradb_spark.functions.timeseries import lttb
+
+            pts = lttb(pts, max_points)
+        out = (
+            pts.orderBy("ts", "value")
             .limit(self.app.max_rows)
             .select("ts", "value")
         )
         self._send_json(
-            200, [{"ts": r["ts"], "value": r["value"]} for r in pts.collect()]
+            200, [{"ts": r["ts"], "value": r["value"]} for r in out.collect()]
         )
 
     def _find(self) -> None:

@@ -259,3 +259,37 @@ def test_ingest_lenient_per_line(spark, points):
         assert json.loads(out)["rows"] == [[2, 3.5]]
     finally:
         server.stop()
+
+
+def test_query_range_max_points_downsampling(http):
+    """max_points=N serves an LTTB-downsampled range: N points, endpoints
+    preserved, every returned point a real stored point; bad values 400."""
+    import urllib.error
+
+    sid = http.series_id_for("cpu.total", {"host": "a", "env": "dev"})
+    status, raw = _get(
+        http, f"/api/v1/query/range?series_id={sid}&start=1000000&end=1003600"
+    )
+    full = json.loads(raw)
+    assert status == 200 and len(full) > 20
+    status, out = _get(
+        http,
+        f"/api/v1/query/range?series_id={sid}&start=1000000&end=1003600&max_points=12",
+    )
+    pts = json.loads(out)
+    assert status == 200 and len(pts) == 12
+    assert pts[0]["ts"] == full[0]["ts"] and pts[-1]["ts"] == full[-1]["ts"]
+    stored = {(p["ts"], p["value"]) for p in full}
+    assert all((p["ts"], p["value"]) in stored for p in pts)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(
+            http,
+            f"/api/v1/query/range?series_id={sid}&start=1000000&end=1003600&max_points=2",
+        )
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(
+            http,
+            f"/api/v1/query/range?series_id={sid}&start=1000000&end=1003600&max_points=x",
+        )
+    assert e.value.code == 400
