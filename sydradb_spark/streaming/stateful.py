@@ -64,3 +64,74 @@ def streaming_ema(points_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series_id", LongType(), False),
+        StructField("ts", LongType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("zscore", DoubleType(), True),
+        StructField("n_seen", LongType(), False),
+    ]
+)
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("mean", DoubleType(), True),
+        StructField("m2", DoubleType(), True),
+    ]
+)
+
+
+def streaming_anomalies(
+    points_stream: DataFrame,
+    threshold: float = 3.0,
+    min_points: int = 10,
+) -> DataFrame:
+    """Online per-series anomaly detection: emit points whose value is more
+    than ``threshold`` standard deviations from the series' RUNNING mean —
+    Welford's algorithm carried in checkpointed state (O(1) doubles per
+    series), the streaming twin of `timeseries.anomalies_zscore`.
+
+    Each point is scored against the state BEFORE it is folded in (a spike
+    must not dilute the baseline it is judged by), and the first
+    ``min_points`` per series only warm the state (no stable baseline to
+    score against yet). State survives restarts via the checkpoint, like
+    the EMA exemplar above.
+    """
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
+            rows = []
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if n >= min_points and m2 > 0:
+                    sd = math.sqrt(m2 / n)  # population variance of seen points
+                    z = (v - mean) / sd if sd > 0 else 0.0
+                    if abs(z) > threshold:
+                        rows.append((int(key[0]), int(ts), v, round(z, 6), n))
+                # Welford update (after scoring)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["series_id", "ts", "value", "zscore", "n_seen"]
+                )
+        state.update((n, mean, m2))
+
+    return points_stream.groupBy("series_id").applyInPandasWithState(
+        fold,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -429,3 +429,52 @@ def test_curate_stream_dedupe_state_survives_restart(spark, tmp_path):
     drain()
     got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 3]
+
+
+def test_streaming_anomalies_state_across_batches(spark, tmp_path):
+    """Online z-score anomalies: warm-up emits nothing, a spike in a LATER
+    micro-batch is flagged against the running baseline carried in state,
+    and the spike's own value doesn't dilute the baseline it was judged by."""
+    import json
+
+    from sydradb_spark.streaming.stateful import streaming_anomalies
+
+    src = tmp_path / "an_src"
+    src.mkdir()
+    batch1 = [
+        {"series_id": 1, "ts": i, "value": 10.0 + (i % 5) * 0.1} for i in range(20)
+    ]
+    (src / "b1.ndjson").write_text("\n".join(map(json.dumps, batch1)) + "\n")
+    out_path, ck = str(tmp_path / "an_out"), str(tmp_path / "an_ck")
+
+    def drain():
+        stream = spark.readStream.schema("series_id long, ts long, value double").json(
+            str(src)
+        )
+        q = (
+            streaming_anomalies(stream, threshold=3.0, min_points=10)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    import glob
+
+    files = glob.glob(f"{out_path}/*.parquet")
+    n0 = spark.read.parquet(out_path).count() if files else 0
+    assert n0 == 0  # tame warm-up batch: nothing flagged
+    batch2 = [
+        {"series_id": 1, "ts": 100, "value": 10.2},
+        {"series_id": 1, "ts": 101, "value": 99.0},  # spike
+        {"series_id": 1, "ts": 102, "value": 10.3},
+    ]
+    (src / "b2.ndjson").write_text("\n".join(map(json.dumps, batch2)) + "\n")
+    drain()
+    rows = spark.read.parquet(out_path).collect()
+    assert [(r["ts"], r["value"]) for r in rows] == [(101, 99.0)]
+    assert rows[0]["zscore"] > 3.0 and rows[0]["n_seen"] == 21
