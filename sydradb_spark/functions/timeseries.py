@@ -244,3 +244,60 @@ def lttb(
         return pdf.iloc[keep]
 
     return df.groupBy(partition_col).applyInPandas(pick, df.schema)
+
+
+def detect_gaps(
+    df: DataFrame,
+    max_gap_s: int,
+    partition_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(series, gap_start, gap_end, gap_s) — per-series intervals longer
+    than ``max_gap_s`` with no data (heartbeat/outage sweep; the complement
+    of sessionization). gap_start/gap_end are the bounding points'
+    timestamps. Beyond-reference monitoring utility.
+
+    Scale shape: rides the chunked lag machinery (`functions/chunked.py`),
+    so a hot series spreads across bounded (series, time-chunk) partitions
+    instead of pinning one task; the filter on the lag delta is a narrow
+    map afterwards.
+    """
+    from sydradb_spark.functions.chunked import LagRequest, with_chunked_lag_lead
+
+    lagged = with_chunked_lag_lead(
+        df.select(partition_col, ts_col),
+        [LagRequest(ts_col, "__prev_ts", 1, "lag")],
+        partition=partition_col,
+        ts_col=ts_col,
+        tiebreak=ts_col,
+    )
+    gap = F.col(ts_col) - F.col("__prev_ts")
+    return (
+        lagged.where(F.col("__prev_ts").isNotNull() & (gap > max_gap_s))
+        .select(
+            F.col(partition_col).alias("series"),
+            F.col("__prev_ts").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.cast("long").alias("gap_s"),
+        )
+    )
+
+
+def stale_series(
+    df: DataFrame,
+    now_ts: int,
+    timeout_s: int,
+    partition_col: str = "series_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(series, last_ts, age_s) — series whose newest point is older than
+    ``timeout_s`` at ``now_ts`` (dead-sender detection). One combining
+    max-aggregate per series; pass ``now_ts`` explicitly so results are
+    replayable (same argument as the hash-sampling determinism rule)."""
+    last = df.groupBy(F.col(partition_col).alias("series")).agg(
+        F.max(ts_col).alias("last_ts")
+    )
+    age = F.lit(now_ts) - F.col("last_ts")
+    return last.where(age > timeout_s).select(
+        "series", "last_ts", age.cast("long").alias("age_s")
+    )

@@ -1513,3 +1513,47 @@ def test_lttb_downsampling(spark):
     picked_ts = {ts for ts, _ in got[1]}
     assert 123 in picked_ts and 377 in picked_ts  # spikes survive
     assert len(got[2]) == 10  # short series passes through untouched
+
+
+def test_detect_gaps_and_stale_series(spark):
+    """Gap detection against a DuckDB lag twin on synthetic outages, and
+    the stale-series sweep."""
+    import duckdb
+
+    from sydradb_spark.functions.timeseries import detect_gaps, stale_series
+
+    rows = (
+        [(1, 100 + i * 10) for i in range(10)]        # healthy until 190
+        + [(1, 500), (1, 510)]                         # 310s outage, resume
+        + [(2, 100), (2, 4000)]                        # one huge gap
+        + [(3, 100)]                                   # single point: no gap
+    )
+    df = spark.createDataFrame(rows, "series_id long, ts long").withColumn(
+        "value", F.lit(1.0)
+    )
+    got = sorted(
+        (r["series"], r["gap_start"], r["gap_end"], r["gap_s"])
+        for r in detect_gaps(df, max_gap_s=60).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(s BIGINT, ts BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT s, prev, ts, ts - prev FROM (
+              SELECT s, ts, lag(ts) OVER (PARTITION BY s ORDER BY ts) AS prev
+              FROM p)
+            WHERE prev IS NOT NULL AND ts - prev > 60
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 2
+    stale = {
+        r["series"]: (r["last_ts"], r["age_s"])
+        for r in stale_series(df, now_ts=5000, timeout_s=1500).collect()
+    }
+    # series 1 last=510 (age 4490), series 3 last=100 (age 4900); series 2
+    # last=4000 (age 1000, healthy)
+    assert stale == {1: (510, 4490), 3: (100, 4900)}
