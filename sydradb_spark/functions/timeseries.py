@@ -301,3 +301,14 @@ def stale_series(
     return last.where(age > timeout_s).select(
         "series", "last_ts", age.cast("long").alias("age_s")
     )
+
+
+def increase_expr(x: Column, prev_x: Column) -> Column:
+    """One term of counter-reset-aware ``increase(x)`` (beyond-reference;
+    Prometheus semantics): the positive delta to the previous sample, or
+    the raw reading after a reset (a drop means the counter restarted, so
+    the new value IS the post-reset growth). Aggregate as ``sum(...)``;
+    the series head contributes null → skipped."""
+    return F.when(prev_x.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(x >= prev_x, x - prev_x).otherwise(x)
+    )

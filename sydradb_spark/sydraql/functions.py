@@ -119,6 +119,9 @@ REGISTRY: dict[str, Signature] = {
             Ty.FLOAT,
         ),
         Signature("rate", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
+        # beyond-reference: counter-reset-aware increase (Prometheus
+        # semantics; plain `delta` goes negative across a counter restart)
+        Signature("increase", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
         Signature("irate", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
         Signature("delta", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),
         Signature("integral", Kind.AGGREGATE, (_num(),), Ty.FLOAT, requires_sorted_input=True, bucket_sensitive=True),

@@ -666,7 +666,7 @@ class Translator:
         lag_reqs: list[ck.LagRequest] = []
         li = 0
         for c, call in agg_calls.items():
-            if call.func in ("irate", "integral"):
+            if call.func in ("irate", "integral", "increase"):
                 argcol = f"__lagarg_{li}"
                 base = base.withColumn(argcol, self._row(call.args[0], ctx, base).cast("double"))
                 lag_reqs.append(ck.LagRequest(argcol, f"__prev_{li}", 1, "lag"))
@@ -776,6 +776,12 @@ class Translator:
         if f == "integral":
             argcol, prev, prevts = lag  # type: ignore[misc]
             return F.sum(ts_fn.trapezoid_expr(F.col(argcol), F.col(prev), ts, F.col(prevts)))
+        if f == "increase":
+            # beyond-reference: counter-reset-aware increase (Prometheus
+            # semantics) — sum of positive deltas; a drop means the counter
+            # restarted, so the new reading itself is the post-reset growth
+            argcol, prev, prevts = lag  # type: ignore[misc]
+            return F.sum(ts_fn.increase_expr(F.col(argcol), F.col(prev)))
         raise SydraQLError(f"unhandled aggregate {f}")
 
     def _post(self, e: ast.Expr, ctx: _Ctx, df: DataFrame) -> Column:

@@ -393,3 +393,49 @@ def test_approx_percentile(engine):
     assert got[0][0] in vals
     assert abs(got[0][0] - vals[5]) <= 0.5  # adjacent to the exact median
 
+
+
+def test_increase_counter_resets(spark, points):
+    """increase(x): sum of positive deltas; a counter reset contributes the
+    post-reset reading instead of a negative delta (Prometheus semantics,
+    beyond-reference)."""
+    from sydradb_spark.model import with_identity
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    rows = [
+        ("ctr.a", {}, 1000, 100.0),
+        ("ctr.a", {}, 1010, 150.0),   # +50
+        ("ctr.a", {}, 1020, 170.0),   # +20
+        ("ctr.a", {}, 1030, 5.0),     # reset -> +5
+        ("ctr.a", {}, 1040, 30.0),    # +25
+    ]
+    df = with_identity(
+        spark.createDataFrame(
+            rows, "series string, tags map<string,string>, ts long, value double"
+        )
+    )
+    eng = SydraQLEngine(spark, df)
+    got = rows_q(
+        eng,
+        "select increase(value) as inc, delta(value) as d from ctr.a "
+        "where time >= 1000 and time < 2000",
+    )
+    assert got[0][0] == pytest.approx(100.0)  # 50+20+5+25
+    assert got[0][1] == pytest.approx(-70.0)  # plain delta goes negative
+    # bucketed: per-bucket sums over lag pairs computed BEFORE grouping
+    got2 = rows_q(
+        eng,
+        "select time_bucket(20, time) as b, increase(value) as inc from ctr.a "
+        "where time >= 1000 and time < 2000 group by b order by b",
+    )
+    # lag pairs: (1010:+50 -> b=1000), (1020:+20 -> b=1020), (1030:+5 -> b=1020),
+    # (1040:+25 -> b=1040); head 1000 contributes null
+    assert [(r[0], r[1]) for r in got2] == [
+        (1000, pytest.approx(50.0)),
+        (1020, pytest.approx(25.0)),
+        (1040, pytest.approx(25.0)),
+    ]
+
+
+def rows_q(engine, q):
+    return [tuple(r) for r in engine.query(q).df.collect()]
