@@ -239,6 +239,23 @@ def _gen_cases():
                 f"GROUP BY 1",
             )
         )
+    # counter-reset-aware increase (lag pairs tie-broken on (ts, value)
+    # in both engines)
+    for _ in range(3):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        cases.append(
+            (
+                f"increase-{s}-{a}",
+                f"select increase(value) as inc from {s} "
+                f"where time >= {a} and time < {b}",
+                f"""SELECT sum(CASE WHEN value >= prev THEN value - prev
+                                    ELSE value END) AS inc FROM (
+                      SELECT value, lag(value) OVER (ORDER BY ts, value) AS prev
+                      FROM pts WHERE series = '{s}' AND ts >= {a} AND ts < {b})
+                    WHERE prev IS NOT NULL""",
+            )
+        )
     # bucketed min/max/sum with a value predicate
     for _ in range(4):
         s = rnd.choice(list(SERIES_SPAN))
