@@ -478,3 +478,33 @@ def test_streaming_anomalies_state_across_batches(spark, tmp_path):
     rows = spark.read.parquet(out_path).collect()
     assert [(r["ts"], r["value"]) for r in rows] == [(101, 99.0)]
     assert rows[0]["zscore"] > 3.0 and rows[0]["n_seen"] == 21
+
+
+def test_ndjson_gzip_ingest(spark, tmp_path):
+    """Compressed crawl drops are the norm at scale: .ndjson.gz files ingest
+    through the SAME batch and streaming paths with no code change (Spark's
+    codec-by-extension) — pinned so a refactor to a custom reader can't
+    silently lose it."""
+    import gzip
+    import json
+
+    from sydradb_spark.ingest import read_ndjson, stream_ndjson
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "gz"
+    src.mkdir()
+    rows = [
+        {"series": "g.s", "ts": 1000 + i, "value": float(i)} for i in range(5)
+    ]
+    with gzip.open(src / "a.ndjson.gz", "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    got = sorted(
+        (r["ts"], r["value"]) for r in read_ndjson(spark, str(src)).collect()
+    )
+    assert got == [(1000 + i, float(i)) for i in range(5)]
+    table = str(tmp_path / "gtable")
+    q = stream_ndjson(
+        spark, str(src), table, str(tmp_path / "gckpt"), available_now=True
+    )
+    q.awaitTermination()
+    assert read_points(spark, table).count() == 5
