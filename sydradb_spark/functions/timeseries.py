@@ -150,8 +150,11 @@ def value_histogram(
     w = (hi - lo) / n_bins
     raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("long")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    # NaN is NOT an out-of-range value: isNotNull passes it, and the
+    # non-ANSI long cast would silently drop it into bin 0
+    ok = F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(ok)
         .groupBy(b.alias("bin"))
         .agg(F.count("*").alias("n"))
         .select(
@@ -179,13 +182,19 @@ def anomalies_zscore(
     to the same partitioning, so Catalyst reuses the exchange. No window,
     no sort.
     """
-    stats = df.groupBy(partition_col).agg(
+    # drop NaN values up front: avg/stddev propagate NaN (unlike null), and
+    # Spark orders NaN above every number, so one NaN point would otherwise
+    # make __sd NaN, pass both comparisons, and flag the WHOLE series
+    clean = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    stats = clean.groupBy(partition_col).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_pop(value_col).alias("__sd"),
     )
     z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
     return (
-        df.join(stats, on=partition_col)
+        clean.join(stats, on=partition_col)
         .where((F.col("__sd") > 0) & (F.abs(z) > threshold))
         .withColumn("zscore", F.round(z, 6))
         .drop("__mu", "__sd")
@@ -220,7 +229,12 @@ def lttb(
         raise ValueError("n_out must be >= 3 (first + last + interior)")
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # stable sort with the repo's standard (ts, value) tiebreak —
+        # duplicate timestamps must not make repeated chart requests
+        # return different point sets
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+            drop=True
+        )
         n = len(pdf)
         if n <= n_out:
             return pdf

@@ -112,6 +112,13 @@ def streaming_anomalies(
             rows = []
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 v = float(v)
+                if math.isnan(v):
+                    # a null/NaN reading must neither be scored nor folded:
+                    # one NaN in the Welford update would poison mean/m2 to
+                    # NaN in CHECKPOINTED state, silently disabling the
+                    # series' monitoring forever (the batch twin's avg/
+                    # stddev skip nulls — keep the twins aligned)
+                    continue
                 if n >= min_points and m2 > 0:
                     sd = math.sqrt(m2 / n)  # population variance of seen points
                     z = (v - mean) / sd if sd > 0 else 0.0

@@ -670,8 +670,13 @@ class Translator:
                 argcol = f"__lagarg_{li}"
                 base = base.withColumn(argcol, self._row(call.args[0], ctx, base).cast("double"))
                 lag_reqs.append(ck.LagRequest(argcol, f"__prev_{li}", 1, "lag"))
-                lag_reqs.append(ck.LagRequest("ts", f"__prevts_{li}", 1, "lag"))
-                lag_cols[c] = (argcol, f"__prev_{li}", f"__prevts_{li}")
+                if call.func in ("irate", "integral"):
+                    # increase only consumes (x, prev_x) — don't carry an
+                    # unused ts-lag column through the chunked window
+                    lag_reqs.append(ck.LagRequest("ts", f"__prevts_{li}", 1, "lag"))
+                    lag_cols[c] = (argcol, f"__prev_{li}", f"__prevts_{li}")
+                else:
+                    lag_cols[c] = (argcol, f"__prev_{li}", None)
                 li += 1
         if lag_reqs:
             base = ck.with_chunked_lag_lead(base, lag_reqs)

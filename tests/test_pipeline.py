@@ -1557,3 +1557,67 @@ def test_detect_gaps_and_stale_series(spark):
     # series 1 last=510 (age 4490), series 3 last=100 (age 4900); series 2
     # last=4000 (age 1000, healthy)
     assert stale == {1: (510, 4490), 3: (100, 4900)}
+
+
+def test_lttb_hand_computed_picks(spark):
+    """LTTB on a 7-point series with a spike and a dip whose picks are
+    derivable by hand (independent of the implementation, unlike the
+    transcribed reference in the other test): n_out=4 → bucket edges
+    [1,3,6]; bucket 1 picks the spike at t=2 (area 44 vs 6), bucket 2 the
+    dip at t=4 (area 52 vs 26/6); endpoints always kept → ts [0,2,4,6]."""
+    from sydradb_spark.functions.timeseries import lttb
+
+    v = [0.0, 1.0, 10.0, 1.0, -8.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, i, x) for i, x in enumerate(v)], "series_id long, ts long, value double"
+    )
+    got = sorted(r["ts"] for r in lttb(df, n_out=4).collect())
+    assert got == [0, 2, 4, 6]
+
+
+def test_nan_robustness_monitoring_ops(spark):
+    """One NaN reading must not flood (batch zscore), miscount (histogram),
+    or permanently poison (streaming Welford state) the monitoring ops."""
+    from sydradb_spark.functions.timeseries import anomalies_zscore, value_histogram
+
+    rows = [(1, i, 10.0 + (i % 3) * 0.1) for i in range(30)] + [
+        (1, 50, float("nan")),
+        (1, 51, 500.0),  # genuine outlier after the NaN
+    ]
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    out = anomalies_zscore(df, threshold=3.0).collect()
+    assert [(r["ts"], r["value"]) for r in out] == [(51, 500.0)]
+    h = value_histogram(df, lo=0.0, hi=20.0, n_bins=4)
+    # 30 clean in-bin points + the clamped 500.0; the NaN contributes nowhere
+    assert sum(r["n"] for r in h.collect()) == 31
+
+
+def test_streaming_anomalies_survives_nan(spark, tmp_path):
+    import json
+
+    from sydradb_spark.streaming.stateful import streaming_anomalies
+
+    src = tmp_path / "nan_src"
+    src.mkdir()
+    batch = (
+        [{"series_id": 1, "ts": i, "value": 10.0 + (i % 4) * 0.1} for i in range(15)]
+        + [{"series_id": 1, "ts": 20, "value": None}]       # glitch
+        + [{"series_id": 1, "ts": 21, "value": 400.0}]       # real outlier
+    )
+    (src / "b.ndjson").write_text("\n".join(map(json.dumps, batch)) + "\n")
+    stream = spark.readStream.schema("series_id long, ts long, value double").json(
+        str(src)
+    )
+    out_path = str(tmp_path / "nan_out")
+    q = (
+        streaming_anomalies(stream, threshold=3.0, min_points=10)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "nan_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_path).collect()
+    assert [(r["ts"], r["value"]) for r in rows] == [(21, 400.0)]
