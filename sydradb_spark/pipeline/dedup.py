@@ -525,6 +525,8 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     redact: bool = False,
     boilerplate_max_docs: int | None = None,
+    lm: DataFrame | None = None,
+    lm_min_logprob: float | None = None,
 ) -> DataFrame:
     """End-to-end corpus curation — the canonical training-data pipeline,
     one composition: [boilerplate-line removal] → quality gate → exact
@@ -540,6 +542,11 @@ def curate_corpus(
        min-doc_id keeper;
     3. near-dup collapse: MinHash-LSH pairs at ``near_dup_threshold`` →
        connected components → keep each component's min doc_id;
+    1b. (``lm`` + ``lm_min_logprob`` given) perplexity-bucket gate: drop
+       docs whose `text.lm_score_docs` mean bigram log-prob under the
+       supplied model falls below the threshold (gibberish/SEO spam that
+       the closed-form quality score misses); docs too short to score
+       (NULL) are kept — no evidence either way;
     4. (``benchmark`` given) decontamination: drop survivors sharing a word
        n-gram with the benchmark corpus (broadcast n-gram set, anti-join);
     5. (``redact=True``) PII redaction: rewrite ``text_col`` through
@@ -568,6 +575,14 @@ def curate_corpus(
         )
     scored = docs.withColumn("quality", quality_score(F.col(text_col)))
     kept = scored.where(F.col("quality") >= min_quality)
+    if lm is not None and lm_min_logprob is not None:
+        from sydradb_spark.pipeline.text import lm_score_docs
+
+        lp = lm_score_docs(kept, lm, text_col=text_col).where(
+            F.col("avg_logprob").isNotNull()
+            & (F.col("avg_logprob") < lm_min_logprob)
+        )
+        kept = kept.join(lp.select("doc_id"), on="doc_id", how="anti")
     # deduped feeds the near-dup stage (shingles + verify) AND the final
     # anti-join — persist so the quality+dedup chain runs once (A/B at
     # sf0.1: 3.5 s vs 4.0 s median for the whole composition)

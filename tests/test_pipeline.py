@@ -1621,3 +1621,49 @@ def test_streaming_anomalies_survives_nan(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out_path).collect()
     assert [(r["ts"], r["value"]) for r in rows] == [(21, 400.0)]
+
+
+def test_curate_corpus_lm_gate(spark):
+    """The optional perplexity gate drops shuffled-vocabulary gibberish the
+    closed-form quality score happily accepts, defaults stay untouched."""
+    import random as _r
+
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    lm = text.train_bigram_lm(docs)
+    rnd = _r.Random(9)
+    vocab = [w for r in docs.limit(10).collect() for w in r["text"].split()][:1500]
+    gib = " ".join(rnd.choice(vocab) for _ in range(200))
+    with_gib = docs.unionByName(
+        spark.createDataFrame([(900001, gib)], "doc_id long, text string")
+    )
+    base = dedup.curate_corpus(with_gib, min_quality=0.3, near_dup_threshold=0.5)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert 900001 in base_ids  # closed-form quality does NOT catch it
+    # threshold between the corpus' scores and the gibberish score
+    s = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in text.lm_score_docs(with_gib, lm).collect()
+    }
+    cutoff = s[900001] + 1e-6  # just above the gibberish score
+    gated = dedup.curate_corpus(
+        with_gib, min_quality=0.3, near_dup_threshold=0.5, lm=lm,
+        lm_min_logprob=cutoff,
+    )
+    gated_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert 900001 not in gated_ids
+    below = {k for k, v in s.items() if v is not None and v < cutoff}
+    assert below and not (below & gated_ids)
+    # the staged gate ≡ filtering the input up front (dropping a doc before
+    # dedup may promote a different near-dup keeper, so compare against the
+    # pipeline run on the pre-filtered corpus, not base_ids - below)
+    hand = dedup.curate_corpus(
+        with_gib.where(~F.col("doc_id").isin(list(below))),
+        min_quality=0.3,
+        near_dup_threshold=0.5,
+    )
+    assert gated_ids == {r["doc_id"] for r in hand.select("doc_id").collect()}
+    assert base_ids  # base run still referenced: gibberish passed without the gate
