@@ -306,3 +306,97 @@ def test_differential(engine, ddb, case):
                 )
             else:
                 assert gv == wv, (g, w, sydraql)
+
+
+# --- tag-filter fuzz: one series name, several tag sets -----------------------
+def _tag_rows():
+    rows = []
+    for hi, host in enumerate(["h0", "h1", "h2"]):
+        for i in range(40):
+            rows.append((host, "prod" if i % 2 == 0 else "dev", T0 + i * 30, float(hi * 100 + i)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def tag_engine(spark):
+    from sydradb_spark.model import with_identity
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    df = spark.createDataFrame(
+        [("m.cpu", {"host": h, "env": e}, ts, v) for h, e, ts, v in _tag_rows()],
+        "series string, tags map<string,string>, ts long, value double",
+    )
+    return SydraQLEngine(spark, with_identity(df))
+
+
+@pytest.fixture(scope="module")
+def tag_ddb():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tp(host VARCHAR, env VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO tp VALUES (?, ?, ?, ?)", _tag_rows())
+    yield con
+    con.close()
+
+
+def _gen_tag_cases():
+    rnd = random.Random(21)
+    cases = []
+    for _ in range(4):
+        a = T0 + rnd.randrange(0, 900)
+        b = a + rnd.randrange(60, 900)
+        h = rnd.choice(["h0", "h1", "h2"])
+        cases.append(
+            (
+                f"tageq-{h}-{a}",
+                f"select value from m.cpu where time >= {a} and time < {b} "
+                f"and tag.host = '{h}'",
+                f"SELECT value FROM tp WHERE ts >= {a} AND ts < {b} "
+                f"AND host = '{h}'",
+            )
+        )
+    for _ in range(4):
+        a = T0 + rnd.randrange(0, 900)
+        b = a + rnd.randrange(120, 1000)
+        pat = rnd.choice(["h[01]", "h2", "h[12]", "^h0$"])
+        op, sqlneg = rnd.choice([("=~", ""), ("!~", "NOT ")])
+        cases.append(
+            (
+                f"tagre-{op}-{pat}-{a}",
+                f"select value from m.cpu where time >= {a} and time < {b} "
+                f"and tag.host {op} '{pat}'",
+                f"SELECT value FROM tp WHERE ts >= {a} AND ts < {b} "
+                f"AND {sqlneg}regexp_matches(host, '{pat}')",
+            )
+        )
+    for _ in range(3):
+        a = T0 + rnd.randrange(0, 600)
+        b = a + rnd.randrange(300, 1100)
+        cases.append(
+            (
+                f"tagagg-{a}",
+                f"select avg(value) as v, count() as c from m.cpu "
+                f"where time >= {a} and time < {b} and tag.env = 'prod' "
+                f"and tag.host !~ '1$'",
+                f"SELECT avg(value) AS v, count(*) AS c FROM tp "
+                f"WHERE ts >= {a} AND ts < {b} AND env = 'prod' "
+                f"AND NOT regexp_matches(host, '1$')",
+            )
+        )
+    return cases
+
+
+TAG_CASES = _gen_tag_cases()
+
+
+@pytest.mark.parametrize("case", TAG_CASES, ids=[c[0] for c in TAG_CASES])
+def test_tag_filter_differential(tag_engine, tag_ddb, case):
+    _, sydraql, sql = case
+    got = _canon([list(r) for r in tag_engine.query(sydraql).df.collect()])
+    want = _canon(tag_ddb.execute(sql).fetchall())
+    assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}\n{sydraql}"
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9), (g, w, sydraql)
+            else:
+                assert gv == wv, (g, w, sydraql)
