@@ -35,6 +35,25 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("sydraql")
     q.add_argument("--storage", required=True)
     q.add_argument("--max-rows", type=int, default=10_000)
+
+    # maintenance jobs (the reference runs these internally; here they are
+    # explicit so a scheduler owns the cadence)
+    opt = sub.add_parser("optimize", help="merge small files per hour partition")
+    opt.add_argument("--storage", required=True)
+    opt.add_argument("--max-files", type=int, default=4)
+
+    vac = sub.add_parser("vacuum", help="drop unreferenced files + old manifests")
+    vac.add_argument("--storage", required=True)
+    vac.add_argument("--keep-versions", type=int, default=2)
+    vac.add_argument("--min-age-seconds", type=int, default=600)
+
+    snap = sub.add_parser("snapshot", help="O(metadata) hardlink snapshot")
+    snap.add_argument("--storage", required=True)
+    snap.add_argument("dest")
+
+    rest = sub.add_parser("restore", help="restore a snapshot over a table")
+    rest.add_argument("snapshot_path")
+    rest.add_argument("--storage", required=True)
     return p
 
 
@@ -45,6 +64,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark(f"sydradb-{args.cmd}")
 
+    if args.cmd == "optimize":
+        from sydradb_spark.storage import optimize_partitions
+
+        merged = optimize_partitions(spark, args.storage, args.max_files)
+        print(json.dumps({"optimized_hour_buckets": merged}))
+        return 0
+    if args.cmd == "vacuum":
+        from sydradb_spark.manifest import vacuum
+
+        removed = vacuum(args.storage, args.keep_versions, args.min_age_seconds)
+        print(json.dumps({"removed": len(removed)}))
+        return 0
+    if args.cmd == "snapshot":
+        from sydradb_spark.storage import snapshot
+
+        snapshot(args.storage, args.dest)
+        print(json.dumps({"snapshot": args.dest}))
+        return 0
+    if args.cmd == "restore":
+        from sydradb_spark.storage import restore
+
+        restore(args.snapshot_path, args.storage)
+        print(json.dumps({"restored": args.storage}))
+        return 0
     if args.cmd == "csv-import":
         from sydradb_spark.ingest import read_csv_points
         from sydradb_spark.storage import write_points

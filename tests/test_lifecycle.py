@@ -335,3 +335,48 @@ def test_prometheus_metrics_text(spark, points, tmp_path):
     n_parts = len(list((tmp_path / "mtable").glob("hour_bucket=*")))
     assert f"sydra_storage_partitions {n_parts}" in text
     assert "sydra_storage_bytes" in text
+
+
+def test_cli_maintenance_commands(spark, tmp_path, capsys):
+    """The CLI maintenance surface end-to-end: write, optimize, snapshot,
+    destructive change, restore, vacuum — each emitting its JSON receipt."""
+    import json as _json
+
+    from sydradb_spark.__main__ import main
+    from sydradb_spark.model import with_identity
+    from sydradb_spark.storage import read_points, write_points
+
+    table = str(tmp_path / "cli_table")
+    rows = [("c.s", {}, 100 + i, float(i)) for i in range(6)]
+    df = with_identity(
+        spark.createDataFrame(
+            rows, "series string, tags map<string,string>, ts long, value double"
+        )
+    )
+    # several appends → several small files in hour 0
+    for i in range(3):
+        write_points(df.limit(2 + i), table, mode="append")
+
+    assert main(["optimize", "--storage", table, "--max-files", "1"], spark=spark) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized_hour_buckets"] == [0]
+
+    snap_dest = str(tmp_path / "cli_snap")
+    assert main(["snapshot", "--storage", table, snap_dest], spark=spark) == 0
+    capsys.readouterr()
+    before = read_points(spark, table).count()
+
+    write_points(df.limit(1), table, mode="append")  # diverge
+    assert read_points(spark, table).count() == before + 1
+
+    assert main(["restore", snap_dest, "--storage", table], spark=spark) == 0
+    capsys.readouterr()
+    assert read_points(spark, table).count() == before
+
+    assert main(
+        ["vacuum", "--storage", table, "--keep-versions", "1", "--min-age-seconds", "0"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] >= 0
+    assert read_points(spark, table).count() == before  # live data untouched
