@@ -54,6 +54,18 @@ def build_parser() -> argparse.ArgumentParser:
     rest = sub.add_parser("restore", help="restore a snapshot over a table")
     rest.add_argument("snapshot_path")
     rest.add_argument("--storage", required=True)
+
+    ret = sub.add_parser(
+        "retention", help="drop hour partitions wholly older than the TTL"
+    )
+    ret.add_argument("--storage", required=True)
+    ret.add_argument("--ttl-days", type=float, required=True)
+    ret.add_argument(
+        "--now",
+        type=int,
+        required=True,
+        help="epoch seconds 'now' (explicit for replayable runs)",
+    )
     return p
 
 
@@ -87,6 +99,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         restore(args.snapshot_path, args.storage)
         print(json.dumps({"restored": args.storage}))
+        return 0
+    if args.cmd == "retention":
+        from sydradb_spark.storage import SECONDS_PER_HOUR, drop_expired_partitions
+
+        cutoff = args.now - int(args.ttl_days * 86400)
+        cutoff_bucket = (cutoff // SECONDS_PER_HOUR) * SECONDS_PER_HOUR
+        dropped = drop_expired_partitions(args.storage, cutoff_bucket)
+        print(json.dumps({"dropped_hour_buckets": dropped}))
         return 0
     if args.cmd == "csv-import":
         from sydradb_spark.ingest import read_csv_points

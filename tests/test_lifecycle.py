@@ -380,3 +380,29 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["removed"] >= 0
     assert read_points(spark, table).count() == before  # live data untouched
+
+
+def test_cli_retention(spark, tmp_path, capsys):
+    import json as _json
+
+    from sydradb_spark.__main__ import main
+    from sydradb_spark.model import with_identity
+    from sydradb_spark.storage import read_points, write_points
+
+    table = str(tmp_path / "ret_table")
+    rows = [("r.s", {}, ts, 1.0) for ts in (100, 3700, 7300, 500000)]
+    df = with_identity(
+        spark.createDataFrame(
+            rows, "series string, tags map<string,string>, ts long, value double"
+        )
+    )
+    write_points(df, table, mode="append")
+    # now=500000, ttl ~5.67 days keeps everything; ttl tiny drops old hours
+    assert main(
+        ["retention", "--storage", table, "--ttl-days", "0.1", "--now", "500000"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dropped_hour_buckets"] == [0, 3600, 7200]
+    left = sorted(r["ts"] for r in read_points(spark, table).collect())
+    assert left == [500000]
