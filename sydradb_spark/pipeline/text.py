@@ -512,6 +512,49 @@ def lm_score_docs(
     )
 
 
+def compression_ratio(docs: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio) — zlib compressibility per
+    document: highly compressible text (ratio near 0) is repetitive
+    boilerplate/spam, incompressible (near 1) is noise — the two tails a
+    corpus quality filter trims (the Gopher/RefinedWeb compression cut).
+
+    Arrow-batched kernel (justified: zlib is an opaque sequential codec —
+    no column-expression equivalent); zlib output is deterministic for a
+    given level, so tests oracle it with the same stdlib call. Empty docs
+    get ratio NULL."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("n_bytes", LongType()),
+            StructField("n_compressed", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        rows = []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            if not b:
+                rows.append((0, 0, None))
+                continue
+            c = len(zlib.compress(b, level))
+            rows.append((len(b), c, round(c / len(b), 6)))
+        return pd.DataFrame(rows, columns=["n_bytes", "n_compressed", "ratio"])
+
+    return docs.select("doc_id", _comp(F.col(text_col)).alias("__c")).select(
+        "doc_id",
+        F.col("__c.n_bytes").alias("n_bytes"),
+        F.col("__c.n_compressed").alias("n_compressed"),
+        F.col("__c.ratio").alias("ratio"),
+    )
+
+
 def corpus_sketch_stats(docs: DataFrame, text_col: str = "text", rsd: float = 0.02) -> DataFrame:
     """One-row approximate corpus profile — the 100 TB-scale version of the
     questions `corpus_stats` answers exactly per source:

@@ -1667,3 +1667,26 @@ def test_curate_corpus_lm_gate(spark):
     )
     assert gated_ids == {r["doc_id"] for r in hand.select("doc_id").collect()}
     assert base_ids  # base run still referenced: gibberish passed without the gate
+
+
+def test_compression_ratio(spark):
+    """compression_ratio against the same stdlib zlib call (deterministic
+    for a fixed level), plus the filtering property: repetitive boilerplate
+    compresses far below natural text."""
+    import zlib
+
+    natural = " ".join(f"assorted word{i} with varied content {i*7%13}" for i in range(60))
+    boiler = "click here to accept cookies " * 60
+    rows = [(1, natural), (2, boiler), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.compression_ratio(df).collect()}
+    for doc_id, t in rows:
+        b = t.encode("utf-8")
+        if not b:
+            assert got[doc_id]["ratio"] is None and got[doc_id]["n_bytes"] == 0
+            continue
+        c = len(zlib.compress(b, 6))
+        assert got[doc_id]["n_bytes"] == len(b)
+        assert got[doc_id]["n_compressed"] == c
+        assert abs(got[doc_id]["ratio"] - round(c / len(b), 6)) < 1e-12
+    assert got[2]["ratio"] < got[1]["ratio"] / 2  # boilerplate is an outlier
