@@ -21,10 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family (scan, bucket agg, rate family,
 # window, fill, top-k, dedup exact + LSH, ANN, text analysis, end-to-end
-# curation — added round 6, so r03/r05 totals compare like-for-like only
-# after subtracting it; per-query timings in the json stay comparable).
+# curation and doc chunking — both added round 6, so r03/r05 totals compare
+# like-for-like only after subtracting them; per-query timings in the json
+# stay comparable).
 HEADLINE = [
     "corpus_curation",
+    "doc_chunking",
     "scan_range",
     "agg_bucket_basic",
     "agg_rate_delta",
