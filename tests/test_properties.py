@@ -333,3 +333,42 @@ def test_normalize_docs_idempotent(spark, texts):
     twice = normalize_docs(once).select("doc_id", "text", "changed")
     rows = twice.collect()
     assert all(not r["changed"] for r in rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),   # ts (small range → ties)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=8),            # within
+)
+def test_funnel_dp_matches_feasible_set_oracle(seq, within):
+    """The two-max DP in _funnel_dp is exact: equals the full feasible-SET
+    DP on random event sequences with heavy timestamp ties — pure-Python
+    property (no Spark), so hypothesis can hammer it."""
+    from sydradb_spark.pipeline.events import _funnel_dp
+
+    steps = ["a", "b", "c"]
+    seq = sorted(seq)  # events arrive ts-ascending, ties in type order
+
+    def exact_stage(seq):
+        reach = [set() for _ in range(len(steps) + 1)]
+        idx = {s: i for i, s in enumerate(steps)}
+        for ts, ty in seq:
+            i = idx[ty]
+            if i == 0:
+                reach[1].add(ts)
+            elif any(t < ts <= t + within for t in reach[i]):
+                reach[i + 1].add(ts)
+        for i in range(len(steps), 0, -1):
+            if reach[i]:
+                return i
+        return 0
+
+    stage, _, _ = _funnel_dp([(float(ts), ty) for ts, ty in seq], steps, float(within))
+    assert stage == exact_stage(seq), (seq, within)
