@@ -372,3 +372,39 @@ def test_funnel_dp_matches_feasible_set_oracle(seq, within):
 
     stage, _, _ = _funnel_dp([(float(ts), ty) for ts, ty in seq], steps, float(within))
     assert stage == exact_stage(seq), (seq, within)
+
+
+def test_bpe_merge_fold_matches_python(spark):
+    """The Spark HOF merge fold (_merge_col) equals the sequential Python
+    merge on 300 random symbol sequences — including overlap-heavy shapes
+    like aaa/abab — checked in ONE batched job."""
+    from sydradb_spark.pipeline.bpe import _merge_col
+
+    rng = random.Random(17)
+    alphabet = ["a", "b", "ab", "aa", "</w>"]
+    seqs = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 10))] for _ in range(300)
+    ]
+    merges = [("a", "a"), ("a", "b"), ("aa", "</w>"), ("ab", "ab")]
+
+    def apply_one(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "id long, syms array<string>"
+    )
+    col = F.col("syms")
+    expect = list(seqs)
+    for l, r in merges:
+        col = _merge_col(col, l, r)
+        expect = [apply_one(s, l, r) for s in expect]
+    got = {r["id"]: r["out"] for r in df.select("id", col.alias("out")).collect()}
+    assert all(got[i] == expect[i] for i in range(len(seqs)))
