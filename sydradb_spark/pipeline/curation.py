@@ -153,6 +153,53 @@ def train_split(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    score_col: str,
+    fractions: list[float],
+    salt: str = "strat0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-stratified deterministic sampling: rows are bucketed into
+    ``len(fractions)`` equal-population strata by ``score_col`` (e.g. the
+    quality or LM score), and stratum i keeps the deterministic
+    ``fractions[i]`` hash-fraction — the standard way to up-weight
+    high-quality tails without discarding the distribution's middle.
+    Output keeps a ``stratum`` column (0 = lowest scores).
+
+    Scale shape: stratum boundaries come from ONE `percentile_approx`
+    aggregate (GK sketch, bounded state) broadcast as literals into a pure
+    row-function CASE — membership stays replayable under retries exactly
+    like `hash_sample` (same salt:key bucket machinery). NULL scores are
+    dropped (no evidence to stratify on).
+    """
+    n = len(fractions)
+    if n < 1:
+        raise ValueError("fractions must be non-empty")
+    qs = [i / n for i in range(1, n)]
+    cuts = (
+        docs.where(F.col(score_col).isNotNull())
+        .agg(F.percentile_approx(score_col, qs).alias("c"))
+        .collect()[0]["c"]
+        if n > 1
+        else []
+    )
+    stratum = F.lit(0)
+    for i, c in enumerate(cuts):
+        stratum = F.when(F.col(score_col) > float(c), i + 1).otherwise(stratum)
+    bucket = F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+    thresholds = F.array(*[F.lit(round(f * SAMPLE_BUCKETS)) for f in fractions])
+    keep = bucket < F.element_at(thresholds, stratum + 1)
+    return (
+        docs.where(F.col(score_col).isNotNull())
+        .withColumn("stratum", stratum.cast("int"))
+        .where(keep)
+    )
+
+
 def mix_corpus(
     docs: DataFrame,
     weights: dict[str, float],

@@ -1690,3 +1690,34 @@ def test_compression_ratio(spark):
         assert got[doc_id]["n_compressed"] == c
         assert abs(got[doc_id]["ratio"] - round(c / len(b), 6)) < 1e-12
     assert got[2]["ratio"] < got[1]["ratio"] / 2  # boilerplate is an outlier
+
+
+def test_stratified_sample(spark):
+    """Strata are score-ordered and equal-population; per-stratum keep
+    rates honor the requested fractions via the deterministic hash bucket
+    (replayable: a rerun keeps exactly the same rows)."""
+    from sydradb_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(4000)], "doc_id long, q double"
+    )
+    out = curation.stratified_sample(docs, "q", fractions=[0.05, 0.2, 1.0])
+    rows = out.collect()
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], []).append(r["doc_id"])
+    # stratum ordering: every stratum-0 doc scores below every stratum-2 doc
+    assert max(by_stratum[0]) < min(by_stratum[2])
+    # fraction ordering holds with slack (hash-binomial noise on ~1333 rows)
+    n0, n2 = len(by_stratum[0]), len(by_stratum[2])
+    assert n2 > 1200  # fraction 1.0 keeps its whole stratum
+    assert 20 <= n0 <= 140  # ~5% of ~1333
+    assert len(by_stratum.get(1, [])) > n0
+    # replayability: identical rerun
+    again = sorted(r["doc_id"] for r in
+                   curation.stratified_sample(docs, "q", fractions=[0.05, 0.2, 1.0]).collect())
+    assert again == sorted(r["doc_id"] for r in rows)
+    # NULL scores dropped
+    with_null = docs.withColumn("q", F.when(F.col("doc_id") % 2 == 0, F.col("q")))
+    kept = curation.stratified_sample(with_null, "q", fractions=[1.0]).collect()
+    assert all(r["doc_id"] % 2 == 0 for r in kept)
