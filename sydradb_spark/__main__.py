@@ -71,17 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
-    if spark is None:
-        from sydradb_spark.session import get_spark
 
-        spark = get_spark(f"sydradb-{args.cmd}")
-
-    if args.cmd == "optimize":
-        from sydradb_spark.storage import optimize_partitions
-
-        merged = optimize_partitions(spark, args.storage, args.max_files)
-        print(json.dumps({"optimized_hour_buckets": merged}))
-        return 0
+    # vacuum/snapshot/restore/retention are pure filesystem/manifest
+    # operations — dispatch them BEFORE paying JVM + SparkSession startup
+    # (a scheduler runs these on a cadence; seconds and memory matter)
     if args.cmd == "vacuum":
         from sydradb_spark.manifest import vacuum
 
@@ -107,6 +100,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         cutoff_bucket = (cutoff // SECONDS_PER_HOUR) * SECONDS_PER_HOUR
         dropped = drop_expired_partitions(args.storage, cutoff_bucket)
         print(json.dumps({"dropped_hour_buckets": dropped}))
+        return 0
+
+    if spark is None:
+        from sydradb_spark.session import get_spark
+
+        spark = get_spark(f"sydradb-{args.cmd}")
+
+    if args.cmd == "optimize":
+        from sydradb_spark.storage import optimize_partitions
+
+        merged = optimize_partitions(spark, args.storage, args.max_files)
+        print(json.dumps({"optimized_hour_buckets": merged}))
         return 0
     if args.cmd == "csv-import":
         from sydradb_spark.ingest import read_csv_points

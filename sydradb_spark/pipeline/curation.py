@@ -109,6 +109,17 @@ def pii_redact_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 SAMPLE_BUCKETS = 1_000_000
 
 
+def _bucket(salt: str, key_col: str) -> Column:
+    """The shared deterministic sampling bucket: hash64(salt:key) mod 1e6.
+    Every sampling surface (hash_sample, train_split, mix_corpus,
+    stratified_sample) MUST route through this one expression — divergent
+    copies would silently break the nested/independent-sample guarantees."""
+    return F.pmod(
+        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
 def hash_sample(
     docs: DataFrame,
     fraction: float,
@@ -123,10 +134,7 @@ def hash_sample(
     is a subset of the 10% sample at the same salt only if thresholds nest —
     they do, since the bucket is fixed per row). This is how large pipelines
     take stable train/dev splits; rand()-based sampling can't replay."""
-    bucket = F.pmod(
-        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        F.lit(SAMPLE_BUCKETS),
-    )
+    bucket = _bucket(salt, key_col)
     # round, not truncate: 0.3 * 1e6 is 299999.99…; round keeps the
     # threshold the number the caller wrote (and what an oracle computes)
     return docs.where(bucket < round(fraction * SAMPLE_BUCKETS))
@@ -141,10 +149,7 @@ def train_split(
     """Adds a ``split`` column ('test' for the deterministic ``test_fraction``
     bucket, else 'train') — same hash-bucket machinery as ``hash_sample``, so
     the split is stable across runs and cluster layouts."""
-    bucket = F.pmod(
-        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        F.lit(SAMPLE_BUCKETS),
-    )
+    bucket = _bucket(salt, key_col)
     return docs.withColumn(
         "split",
         F.when(
@@ -170,34 +175,37 @@ def stratified_sample(
     Scale shape: stratum boundaries come from ONE `percentile_approx`
     aggregate (GK sketch, bounded state) broadcast as literals into a pure
     row-function CASE — membership stays replayable under retries exactly
-    like `hash_sample` (same salt:key bucket machinery). NULL scores are
-    dropped (no evidence to stratify on).
+    like `hash_sample` (same salt:key bucket machinery). NULL and NaN
+    scores are dropped (no evidence to stratify on — NaN would otherwise
+    silently land in the TOP stratum under Spark's NaN-is-largest
+    ordering, and corrupt the quantile boundaries).
+
+    Boundary ties go UP (``score >= cut`` promotes): a bounded score that
+    saturates at its max (many docs at exactly 1.0) must land in the top
+    stratum — a strict ``>`` would dump that whole mass into stratum 0
+    and sample it at the lowest fraction.
     """
     n = len(fractions)
     if n < 1:
         raise ValueError("fractions must be non-empty")
+    scored = docs.where(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col).cast("double"))
+    )
     qs = [i / n for i in range(1, n)]
     cuts = (
-        docs.where(F.col(score_col).isNotNull())
-        .agg(F.percentile_approx(score_col, qs).alias("c"))
-        .collect()[0]["c"]
+        scored.agg(F.percentile_approx(score_col, qs).alias("c")).collect()[0]["c"]
         if n > 1
         else []
     )
+    if cuts is None:  # zero scorable rows: empty in, empty out
+        cuts = []
     stratum = F.lit(0)
     for i, c in enumerate(cuts):
-        stratum = F.when(F.col(score_col) > float(c), i + 1).otherwise(stratum)
-    bucket = F.pmod(
-        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        F.lit(SAMPLE_BUCKETS),
-    )
+        stratum = F.when(F.col(score_col) >= float(c), i + 1).otherwise(stratum)
+    bucket = _bucket(salt, key_col)
     thresholds = F.array(*[F.lit(round(f * SAMPLE_BUCKETS)) for f in fractions])
     keep = bucket < F.element_at(thresholds, stratum + 1)
-    return (
-        docs.where(F.col(score_col).isNotNull())
-        .withColumn("stratum", stratum.cast("int"))
-        .where(keep)
-    )
+    return scored.withColumn("stratum", stratum.cast("int")).where(keep)
 
 
 def mix_corpus(
@@ -239,10 +247,7 @@ def mix_corpus(
     n_full = F.floor(F.col("__w")).cast("int")
     frac = F.col("__w") - F.floor(F.col("__w"))
     threshold = F.round(frac * SAMPLE_BUCKETS).cast("long")
-    bucket = F.pmod(
-        hash64(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))),
-        F.lit(SAMPLE_BUCKETS),
-    )
+    bucket = _bucket(salt, key_col)
     out = d.withColumn("epoch", F.explode(F.sequence(F.lit(0), n_full)))
     keep = (F.col("epoch") < n_full) | (bucket < threshold)
     return out.where(keep).drop("__w")

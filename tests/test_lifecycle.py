@@ -361,6 +361,18 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["optimized_hour_buckets"] == [0]
 
+    # the merge superseded the small files — vacuum must actually remove
+    # them (run while superseded versions exist; after restore the manifest
+    # is fresh and a zero-removal vacuum would be correct but vacuous)
+    assert main(
+        ["vacuum", "--storage", table, "--keep-versions", "1", "--min-age-seconds", "0"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] > 0
+    # live data untouched by the vacuum (3 appends of 2+3+4 rows)
+    assert read_points(spark, table).count() == 9
+
     snap_dest = str(tmp_path / "cli_snap")
     assert main(["snapshot", "--storage", table, snap_dest], spark=spark) == 0
     capsys.readouterr()
@@ -372,14 +384,6 @@ def test_cli_maintenance_commands(spark, tmp_path, capsys):
     assert main(["restore", snap_dest, "--storage", table], spark=spark) == 0
     capsys.readouterr()
     assert read_points(spark, table).count() == before
-
-    assert main(
-        ["vacuum", "--storage", table, "--keep-versions", "1", "--min-age-seconds", "0"],
-        spark=spark,
-    ) == 0
-    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["removed"] >= 0
-    assert read_points(spark, table).count() == before  # live data untouched
 
 
 def test_cli_retention(spark, tmp_path, capsys):
