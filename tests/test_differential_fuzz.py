@@ -308,6 +308,54 @@ def test_differential(engine, ddb, case):
                 assert gv == wv, (g, w, sydraql)
 
 
+def _fill_cases():
+    """FILL fuzz: bucket-agg over the GAPPY series with a dense spine twin.
+    fill(previous) uses DuckDB's IGNORE NULLS carry."""
+    rnd = random.Random(31)
+    cases = []
+    for strategy in ("null", "7.5", "previous"):
+        for _ in range(2):
+            a = T0 + rnd.randrange(0, 1800)
+            b = a + rnd.randrange(600, 3600)
+            w = rnd.choice([60, 120, 300])
+            if strategy == "null":
+                val = "a.v"
+            elif strategy == "previous":
+                val = (
+                    "last_value(a.v IGNORE NULLS) OVER "
+                    "(ORDER BY s.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+            else:
+                val = f"coalesce(a.v, {strategy})"
+            cases.append(
+                (
+                    f"fill-{strategy}-{w}-{a}",
+                    f"select time_bucket({w}, time) as b, avg(value) as v "
+                    f"from weather.room2 where time >= {a} and time < {b} "
+                    f"group by b fill({strategy})",
+                    f"""WITH agg AS (
+                          SELECT (ts // {w}) * {w} AS b, avg(value) AS v FROM pts
+                          WHERE series = 'weather.room2' AND ts >= {a} AND ts < {b}
+                          GROUP BY 1),
+                        spine AS (
+                          SELECT unnest(generate_series(
+                            (SELECT min(b) FROM agg), (SELECT max(b) FROM agg), {w}
+                          )) AS b)
+                        SELECT s.b AS b, {val} AS v
+                        FROM spine s LEFT JOIN agg a USING (b)""",
+                )
+            )
+    return cases
+
+
+FILL_CASES = _fill_cases()
+
+
+@pytest.mark.parametrize("case", FILL_CASES, ids=[c[0] for c in FILL_CASES])
+def test_fill_differential(engine, ddb, case):
+    test_differential(engine, ddb, case)
+
+
 # --- tag-filter fuzz: one series name, several tag sets -----------------------
 def _tag_rows():
     rows = []
