@@ -173,7 +173,7 @@ def bpe_encode(
     )
     # zero-token docs produce no exploded rows — re-attach them with an
     # empty encoding so the per-document contract holds for every input row
-    return (
+    out = (
         docs.select("doc_id")
         .join(per_doc, on="doc_id", how="left")
         .withColumn(
@@ -181,3 +181,10 @@ def bpe_encode(
         )
         .select("doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens"))
     )
+    # eagerly materialize (lineage-truncating localCheckpoint) so the
+    # corpus-sized exploded cache can be released NOW instead of leaking
+    # for the session lifetime; the checkpointed partitions themselves are
+    # reclaimed by the ContextCleaner when the returned frame is dropped
+    out = out.localCheckpoint(eager=True)
+    exploded.unpersist()
+    return out

@@ -26,30 +26,37 @@ def _funnel_dp(seq, steps: list[str], within: float):
     t + within upper bound. A greedy single-path walk is NOT exact here:
     with a per-step gap window, a stalled early attempt must not block a
     later restart (a@0, a@95, b@100, within=10 reaches stage 2 via a@95).
-    Returns (stage, t_first, t_last)."""
+    A step type may appear at multiple positions (steps=['view','click',
+    'view']): each event is applied to EVERY position whose step matches,
+    in descending position order; the strict ``prev < ts`` predecessor
+    check means an event can never chain with itself across two adjacent
+    positions of the same type. Returns (stage, t_first, t_last)."""
     k = len(steps)
-    step_idx = {s: i for i, s in enumerate(steps)}
+    step_pos: dict[str, list[int]] = {}
+    for i, s in enumerate(steps):
+        step_pos.setdefault(s, []).append(i)
     NEG = float("-inf")
     dp = [[NEG, NEG] for _ in range(k + 1)]  # [max, second-max-distinct]
     t_first = None
     for ts, ty in seq:
-        i = step_idx.get(ty)
-        if i is None:
+        idxs = step_pos.get(ty)
+        if idxs is None:
             continue
-        if i == 0:
-            if t_first is None:
-                t_first = ts
-            best = ts
-        else:
-            m1, m2 = dp[i]
-            prev = m1 if m1 < ts else m2  # largest recorded t strictly < ts
-            best = ts if (prev != NEG and ts <= prev + within) else None
-        if best is not None:
-            m1, m2 = dp[i + 1]
-            if best > m1:
-                dp[i + 1] = [best, m1]
-            elif best != m1 and best > m2:
-                dp[i + 1] = [m1, best]
+        for i in reversed(idxs):
+            if i == 0:
+                if t_first is None:
+                    t_first = ts
+                best = ts
+            else:
+                m1, m2 = dp[i]
+                prev = m1 if m1 < ts else m2  # largest recorded t strictly < ts
+                best = ts if (prev != NEG and ts <= prev + within) else None
+            if best is not None:
+                m1, m2 = dp[i + 1]
+                if best > m1:
+                    dp[i + 1] = [best, m1]
+                elif best != m1 and best > m2:
+                    dp[i + 1] = [m1, best]
     stage = 0
     for i in range(k, 0, -1):
         if dp[i][0] != NEG:
@@ -66,17 +73,31 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """(user, stage, t_first, t_last) — the deepest stage each user reached
     through the ordered ``steps`` with at most ``within`` seconds between
     consecutive matched steps (exact: any event subsequence counts, so a
     stalled attempt never blocks a later restart). ``t_first`` is the first
     step-1 match, ``t_last`` the last-matched timestamp of the deepest
-    stage. The per-user DP is inherently sequential → Arrow-batched kernel
-    over the per-user event arrays (same justification as winnowing); the
-    job's distributed cost stays the single groupBy(user)."""
+    stage. Repeated step types are supported (each event feeds every
+    matching position). The per-user DP is inherently sequential →
+    Arrow-batched kernel over the per-user event arrays (same
+    justification as winnowing); the job's distributed cost stays the
+    single groupBy(user).
+
+    ``max_events_per_user`` is the hot-key guard for corpus scale: one bot
+    user with 10^7 events would otherwise land its whole sequence in one
+    collect_list array on one task. When set, only the EARLIEST N matching
+    events per user enter the DP (row_number window — the sort spills to
+    disk, and the window's hash partitioning is reused by the groupBy, so
+    the job still costs one shuffle). Semantics under truncation: stages
+    reached only via events past the cap are undercounted for that user —
+    the funnel stays exact for every user within the cap."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
         DoubleType,
@@ -97,6 +118,15 @@ def funnel_stages(
         ts.alias("__ts"),
         F.col(type_col).alias("__ty"),
     )
+    if max_events_per_user is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user").orderBy("__ts", "__ty")
+        ev = (
+            ev.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
     per_user = ev.groupBy("user").agg(
         F.array_sort(F.collect_list(F.struct("__ts", "__ty"))).alias("__seq")
     )
@@ -133,11 +163,14 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Funnel report: (step_idx, step, n_users) — users whose ordered walk
     reached at least step_idx (1-based). The per-stage frame is one row per
     user; the report is a k-row rollup of it."""
-    st = funnel_stages(events, steps, within, user_col, type_col, ts_col)
+    st = funnel_stages(
+        events, steps, within, user_col, type_col, ts_col, max_events_per_user
+    )
     sums = st.agg(
         *[
             F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"__s{i}")

@@ -253,15 +253,16 @@ class _Handler(BaseHTTPRequestHandler):
             eng.points.where(F.col("series_id") == sid)
             .where((F.col("ts") >= start) & (F.col("ts") <= end))
         )
+        # hard per-request work cap FIRST (TakeOrdered bounds the slice at
+        # max_rows regardless of how wide [start, end] is), THEN the LTTB
+        # downsample over the capped slice — lttb materializes its whole
+        # input in one pandas group, so it must never see an unbounded range
+        pts = pts.orderBy("ts", "value").limit(self.app.max_rows)
         if max_points is not None:
             from sydradb_spark.functions.timeseries import lttb
 
             pts = lttb(pts, max_points)
-        out = (
-            pts.orderBy("ts", "value")
-            .limit(self.app.max_rows)
-            .select("ts", "value")
-        )
+        out = pts.orderBy("ts", "value").select("ts", "value")
         self._send_json(
             200, [{"ts": r["ts"], "value": r["value"]} for r in out.collect()]
         )

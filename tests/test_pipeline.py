@@ -1025,6 +1025,63 @@ def test_funnel_semantics_synthetic(spark):
     assert got10[3] == 1
 
 
+def test_funnel_repeated_step_types(spark):
+    """steps with a repeated event type (a -> b -> a) must walk every
+    matching position, not just the last (the advisor's r06 finding: the
+    old dict-index mapped 'a' only to position 2, so stage 1 was
+    unreachable and every user reported stage 0)."""
+    from sydradb_spark.pipeline.events import _funnel_dp, funnel_stages
+
+    # direct DP: the advisor's exact repro
+    assert _funnel_dp([(0.0, "a"), (1.0, "b"), (2.0, "a")], ["a", "b", "a"], 100.0) \
+        == (3, 0.0, 2.0)
+    # one event must NOT chain with itself across adjacent same-type steps
+    assert _funnel_dp([(0.0, "a"), (1.0, "a")], ["a", "a"], 100.0)[0] == 2
+    assert _funnel_dp([(0.0, "a")], ["a", "a"], 100.0)[0] == 1
+    # and through the Spark kernel
+    rows = [
+        (1, 0.0, "a"), (1, 1.0, "b"), (1, 2.0, "a"),   # full a->b->a
+        (2, 0.0, "a"), (2, 1.0, "b"),                   # stalls at 2
+        (3, 5.0, "b"), (3, 6.0, "a"),                   # b first: stage 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    got = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(df, ["a", "b", "a"], within=100.0).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_max_events_per_user_cap(spark):
+    """Hot-key guard: one synthetic mega-user's sequence is truncated to
+    the earliest N events before the per-user collect, so the DP array is
+    bounded; semantics = the funnel of the truncated prefix."""
+    from sydradb_spark.pipeline.events import funnel_stages
+
+    # mega-user 1: 5000 'a' events then ONE 'b' at the very end — under a
+    # cap of 100 the b is cut, so the user reads stage 1 not 2.
+    rows = [(1, float(t), "a") for t in range(5000)] + [(1, 5000.0, "b")]
+    # user 2 completes inside the cap window
+    rows += [(2, 0.0, "a"), (2, 1.0, "b")]
+    df = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    uncapped = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(df, ["a", "b"], within=1e9).collect()
+    }
+    capped = {
+        r["user"]: r["stage"]
+        for r in funnel_stages(
+            df, ["a", "b"], within=1e9, max_events_per_user=100
+        ).collect()
+    }
+    assert uncapped == {1: 2, 2: 2}
+    assert capped == {1: 1, 2: 2}  # mega-user truncated to earliest 100 'a's
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_stages(df, ["a"], 1.0, max_events_per_user=0)
+
+
 def test_retention_cohorts_oracle(spark):
     """retention_cohorts against a DuckDB twin over the real sf0.01 events."""
     import duckdb
@@ -1215,7 +1272,11 @@ def test_bpe_train_matches_reference(spark):
     want = ref_train([t for _, t in rows], 12)
     assert got == want, (got, want)
     # encoding: concatenating each word's tokens reproduces word + END marker
-    enc = {r["doc_id"]: r for r in bpe.bpe_encode(df, got).collect()}
+    persisted_before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    enc_df = bpe.bpe_encode(df, got)
+    enc = {r["doc_id"]: r for r in enc_df.collect()}
     for doc_id, text in rows:
         toks = enc[doc_id]["tokens"]
         rebuilt = "".join(toks).replace(bpe.END, " ").strip()
@@ -1225,6 +1286,14 @@ def test_bpe_train_matches_reference(spark):
     assert enc[1]["n_tokens"] < sum(len(w) + 1 for w in rows[0][1].split())
     # the zero-token doc is still emitted, with an empty encoding
     assert enc[4]["tokens"] == [] and enc[4]["n_tokens"] == 0
+    # the advisor's r06 cache-leak finding: bpe_encode must not leave the
+    # corpus-wide exploded frame persisted after it returns. The ONE
+    # allowed addition is the eager localCheckpoint of the result (freed by
+    # the ContextCleaner when enc_df is dropped); the old code left two.
+    persisted_after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert len(persisted_after - persisted_before) <= 1
 
 
 def test_lm_score_oracle(spark):
