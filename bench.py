@@ -2,7 +2,15 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "sf": ...,
+     "detail": {name: {"median","runs","rows","cols"}, ...},
+     "comparable_to_prev": {...}}
+
+``queries`` stays the flat name->seconds map the driver records; ``detail``
+makes each number self-describing (runs, result rows, result width — so a
+query that gained columns between rounds is visibly measuring more work, not
+running slower), and ``comparable_to_prev`` names the like-for-like subtotals
+so round-over-round diffs need no forensics.
 
 Queries run through the same ``__spark_entry__.queries()`` callables the
 correctness gate checks — the benchmark measures the real operator surface,
@@ -101,22 +109,45 @@ def main() -> None:
     # OS page cache at this data scale, so medians measure compute, not IO.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
         rows = 0
+        cols = 0
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()
+            cols = len(df.columns)
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = sorted(runs)[len(runs) // 2]
+        detail[name] = {
+            "median": timings[name],
+            "runs": runs,
+            "rows": rows,
+            "cols": cols,
+        }
         print(
             f"# {name}: median={timings[name]:.3f}s runs={runs} rows={rows}",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    # like-for-like subtotals for round-over-round comparison: the headline
+    # set grew over rounds (corpus_curation + doc_chunking landed in r06),
+    # so raw totals aren't comparable across rounds — these are.
+    r05_set = [
+        q for q in HEADLINE if q not in ("corpus_curation", "doc_chunking")
+    ]
+    comparable = {
+        "r06_set_19q": total,  # r06 ran this exact 19-query set
+        "r05_set_17q": round(sum(timings[q] for q in r05_set), 3),
+        "note": (
+            "totals comparable only within the named set; per-query medians "
+            "always comparable — check detail[q].cols for width changes"
+        ),
+    }
     print(
         json.dumps(
             {
@@ -125,6 +156,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                "repeats": repeats,
+                "detail": detail,
+                "comparable_to_prev": comparable,
             }
         )
     )

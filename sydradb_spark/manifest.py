@@ -29,6 +29,12 @@ Iceberg by replacing this module's commit with the format's conditional
 commit (their optimistic transaction log is this file's CAS, generalized);
 ``storage.write_points`` is the single seam that would change.
 
+Object-store deployments (S3/GCS/Azure — no link, no rename, no flock):
+``sydradb_spark.objectstore`` carries this exact protocol with the CAS
+re-based on the stores' native conditional PUT (If-None-Match /
+if-generation-match:0); same version race, same retry, same pointer-hint
+semantics, concurrency-tested against the same two-committer barrier race.
+
 Tables without a ``_manifest`` dir keep the plain directory semantics —
 ``storage.read_points`` falls back transparently.
 """

@@ -298,3 +298,138 @@ def test_latest_version_survives_stale_pointer(tmp_path):
     # the next commit lands on v3 and repairs the pointer
     mf.commit(path, mutate=lambda old: old + ["hour_bucket=0/c.parquet"])
     assert (tmp_path / "stale" / "_manifest" / "LATEST").read_text() == "3"
+
+
+# ---------------------------------------------------------------------------
+# Object-store commit backend (sydradb_spark.objectstore): the same protocol
+# with the CAS re-based on conditional PUT — VERDICT r06 item 2.
+# ---------------------------------------------------------------------------
+
+from sydradb_spark import objectstore as obs
+
+
+def _store_roundtrip(store):
+    assert obs.latest_version(store, "tbl") is None
+    v1 = obs.commit_cas(store, "tbl", ["hour_bucket=0/a.parquet"])
+    assert v1 == 1
+    v2 = obs.commit_cas(
+        store, "tbl", mutate=lambda old: old + ["hour_bucket=1/b.parquet"]
+    )
+    assert v2 == 2
+    assert obs.latest_version(store, "tbl") == 2
+    assert obs.read_files(store, "tbl") == [
+        "hour_bucket=0/a.parquet",
+        "hour_bucket=1/b.parquet",
+    ]
+    # time travel to v1 still works
+    assert obs.read_files(store, "tbl", 1) == ["hour_bucket=0/a.parquet"]
+    with pytest.raises(ValueError):
+        obs.commit_cas(store, "tbl")  # neither files nor mutate
+    with pytest.raises(ValueError):
+        obs.commit_cas(store, "tbl", ["x"], mutate=lambda o: o)  # both
+
+
+def test_objectstore_commit_roundtrip_memory():
+    _store_roundtrip(obs.MemoryObjectStore())
+
+
+def test_objectstore_commit_roundtrip_localfs(tmp_path):
+    _store_roundtrip(obs.LocalFSObjectStore(str(tmp_path / "store")))
+
+
+def test_objectstore_stale_pointer_harmless():
+    """A regressed/lost LATEST hint never decides correctness: the listing
+    is the source of truth and the next commit repairs the pointer."""
+    store = obs.MemoryObjectStore()
+    obs.commit_cas(store, "t", ["a.parquet"])
+    obs.commit_cas(store, "t", mutate=lambda old: old + ["b.parquet"])
+    store.put("t/_manifest/LATEST", b"1")  # simulate last-wins regression
+    assert obs.latest_version(store, "t") == 2
+    assert set(obs.read_files(store, "t")) == {"a.parquet", "b.parquet"}
+    obs.commit_cas(store, "t", mutate=lambda old: old + ["c.parquet"])
+    assert store.get("t/_manifest/LATEST") == b"3"
+
+
+def test_objectstore_crashed_committer_visible():
+    """A committer that died between conditional PUT and pointer advance
+    left a committed-but-unpointed version — readers still see it."""
+    store = obs.MemoryObjectStore()
+    obs.commit_cas(store, "t", ["a.parquet"])
+    # hand-craft the crash: v2 exists, pointer still says 1
+    import json as _json
+
+    assert store.put_if_absent(
+        "t/_manifest/v2.json",
+        _json.dumps({"version": 2, "files": ["a.parquet", "b.parquet"]}).encode(),
+    )
+    assert obs.latest_version(store, "t") == 2
+    assert "b.parquet" in obs.read_files(store, "t")
+
+
+@pytest.mark.parametrize("make_store", ["memory", "localfs"])
+def test_objectstore_concurrent_committers_no_lost_appends(tmp_path, make_store):
+    """The backend-swap twin of test_commit_cas_concurrent_committers: two
+    threads race append commits through the object-store protocol (no
+    flock exists there — contention is absorbed entirely by the
+    conditional-PUT retry loop). A barrier forces both committers to read
+    the SAME base version each round; exactly one wins each conditional
+    PUT, the loser re-reads and retries. No append lost, every version won
+    exactly once."""
+    import threading
+
+    store = (
+        obs.MemoryObjectStore()
+        if make_store == "memory"
+        else obs.LocalFSObjectStore(str(tmp_path / "store"))
+    )
+    obs.commit_cas(store, "tbl", ["hour_bucket=0/base.parquet"])
+    collide = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender(name: str):
+        try:
+            for i in range(5):
+                rel = f"hour_bucket=0/{name}{i}.parquet"
+
+                def merge(old, r=rel):
+                    try:
+                        collide.wait(timeout=5)
+                    except threading.BrokenBarrierError:
+                        pass
+                    return old + [r]
+
+                obs.commit_cas(store, "tbl", mutate=merge)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(n,)) for n in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    collide.abort()
+    assert not errors
+    files = set(obs.read_files(store, "tbl"))
+    assert len(files) == 11  # base + 5 per committer — none lost
+    assert obs.latest_version(store, "tbl") == 11
+    if make_store == "memory":
+        # the race actually happened: at least one conditional PUT lost
+        assert store.cas_losses >= 1
+
+
+def test_objectstore_vacuum_versions():
+    store = obs.MemoryObjectStore()
+    for i in range(5):
+        obs.commit_cas(store, "t", mutate=lambda old, i=i: old + [f"f{i}.parquet"])
+    removed = obs.vacuum_versions(store, "t", keep_versions=2)
+    assert removed == ["t/_manifest/v1.json", "t/_manifest/v2.json", "t/_manifest/v3.json"]
+    assert obs.latest_version(store, "t") == 5
+    assert len(obs.read_files(store, "t")) == 5
+    with pytest.raises(FileNotFoundError):
+        obs.read_files(store, "t", 1)  # vacuumed past the reader horizon
+
+
+def test_localfs_store_key_escape_rejected(tmp_path):
+    store = obs.LocalFSObjectStore(str(tmp_path / "store"))
+    with pytest.raises(ValueError):
+        store.put("../outside", b"x")
