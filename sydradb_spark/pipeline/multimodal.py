@@ -1,10 +1,14 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, decode/feature-extract as Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode kernels are STUBS
-(deterministic fakes clearly marked below) — but the Spark-side contract is
-real and tested: schemas, batch shapes, partition sizing, and the pattern a
-production deployment drops a real decoder into.
+The container has no image/audio libraries, so every kernel is pure
+stdlib+numpy — and REAL where the stdlib reaches: PNG decode (zlib inflate +
+full filter reconstruction), PNG encode, nearest-neighbor resize, WAV decode
+(``wave``), and MJPEG/concatenated-PNG frame splitting. Payloads outside
+those formats fall back to deterministic fakes (clearly marked per kernel)
+so the Spark-side contract — schemas, batch shapes, partition sizing — stays
+pinned; a production deployment swaps PIL/torchaudio/PyAV into the same
+seams without touching the plumbing.
 
 Scale notes:
 - Binary payloads ride in the same rows as metadata; Parquet stores them as
@@ -82,15 +86,15 @@ def media_metadata(media: DataFrame) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(payload) -> tuple[int, int, float] | None:
-    """REAL image decode for PNG payloads using only the stdlib (zlib) —
-    chunk parse, IDAT inflate, full filter reconstruction (None/Sub/Up/
-    Average/Paeth) for 8-bit gray/RGB/RGBA, non-interlaced. Returns
-    (width, height, mean_luma in [0,1]) or None when not decodable PNG —
-    the caller falls back to the deterministic fake, the same
-    optional-decoder pattern as WAV audio. A production build swaps in
-    PIL/torchvision for the full format zoo; this proves the kernel seam
-    with real bytes."""
+def _decode_png_pixels(payload):
+    """REAL PNG decode using only the stdlib (zlib) — chunk parse, IDAT
+    inflate, full filter reconstruction (None/Sub/Up/Average/Paeth) for
+    8-bit gray/RGB/RGBA, non-interlaced. Returns ``(width, height,
+    channels, pixels)`` with ``pixels`` an (h, w, channels) uint8 ndarray,
+    or None when the payload is not decodable PNG — callers fall back to
+    their deterministic fakes, the same optional-decoder pattern as WAV
+    audio. A production build swaps in PIL/torchvision for the full format
+    zoo; this proves the kernel seam with real bytes."""
     import zlib
 
     import numpy as np
@@ -156,14 +160,50 @@ def _decode_png(payload) -> tuple[int, int, float] | None:
                     rec[x] = (line[x] + pred) % 256
             img[y] = rec
             prev = rec
-        px = img.reshape(h, w, channels).astype(np.float64)
-        if channels == 1:
-            luma = px[:, :, 0]
-        else:
-            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-        return w, h, float(luma.mean() / 255.0)
+        return w, h, channels, img.reshape(h, w, channels)
     except (zlib.error, ValueError, IndexError):
         return None
+
+
+def _decode_png(payload) -> tuple[int, int, float] | None:
+    """(width, height, mean_luma in [0,1]) from a real PNG decode, or None
+    when not decodable (caller falls back to the deterministic fake)."""
+    dec = _decode_png_pixels(payload)
+    if dec is None:
+        return None
+    w, h, channels, img = dec
+    px = img.astype("float64")
+    if channels == 1:
+        luma = px[:, :, 0]
+    else:
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    return w, h, float(luma.mean() / 255.0)
+
+
+def _encode_png(img, channels: int) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit gray/RGB/RGBA, filter 0 rows) —
+    the inverse of ``_decode_png_pixels``, so resize/frame kernels can emit
+    payloads that any standards-compliant viewer (and our own decoder)
+    reads back."""
+    import struct
+    import zlib
+
+    h, w = img.shape[0], img.shape[1]
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = img.reshape(h, w * channels).astype("uint8")
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
@@ -312,13 +352,37 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def _resize_nearest(img, width: int, height: int):
+    """Nearest-neighbor resample of an (h, w, c) uint8 grid to (height,
+    width, c) — pure numpy index maps (the PIL-free scale path; a
+    production build swaps in a bilinear/Lanczos library kernel here
+    without touching the Spark plumbing)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = np.minimum((np.arange(height) * (h / height)).astype("int64"), h - 1)
+    xs = np.minimum((np.arange(width) * (w / width)).astype("int64"), w - 1)
+    return img[ys][:, xs]
+
+
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing: Arrow-batched mapInPandas emitting fixed-dimension
-    payloads. The resample kernel is a STUB (deterministically truncates/pads
-    the payload to width*height bytes); a real build calls PIL/torchvision
-    here. Partition sizing note: output rows are exactly width*height bytes,
-    so executor memory per batch is bounded by maxRecordsPerBatch * W * H."""
+    """Resize: Arrow-batched mapInPandas emitting fixed-dimension payloads.
+    Decodable PNG payloads get a REAL resample — stdlib decode →
+    nearest-neighbor index-map → stdlib PNG re-encode, so the output
+    payload is a standards-valid PNG of exactly (width, height). Payloads
+    the stdlib decoder can't read fall back to the deterministic byte
+    truncate/pad fake (raw width*height buffer), keeping the plumbing
+    pinned without image libraries in the container. Partition sizing
+    note: decoded grids are W*H*channels bytes per record, so executor
+    memory per batch is bounded by maxRecordsPerBatch * W * H * 4."""
     target = width * height
+
+    def one(b):
+        dec = _decode_png_pixels(b)
+        if dec is not None:
+            _, _, channels, img = dec
+            return _encode_png(_resize_nearest(img, width, height), channels)
+        return (b or b"").ljust(target, b"\0")[:target]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -327,9 +391,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].apply(
-                        lambda b: (b or b"").ljust(target, b"\0")[:target]
-                    ),
+                    "payload": pdf["payload"].apply(one),
                 }
             )
             out["width"] = out["width"].astype("int32")
@@ -341,12 +403,51 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     )
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id, frame_idx,
-    frame_payload) rows. The splitter is a STUB (slices the payload bytes);
-    a real build calls a demuxer here.
+def _split_frames(payload: bytes) -> list[bytes] | None:
+    """Split an MJPEG-style concatenated-image stream into frames: PNG
+    frames by signature scan (each frame runs to its IEND chunk), JPEG
+    frames by SOI/EOI marker scan. Returns None when the payload is not a
+    recognizable image stream (caller falls back to the byte-slice fake).
+    This is the real demuxer seam — a production build swaps in
+    PyAV/ffmpeg for true containers; frame iteration, sampling, and the
+    Spark-side schema stay identical."""
+    data = bytes(payload or b"")
+    if data.startswith(_PNG_SIG):
+        frames = []
+        pos = 0
+        while True:
+            nxt = data.find(_PNG_SIG, pos + 1)
+            if nxt == -1:
+                frames.append(data[pos:])
+                break
+            frames.append(data[pos:nxt])
+            pos = nxt
+        return frames
+    if data[:2] == b"\xff\xd8":  # JPEG SOI
+        frames = []
+        pos = 0
+        while pos < len(data) and data[pos : pos + 2] == b"\xff\xd8":
+            eoi = data.find(b"\xff\xd9", pos + 2)
+            if eoi == -1:
+                frames.append(data[pos:])
+                break
+            frames.append(data[pos : eoi + 2])
+            pos = eoi + 2
+        return frames
+    return None
 
-    Raises NotImplementedError for kinds it cannot fake deterministically.
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video payloads: emits (media_id, frame_idx,
+    frame_payload) rows for every ``every_n``-th frame, ``frame_idx`` the
+    frame's index in the original stream.
+
+    Concatenated-PNG and MJPEG (concatenated-JPEG) streams get a REAL
+    split — each emitted frame is a complete, individually decodable
+    image. Opaque payloads fall back to the deterministic byte-slice fake
+    so the plumbing stays pinned without a demuxer library in the
+    container (a production build swaps PyAV/ffmpeg into
+    ``_split_frames``). Raises NotImplementedError for non-video kinds.
     """
     schema = StructType(
         [
@@ -355,6 +456,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             StructField("frame_payload", BinaryType(), True),
         ]
     )
+    step = max(int(every_n), 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -365,10 +467,16 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                         f"frame sampling for kind={r['kind']!r} requires a real demuxer"
                     )
                 payload = r["payload"] or b""
-                for i in range(0, max(len(payload) // every_n, 1)):
-                    rows.append(
-                        (r["media_id"], i, payload[i * every_n : (i + 1) * every_n])
-                    )
+                frames = _split_frames(payload)
+                if frames is not None:
+                    for i in range(0, len(frames), step):
+                        rows.append((r["media_id"], i, frames[i]))
+                else:
+                    # opaque payload: deterministic byte-slice fake
+                    for i in range(0, max(len(payload) // step, 1)):
+                        rows.append(
+                            (r["media_id"], i, payload[i * step : (i + 1) * step])
+                        )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
     return media.mapInPandas(run, schema=schema)

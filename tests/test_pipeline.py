@@ -267,6 +267,77 @@ def test_resize_images_plumbing(spark):
     assert out[1]["payload"] == b"xxxxxxxx" and out[2]["payload"] == b"\0" * 8
 
 
+def test_resize_images_real_png(spark):
+    """REAL resize on a real PNG payload: decode → nearest-neighbor → PNG
+    re-encode. The output payload decodes back through our own decoder to
+    exactly (height, width) with the pixel values the index map predicts."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    png = multimodal._encode_png(px, 3)
+    # encoder/decoder round-trip is lossless
+    w0, h0, c0, back = multimodal._decode_png_pixels(png)
+    assert (w0, h0, c0) == (16, 12, 3) and np.array_equal(back, px)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png", len(png))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(media, width=8, height=6).collect()[0]
+    assert out["width"] == 8 and out["height"] == 6
+    w, h, c, got = multimodal._decode_png_pixels(bytes(out["payload"]))
+    assert (w, h, c) == (8, 6, 3)
+    ys = np.minimum((np.arange(6) * (12 / 6)).astype(int), 11)
+    xs = np.minimum((np.arange(8) * (16 / 8)).astype(int), 15)
+    assert np.array_equal(got, px[ys][:, xs])
+    # upscale works too (index map repeats source pixels)
+    up = multimodal.resize_images(media, width=32, height=24).collect()[0]
+    w, h, c, gotu = multimodal._decode_png_pixels(bytes(up["payload"]))
+    assert (w, h) == (32, 24) and np.array_equal(gotu[0, 0], px[0, 0])
+
+
+def test_video_frame_sampling_real_streams(spark):
+    """REAL frame extraction from MJPEG-style concatenated streams: every
+    sampled frame is a complete, individually decodable image with its
+    original stream index; opaque payloads keep the byte-slice fake."""
+    import numpy as np
+
+    frames_px = [
+        np.full((2, 2, 3), 10 * i, dtype=np.uint8) for i in range(7)
+    ]
+    pngs = [multimodal._encode_png(p, 3) for p in frames_px]
+    concat_png = b"".join(pngs)
+    # minimal JPEG-ish frames: SOI + filler + EOI (marker-scan only)
+    jpegs = [b"\xff\xd8" + bytes([i]) * 5 + b"\xff\xd9" for i in range(5)]
+    concat_jpeg = b"".join(jpegs)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(concat_png), "video/x-png-stream", len(concat_png)),
+            (2, "video", bytearray(concat_jpeg), "video/x-mjpeg", len(concat_jpeg)),
+            (3, "video", bytearray(b"opaquebytes" * 3), "application/octet-stream", 33),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.sample_video_frames(media, every_n=3).collect()
+    by_media: dict = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(
+            r["frame_payload"]
+        )
+    # PNG stream: frames 0, 3, 6 sampled, each decodes to its exact pixels
+    assert sorted(by_media[1]) == [0, 3, 6]
+    for i in sorted(by_media[1]):
+        assert by_media[1][i] == pngs[i]
+        w, h, c, px = multimodal._decode_png_pixels(by_media[1][i])
+        assert (w, h) == (2, 2) and px[0, 0, 0] == 10 * i
+    # MJPEG: frames 0 and 3, complete SOI..EOI units
+    assert sorted(by_media[2]) == [0, 3]
+    assert by_media[2][0] == jpegs[0] and by_media[2][3] == jpegs[3]
+    # opaque payload: deterministic byte-slice fallback
+    assert by_media[3][0] == b"opa"
+
+
 def test_ann_lsh_recall(spark):
     """Sign-LSH with seeded Rademacher hyperplanes + multi-probe: recall@5
     vs brute force pinned on clustered synthetic vectors at a fixed seed."""
