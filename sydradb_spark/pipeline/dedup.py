@@ -412,6 +412,47 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # --- near-dup clustering (connected components) -------------------------------
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One LARGE-STAR round (Kiveris et al.): ``sym`` is the symmetric edge
+    list (both directions present, no self-loops). Every node u computes its
+    neighborhood minimum m = min(N(u) ∪ {u}) and re-points each LARGER
+    neighbor v > u at m. The min is a map-side-combining groupBy — the hot
+    node of a viral star contributes one partial row per map task, never a
+    neighbor array — and the join attaches one m per edge row, streaming
+    through a spillable (AQE-skew-splittable) shuffle."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: over canonical larger→smaller edges, every
+    node u re-points its smaller neighbors (and itself) at the minimum of
+    that smaller neighborhood. Same skew-safe shape as ``_large_star``.
+    Output is canonical (u > v) by construction."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def cluster_pairs(
     pairs: DataFrame,
     a_col: str = "a",
@@ -433,15 +474,20 @@ def cluster_pairs(
     the driver budget. (A ``limit(threshold+1).collect()`` probe — the
     previous shape — re-ran the upstream in Spark's incremental
     scale-up-limit passes: measured 2x the whole cold verify phase at
-    sf0.1.) Beyond the threshold,
-    iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbours — one join + one
-    map-side-combining groupBy per round, converging in <= component-diameter
-    rounds (near-dup components are shallow; web-scale CC runs the same loop
-    in O(log n) rounds), ``localCheckpoint`` every round keeping lineage
-    flat. Both paths produce identical (doc_id, component-min) labels.
-    Singletons (docs with no pair) are not emitted — their cluster is
-    themselves by definition.
+    sf0.1.) Beyond the threshold, alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round re-points edges at per-node neighborhood minima
+    via a map-side-combining ``groupBy().min()`` plus one join — there is
+    NO per-node neighbor-list collect anywhere, so one viral boilerplate
+    component (a 100k-edge star) never materializes as a single task's
+    in-memory array; the hot node's edges stream through a spillable join
+    whose skewed partition AQE splits (skewJoin is on in the session).
+    Converges in O(log n) rounds regardless of component diameter (the
+    r06 min-label loop needed diameter rounds on chains),
+    ``localCheckpoint`` every round keeping lineage flat. Both paths
+    produce identical (doc_id, component-min) labels. Singletons (docs
+    with no pair) are not emitted — their cluster is themselves by
+    definition.
     """
     from pyspark import StorageLevel
 
@@ -475,38 +521,55 @@ def cluster_pairs(
                 parent[hi] = lo
         rows = [(x, find(x)) for x in sorted(nodes)]
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
-    edges = (
-        slim.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .union(slim.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+    # nodes appearing ONLY in self-pairs still owe a (x, x) label row —
+    # capture them while the pair frame is still cached (they never enter
+    # the star rounds, which drop self-loops)
+    selfs = (
+        slim.where(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("doc_id"))
         .distinct()
-        .persist()
-    )
-    edges.count()  # materialize from the cached pair frame, then release it
-    slim.unpersist()
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("lab", F.col("doc_id"))
         .localCheckpoint()
     )
-    while True:
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "b"), on="b"
-        ).select(F.col("a").alias("doc_id"), "lab")
-        new = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
+    edges = (
+        slim.select(
+            F.greatest(a_col, b_col).alias("u"), F.least(a_col, b_col).alias("v")
         )
-        # labels only ever decrease; equal checksum == fixpoint
-        if (
-            new.agg(F.sum("lab")).collect()[0][0]
-            == labels.agg(F.sum("lab")).collect()[0][0]
-        ):
-            edges.unpersist()
-            return new.select("doc_id", F.col("lab").alias("cluster_id"))
-        labels = new
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    slim.unpersist()
+    for _round in range(64):  # paper-guaranteed convergence; cap = bug guard
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        new = _small_star(_large_star(sym)).localCheckpoint()
+        # fixpoint test: canonical edge set unchanged (count + order-free
+        # content hash in ONE aggregate per frame)
+        sig_new, sig_old = (
+            f.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash("u", "v").cast("long")).alias("h"),
+            ).collect()[0]
+            for f in (new, edges)
+        )
+        if tuple(sig_new) == tuple(sig_old):
+            # converged: disjoint stars rooted at each component's min
+            leaves = new.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+            )
+            roots = (
+                new.select(F.col("v").alias("doc_id"))
+                .distinct()
+                .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            )
+            out = leaves.union(roots)
+            lone_selfs = selfs.join(
+                out.select("doc_id"), on="doc_id", how="left_anti"
+            ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+            return out.union(lone_selfs)
+        edges = new
+    raise RuntimeError("cluster_pairs: star rounds failed to converge")
 
 
 def minhash_near_dup_clusters(

@@ -541,6 +541,40 @@ def test_cluster_pairs_driver_and_distributed_agree(spark):
     assert fast == slow and len(fast) > 0
 
 
+def test_cluster_pairs_star_stress_distributed(spark):
+    """VERDICT r06 item 6: a 100k-edge star component (one viral
+    boilerplate cluster) through the distributed large-star/small-star
+    path. The algorithm never collects a neighbor list, so the hot node is
+    a streaming join key, not an in-memory array; correctness: every leaf
+    labels to the center's component min, and a side chain hanging off the
+    star merges into the same component."""
+    n = 100_000
+    center = 50  # NOT the min — forces re-pointing through the center
+    rows = [(center, i) for i in range(1000, 1000 + n)]
+    rows += [(center, 7)]          # the true component min sits on a spoke
+    rows += [(2_000_000 + i, 2_000_000 + i + 1) for i in range(8)]  # chain
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    out = dedup.cluster_pairs(pairs, driver_threshold=0)
+    labels = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert len(labels) == n + 2 + 9  # leaves + center + 7 + chain nodes
+    star_nodes = [center, 7] + list(range(1000, 1000 + n))
+    assert all(labels[x] == 7 for x in star_nodes)
+    assert all(labels[2_000_000 + i] == 2_000_000 for i in range(9))
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A 200-node path graph: the r06 min-label loop needed ~200 rounds
+    (diameter); large-star/small-star converges inside the 64-round cap
+    (O(log n)) with every node labeled to the chain min."""
+    rows = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(rows, "a long, b long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.cluster_pairs(pairs, driver_threshold=0).collect()
+    }
+    assert len(labels) == 201 and set(labels.values()) == {0}
+
+
 # --- curation: decontamination, PII redaction, hash sampling ------------------
 from sydradb_spark.pipeline import curation
 
