@@ -65,9 +65,19 @@ class SydraQLEngine:
         self.points = points
         # materialized rollup (rollup.build_rollup at rollup_step): eligible
         # bucketed aggregates are served from it (translator._try_rollup).
-        # Any INSERT/DELETE invalidates it (set to None) — serving stale
-        # aggregates after a write would be silently wrong.
-        self.rollup = rollup
+        # Lazy localCheckpoint = build-once-serve-many: the rollup plan
+        # (a full groupBy over raw points) executes on the FIRST served
+        # query and every later query reads the materialized partitions —
+        # without it each query re-aggregated the raw table (measured: the
+        # rebuild dominated rollup_served_engine_query's warm cost). Not an
+        # explicit persist(): checkpoint partitions are reclaimed by the
+        # ContextCleaner when the engine is dropped, so short-lived engines
+        # don't leak session-lifetime cache entries. Any INSERT/DELETE
+        # invalidates it (set to None) — serving stale aggregates after a
+        # write would be silently wrong.
+        self.rollup = (
+            rollup.localCheckpoint(eager=False) if rollup is not None else None
+        )
         self.rollup_step = rollup_step
         # in-memory writes grow the plan (union/filter per statement);
         # checkpoint every K mutations so lineage depth stays bounded
