@@ -1,0 +1,185 @@
+"""Scale-twin generator: build an sfN directory from the driver's sf0.1
+tables, preserving each table's statistical shape while multiplying row
+counts — the data story behind the sf1 (10x) scaling benchmark.
+
+Replication follows the driver's own observed sf0.01 -> sf0.1 scaling:
+
+- events: 10x rows and 10x users over the SAME 30-day window (the driver
+  densifies, it does not widen) — per-hour-bucket loads grow 10x, the
+  partition count stays fixed, exactly the ingest-rate scale-up a real
+  deployment sees. Replica timestamps get a +13ms*k jitter so last-wins
+  compaction never collapses cross-replica points.
+- documents: 10x via a per-replica deterministic word map (half the vocab
+  gets a replica suffix). Within a replica the map is a bijection applied
+  to every doc, so the driver's intentional near/exact-dup pairs are
+  PRESERVED per replica (pair volume scales ~linearly, like the driver's
+  own 22 -> 228 prefix-dup groups); across replicas 5-gram shingle overlap
+  collapses to ~3%, far below every near-dup threshold — replication does
+  NOT manufacture quadratic cross-replica dup pairs.
+- embeddings: 4x (the driver's own decade step was 500 -> 2000, i.e. 4x),
+  replicas perturbed with seeded N(0, 0.05*std) noise so cluster geometry
+  survives for IVF/LSH while replicas aren't exact dups. Replica 0 keeps
+  the original ids/vectors, so fixed query-id sets still resolve.
+- lineitem/orders/customer/supplier/part: 10x with disjoint key offsets
+  that keep every foreign key valid within its replica. nation/region:
+  dimension tables, copied as-is.
+
+Usage: python scripts/gen_sf.py [--base /root/testdata/sf0.1]
+    [--out .scratch/sf1] [--factor 10]
+Deterministic — no RNG outside seeded numpy/crc32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import zlib
+
+
+def _word_map(w: str, k: int) -> str:
+    if k == 0:
+        return w
+    return f"{w}r{k}" if (zlib.crc32(f"{w}|{k}".encode()) & 1) else w
+
+
+def gen_documents(con, base: str, out: str, factor: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = con.sql(
+        f"SELECT doc_id, text, lang, source FROM '{base}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for k in range(factor):
+        for doc_id, text, lang, source in rows:
+            t = (
+                text
+                if k == 0
+                else " ".join(_word_map(w, k) for w in (text or "").split(" "))
+            )
+            doc_ids.append(doc_id + k * 1_000_000)
+            texts.append(t)
+            langs.append(lang)
+            sources.append(source)
+            n_chars.append(len(t))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+
+
+def gen_embeddings(con, base: str, out: str, factor: int) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # driver's own decade step was 4x — follow it, not the 10x of row tables
+    emb_factor = max(2, round(factor ** 0.6))  # 10 -> 4
+    rows = con.sql(
+        f"SELECT vec_id, embedding, label FROM '{base}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    base_vecs = np.array([r[1] for r in rows], dtype=np.float32)
+    std = float(base_vecs.std())
+    vec_ids, vecs, labels = [], [], []
+    for k in range(emb_factor):
+        rng = np.random.RandomState(1234 + k)
+        noise = (
+            np.zeros_like(base_vecs)
+            if k == 0
+            else rng.normal(0.0, 0.05 * std, base_vecs.shape).astype(np.float32)
+        )
+        pert = base_vecs + noise
+        for i, (vec_id, _, label) in enumerate(rows):
+            vec_ids.append(vec_id + k * 1_000_000)
+            vecs.append(pert[i].tolist())
+            labels.append(label)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=".scratch/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    import duckdb
+
+    base, out, f = args.base, args.out, args.factor
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(sql: str, name: str) -> None:
+        con.sql(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    copy(
+        f"SELECT e.event_id + r.k*1000000000 AS event_id, "
+        f"e.ts + (r.k*13) * INTERVAL 1 MILLISECOND AS ts, "
+        f"e.user_id + r.k*100000 AS user_id, e.event_type, e.value, e.props "
+        f"FROM '{base}/events.parquet' e, range({f}) r(k)",
+        "events",
+    )
+    copy(
+        f"SELECT l.l_orderkey + r.k*1000000000 AS l_orderkey, "
+        f"l.l_partkey + r.k*100000 AS l_partkey, "
+        f"l.l_suppkey + r.k*10000 AS l_suppkey, l.l_linenumber, l.l_quantity, "
+        f"l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, "
+        f"l.l_linestatus, l.l_shipdate "
+        f"FROM '{base}/lineitem.parquet' l, range({f}) r(k)",
+        "lineitem",
+    )
+    copy(
+        f"SELECT o.o_orderkey + r.k*1000000000 AS o_orderkey, "
+        f"o.o_custkey + r.k*1000000 AS o_custkey, o.o_orderstatus, "
+        f"o.o_totalprice, o.o_orderdate, o.o_orderpriority "
+        f"FROM '{base}/orders.parquet' o, range({f}) r(k)",
+        "orders",
+    )
+    copy(
+        f"SELECT c.c_custkey + r.k*1000000 AS c_custkey, c.c_name, "
+        f"c.c_nationkey, c.c_acctbal, c.c_mktsegment "
+        f"FROM '{base}/customer.parquet' c, range({f}) r(k)",
+        "customer",
+    )
+    copy(
+        f"SELECT s.s_suppkey + r.k*10000 AS s_suppkey, s.s_name, "
+        f"s.s_nationkey, s.s_acctbal "
+        f"FROM '{base}/supplier.parquet' s, range({f}) r(k)",
+        "supplier",
+    )
+    copy(
+        f"SELECT p.p_partkey + r.k*100000 AS p_partkey, p.p_name, p.p_brand, "
+        f"p.p_type, p.p_size, p.p_retailprice "
+        f"FROM '{base}/part.parquet' p, range({f}) r(k)",
+        "part",
+    )
+    copy(f"SELECT * FROM '{base}/nation.parquet'", "nation")
+    copy(f"SELECT * FROM '{base}/region.parquet'", "region")
+    gen_documents(con, base, out, f)
+    print("documents: done")
+    gen_embeddings(con, base, out, f)
+    print("embeddings: done")
+
+
+if __name__ == "__main__":
+    main()
