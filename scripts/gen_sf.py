@@ -7,8 +7,14 @@ Replication follows the driver's own observed sf0.01 -> sf0.1 scaling:
 - events: 10x rows and 10x users over the SAME 30-day window (the driver
   densifies, it does not widen) — per-hour-bucket loads grow 10x, the
   partition count stays fixed, exactly the ingest-rate scale-up a real
-  deployment sees. Replica timestamps get a +13ms*k jitter so last-wins
-  compaction never collapses cross-replica points.
+  deployment sees. Replica timestamps shift by k * ~9973.01 s WRAPPED
+  modulo the window: the engine's points table has SECOND resolution, so
+  a sub-second jitter (the first attempt) collapses into ~10-way
+  same-series same-second ties that break first/last and lag/lead
+  determinism; a multi-hour prime shift keeps replicas second-distinct
+  (same-series same-second tie groups stay at the driver's own ~linear
+  level — re-checked after generation) while the wrap preserves the
+  window and the uniform density.
 - documents: 10x via a per-replica deterministic word map (half the vocab
   gets a replica suffix). Within a replica the map is a bijection applied
   to every doc, so the driver's intentional near/exact-dup pairs are
@@ -132,12 +138,45 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    t0_us, t1_us = con.sql(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM '{base}/events.parquet'"
+    ).fetchone()
+    w_us = (t1_us - t0_us) + 1_000_000
+    # prime multi-hour shift (+13017 us so the microsecond layer is also
+    # replica-unique), wrapped so the window and density are preserved
+    shift = 9973 * 1_000_000 + 13_017
     copy(
         f"SELECT e.event_id + r.k*1000000000 AS event_id, "
-        f"e.ts + (r.k*13) * INTERVAL 1 MILLISECOND AS ts, "
+        f"make_timestamp({t0_us} + ((epoch_us(e.ts) - {t0_us}) + r.k*{shift}) % {w_us}) AS ts, "
         f"e.user_id + r.k*100000 AS user_id, e.event_type, e.value, e.props "
         f"FROM '{base}/events.parquet' e, range({f}) r(k)",
         "events",
+    )
+    ties = con.sql(
+        f"""SELECT count(*) FROM (
+              SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
+              FROM '{out}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
+    ).fetchone()[0]
+    base_ties = con.sql(
+        f"""SELECT count(*) FROM (
+              SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
+              FROM '{base}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
+    ).fetchone()[0]
+    # Same-second ties are BIRTHDAY COLLISIONS of the second-resolution
+    # points table: ~n^2/(2*window_s) per series, so densifying 10x grows
+    # them ~100x no matter how replicas are spread — the driver's own sf1
+    # would look the same. The engine is tie-DETERMINISTIC (first/last/
+    # delta/rate break ts ties by value; lag/lead derive one canonical
+    # order), so ties are data to serve correctly, not a generation bug.
+    # This print is the visibility check that growth matches the birthday
+    # estimate rather than an accidental systematic collision.
+    n_base = con.sql(
+        f"SELECT count(*) FROM '{base}/events.parquet'"
+    ).fetchone()[0]
+    est = (n_base * f) ** 2 / (2 * (w_us / 1e6)) / 50  # 50 series
+    print(
+        f"same-series same-second tie groups: {ties} (base {base_ties}, "
+        f"birthday estimate ~{est:.0f})"
     )
     copy(
         f"SELECT l.l_orderkey + r.k*1000000000 AS l_orderkey, "

@@ -44,8 +44,32 @@ POINTS_CTE = """WITH points AS (
 
 
 def r6(expr: str) -> str:
-    """Cross-engine float stabilizer (same text is valid sydraQL and SQL)."""
-    return f"round(({expr}) * 1000000) / 1000000"
+    """Cross-engine float stabilizer (same text is valid sydraQL and SQL).
+
+    DOUBLE rounding, 9dp then 6dp: the two engines sum doubles in
+    different orders, so a value sitting EXACTLY on the 6-decimal half
+    boundary (common — window averages of 2-decimal inputs are
+    small-denominator rationals) lands on either side by ~1e-13 noise and
+    a single round() flips the last digit between engines (found by the
+    sf1 gate: one moving_avg value differed by exactly 1e-6 on two
+    different datasets). Rounding to 9dp first absorbs the noise — both
+    engines produce the IDENTICAL double — and the 6dp round of identical
+    doubles agrees by construction. Residual risk moves to values exactly
+    on the 9th-decimal half boundary, ~1000x rarer."""
+    return f"round(round(({expr}) * 1000000000) / 1000) / 1000000"
+
+
+def r6_col(c):
+    """Column-side twin of ``r6()`` — entries whose Spark half rounds with
+    DataFrame expressions MUST quantize exactly like their SQL oracle, so
+    the same 9dp-then-6dp double rounding applies (a single F.round(c, 6)
+    against a double-rounding oracle re-opens the half-boundary flip this
+    scheme exists to close)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.round(F.round(c * 1000000000) / 1000) / 1000000
 
 
 def ql(*statements: str):

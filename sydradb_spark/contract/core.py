@@ -26,6 +26,7 @@ from sydradb_spark.contract.base import (
     oracle,
     ql,
     r6,
+    r6_col,
 )
 from sydradb_spark.sydraql.engine import SydraQLEngine
 from sydradb_spark.tables import events_points
@@ -194,7 +195,7 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
-        (F.round(F.col("sum_v") * 1000000) / 1000000).alias("sum_v"),
+        r6_col(F.col("sum_v")).alias("sum_v"),
     )
 
 
@@ -215,7 +216,8 @@ _q(
   FROM s
 )
 SELECT series, min(ts) AS session_start, max(ts) + 600 AS session_end,
-       count(*) AS n_events, round(sum(value) * 1000000) / 1000000 AS sum_v
+       count(*) AS n_events,
+       round(round(sum(value) * 1000000000) / 1000) / 1000000 AS sum_v
 FROM i GROUP BY series, sid"""
     ),
 )
@@ -302,7 +304,8 @@ _q(
     ),
     oracle(
         f"SELECT host, dc, (ts // 86400) * 86400 AS bucket, "
-        f"arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v, "
+        f"first(value ORDER BY ts, value) AS first_v, "
+        f"last(value ORDER BY ts, value) AS last_v, "
         f"{r6('quantile_cont(value, 0.5)')} AS p50, count(*) AS n FROM points "
         f"WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2, 3"
     ),
@@ -319,8 +322,8 @@ _q(
     oracle(
         f"SELECT host, dc, (ts // 86400) * 86400 AS bucket, "
         f"CASE WHEN max(ts) > min(ts) THEN "
-        f"{r6('(arg_max(value, ts) - arg_min(value, ts)) / (max(ts) - min(ts))')} END AS rate_v, "
-        f"{r6('arg_max(value, ts) - arg_min(value, ts)')} AS delta_v FROM points "
+        f"{r6('(last(value ORDER BY ts, value) - first(value ORDER BY ts, value)) / (max(ts) - min(ts))')} END AS rate_v, "
+        f"{r6('last(value ORDER BY ts, value) - first(value ORDER BY ts, value)')} AS delta_v FROM points "
         f"WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2, 3"
     ),
 )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sydradb_spark import storage, tagindex
-from sydradb_spark.contract.base import D3, D7, MID, T0, T1, oracle, r6
+from sydradb_spark.contract.base import D3, D7, MID, T0, T1, oracle, r6, r6_col
 from sydradb_spark.ingest import ingest_batch
 from sydradb_spark.sydraql.engine import SydraQLEngine
 from sydradb_spark.tables import events_points
@@ -46,7 +46,7 @@ def _storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage.write_points(pts, path, mode="overwrite")
     scanned = storage.scan_range(spark, path, start=T0, end=D3 - 1)
     return scanned.agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v")
+        F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v")
     )
 
 
@@ -66,7 +66,7 @@ def _compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = storage.compact_points(pts, order_col="seq")
     return (
         compacted.where(F.col("series") == "events.click")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
     )
 
 
@@ -309,8 +309,8 @@ def _rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "bucket",
         "n",
-        F.round(F.col("sum_v"), 6).alias("sum_v"),
-        F.round(F.col("avg_v"), 6).alias("avg_v"),
+        r6_col(F.col("sum_v")).alias("sum_v"),
+        r6_col(F.col("avg_v")).alias("avg_v"),
         "min_v",
         "max_v",
         "first_v",
@@ -393,7 +393,7 @@ def _rollup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (first/last are per-series; cross-series they need the catalog join)
     return folded.groupBy("bucket").agg(
         F.sum("cnt").alias("n"),
-        F.round(F.sum("sum_v"), 6).alias("sum_v"),
+        r6_col(F.sum("sum_v")).alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
@@ -441,7 +441,8 @@ _q(
         f"""SELECT 'daily' AS variant, (ts // 86400) * 86400 AS bucket, count(*) AS n,
        {r6('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v,
        min(value) AS min_v, max(value) AS max_v,
-       arg_min(value, ts) AS first_v, arg_max(value, ts) AS last_v
+       first(value ORDER BY ts, value) AS first_v,
+       last(value ORDER BY ts, value) AS last_v
   FROM points WHERE series = 'events.purchase' AND host = 'h0' AND dc = 'dc0'
     AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2
 UNION ALL
@@ -462,7 +463,7 @@ def _aligned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= T0) & (F.col("ts") < T1)
     )
     out = aligned_ratio(pts, "events.click", "events.view", step_s=86400)
-    return out.select("bucket", F.round(F.col("ratio"), 6).alias("ratio"))
+    return out.select("bucket", r6_col(F.col("ratio")).alias("ratio"))
 
 
 _q(
@@ -499,7 +500,7 @@ def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_s=86400,
     )
     return out.select(
-        "ts", "value", F.round(F.col("right_value"), 6).alias("right_value"), "right_ts"
+        "ts", "value", r6_col(F.col("right_value")).alias("right_value"), "right_ts"
     )
 
 
@@ -596,7 +597,7 @@ def _optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         storage.read_points(spark, table)
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("sum_v"),
+            r6_col(F.sum("value")).alias("sum_v"),
             F.countDistinct("series").alias("n_series"),
         )
         .withColumn("merged", F.lit(1 if after < before else 0).cast("long"))
@@ -627,12 +628,12 @@ def _manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = (
         storage.read_points_version(spark, table, 1)
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
         .select(F.lit(1).cast("long").alias("version"), "n", "sum_v")
     )
     latest = (
         storage.read_points(spark, table)
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
         .select(F.lit(2).cast("long").alias("version"), "n", "sum_v")
     )
     return v1.unionByName(latest)
@@ -653,7 +654,7 @@ def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage.restore(snap, table)
     return storage.read_points(spark, table).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_v"),
+        r6_col(F.sum("value")).alias("sum_v"),
         F.countDistinct("series").alias("n_series"),
     )
 
@@ -757,7 +758,7 @@ def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (
         spark.read.parquet(out_tbl)
-        .select(F.col("ts").alias("time"), F.round("ema", 6).alias("ema_v"))
+        .select(F.col("ts").alias("time"), r6_col("ema").alias("ema_v"))
     )
 
 
@@ -823,7 +824,7 @@ def _stream_ingest_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return read_points(spark, table).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_v"),
+        r6_col(F.sum("value")).alias("sum_v"),
         F.countDistinct("series_id").alias("n_series"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),

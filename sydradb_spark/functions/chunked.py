@@ -85,17 +85,27 @@ def with_chunked_lag_lead(
 
     df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
     w_in = Window.partitionBy(partition, "__wchunk").orderBy(ts_col, tiebreak)
-    w_in_desc = Window.partitionBy(partition, "__wchunk").orderBy(
-        F.col(ts_col).desc(), F.col(tiebreak).desc()
-    )
+    # ONE canonical total order per chunk: __rn from a single row_number
+    # evaluation; __rnd derived arithmetically from it (NOT a second
+    # descending window — under duplicate (ts, tiebreak) rows, independent
+    # window evaluations each pick their own order among ties, so the
+    # "last n rows" by a desc window need not be the rows the asc lead saw
+    # as last → mid-run nulls. Found by the sf1 gate, where replica rows
+    # tie at whole-second resolution).
+    w_chunk = Window.partitionBy(partition, "__wchunk")
     df = df.withColumn("__rn", F.row_number().over(w_in)).withColumn(
-        "__rnd", F.row_number().over(w_in_desc)
+        "__rnd", F.count(F.lit(1)).over(w_chunk) - F.col("__rn") + 1
     )
+    # every later step orders by the unique __rn, never re-sorting on the
+    # ambiguous (ts, tiebreak) key
+    w_rn = Window.partitionBy(partition, "__wchunk").orderBy("__rn")
 
-    # struct sorts lexicographically → (ts, tiebreak, srcs...) is window order
+    # struct sorts lexicographically; __rn before the srcs makes the array
+    # order agree with the canonical window order even among full ties
     row_struct = F.struct(
         F.col(ts_col).alias("__t"),
         F.col(tiebreak).alias("__b"),
+        F.col("__rn").alias("__r"),
         *[F.col(c).alias(c) for c in src_cols],
     )
 
@@ -144,7 +154,7 @@ def with_chunked_lag_lead(
 
     for r in requests:
         if r.kind == "lag":
-            within = F.lag(r.src, r.n).over(w_in)
+            within = F.lag(r.src, r.n).over(w_rn)
             # the global (n - rn + 1)-th-from-last predecessor, 0-based get()
             # (null on out-of-range — no ANSI index error)
             idx0 = F.size("__prev_rows") + F.col("__rn") - F.lit(r.n) - 1
@@ -153,7 +163,7 @@ def with_chunked_lag_lead(
                 r.out, F.when(F.col("__rn") > r.n, within).otherwise(fallback)
             )
         else:
-            within = F.lead(r.src, r.n).over(w_in)
+            within = F.lead(r.src, r.n).over(w_rn)
             idx0 = F.lit(r.n) - F.col("__rnd")
             fallback = F.get("__next_rows", idx0).getField(r.src)
             df = df.withColumn(

@@ -27,25 +27,36 @@ def time_bucket(duration_s: Column | int, ts: Column, origin: Column | int = 0) 
 
 
 def first_agg(x: Column, ts: Column) -> Column:
-    """first(x) = value at earliest ts (functions.zig:239-245)."""
-    return F.min_by(x, ts)
+    """first(x) = value at earliest ts (functions.zig:239-245). Ties at the
+    same ts break to the SMALLEST value (struct ordering key) — the
+    reference's single-node scan order doesn't exist on a cluster, so a
+    deterministic tie-break is what makes the operator reproducible across
+    runs and partitionings (found by the sf1 gate: second-resolution ts
+    ties made min_by pick different rows than the DuckDB oracle)."""
+    return F.min_by(x, F.struct(ts, x))
 
 
 def last_agg(x: Column, ts: Column) -> Column:
-    """last(x) = value at latest ts (functions.zig:246-252)."""
-    return F.max_by(x, ts)
+    """last(x) = value at latest ts (functions.zig:246-252). Ties at the
+    same ts break to the LARGEST value — see ``first_agg``."""
+    return F.max_by(x, F.struct(ts, x))
 
 
 def delta_agg(x: Column, ts: Column) -> Column:
-    """delta(x) = last - first within the group (functions.zig:359-365)."""
-    return F.max_by(x, ts) - F.min_by(x, ts)
+    """delta(x) = last - first within the group (functions.zig:359-365) —
+    same deterministic ts-tie-break as first_agg/last_agg."""
+    return F.max_by(x, F.struct(ts, x)) - F.min_by(x, F.struct(ts, x))
 
 
 def rate_agg(x: Column, ts: Column) -> Column:
     """rate(x) = per-second increase over the group (functions.zig:345-351):
-    (last - first) / (max(ts) - min(ts)); null for a single-point group."""
+    (last - first) / (max(ts) - min(ts)); null for a single-point group.
+    Same deterministic ts-tie-break as first_agg/last_agg."""
     span = F.max(ts) - F.min(ts)
-    return F.when(span > 0, (F.max_by(x, ts) - F.min_by(x, ts)) / span)
+    return F.when(
+        span > 0,
+        (F.max_by(x, F.struct(ts, x)) - F.min_by(x, F.struct(ts, x))) / span,
+    )
 
 
 def irate_expr(x: Column, prev_x: Column, ts: Column, prev_ts: Column) -> Column:

@@ -53,9 +53,10 @@ def build_rollup(points: DataFrame, step_s: int = 3600) -> DataFrame:
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
             F.min("ts").alias("first_ts"),
-            F.min_by("value", "ts").alias("first_v"),
+            # same deterministic tie-break as functions.timeseries.first_agg
+            F.min_by("value", F.struct("ts", "value")).alias("first_v"),
             F.max("ts").alias("last_ts"),
-            F.max_by("value", "ts").alias("last_v"),
+            F.max_by("value", F.struct("ts", "value")).alias("last_v"),
         )
         .select(*ROLLUP_COLS)
     )

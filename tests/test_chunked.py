@@ -317,3 +317,38 @@ def test_chunked_moving_avg_random_shapes(spark, seed):
             assert ge[3] is None
         else:
             assert ge[3] == pytest.approx(te[3], rel=1e-12)
+
+
+def test_tie_determinism_first_last_lag_lead(spark):
+    """Second-resolution ts ties (found by the sf1 gate) must produce
+    deterministic, oracle-matching results: first/last break ties by value
+    (struct key), and chunked lag/lead derive every ordering from ONE
+    canonical row number — no mid-run nulls when duplicates exist."""
+    from pyspark.sql import functions as F
+
+    from sydradb_spark.functions import timeseries as ts_fn
+    from sydradb_spark.functions.chunked import LagRequest, with_chunked_lag_lead
+
+    rows = [
+        ("s", 100, 5.0), ("s", 100, 2.0), ("s", 100, 2.0),  # 3-way ts tie
+        ("s", 200, 9.0), ("s", 200, 1.0),                    # 2-way ts tie
+        ("s", 300, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "series_id string, ts long, value double")
+    agg = df.agg(
+        ts_fn.first_agg(F.col("value"), F.col("ts")).alias("f"),
+        ts_fn.last_agg(F.col("value"), F.col("ts")).alias("l"),
+        ts_fn.delta_agg(F.col("value"), F.col("ts")).alias("d"),
+    ).collect()[0]
+    # earliest ts=100 -> smallest value 2.0; latest ts=300 unique -> 7.0
+    assert (agg["f"], agg["l"], agg["d"]) == (2.0, 7.0, 5.0)
+
+    out = with_chunked_lag_lead(
+        df,
+        [LagRequest("value", "prev", 1, "lag"), LagRequest("value", "nxt", 2, "lead")],
+        chunk_s=150,  # ties straddle a chunk boundary too
+    ).orderBy("ts", "value").collect()
+    # canonical (ts, value) order: 2.0, 2.0, 5.0, 1.0, 9.0, 7.0
+    assert [r["value"] for r in out] == [2.0, 2.0, 5.0, 1.0, 9.0, 7.0]
+    assert [r["prev"] for r in out] == [None, 2.0, 2.0, 5.0, 1.0, 9.0]
+    assert [r["nxt"] for r in out] == [5.0, 1.0, 9.0, 7.0, None, None]

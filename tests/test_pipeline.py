@@ -541,6 +541,39 @@ def test_cluster_pairs_driver_and_distributed_agree(spark):
     assert fast == slow and len(fast) > 0
 
 
+@pytest.mark.parametrize(
+    "seed,n_nodes,n_edges,hubby",
+    [(7, 40, 60, False), (11, 80, 50, True), (13, 30, 120, False)],
+)
+def test_cluster_pairs_star_rounds_randomized(spark, seed, n_nodes, n_edges, hubby):
+    """Randomized large-star/small-star vs the driver union-find across
+    sparse, hub-heavy, and dense graph shapes (the composition-fixpoint
+    argument is empirical — this is its armor)."""
+    import random
+
+    rng = random.Random(seed)
+    if hubby:
+        hubs = [rng.randrange(n_nodes) for _ in range(3)]
+        edges = [
+            (rng.choice(hubs), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+    else:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_pairs(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
+
+
 def test_cluster_pairs_star_stress_distributed(spark):
     """VERDICT r06 item 6: a 100k-edge star component (one viral
     boilerplate cluster) through the distributed large-star/small-star
