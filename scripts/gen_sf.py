@@ -88,8 +88,9 @@ def gen_embeddings(con, base: str, out: str, factor: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # driver's own decade step was 4x — follow it, not the 10x of row tables
-    emb_factor = max(2, round(factor ** 0.6))  # 10 -> 4
+    # driver's own decade step was 4x — follow it, not the 10x of row tables;
+    # factor 1 must stay a true identity run (1x vectors), so no floor above 1
+    emb_factor = max(1, round(factor ** 0.6))  # 1 -> 1, 10 -> 4
     rows = con.sql(
         f"SELECT vec_id, embedding, label FROM '{base}/embeddings.parquet' "
         "ORDER BY vec_id"

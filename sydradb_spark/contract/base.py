@@ -43,33 +43,75 @@ POINTS_CTE = """WITH points AS (
 )"""
 
 
-def r6(expr: str) -> str:
+def rq(expr: str, dp: int = 6) -> str:
     """Cross-engine float stabilizer (same text is valid sydraQL and SQL).
 
-    DOUBLE rounding, 9dp then 6dp: the two engines sum doubles in
-    different orders, so a value sitting EXACTLY on the 6-decimal half
+    DOUBLE rounding, (dp+3)dp then dp: the two engines sum doubles in
+    different orders, so a value sitting EXACTLY on the dp-decimal half
     boundary (common — window averages of 2-decimal inputs are
     small-denominator rationals) lands on either side by ~1e-13 noise and
     a single round() flips the last digit between engines (found by the
     sf1 gate: one moving_avg value differed by exactly 1e-6 on two
-    different datasets). Rounding to 9dp first absorbs the noise — both
-    engines produce the IDENTICAL double — and the 6dp round of identical
+    different datasets). The (dp+3) pre-round absorbs the noise — both
+    engines produce the IDENTICAL double — and the dp round of identical
     doubles agrees by construction. Residual risk moves to values exactly
-    on the 9th-decimal half boundary, ~1000x rarer."""
-    return f"round(round(({expr}) * 1000000000) / 1000) / 1000000"
+    on the (dp+3)-decimal half boundary, ~1000x rarer.
+
+    DOMAIN: valid only while |x| * 10^(dp+3) < 2^53 (|x| < ~9e6 for
+    dp=6), else round() of the scaled value is an identity op and the
+    pre-round silently stops absorbing noise. Entries whose values grow
+    with data volume (whole-range sums) must pick dp by magnitude — dp=3
+    holds to |x| < ~9e9, enough for a 1000x scale-up of the sf1 sums."""
+    return f"{rq_open(dp)}{expr}{rq_close(dp)}"
 
 
-def r6_col(c):
-    """Column-side twin of ``r6()`` — entries whose Spark half rounds with
+def rq_open(dp: int = 6) -> str:
+    """Leading half of the ``rq()`` SQL text — for oracle f-strings whose
+    stabilized expression contains quotes/backslashes that a Python 3.11
+    f-string can't nest inside an ``{rq(...)}`` field. ALWAYS pair with
+    ``rq_close(dp)`` so the quantization scheme has one source of truth."""
+    return "round(round(("
+
+
+def rq_close(dp: int = 6) -> str:
+    """Trailing half of the ``rq()`` SQL text (see ``rq_open``)."""
+    return f") * {10 ** (dp + 3)}) / 1000) / {10 ** dp}"
+
+
+def rq_col(c, dp: int = 6):
+    """Column-side twin of ``rq()`` — entries whose Spark half rounds with
     DataFrame expressions MUST quantize exactly like their SQL oracle, so
-    the same 9dp-then-6dp double rounding applies (a single F.round(c, 6)
+    the same (dp+3)-then-dp double rounding applies (a single F.round(c, dp)
     against a double-rounding oracle re-opens the half-boundary flip this
-    scheme exists to close)."""
+    scheme exists to close). Same magnitude domain as ``rq()``."""
     from pyspark.sql import functions as F
 
     if isinstance(c, str):
         c = F.col(c)
-    return F.round(F.round(c * 1000000000) / 1000) / 1000000
+    return F.round(F.round(c * (10 ** (dp + 3))) / 1000) / (10**dp)
+
+
+def r6(expr: str) -> str:
+    """``rq(expr, 6)`` — the default stabilizer for bounded-magnitude
+    values (averages, ratios, pointwise arithmetic of O(100) inputs)."""
+    return rq(expr, 6)
+
+
+def r6_col(c):
+    """``rq_col(c, 6)`` — column-side twin of ``r6()``."""
+    return rq_col(c, 6)
+
+
+def r3(expr: str) -> str:
+    """``rq(expr, 3)`` — for values that grow with data volume (whole-range
+    ``sum(value)``), where dp=6's 9dp pre-round exceeds double resolution
+    past |x| ~9e6 (hit by sf1 whole-range sums ~5e7)."""
+    return rq(expr, 3)
+
+
+def r3_col(c):
+    """``rq_col(c, 3)`` — column-side twin of ``r3()``."""
+    return rq_col(c, 3)
 
 
 def ql(*statements: str):

@@ -25,6 +25,8 @@ from sydradb_spark.contract.base import (
     T1,
     oracle,
     ql,
+    r3,
+    r3_col,
     r6,
     r6_col,
 )
@@ -195,7 +197,7 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_start",
         "session_end",
         "n_events",
-        r6_col(F.col("sum_v")).alias("sum_v"),
+        r3_col(F.col("sum_v")).alias("sum_v"),
     )
 
 
@@ -217,7 +219,7 @@ _q(
 )
 SELECT series, min(ts) AS session_start, max(ts) + 600 AS session_end,
        count(*) AS n_events,
-       round(round(sum(value) * 1000000000) / 1000) / 1000000 AS sum_v
+       {r3('sum(value)')} AS sum_v
 FROM i GROUP BY series, sid"""
     ),
 )
@@ -279,13 +281,13 @@ _q(
     "agg_bucket_basic",
     ql(
         f"select time_bucket(86400, time) as bucket, {r6('avg(value)')} as avg_v, "
-        f"{r6('sum(value)')} as sum_v, count() as n, count(value) as nv, "
+        f"{r3('sum(value)')} as sum_v, count() as n, count(value) as nv, "
         f"min(value) as min_v, max(value) as max_v from events.view "
         f"where time >= {T0} and time < {T1} group by time_bucket(86400, time)"
     ),
     oracle(
         f"SELECT (ts // 86400) * 86400 AS bucket, {r6('avg(value)')} AS avg_v, "
-        f"{r6('sum(value)')} AS sum_v, count(*) AS n, count(value) AS nv, "
+        f"{r3('sum(value)')} AS sum_v, count(*) AS n, count(value) AS nv, "
         f"min(value) AS min_v, max(value) AS max_v FROM points "
         f"WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 1"
     ),
@@ -362,11 +364,11 @@ _q(
     # multi-key tag grouping (the single-tag case is the same code path)
     ql(
         f"select tag.host as host, tag.dc as dc, count() as n, "
-        f"{r6('sum(value)')} as sum_v, {r6('avg(value)')} as avg_v from events.view "
+        f"{r3('sum(value)')} as sum_v, {r6('avg(value)')} as avg_v from events.view "
         f"where time >= {T0} and time < {T1} group by tag.host, tag.dc"
     ),
     oracle(
-        f"SELECT host, dc, count(*) AS n, {r6('sum(value)')} AS sum_v, "
+        f"SELECT host, dc, count(*) AS n, {r3('sum(value)')} AS sum_v, "
         f"{r6('avg(value)')} AS avg_v FROM points "
         f"WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2"
     ),

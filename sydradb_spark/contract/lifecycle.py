@@ -14,7 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sydradb_spark import storage, tagindex
-from sydradb_spark.contract.base import D3, D7, MID, T0, T1, oracle, r6, r6_col
+from sydradb_spark.contract.base import (
+    D3,
+    D7,
+    MID,
+    T0,
+    T1,
+    oracle,
+    r3,
+    r3_col,
+    r6,
+    r6_col,
+)
 from sydradb_spark.ingest import ingest_batch
 from sydradb_spark.sydraql.engine import SydraQLEngine
 from sydradb_spark.tables import events_points
@@ -46,7 +57,7 @@ def _storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage.write_points(pts, path, mode="overwrite")
     scanned = storage.scan_range(spark, path, start=T0, end=D3 - 1)
     return scanned.agg(
-        F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v")
+        F.count("*").alias("n"), r3_col(F.sum("value")).alias("sum_v")
     )
 
 
@@ -54,7 +65,7 @@ _q(
     "storage_roundtrip",
     _storage_roundtrip,
     oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v FROM points "
+        f"SELECT count(*) AS n, {r3('sum(value)')} AS sum_v FROM points "
         f"WHERE ts >= {T0} AND ts <= {D3 - 1}"
     ),
 )
@@ -66,7 +77,7 @@ def _compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = storage.compact_points(pts, order_col="seq")
     return (
         compacted.where(F.col("series") == "events.click")
-        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r3_col(F.sum("value")).alias("sum_v"))
     )
 
 
@@ -108,7 +119,7 @@ _q(
   FROM points WHERE {T1} - ((ts // 3600) * 3600 + 3600) <= {10 * 86400}
   GROUP BY 1, 2
 UNION ALL
-SELECT 'compact', NULL, count(*), {r6('sum(value)')} FROM (
+SELECT 'compact', NULL, count(*), {r3('sum(value)')} FROM (
   SELECT series, host, dc, ts, arg_max(value, seq) AS value
   FROM points GROUP BY 1, 2, 3, 4
 ) WHERE series = 'events.click'"""
@@ -309,7 +320,7 @@ def _rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "bucket",
         "n",
-        r6_col(F.col("sum_v")).alias("sum_v"),
+        r3_col(F.col("sum_v")).alias("sum_v"),
         r6_col(F.col("avg_v")).alias("avg_v"),
         "min_v",
         "max_v",
@@ -350,7 +361,7 @@ def _rollup_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ROLLUP_ENGINE_MEMO[key] = eng
     return eng.query(
         f"select time_bucket(86400, time) as bucket, {r6('avg(value)')} as avg_v, "
-        f"{r6('sum(value)')} as sum_v, count() as n, min(value) as min_v, "
+        f"{r3('sum(value)')} as sum_v, count() as n, min(value) as min_v, "
         f"max(value) as max_v from events.error "
         f"where time >= {T0} and time < {T1} group by time_bucket(86400, time)"
     ).df
@@ -361,7 +372,7 @@ _q(
     _rollup_engine,
     oracle(
         f"SELECT (ts // 86400) * 86400 AS bucket, {r6('avg(value)')} AS avg_v, "
-        f"{r6('sum(value)')} AS sum_v, count(*) AS n, min(value) AS min_v, "
+        f"{r3('sum(value)')} AS sum_v, count(*) AS n, min(value) AS min_v, "
         f"max(value) AS max_v FROM points WHERE series = 'events.error' "
         f"AND ts >= {T0} AND ts < {T1} GROUP BY 1"
     ),
@@ -393,7 +404,7 @@ def _rollup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (first/last are per-series; cross-series they need the catalog join)
     return folded.groupBy("bucket").agg(
         F.sum("cnt").alias("n"),
-        r6_col(F.sum("sum_v")).alias("sum_v"),
+        r3_col(F.sum("sum_v")).alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
@@ -439,14 +450,14 @@ _q(
     # hourly→daily combination and the streaming maintenance are lossless
     oracle(
         f"""SELECT 'daily' AS variant, (ts // 86400) * 86400 AS bucket, count(*) AS n,
-       {r6('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v,
+       {r3('sum(value)')} AS sum_v, {r6('avg(value)')} AS avg_v,
        min(value) AS min_v, max(value) AS max_v,
        first(value ORDER BY ts, value) AS first_v,
        last(value ORDER BY ts, value) AS last_v
   FROM points WHERE series = 'events.purchase' AND host = 'h0' AND dc = 'dc0'
     AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2
 UNION ALL
-SELECT 'stream', (ts // 3600) * 3600, count(*), {r6('sum(value)')},
+SELECT 'stream', (ts // 3600) * 3600, count(*), {r3('sum(value)')},
        CAST(NULL AS DOUBLE), min(value), max(value),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
   FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {D3}
@@ -539,13 +550,13 @@ def _delete_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.query(f"delete from events.view where time >= {D3} and tag.host = 'h2'")
     eng2 = SydraQLEngine(spark, storage_path=table)
     durable = eng2.query(
-        f"select count() as n, {r6('sum(value)')} as sum_v from events.view "
+        f"select count() as n, {r3('sum(value)')} as sum_v from events.view "
         f"where time >= {T0} and time < {D7}"
     ).df
     mem = SydraQLEngine(spark, events_points(spark, sf_dir))
     mem.query(f"delete from events.click where time >= {MID} and tag.host = 'h3'")
     counted = mem.query(
-        f"select count() as n, {r6('sum(value)')} as sum_v from events.click "
+        f"select count() as n, {r3('sum(value)')} as sum_v from events.click "
         f"where time >= {T0} and time < {T1}"
     ).df
     return durable.select(F.lit("durable").alias("variant"), "n", "sum_v").unionByName(
@@ -557,11 +568,11 @@ _q(
     "delete_durable",
     _delete_durable,
     oracle(
-        f"""SELECT 'durable' AS variant, count(*) AS n, {r6('sum(value)')} AS sum_v
+        f"""SELECT 'durable' AS variant, count(*) AS n, {r3('sum(value)')} AS sum_v
   FROM points WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7}
     AND NOT coalesce(ts >= {D3} AND host = 'h2', FALSE)
 UNION ALL
-SELECT 'engine', count(*), {r6('sum(value)')}
+SELECT 'engine', count(*), {r3('sum(value)')}
   FROM points WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1}
     AND NOT coalesce(ts >= {MID} AND host = 'h3', FALSE)"""
     ),
@@ -597,7 +608,7 @@ def _optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         storage.read_points(spark, table)
         .agg(
             F.count("*").alias("n"),
-            r6_col(F.sum("value")).alias("sum_v"),
+            r3_col(F.sum("value")).alias("sum_v"),
             F.countDistinct("series").alias("n_series"),
         )
         .withColumn("merged", F.lit(1 if after < before else 0).cast("long"))
@@ -608,7 +619,7 @@ _q(
     "optimize_small_files",
     _optimize_small_files,
     oracle(
-        f"SELECT count(*) AS n, {r6('sum(value)')} AS sum_v, "
+        f"SELECT count(*) AS n, {r3('sum(value)')} AS sum_v, "
         f"count(DISTINCT series) AS n_series, CAST(1 AS BIGINT) AS merged "
         f"FROM points WHERE ts < {D3}"
     ),
@@ -628,12 +639,12 @@ def _manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v1 = (
         storage.read_points_version(spark, table, 1)
-        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r3_col(F.sum("value")).alias("sum_v"))
         .select(F.lit(1).cast("long").alias("version"), "n", "sum_v")
     )
     latest = (
         storage.read_points(spark, table)
-        .agg(F.count("*").alias("n"), r6_col(F.sum("value")).alias("sum_v"))
+        .agg(F.count("*").alias("n"), r3_col(F.sum("value")).alias("sum_v"))
         .select(F.lit(2).cast("long").alias("version"), "n", "sum_v")
     )
     return v1.unionByName(latest)
@@ -654,7 +665,7 @@ def _snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage.restore(snap, table)
     return storage.read_points(spark, table).agg(
         F.count("*").alias("n"),
-        r6_col(F.sum("value")).alias("sum_v"),
+        r3_col(F.sum("value")).alias("sum_v"),
         F.countDistinct("series").alias("n_series"),
     )
 
@@ -688,13 +699,13 @@ _q(
     _snapshot_time_travel,
     oracle(
         f"""SELECT 'time_travel' AS part, CAST(1 AS BIGINT) AS version, count(*) AS n,
-       {r6('sum(value)')} AS sum_v, CAST(NULL AS BIGINT) AS n_series
+       {r3('sum(value)')} AS sum_v, CAST(NULL AS BIGINT) AS n_series
   FROM points WHERE ts < {D3}
 UNION ALL
-SELECT 'time_travel', CAST(2 AS BIGINT), count(*), {r6('sum(value)')}, NULL
+SELECT 'time_travel', CAST(2 AS BIGINT), count(*), {r3('sum(value)')}, NULL
   FROM points WHERE ts < {D7}
 UNION ALL
-SELECT 'snapshot_restore', NULL, count(*), {r6('sum(value)')},
+SELECT 'snapshot_restore', NULL, count(*), {r3('sum(value)')},
        count(DISTINCT series)
   FROM points WHERE ts < {D3}"""
     ),
@@ -824,7 +835,7 @@ def _stream_ingest_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return read_points(spark, table).agg(
         F.count("*").alias("n"),
-        r6_col(F.sum("value")).alias("sum_v"),
+        r3_col(F.sum("value")).alias("sum_v"),
         F.countDistinct("series_id").alias("n_series"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
@@ -871,7 +882,7 @@ _q(
 FROM ({_INGEST_BATCH_ORACLE})
 UNION ALL
 SELECT 'stream', NULL, NULL, count(*),
-       {r6('sum(value)')},
+       {r3('sum(value)')},
        count(DISTINCT host || '|' || dc), min(ts), max(ts) FROM points
   WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {D3}"""
     ),

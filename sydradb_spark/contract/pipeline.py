@@ -13,7 +13,13 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sydradb_spark.contract.base import r6_col
+from sydradb_spark.contract.base import r6_col, rq_close, rq_open
+
+# SQL halves of the 9dp-then-6dp stabilizer, for oracle f-strings whose
+# stabilized expression can't nest inside a Python 3.11 f-string field
+# (quotes/backslashes). Single source of truth lives in contract.base.
+_O = rq_open(6)
+_C = rq_close(6)
 from sydradb_spark.pipeline import dedup, multimodal, similarity, text
 from sydradb_spark.tables import load_table
 
@@ -107,13 +113,13 @@ SELECT toks.doc_id AS doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(tk) AS BIGINT) AS n_tokens,
   CAST(len(tk) + (SELECT transitions FROM bpe WHERE bpe.doc_id = toks.doc_id) AS BIGINT) AS n_tokens_bpe,
-  round(round((CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END) * 1000000000) / 1000) / 1000000 AS distinct_ratio,
-  round(round((CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END) * 1000000000) / 1000) / 1000000 AS mean_word_len,
-  round(round((CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000000) / 1000) / 1000000 AS space_ratio,
-  round(round((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 1000000000) / 1000) / 1000000 AS punct_ratio,
+  {_O}CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END{_C} AS distinct_ratio,
+  {_O}CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END{_C} AS mean_word_len,
+  {_O}CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END{_C} AS space_ratio,
+  {_O}CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END{_C} AS punct_ratio,
   rep2.n_lines AS n_lines,
-  round(round((rep2.dup_line_ratio) * 1000000000) / 1000) / 1000000 AS dup_line_ratio,
-  round(round((rep2.top_bigram_ratio) * 1000000000) / 1000) / 1000000 AS top_bigram_ratio
+  {_O}rep2.dup_line_ratio{_C} AS dup_line_ratio,
+  {_O}rep2.top_bigram_ratio{_C} AS top_bigram_ratio
 FROM toks JOIN rep2 ON rep2.doc_id = toks.doc_id""",
 )
 
@@ -158,8 +164,8 @@ def _text_lang_quality_fp_oracle() -> str:
         f"  FROM toks)\n"
         f"SELECT doc_id, {', '.join(f'hits_{lang}' for lang in text.LANGS)}, "
         f"{case} AS lang_guess,\n"
-        f"  round(round(((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr\n"
-        f"         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0) * 1000000000) / 1000) / 1000000 AS quality,\n"
+        f"  {_O}(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr\n"
+        f"         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0{_C} AS quality,\n"
         f"  substr(md5(text), 1, 16) AS fp\n"
         f"FROM h"
     )
@@ -261,7 +267,7 @@ _q(
     "minhash_lsh_pairs",
     _minhash,
     f"WITH {_MINHASH_CTES}\n"
-    "SELECT a, b, round(round((jaccard) * 1000000000) / 1000) / 1000000 AS jaccard FROM jac WHERE jaccard >= 0.2",
+    f"SELECT a, b, {_O}jaccard{_C} AS jaccard FROM jac WHERE jaccard >= 0.2",
 )
 
 
@@ -351,7 +357,7 @@ allr AS (
 ),
 clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1),
 losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-SELECT d.doc_id, round(round((d.q) * 1000000000) / 1000) / 1000000 AS quality
+SELECT d.doc_id, {_O}d.q{_C} AS quality
 FROM dkept d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
 
 _q("corpus_curation", _corpus_curation, _CURATION_ORACLE)
@@ -421,7 +427,7 @@ ngpairs AS (
   FROM shl a, shl b WHERE a.doc_id < b.doc_id
 ),
 ngtop AS (
-  SELECT a, b, round(round((jaccard) * 1000000000) / 1000) / 1000000 AS score FROM (
+  SELECT a, b, {_O}jaccard{_C} AS score FROM (
     SELECT a, b, CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END AS jaccard
     FROM ngpairs)
   ORDER BY jaccard DESC, a, b LIMIT 10
@@ -453,7 +459,7 @@ scored AS (
   SELECT q.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
   FROM c CROSS JOIN q
 )
-SELECT query_id, vec_id, round(round((cosine) * 1000000000) / 1000) / 1000000 AS cosine,
+SELECT query_id, vec_id, {_O}cosine{_C} AS cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 5""",
@@ -488,7 +494,7 @@ scored AS (
   SELECT q.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
   FROM c JOIN q ON c.bucket IN ({_PROBES})
 )
-SELECT query_id, vec_id, round(round((cosine) * 1000000000) / 1000) / 1000000 AS cosine,
+SELECT query_id, vec_id, {_O}cosine{_C} AS cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 3""",
@@ -512,11 +518,11 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q(
     "corpus_stats",
     _corpus_stats,
-    """SELECT source, count(*) AS n_docs,
+    f"""SELECT source, count(*) AS n_docs,
   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
   count(DISTINCT lang) AS n_langs,
-  round(round((avg(length(text))) * 1000000000) / 1000) / 1000000 AS avg_chars,
+  {_O}avg(length(text)){_C} AS avg_chars,
   min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY 1""",
 )
@@ -569,7 +575,7 @@ t AS (
 )
 SELECT 'ngram' AS part, a, b, score FROM ngtop
 UNION ALL
-SELECT 'embed', a, b, round(round((cosine) * 1000000000) / 1000) / 1000000 FROM scored WHERE cosine >= 0.3
+SELECT 'embed', a, b, {_O}cosine{_C} FROM scored WHERE cosine >= 0.3
 UNION ALL
 SELECT 'simhash', a, b, score FROM ({_SIMHASH_PAIRS_SELECT})""",
 )
@@ -648,7 +654,7 @@ scored AS (
   SELECT p.query_id, c.vec_id, {_DOT} / ({_NQ} * {_NC}) AS cosine
   FROM c JOIN probes p ON c.cluster = p.cluster
 )
-SELECT query_id, vec_id, round(round((cosine) * 1000000000) / 1000) / 1000000 AS cosine,
+SELECT query_id, vec_id, {_O}cosine{_C} AS cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= {_IVF_TOPK}"""

@@ -539,21 +539,33 @@ def cluster_pairs(
         .localCheckpoint()
     )
     slim.unpersist()
+
+    def _sig(f: DataFrame) -> tuple:
+        # order-free (count, content-hash-sum) screen in ONE aggregate
+        return tuple(
+            f.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash("u", "v").cast("long")).alias("h"),
+            ).collect()[0]
+        )
+
+    sig_old = _sig(edges)
     for _round in range(64):  # paper-guaranteed convergence; cap = bug guard
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         new = _small_star(_large_star(sym)).localCheckpoint()
-        # fixpoint test: canonical edge set unchanged (count + order-free
-        # content hash in ONE aggregate per frame)
-        sig_new, sig_old = (
-            f.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.hash("u", "v").cast("long")).alias("h"),
-            ).collect()[0]
-            for f in (new, edges)
-        )
-        if tuple(sig_new) == tuple(sig_old):
+        # fixpoint test, two tiers: the cheap signature screens every round
+        # (sig_old carried from the previous round's sig_new — one aggregate
+        # per round, not two); a signature MATCH is then confirmed with an
+        # exact set comparison, because equal (count, hash-sum) alone is not
+        # sound — two swapped edges whose 32-bit hashes sum equal would
+        # otherwise terminate the loop on a non-star edge set and hand out
+        # silently wrong cluster labels. The exact check runs only at the
+        # candidate fixpoint (a collision just continues the loop), so the
+        # soundness costs one extra join-shaped job per cluster_pairs call.
+        sig_new = _sig(new)
+        if sig_new == sig_old and new.exceptAll(edges).isEmpty():
             # converged: disjoint stars rooted at each component's min
             leaves = new.select(
                 F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
@@ -569,6 +581,7 @@ def cluster_pairs(
             ).select("doc_id", F.col("doc_id").alias("cluster_id"))
             return out.union(lone_selfs)
         edges = new
+        sig_old = sig_new
     raise RuntimeError("cluster_pairs: star rounds failed to converge")
 
 

@@ -427,13 +427,63 @@ def _split_frames(payload: bytes) -> list[bytes] | None:
         frames = []
         pos = 0
         while pos < len(data) and data[pos : pos + 2] == b"\xff\xd8":
-            eoi = data.find(b"\xff\xd9", pos + 2)
-            if eoi == -1:
+            end = _jpeg_frame_end(data, pos)
+            if end is None:
                 frames.append(data[pos:])
                 break
-            frames.append(data[pos : eoi + 2])
-            pos = eoi + 2
+            frames.append(data[pos:end])
+            pos = end
         return frames
+    return None
+
+
+def _jpeg_frame_end(data: bytes, start: int) -> int | None:
+    """Index one past this JPEG frame's EOI, by walking marker segments —
+    NOT by searching for the first ``FF D9`` anywhere: an EOI inside a
+    length-delimited segment (the standard case is a complete thumbnail
+    JPEG embedded in an APP1/EXIF segment) would truncate the frame
+    mid-header and desynchronize every later frame boundary. APPn/DQT/SOF/
+    DHT/COM segments are skipped by their declared length; after SOS the
+    entropy-coded scan is skipped to the next real marker (``FF`` followed
+    by anything but ``00`` stuffing or ``D0``-``D7`` restart marks).
+    Returns None on truncated/malformed structure (caller emits the rest
+    as the final frame)."""
+    i = start + 2
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            # not a marker where one should be: a non-conformant filler
+            # stream (test fakes, mangled data) — tolerate it with the
+            # naive EOI byte scan from here, preserving the lenient
+            # pre-walker behavior for unstructured payloads
+            eoi = data.find(b"\xff\xd9", i)
+            return None if eoi == -1 else eoi + 2
+        # fill bytes: FF FF ... FF <marker>
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            return None
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            return i + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            i += 2
+            continue
+        if i + 3 >= n:
+            return None
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if seg_len < 2:
+            return None
+        i += 2 + seg_len
+        if marker == 0xDA:  # SOS: skip entropy-coded data to next marker
+            while i + 1 < n and not (
+                data[i] == 0xFF
+                and data[i + 1] != 0x00
+                and not (0xD0 <= data[i + 1] <= 0xD7)
+            ):
+                i += 1
+            if i + 1 >= n:
+                return None
     return None
 
 

@@ -191,3 +191,38 @@ def test_catalog_entry_matches_oracle(name, spark, duck):
         )
         pytest.fail(f"{name}: value mismatch at sorted row {diff[0]}: "
                     f"spark={diff[1]} oracle={diff[2]}")
+
+
+def test_rq_quantizer_cross_engine_all_magnitudes(spark):
+    """The rq(dp) stabilizer must produce BIT-IDENTICAL doubles from DuckDB
+    SQL text and Spark rq_col across its documented magnitude domain
+    (|x| * 10^(dp+3) < 2^53) — including adversarial values sitting exactly
+    on dp-decimal half boundaries with ±1-ulp noise, the case the double
+    rounding exists to stabilize. r6 covers bounded-magnitude values; r3 is
+    the whole-range-sum variant whose domain reaches ~9e9 (a 1000x
+    scale-up of the sf1 sums that broke r6's 9dp pre-round)."""
+    import math
+
+    import duckdb
+
+    from sydradb_spark.contract.base import rq, rq_col
+
+    cases = []
+    for mag in (0.0, 1.0, 837.25, 1e4, 5e5, 4.9e6, 5e7, 6.3e8, 5e9):
+        for frac in (0.0005, 0.1234565, 0.015, 0.9999995):
+            base = mag + frac
+            cases.append(base)
+            cases.append(math.nextafter(base, -math.inf))
+            cases.append(math.nextafter(base, math.inf))
+            cases.append(-base)
+    con = duckdb.connect()
+    for dp, max_abs in ((6, 9e6), (3, 9e9)):
+        vals = [v for v in cases if abs(v) < max_abs]
+        duck = [
+            float(con.sql(f"SELECT {rq(f'CAST({v!r} AS DOUBLE)', dp)}").fetchone()[0])
+            for v in vals
+        ]
+        sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [r[0] for r in sdf.select(rq_col("x", dp).alias("q")).collect()]
+        for v, d, s in zip(vals, duck, got):
+            assert d == s, f"dp={dp} x={v!r}: duckdb={d!r} spark={s!r}"

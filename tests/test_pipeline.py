@@ -338,6 +338,31 @@ def test_video_frame_sampling_real_streams(spark):
     assert by_media[3][0] == b"opa"
 
 
+def test_mjpeg_split_exif_thumbnail_eoi():
+    """Marker-conformant MJPEG frames whose APP1/EXIF segment embeds a
+    complete nested thumbnail JPEG (standard camera output): the nested
+    EOI inside the length-delimited segment must NOT end the frame — a
+    naive first-FFD9 scan truncates mid-header and desynchronizes every
+    later frame boundary."""
+    thumb = b"\xff\xd8\x01\x02\x03\xff\xd9"  # nested thumbnail with EOI
+    app1_payload = b"Exif\x00\x00" + thumb
+    app1 = b"\xff\xe1" + (2 + len(app1_payload)).to_bytes(2, "big") + app1_payload
+    # minimal SOS header + entropy data with FF00 stuffing and an RST mark
+    sos = b"\xff\xda" + (2 + 3).to_bytes(2, "big") + b"\x01\x00\x00"
+    entropy = b"\x12\x34\xff\x00\x56\xff\xd0\x78"
+    frames = [
+        b"\xff\xd8" + app1 + sos + entropy + b"\xff\xd9",
+        b"\xff\xd8" + sos + b"\x01\x01\x01\x01" + b"\xff\xd9",
+    ]
+    for i in range(2, 5):
+        frames.append(b"\xff\xd8" + app1 + sos + bytes([i]) * 4 + b"\xff\xd9")
+    got = multimodal._split_frames(b"".join(frames))
+    assert got == frames
+    # non-conformant filler frames keep the lenient byte-scan behavior
+    fillers = [b"\xff\xd8" + bytes([i]) * 5 + b"\xff\xd9" for i in range(3)]
+    assert multimodal._split_frames(b"".join(fillers)) == fillers
+
+
 def test_ann_lsh_recall(spark):
     """Sign-LSH with seeded Rademacher hyperplanes + multi-probe: recall@5
     vs brute force pinned on clustered synthetic vectors at a fixed seed."""
