@@ -189,19 +189,24 @@ def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> 
     degenerate buckets (boilerplate collapse) up front — at scale a single
     1M-doc bucket would mean 10¹² candidate pairs.
 
-    Shape: size-filter via a partial-aggregating count (never materializes a
-    degenerate bucket's members anywhere), then per-bucket doc_id lists +
-    map-side i<j pair expansion. The count-join leaves the data hash-
-    partitioned by (band, sig), so the collect_list aggregate reuses that
-    partitioning — the whole candidate step costs two shuffles of the band
-    table (count partials + join) and one of the pair set (distinct),
-    replacing the previous self-join's extra full shuffle and join-output
-    shuffle. Pair expansion is a bounded JVM array transform (≤ max_bucket²/2
-    structs per bucket)."""
+    Shape: size-filter via a window count over (band, sig) — ONE shuffle of
+    the band table that the collect_list aggregate then reuses (its
+    hashpartitioning is already satisfied), the filter runs inside the same
+    stage, and a degenerate bucket's members are dropped before any
+    materialization. Total cost: one shuffle of the band table plus one of
+    the pair set (distinct). The r6 shape (partial-agg count + join back)
+    had the same shuffle count but let Catalyst broadcast the multi-million-
+    row bucket-size frame when its post-agg size estimate came in under the
+    64 MB threshold — at 100x data (500k docs, ~4M distinct buckets) the
+    real build was ~GBs and the broadcast OOM'd the driver; a window count
+    has no join to mis-plan. Pair expansion is a bounded JVM array
+    transform (≤ max_bucket²/2 structs per bucket)."""
     if max_bucket is not None:
-        sizes = band_sigs.groupBy("band", "sig").agg(F.count("*").alias("__n"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
         band_sigs = (
-            band_sigs.join(sizes, on=["band", "sig"])
+            band_sigs.withColumn("__n", F.count(F.lit(1)).over(w))
             .where(F.col("__n") <= max_bucket)
             .drop("__n")
         )
@@ -283,11 +288,23 @@ def minhash_near_dups(
 
     sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # pairs feeds both sides of the verify join — persist so the LSH join
-    # runs once (the candidate set is tiny relative to the corpus)
+    # runs once (the candidate set is small relative to the corpus)
     pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+    out = jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
+    # Materialize the (small) verified pair set eagerly, then release the
+    # corpus-sized caches NOW rather than at ContextCleaner GC time: each
+    # call otherwise pins a cached shingle table (~26M rows at 500k docs)
+    # for the session's lifetime, and a few repeated calls crowd the
+    # storage pool until some later broadcast build OOMs the driver —
+    # exactly how the sf10 bench (3 timed repeats after a warm-up) died.
+    # Same persist-hygiene pattern as bpe_encode's round-7 fix; the
+    # checkpoint partitions are reclaimed when the caller drops the frame.
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    sh.unpersist()
+    return out
 
 
 # --- SimHash ------------------------------------------------------------------

@@ -311,12 +311,19 @@ def winnow_overlap_pairs(
 
     Scale shape (same discipline as `dedup.lsh_candidate_pairs`): explode
     fingerprints → drop any fingerprint present in > ``max_fp_docs``
-    documents via a partial-aggregating count (a boilerplate hash shared by
-    1M docs would otherwise mean 10¹² pairs) → per-fingerprint doc lists +
-    map-side i<j pair expansion (bounded ≤ max_fp_docs²/2 per fingerprint)
-    → one combining ``groupBy(a, b).count()`` for the shared totals. No
-    all-pairs stage anywhere; the per-doc size join is key-bounded.
+    documents via a window count over ``fp`` (a boilerplate hash shared by
+    1M docs would otherwise mean 10¹² pairs; the window shuffles the
+    exploded table once by fp, the collect_list reuses that partitioning,
+    and — unlike the former count-plus-join-back shape — there is no
+    multi-million-row size frame for Catalyst to mis-estimate and broadcast,
+    which OOM'd `lsh_candidate_pairs` at 100x data) → per-fingerprint doc
+    lists + map-side i<j pair expansion (bounded ≤ max_fp_docs²/2 per
+    fingerprint) → one combining ``groupBy(a, b).count()`` for the shared
+    totals. No all-pairs stage anywhere; the per-doc size join is
+    key-bounded.
     """
+    from pyspark.sql import Window
+
     fps = _spread_docs(docs).select(
         "doc_id", winnow_fingerprints(F.col(text_col), k, w).alias("__fps")
     )
@@ -324,8 +331,11 @@ def winnow_overlap_pairs(
         F.col("__nfp") > 0
     )
     ex = fps.select("doc_id", F.explode("__fps").alias("fp"))
-    counts = ex.groupBy("fp").agg(F.count("*").alias("__n"))
-    ex = ex.join(counts, on="fp").where(F.col("__n") <= max_fp_docs).drop("__n")
+    ex = (
+        ex.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .where(F.col("__n") <= max_fp_docs)
+        .drop("__n")
+    )
     buckets = (
         ex.groupBy("fp").agg(F.collect_list("doc_id").alias("ids")).where(F.size("ids") >= 2)
     )

@@ -40,7 +40,12 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
         # cannot represent — read as long (nanoseconds) and normalize in
         # sydradb_spark.tables.load_events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "8g"))
+        # local[N] puts driver, executors, caches AND broadcast builds in
+        # ONE heap; 8g fit sf0.1 but left sf10's cached shingle table
+        # (~1.3 GB) competing with broadcast builds. 16g is still ~1/8 of
+        # the 128 GiB test box; a real cluster sizes driver/executor
+        # memory separately and is unaffected by this local-mode knob.
+        .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
