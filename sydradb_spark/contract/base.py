@@ -62,14 +62,16 @@ def rq(expr: str, dp: int = 6) -> str:
     pre-round silently stops absorbing noise. Entries whose values grow
     with data volume (whole-range sums) must pick dp by magnitude — dp=3
     holds to |x| < ~9e9, enough for a 1000x scale-up of the sf1 sums."""
-    return f"{rq_open(dp)}{expr}{rq_close(dp)}"
+    return f"{rq_open()}{expr}{rq_close(dp)}"
 
 
-def rq_open(dp: int = 6) -> str:
+def rq_open() -> str:
     """Leading half of the ``rq()`` SQL text — for oracle f-strings whose
     stabilized expression contains quotes/backslashes that a Python 3.11
     f-string can't nest inside an ``{rq(...)}`` field. ALWAYS pair with
-    ``rq_close(dp)`` so the quantization scheme has one source of truth."""
+    ``rq_close(dp)``; the open half is dp-independent by construction, so
+    the close half alone decides dp and a mismatched pairing is
+    impossible."""
     return "round(round(("
 
 

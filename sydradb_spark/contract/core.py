@@ -336,7 +336,7 @@ _q(
     # sequence as the oracle's window; irate + trapezoid integral share it
     ql(
         f"select time_bucket(86400, time) as bucket, {r6('irate(value)')} as irate_v, "
-        f"{r6('integral(value)')} as area "
+        f"{r3('integral(value)')} as area "
         f"from events.signup where time >= {T0} and time < {T1} "
         f"and tag.host = 'h0' and tag.dc = 'dc0' group by time_bucket(86400, time)"
     ),
@@ -355,7 +355,7 @@ _q(
 SELECT (ts // 86400) * 86400 AS bucket,
        {r6("arg_max(CASE WHEN ts - pts > 0 THEN (value - pv) / (ts - pts) END, "
            "CASE WHEN ts - pts > 0 AND pv IS NOT NULL THEN ts END)")} AS irate_v,
-       {r6('sum((value + pv) / 2 * (ts - pts))')} AS area
+       {r3('sum((value + pv) / 2 * (ts - pts))')} AS area
 FROM l GROUP BY 1""",
 )
 

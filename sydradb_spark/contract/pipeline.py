@@ -18,7 +18,7 @@ from sydradb_spark.contract.base import r6_col, rq_close, rq_open
 # SQL halves of the 9dp-then-6dp stabilizer, for oracle f-strings whose
 # stabilized expression can't nest inside a Python 3.11 f-string field
 # (quotes/backslashes). Single source of truth lives in contract.base.
-_O = rq_open(6)
+_O = rq_open()
 _C = rq_close(6)
 from sydradb_spark.pipeline import dedup, multimodal, similarity, text
 from sydradb_spark.tables import load_table

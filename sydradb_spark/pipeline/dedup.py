@@ -189,27 +189,17 @@ def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> 
     degenerate buckets (boilerplate collapse) up front — at scale a single
     1M-doc bucket would mean 10¹² candidate pairs.
 
-    Shape: size-filter via a window count over (band, sig) — ONE shuffle of
-    the band table that the collect_list aggregate then reuses (its
-    hashpartitioning is already satisfied), the filter runs inside the same
-    stage, and a degenerate bucket's members are dropped before any
-    materialization. Total cost: one shuffle of the band table plus one of
-    the pair set (distinct). The r6 shape (partial-agg count + join back)
-    had the same shuffle count but let Catalyst broadcast the multi-million-
-    row bucket-size frame when its post-agg size estimate came in under the
-    64 MB threshold — at 100x data (500k docs, ~4M distinct buckets) the
-    real build was ~GBs and the broadcast OOM'd the driver; a window count
-    has no join to mis-plan. Pair expansion is a bounded JVM array
-    transform (≤ max_bucket²/2 structs per bucket)."""
+    Shape: size-filter via ``util.drop_hot_keys`` (window count over
+    (band, sig) — ONE shuffle of the band table that the collect_list
+    aggregate then reuses, no size-frame join for Catalyst to mis-plan
+    and broadcast; see the helper's docstring for the 100x OOM this
+    replaced). Total cost: one shuffle of the band table plus one of the
+    pair set (distinct). Pair expansion is a bounded JVM array transform
+    (≤ max_bucket²/2 structs per bucket)."""
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from sydradb_spark.util import drop_hot_keys
 
-        w = Window.partitionBy("band", "sig")
-        band_sigs = (
-            band_sigs.withColumn("__n", F.count(F.lit(1)).over(w))
-            .where(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
+        band_sigs = drop_hot_keys(band_sigs, ["band", "sig"], max_bucket)
     buckets = (
         band_sigs.groupBy("band", "sig")
         .agg(F.collect_list("doc_id").alias("ids"))

@@ -429,8 +429,15 @@ def _split_frames(payload: bytes) -> list[bytes] | None:
         while pos < len(data) and data[pos : pos + 2] == b"\xff\xd8":
             end = _jpeg_frame_end(data, pos)
             if end is None:
-                frames.append(data[pos:])
-                break
+                # structural walk failed (non-conformant filler frame,
+                # bogus segment length, truncation): fall back to the
+                # lenient first-EOI byte scan for THIS frame, preserving
+                # the pre-walker behavior for unstructured streams
+                eoi = data.find(b"\xff\xd9", pos + 2)
+                if eoi == -1:
+                    frames.append(data[pos:])
+                    break
+                end = eoi + 2
             frames.append(data[pos:end])
             pos = end
         return frames
@@ -446,18 +453,15 @@ def _jpeg_frame_end(data: bytes, start: int) -> int | None:
     DHT/COM segments are skipped by their declared length; after SOS the
     entropy-coded scan is skipped to the next real marker (``FF`` followed
     by anything but ``00`` stuffing or ``D0``-``D7`` restart marks).
-    Returns None on truncated/malformed structure (caller emits the rest
-    as the final frame)."""
+    Returns None on ANY structural anomaly — lost marker sync, bogus
+    segment length, truncation — and the caller falls back to the lenient
+    first-EOI byte scan for that frame, so non-conformant streams keep
+    the pre-walker splitting behavior."""
     i = start + 2
     n = len(data)
     while i + 1 < n:
         if data[i] != 0xFF:
-            # not a marker where one should be: a non-conformant filler
-            # stream (test fakes, mangled data) — tolerate it with the
-            # naive EOI byte scan from here, preserving the lenient
-            # pre-walker behavior for unstructured payloads
-            eoi = data.find(b"\xff\xd9", i)
-            return None if eoi == -1 else eoi + 2
+            return None  # lost marker sync
         # fill bytes: FF FF ... FF <marker>
         while i + 1 < n and data[i + 1] == 0xFF:
             i += 1

@@ -311,18 +311,15 @@ def winnow_overlap_pairs(
 
     Scale shape (same discipline as `dedup.lsh_candidate_pairs`): explode
     fingerprints → drop any fingerprint present in > ``max_fp_docs``
-    documents via a window count over ``fp`` (a boilerplate hash shared by
-    1M docs would otherwise mean 10¹² pairs; the window shuffles the
-    exploded table once by fp, the collect_list reuses that partitioning,
-    and — unlike the former count-plus-join-back shape — there is no
-    multi-million-row size frame for Catalyst to mis-estimate and broadcast,
-    which OOM'd `lsh_candidate_pairs` at 100x data) → per-fingerprint doc
-    lists + map-side i<j pair expansion (bounded ≤ max_fp_docs²/2 per
-    fingerprint) → one combining ``groupBy(a, b).count()`` for the shared
-    totals. No all-pairs stage anywhere; the per-doc size join is
-    key-bounded.
+    documents via ``util.drop_hot_keys`` (a boilerplate hash shared by 1M
+    docs would otherwise mean 10¹² pairs; see the helper for why a window
+    count and not a count-join — the join-back shape OOM'd at 100x data)
+    → per-fingerprint doc lists + map-side i<j pair expansion (bounded
+    ≤ max_fp_docs²/2 per fingerprint) → one combining
+    ``groupBy(a, b).count()`` for the shared totals. No all-pairs stage
+    anywhere; the per-doc size join is key-bounded.
     """
-    from pyspark.sql import Window
+    from sydradb_spark.util import drop_hot_keys
 
     fps = _spread_docs(docs).select(
         "doc_id", winnow_fingerprints(F.col(text_col), k, w).alias("__fps")
@@ -331,11 +328,7 @@ def winnow_overlap_pairs(
         F.col("__nfp") > 0
     )
     ex = fps.select("doc_id", F.explode("__fps").alias("fp"))
-    ex = (
-        ex.withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .where(F.col("__n") <= max_fp_docs)
-        .drop("__n")
-    )
+    ex = drop_hot_keys(ex, ["fp"], max_fp_docs)
     buckets = (
         ex.groupBy("fp").agg(F.collect_list("doc_id").alias("ids")).where(F.size("ids") >= 2)
     )

@@ -42,3 +42,29 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[final.alias(name) for name, (_, final) in aggs.items()]
     )
+
+
+def drop_hot_keys(df: DataFrame, keys: list[str], max_n: int) -> DataFrame:
+    """Drop every row whose grouping-key value occurs more than ``max_n``
+    times — the hot-bucket guard in front of per-key collect_list + pair
+    expansion (LSH buckets, winnowing fingerprints), where one degenerate
+    key (boilerplate collapse) would otherwise mean ~max_n² pairs times
+    millions.
+
+    Shape is load-bearing at scale: a window count over the keys, NOT a
+    count-aggregate joined back. The window shuffles the table once by the
+    keys and a following groupBy on the same keys reuses that partitioning
+    (its hashpartitioning requirement is already satisfied), the filter
+    runs inside the same stage, and there is no join for Catalyst to
+    mis-plan — the join-back variant broadcast a multi-million-row size
+    frame at 100x data (post-aggregate size estimates land under the
+    autoBroadcastJoinThreshold) and OOM'd the driver build.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= max_n)
+        .drop("__n")
+    )

@@ -361,6 +361,13 @@ def test_mjpeg_split_exif_thumbnail_eoi():
     # non-conformant filler frames keep the lenient byte-scan behavior
     fillers = [b"\xff\xd8" + bytes([i]) * 5 + b"\xff\xd9" for i in range(3)]
     assert multimodal._split_frames(b"".join(fillers)) == fillers
+    # payload starting with FF but carrying a bogus segment length must
+    # ALSO fall back per-frame (not merge with the next frame): the
+    # walker reads len 0x0099, runs off the end, and the caller's
+    # lenient EOI scan recovers this frame's boundary
+    bogus = b"\xff\xd8\xff\x41\x00\x99junk\xff\xd9"
+    plain = b"\xff\xd8\x01\x02\x03\xff\xd9"
+    assert multimodal._split_frames(bogus + plain) == [bogus, plain]
 
 
 def test_ann_lsh_recall(spark):
