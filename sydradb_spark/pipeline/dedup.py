@@ -686,3 +686,106 @@ def curate_corpus(
 
         out = out.withColumn(text_col, redact_pii(F.col(text_col))["redacted"])
     return out
+
+
+# --- semantic dedup (SemDeDup) --------------------------------------------------
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): k-means-partition the
+    embedding space, find within-cluster pairs with cosine ≥ ``threshold``,
+    and keep ONE representative per connected near-dup group — the member
+    FARTHEST from its cluster centroid (the paper's low-centroid-similarity
+    keeper: boundary examples carry more training signal than prototypical
+    ones), ties broken by min id.
+
+    Returns every input id with its verdict:
+    (id_col, cluster, group_id, centroid_d2, keep) — group_id is the
+    component-min id (own id for singletons), ``keep`` marks the survivor.
+    Filter ``keep`` to materialize the deduped corpus.
+
+    Scale shape: centroids train on a deterministic driver-side sample
+    (FAISS-style — quantizer sample size is scale-free) and ride into the
+    plan as LITERALS, so assignment is a narrow map with no centroid table
+    and no join. Candidate pairs come from a within-cluster self-join whose
+    per-key size is bounded by ``drop_hot_keys(max_cluster)`` — an
+    oversized cluster (quantizer too coarse for the corpus) BYPASSES
+    dedup (its members are kept, counted, and the fix is raising
+    ``n_clusters``), it never materializes a quadratic join. Groups come
+    from the shared ``cluster_pairs`` CC; the keeper choice is one
+    max_by aggregate per group. Never all-pairs across clusters.
+    """
+    from sydradb_spark.pipeline.similarity import (
+        centroid_d2s,
+        cosine,
+        kmeans_fit_sample,
+    )
+    from sydradb_spark.util import drop_hot_keys
+
+    sample = [
+        list(r[0])
+        for r in emb.select(F.col(emb_col).cast("array<double>"))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    ]
+    cents = kmeans_fit_sample(sample, k=n_clusters)
+    d2s = centroid_d2s(F.col(emb_col), cents)
+    tagged = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("__e"),
+        d2s.alias("__d2s"),
+    ).select(
+        "id",
+        "__e",
+        (F.array_position(F.col("__d2s"), F.array_min("__d2s")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__d2s").alias("centroid_d2"),
+    )
+    cand = drop_hot_keys(tagged, ["cluster"], max_cluster)
+    left = cand.select("cluster", F.col("id").alias("a"), F.col("__e").alias("__ea"))
+    right = cand.select("cluster", F.col("id").alias("b"), F.col("__e").alias("__eb"))
+    pairs = (
+        left.join(right, on="cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(cosine(F.col("__ea"), F.col("__eb")) >= threshold)
+        .select("a", "b")
+    )
+    groups = cluster_pairs(pairs)  # (doc_id, cluster_id = component min)
+    labeled = tagged.join(
+        groups.select(F.col("doc_id").alias("id"), F.col("cluster_id").alias("__g")),
+        on="id",
+        how="left",
+    ).select(
+        "id",
+        "cluster",
+        F.coalesce(F.col("__g"), F.col("id")).alias("group_id"),
+        "centroid_d2",
+    )
+    # keeper per group: max centroid_d2, ties -> min id (max of (d2, -id))
+    keepers = labeled.groupBy("group_id").agg(
+        F.max(F.struct(F.col("centroid_d2"), (-F.col("id")).alias("__nid"))).alias(
+            "__k"
+        )
+    )
+    return (
+        labeled.join(keepers, on="group_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "group_id",
+            "centroid_d2",
+            (
+                (F.col("centroid_d2") == F.col("__k.centroid_d2"))
+                & (F.col("id") == -F.col("__k.__nid"))
+            ).alias("keep"),
+        )
+    )

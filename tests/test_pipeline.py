@@ -1960,3 +1960,106 @@ def test_stratified_sample(spark):
     with_null = docs.withColumn("q", F.when(F.col("doc_id") % 2 == 0, F.col("q")))
     kept = curation.stratified_sample(with_null, "q", fractions=[1.0]).collect()
     assert all(r["doc_id"] % 2 == 0 for r in kept)
+
+
+def test_semantic_dedup_semdedup(spark):
+    """SemDeDup: synthetic well-separated clusters checked against an
+    independent numpy oracle (same deterministic sample-kmeans, cosine,
+    keeper rule), plus invariants on the real embeddings table."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3, 8) * 10.0  # 3 orthogonal, well-separated centers
+    rows = []
+    vid = 0
+    truth_vecs = {}
+    for c in range(3):
+        base = centers[c] + rng.normal(0, 0.2, 8)
+        for j in range(3):
+            # j=0 base; j=1 near-dup of base (tiny perturbation);
+            # j=2 same cluster but angularly distinct
+            if j == 0:
+                v = base
+            elif j == 1:
+                v = base + rng.normal(0, 1e-3, 8)
+            else:
+                v = base + rng.normal(0, 3.0, 8)
+            rows.append((vid, [float(x) for x in v]))
+            truth_vecs[vid] = np.asarray(v, dtype=np.float64)
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(
+        emb, threshold=0.99, n_clusters=3, sample_n=9, max_cluster=100
+    ).collect()
+
+    # independent oracle: same sample-kmeans (first-9 rows = all), numpy
+    from sydradb_spark.pipeline.similarity import kmeans_fit_sample
+
+    cents = np.asarray(
+        kmeans_fit_sample([rows[i][1] for i in range(9)], k=3), dtype=np.float64
+    )
+    d2 = {
+        v: float(((truth_vecs[v][None, :] - cents) ** 2).sum(axis=1).min())
+        for v in truth_vecs
+    }
+    assign = {
+        v: int(((truth_vecs[v][None, :] - cents) ** 2).sum(axis=1).argmin())
+        for v in truth_vecs
+    }
+    # expected pairs: same assigned cluster, cosine >= 0.99
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exp_pairs = {
+        (a, b)
+        for a in truth_vecs
+        for b in truth_vecs
+        if a < b
+        and assign[a] == assign[b]
+        and cos(truth_vecs[a], truth_vecs[b]) >= 0.99
+    }
+    # each (3k, 3k+1) near-dup pair must be found, the distinct member not
+    for k in range(3):
+        assert (3 * k, 3 * k + 1) in exp_pairs  # sanity of the construction
+    # union-find over expected pairs -> groups -> keeper = max d2, tie min id
+    parent = {v: v for v in truth_vecs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in exp_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp_group = {v: find(v) for v in truth_vecs}
+    exp_keep = {}
+    for g in set(exp_group.values()):
+        members = [v for v in truth_vecs if exp_group[v] == g]
+        best = max(members, key=lambda v: (d2[v], -v))
+        for v in members:
+            exp_keep[v] = v == best
+    got = {r["vec_id"]: r for r in out}
+    assert set(got) == set(truth_vecs)
+    for v in truth_vecs:
+        assert got[v]["group_id"] == exp_group[v], (v, got[v], exp_group[v])
+        assert got[v]["keep"] == exp_keep[v], (v, got[v].asDict(), exp_keep[v])
+        assert got[v]["cluster"] == assign[v]
+
+    # invariants on the real table + hot-cluster bypass semantics
+    from sydradb_spark.tables import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    res = dedup.semantic_dedup(real, threshold=0.95, n_clusters=4, sample_n=256)
+    per_group = res.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count("*").alias("n"),
+    )
+    bad = per_group.where(F.col("n_keep") != 1).count()
+    assert bad == 0  # exactly one keeper per group
+    # bypass: max_cluster=1 makes every cluster hot -> no pairs -> all kept
+    allkept = dedup.semantic_dedup(
+        real, threshold=0.95, n_clusters=4, sample_n=256, max_cluster=1
+    )
+    assert allkept.where(~F.col("keep")).count() == 0
