@@ -251,6 +251,37 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+def lsh_tuning(
+    threshold: float, num_hashes: int = NUM_HASHES
+) -> tuple[int, int, float]:
+    """(bands, rows, s_curve_midpoint) for a target Jaccard ``threshold``
+    under a fixed signature budget — the standard MMDS S-curve analysis:
+    candidate probability at similarity j is 1-(1-j^r)^b, with midpoint
+    ≈ (1/b)^(1/r). Picks the (b, r) factorization of ``num_hashes`` whose
+    midpoint sits closest below the target, so pairs AT the threshold are
+    still likely candidates (recall-leaning; the exact-Jaccard verify
+    step removes the extra false positives this admits). Use to re-derive
+    NUM_BANDS/BAND_ROWS when a deployment needs a different operating
+    point (e.g. 0.8-threshold web dedup wants r=4+ to cut candidate
+    volume; the default 8x2 targets the aggressive 0.2-0.5 range)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        mid = (1.0 / b) ** (1.0 / r)
+        # prefer the largest midpoint that stays at/below the target;
+        # fall back to the overall-closest if none is below
+        key = (mid <= threshold, -abs(mid - threshold))
+        if best is None or key > best[0]:
+            best = (key, b, r, mid)
+    assert best is not None
+    _, b, r, mid = best
+    return b, r, mid
+
+
 def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.2, text_col: str = "text"
 ) -> DataFrame:

@@ -2063,3 +2063,31 @@ def test_semantic_dedup_semdedup(spark):
         real, threshold=0.95, n_clusters=4, sample_n=256, max_cluster=1
     )
     assert allkept.where(~F.col("keep")).count() == 0
+
+
+def test_lsh_tuning_s_curve():
+    """(b, r) selection follows the MMDS S-curve: midpoint (1/b)^(1/r)
+    sits at/just below the target threshold, and the chosen curve gives
+    pairs AT the threshold a high candidate probability."""
+    for threshold in (0.2, 0.5, 0.8, 0.95):
+        b, r, mid = dedup.lsh_tuning(threshold)
+        assert b * r == dedup.NUM_HASHES
+        assert mid == (1.0 / b) ** (1.0 / r)
+        p_at_t = 1.0 - (1.0 - threshold**r) ** b
+        assert p_at_t >= 0.5, (threshold, b, r, p_at_t)
+        # no other divisor pair with midpoint <= threshold sits closer
+        for r2 in range(1, dedup.NUM_HASHES + 1):
+            if dedup.NUM_HASHES % r2:
+                continue
+            b2 = dedup.NUM_HASHES // r2
+            mid2 = (1.0 / b2) ** (1.0 / r2)
+            if mid2 <= threshold:
+                assert threshold - mid <= threshold - mid2 + 1e-12
+    # the shipped default (8 bands x 2 rows) is what mid-range targeting
+    # picks (its S-curve midpoint is (1/8)^(1/2) = 0.354)
+    assert dedup.lsh_tuning(0.4)[:2] == (8, 2)
+    assert dedup.lsh_tuning(0.5)[:2] == (8, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.lsh_tuning(0.0)
