@@ -367,10 +367,22 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return th.select("doc_id", reduce(operator.add, bit_cols).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) via banded join: 4 bands × 8 bits, so any
     pair within Hamming 3 shares an exact band (pigeonhole) — identical output
-    to the O(n²) scan without forming all pairs."""
+    to the O(n²) scan without forming all pairs.
+
+    ``max_bucket`` (opt-in) bounds the Σ bucket² self-join cost at corpus
+    scale via ``drop_hot_keys``: a band value shared by millions of docs
+    (boilerplate collapsing to one fingerprint) would otherwise dominate the
+    join. TRADE-OFF, stated plainly: dropping a hot band-bucket loses any
+    pair whose ONLY shared band was the hot one, so the pigeonhole
+    exactness guarantee holds only for the default ``None``. At scale the
+    hot buckets ARE the exact-dup mass a cheaper md5 pass should have
+    removed first — run ``exact_dedup`` upstream and the guard only drops
+    residual boilerplate."""
     assert max_hamming < SIMHASH_BANDS, "banding only guarantees hamming < #bands"
     sh = simhash(docs)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
@@ -386,6 +398,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             "bandval"
         ),
     )
+    if max_bucket is not None:
+        from sydradb_spark.util import drop_hot_keys
+
+        banded = drop_hot_keys(banded, ["band", "bandval"], max_bucket)
     left = banded.select("band", "bandval", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     right = banded.select("band", "bandval", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     cand = (
@@ -401,7 +417,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 # --- embedding-cosine near-dup -------------------------------------------------
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, emb_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b, cosine ≥ threshold) near-duplicate pairs by embedding similarity.
 
@@ -409,12 +428,19 @@ def embedding_near_dups(
     bucket as pipeline.similarity) — near-identical embeddings share all sign
     bits, so high-threshold dedup loses little recall while the join cost is
     Σ bucket², never n². Verification computes exact cosine on candidates.
+    ``max_bucket`` (opt-in) drops degenerate sign-buckets at corpus scale —
+    same trade-off as ``simhash_near_pairs``: pairs living only in a dropped
+    bucket are lost, so the default keeps full recall.
     """
     from sydradb_spark.pipeline.similarity import cosine, sign_bucket
 
     tagged = emb.select(
         F.col("vec_id"), F.col(emb_col).alias("__e"), sign_bucket(F.col(emb_col)).alias("bucket")
     )
+    if max_bucket is not None:
+        from sydradb_spark.util import drop_hot_keys
+
+        tagged = drop_hot_keys(tagged, ["bucket"], max_bucket)
     left = tagged.select("bucket", F.col("vec_id").alias("a"), F.col("__e").alias("__ea"))
     right = tagged.select("bucket", F.col("vec_id").alias("b"), F.col("__e").alias("__eb"))
     return (

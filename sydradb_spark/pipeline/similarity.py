@@ -96,15 +96,26 @@ def sign_bucket(emb: Column, planes: list[list[int]] | None = None) -> Column:
     per-plane zip_with/aggregate dot → indexed bit sum) instead of ``bits``
     separate aggregate columns — same index-order float additions (so the
     DuckDB oracle still matches bit-for-bit), materially less generated
-    code to JIT."""
+    code to JIT.
+
+    The dot runs over min(len(emb), plane dim) on BOTH engines: zip_with
+    NULL-pads the shorter array, and one NULL product used to poison the
+    whole Spark-side aggregate — every vector of a dim ≠ plane-dim corpus
+    silently landed in bucket 0, turning the bucket self-join into a full
+    cartesian (the SQL twin truncated instead, so the engines also
+    disagreed). Both sides now slice to the common prefix; pass
+    ``hyperplanes(dim=d)`` for full-width projections of non-default
+    dims."""
     planes = planes if planes is not None else hyperplanes()
+    plane_len = len(planes[0])
     planes_lit = F.array(
         *[F.array(*[F.lit(float(p)) for p in plane]) for plane in planes]
     )
+    e = F.slice(emb, 1, plane_len)
     projs = F.transform(
         planes_lit,
         lambda p: F.aggregate(
-            F.zip_with(emb, p, lambda x, q: x.cast("double") * q),
+            F.zip_with(e, F.slice(p, F.lit(1), F.size(e)), lambda x, q: x.cast("double") * q),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ),
@@ -127,9 +138,11 @@ def sign_bucket_sql(arr: str, planes: list[list[int]] | None = None) -> str:
     terms = []
     for b, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{float(p)}" for p in plane) + "]"
+        # min(len(arr), plane dim) — the same common-prefix dot as
+        # sign_bucket (list_sum's NULL-skipping used to hide the overrun)
         proj = (
             f"list_sum([CAST({arr}[i] AS DOUBLE) * ({lit})[i] "
-            f"for i in generate_series(1, len({arr}))])"
+            f"for i in generate_series(1, least(len({arr}), {len(plane)}))])"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"

@@ -2091,3 +2091,62 @@ def test_lsh_tuning_s_curve():
 
     with _pytest.raises(ValueError):
         dedup.lsh_tuning(0.0)
+
+
+def test_hot_bucket_guard_opt_in(spark):
+    """Opt-in max_bucket on simhash/embedding candidate generation:
+    default None keeps pigeonhole-exact output; a small cap drops the
+    degenerate bucket's pairs (documented recall trade-off) and bounds
+    the self-join."""
+    # 40 identical docs (one simhash bucket) + 2 distinct near-dup docs
+    rows = [(i, "common boilerplate page text here") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dedup.simhash_near_pairs(docs, max_hamming=3)
+    n_exact = exact.count()
+    assert n_exact >= 40 * 39 // 2  # identical docs all pair up
+    capped = dedup.simhash_near_pairs(docs, max_hamming=3, max_bucket=8)
+    n_capped = capped.count()
+    assert n_capped < n_exact
+    # the boilerplate block never materializes: no pair among doc_ids 0..39
+    assert capped.where((F.col("a") < 40) & (F.col("b") < 40)).count() == 0
+
+    emb_rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    emb_rows += [(50, [0.0, 1.0, 0.1, 0.0]), (51, [0.0, 1.0, 0.11, 0.0])]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    full = dedup.embedding_near_dups(emb, threshold=0.99)
+    assert full.count() >= 20 * 19 // 2
+    capped_e = dedup.embedding_near_dups(emb, threshold=0.99, max_bucket=5)
+    assert capped_e.where((F.col("a") < 20) & (F.col("b") < 20)).count() == 0
+    # the small genuine pair survives the cap in both paths
+    assert capped_e.where((F.col("a") == 50) & (F.col("b") == 51)).count() == 1
+
+
+def test_sign_bucket_short_dims_cross_engine(spark):
+    """Vectors shorter than the default plane dim must spread across
+    buckets (a NULL-padded zip_with used to poison the projection and
+    collapse EVERY short vector into bucket 0 — cartesian blowup), and
+    the Spark bucket must equal the DuckDB twin for any dim."""
+    import duckdb
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (2, [-1.0, 0.5, 0.0, 2.0]),
+        (3, [0.3, -2.0, 1.0, 0.5]),
+        (4, [2.0, 2.0, -3.0, 0.25]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity.sign_bucket(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    assert len(set(got.values())) > 1  # no single-bucket collapse
+    con = duckdb.connect()
+    sql = similarity.sign_bucket_sql("embedding")
+    for vid, vec in rows:
+        lit = "[" + ", ".join(repr(v) for v in vec) + "]"
+        d = con.sql(f"SELECT {sql.replace('embedding', lit)}").fetchone()[0]
+        assert got[vid] == d, (vid, got[vid], d)
