@@ -421,6 +421,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     emb_col: str = "embedding",
     max_bucket: int | None = None,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """(a, b, cosine ≥ threshold) near-duplicate pairs by embedding similarity.
 
@@ -431,11 +432,22 @@ def embedding_near_dups(
     ``max_bucket`` (opt-in) drops degenerate sign-buckets at corpus scale —
     same trade-off as ``simhash_near_pairs``: pairs living only in a dropped
     bucket are lost, so the default keeps full recall.
-    """
-    from sydradb_spark.pipeline.similarity import cosine, sign_bucket
 
+    ``planes`` defaults to hyperplanes sized to the CORPUS dim (probed from
+    one row), so a 768-dim corpus projects on all 768 dims instead of
+    silently bucketing on the default 64-dim prefix; pass explicit planes
+    to pin a geometry (e.g. to match a stored index or a DuckDB twin).
+    """
+    from sydradb_spark.pipeline.similarity import cosine, hyperplanes, sign_bucket
+
+    if planes is None:
+        probe = emb.select(F.size(F.col(emb_col)).alias("d")).first()
+        if probe is not None and probe["d"] is not None and probe["d"] > 0:
+            planes = hyperplanes(dim=int(probe["d"]))
     tagged = emb.select(
-        F.col("vec_id"), F.col(emb_col).alias("__e"), sign_bucket(F.col(emb_col)).alias("bucket")
+        F.col("vec_id"),
+        F.col(emb_col).alias("__e"),
+        sign_bucket(F.col(emb_col), planes).alias("bucket"),
     )
     if max_bucket is not None:
         from sydradb_spark.util import drop_hot_keys

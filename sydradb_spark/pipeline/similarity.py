@@ -117,7 +117,14 @@ def sign_bucket(emb: Column, planes: list[list[int]] | None = None) -> Column:
         lambda p: F.aggregate(
             F.zip_with(e, F.slice(p, F.lit(1), F.size(e)), lambda x, q: x.cast("double") * q),
             F.lit(0.0),
-            lambda acc, v: acc + v,
+            # coalesce: a NULL embedding element contributes 0 instead of
+            # poisoning the whole sum — matching DuckDB's NULL-skipping
+            # list_sum, and keeping malformed vectors from all collapsing
+            # into bucket 0 (the degenerate self-join this function must
+            # never produce). Exact dot products (`_dot`/`cosine`) keep
+            # NULL-poisoning deliberately: an incomparable vector should
+            # rank nowhere, not somewhere wrong.
+            lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
         ),
     )
     bits = F.transform(

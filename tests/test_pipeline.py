@@ -2150,3 +2150,11 @@ def test_sign_bucket_short_dims_cross_engine(spark):
         lit = "[" + ", ".join(repr(v) for v in vec) + "]"
         d = con.sql(f"SELECT {sql.replace('embedding', lit)}").fetchone()[0]
         assert got[vid] == d, (vid, got[vid], d)
+    # a NULL element must contribute 0 on BOTH engines (Spark coalesce ==
+    # DuckDB list_sum NULL-skip), not poison the Spark sum into bucket 0
+    nvec = [None, 1.0, -2.0, 0.5]
+    nemb = spark.createDataFrame([(9, nvec)], "vec_id long, embedding array<double>")
+    ngot = nemb.select(similarity.sign_bucket(F.col("embedding")).alias("b")).first()["b"]
+    nlit = "[NULL, 1.0, -2.0, 0.5]"
+    nd = con.sql(f"SELECT {sql.replace('embedding', nlit)}").fetchone()[0]
+    assert ngot == nd and ngot != 0, (ngot, nd)
