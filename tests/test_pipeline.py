@@ -2158,3 +2158,76 @@ def test_sign_bucket_short_dims_cross_engine(spark):
     nlit = "[NULL, 1.0, -2.0, 0.5]"
     nd = con.sql(f"SELECT {sql.replace('embedding', nlit)}").fetchone()[0]
     assert ngot == nd and ngot != 0, (ngot, nd)
+
+
+def test_bm25_search_duckdb_oracle(spark):
+    """BM25 (Lucene-classic k1=1.2, b=0.75) against a DuckDB twin of the
+    whole pipeline — tokenize, postings, df/idf, per-doc score, top-k —
+    on the real documents table. Scores compared at 1e-9 (summation
+    order differs across engines), ranking must agree exactly."""
+    import duckdb
+
+    from sydradb_spark.pipeline import retrieval
+    from sydradb_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    idx = retrieval.bm25_index(docs)
+    n, avgdl = retrieval.bm25_corpus_stats(idx)
+    query = "the data model and system"
+    got = retrieval.bm25_search(idx, query, k=15, n_docs=n, avgdl=avgdl).collect()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    q_terms = sorted({t for t in query.lower().split() if t})
+    terms_lit = ", ".join(f"'{t}'" for t in q_terms)
+    oracle = con.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tk
+  FROM documents
+), post AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks
+), tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY 1, 2, 3
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM (SELECT DISTINCT doc_id, dl FROM tf)
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN ({terms_lit}) GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) / stats.avgdl))
+         ) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15"""
+    ).fetchall()
+
+    assert [r["doc_id"] for r in got] == [r[0] for r in oracle]
+    for g, o in zip(got, oracle):
+        assert abs(g["score"] - o[1]) < 1e-9, (g, o)
+    assert len(got) == 15 and got[0]["score"] > got[-1]["score"]
+
+
+def test_bm25_postings_filter_pushdown(spark, tmp_path):
+    """The query-term filter must reach the parquet scan of a materialized
+    postings index (PushedFilters with In(term, ...)), so a term-
+    partitioned index at scale reads only the query's buckets."""
+    from sydradb_spark.pipeline import retrieval
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "bm25_idx")
+    retrieval.bm25_index(docs).write.mode("overwrite").parquet(path)
+    idx = spark.read.parquet(path)
+    n, avgdl = retrieval.bm25_corpus_stats(idx)
+    plan = retrieval.bm25_search(idx, "data system", k=5, n_docs=n, avgdl=avgdl)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
