@@ -58,7 +58,11 @@ def bm25_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bm25_corpus_stats(index: DataFrame) -> tuple[int, float]:
-    """(N docs, average doc length) from a postings frame — one aggregate."""
+    """(N docs, average doc length) from a postings frame — one aggregate.
+
+    N counts documents WITH at least one term (token-less docs have no
+    postings), matching Lucene's per-field docCount convention for the
+    idf numerator rather than raw corpus size."""
     row = index.select("doc_id", "dl").distinct().agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).first()
