@@ -441,7 +441,11 @@ def embedding_near_dups(
     from sydradb_spark.pipeline.similarity import cosine, hyperplanes, sign_bucket
 
     if planes is None:
-        probe = emb.select(F.size(F.col(emb_col)).alias("d")).first()
+        # deterministic null-safe probe: max over ALL rows' sizes (a
+        # .first() row with a NULL embedding would silently fall back to
+        # the 64-dim default — the prefix-bucketing bug again — and
+        # .first() on an unordered frame is partition-order dependent)
+        probe = emb.select(F.max(F.size(F.col(emb_col))).alias("d")).first()
         if probe is not None and probe["d"] is not None and probe["d"] > 0:
             planes = hyperplanes(dim=int(probe["d"]))
     tagged = emb.select(

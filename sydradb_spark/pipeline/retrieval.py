@@ -24,7 +24,7 @@ bit-for-bit; swap a real analyzer in at ``_terms`` if needed.
 
 from __future__ import annotations
 
-import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,11 +34,26 @@ BM25_B = 0.75
 
 
 def _terms(text: Column) -> Column:
-    """Lowercased whitespace terms; empty text → empty array."""
-    t = F.lower(F.trim(text))
+    """Lowercased whitespace terms; empty/whitespace-only text → empty array.
+
+    The trim is a REGEX trim of all ``\\s`` (F.trim strips only ASCII
+    spaces, so a trailing newline — near-universal in real text — would
+    leave ``split`` emitting an empty-string token, inflating dl/avgdl
+    and creating phantom ``''`` postings)."""
+    t = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
+
+
+def _query_terms(query: str) -> list[str]:
+    """The query-side twin of ``_terms`` — MUST split on exactly Java's
+    ``\\s`` class ([ \\t\\n\\x0b\\f\\r]); Python's ``str.split()`` also
+    splits on Unicode whitespace (NBSP, thin space), which the index does
+    NOT, so a pasted document substring would silently tokenize
+    differently than its indexed form."""
+    stripped = re.sub(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "", query.lower())
+    return sorted({t for t in re.split(r"[ \t\n\x0b\f\r]+", stripped) if t})
 
 
 def bm25_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -82,40 +97,37 @@ def bm25_search(
     once per index) to skip the stats aggregate per query.
 
     Every step is query-term-bounded: the postings filter is an ``isin``
-    literal (pushed to the scan of a term-partitioned index), df comes
-    from ≤ |query| aggregate rows, idf is folded into literals driver-side
-    (exact ln), and the ranking is TakeOrdered — no full sort, no join
-    wider than the candidate doc set.
+    literal (pushed to the scan of a term-partitioned index), df is a
+    ≤ |query|-row aggregate broadcast back onto the hits (no driver
+    collect), idf is computed in-column with the N literal, and the
+    ranking is TakeOrdered — no full sort, no join wider than the
+    candidate doc set. The filtered postings are traversed twice (df
+    aggregate + scoring probe); against a term-partitioned index both
+    traversals are pruned scans, so this stays cheaper than caching the
+    hit set per query.
     """
-    q_terms = sorted({t for t in query.lower().split() if t})
+    q_terms = _query_terms(query)
     if not q_terms:
-        return index.sparkSession.createDataFrame([], "doc_id long, score double")
+        # keep the index's doc_id type so callers can union empty and
+        # non-empty query results without a schema mismatch
+        return index.select("doc_id", F.lit(0.0).alias("score")).limit(0)
     if n_docs is None or avgdl is None:
         n_docs, avgdl = bm25_corpus_stats(index)
     hits = index.where(F.col("term").isin(q_terms))
-    dfreq = {
-        r["term"]: r["df"]
-        for r in hits.groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .collect()
-    }
-    idf = {
-        t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5))
-        for t in q_terms
-    }
-    idf_col = F.element_at(
-        F.create_map(
-            *[x for t in q_terms for x in (F.lit(t), F.lit(idf[t]))]
-        ),
-        F.col("term"),
+    dfreq = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
     )
     tf = F.col("tf").cast("double")
     denom = tf + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(float(avgdl or 1.0))
     )
-    contrib = idf_col * tf * (BM25_K1 + 1.0) / denom
+    contrib = idf * tf * (BM25_K1 + 1.0) / denom
     return (
-        hits.select("doc_id", contrib.alias("c"))
+        hits.join(F.broadcast(dfreq), on="term")
+        .select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -2185,11 +2185,14 @@ def test_bm25_search_duckdb_oracle(spark):
     terms_lit = ", ".join(f"'{t}'" for t in q_terms)
     oracle = con.sql(
         f"""
-WITH toks AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []
-              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS tk
+WITH stripped AS (
+  SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS t
   FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN []
+              ELSE regexp_split_to_array(t, '\\s+') END AS tk
+  FROM stripped
 ), post AS (
   SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks
 ), tf AS (
@@ -2231,3 +2234,44 @@ def test_bm25_postings_filter_pushdown(spark, tmp_path):
     n, avgdl = retrieval.bm25_corpus_stats(idx)
     plan = retrieval.bm25_search(idx, "data system", k=5, n_docs=n, avgdl=avgdl)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
+
+
+def test_bm25_tokenizer_edge_cases(spark):
+    """Trailing/leading non-space whitespace must not create phantom ''
+    tokens or inflate dl; query tokenization matches Java \\s exactly
+    (no Unicode-whitespace splitting Python's str.split would do)."""
+    from sydradb_spark.pipeline import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world\n"),
+            (2, "\n"),
+            (3, "  a\tb  "),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    idx = retrieval.bm25_index(docs).collect()
+    by_doc: dict = {}
+    for r in idx:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (r["tf"], r["dl"])
+    assert by_doc[1] == {"hello": (1, 2), "world": (1, 2)}
+    assert 2 not in by_doc and 4 not in by_doc and 5 not in by_doc
+    assert by_doc[3] == {"a": (1, 2), "b": (1, 2)}
+    n, avgdl = retrieval.bm25_corpus_stats(
+        retrieval.bm25_index(docs)
+    )
+    assert n == 2 and avgdl == 2.0
+    # query twin: NBSP is NOT a separator (matches the index's Java \s)
+    assert retrieval._query_terms("data\u00a0system other\n") == [
+        "data\u00a0system",
+        "other",
+    ]
+    # empty-query fast path keeps the index's doc_id type
+    sidx = retrieval.bm25_index(
+        spark.createDataFrame([("k1", "x y")], "doc_id string, text string")
+    )
+    empty = retrieval.bm25_search(sidx, "   ")
+    assert empty.schema["doc_id"].dataType.simpleString() == "string"
+    assert empty.count() == 0
