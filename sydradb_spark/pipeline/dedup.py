@@ -441,11 +441,17 @@ def embedding_near_dups(
     from sydradb_spark.pipeline.similarity import cosine, hyperplanes, sign_bucket
 
     if planes is None:
-        # deterministic null-safe probe: max over ALL rows' sizes (a
-        # .first() row with a NULL embedding would silently fall back to
-        # the 64-dim default — the prefix-bucketing bug again — and
-        # .first() on an unordered frame is partition-order dependent)
-        probe = emb.select(F.max(F.size(F.col(emb_col))).alias("d")).first()
+        # null-safe early-exit probe: first row with a non-empty embedding
+        # (a bare .first() could hit a NULL row and silently fall back to
+        # the 64-dim default — the prefix-bucketing bug again; a max over
+        # ALL rows' sizes would be deterministic but pays a full corpus
+        # scan, and on a mixed-dim corpus max-sized planes are wrong for
+        # the shorter vectors anyway — mixed dims need explicit planes)
+        probe = (
+            emb.where(F.size(F.col(emb_col)) > 0)
+            .select(F.size(F.col(emb_col)).alias("d"))
+            .first()
+        )
         if probe is not None and probe["d"] is not None and probe["d"] > 0:
             planes = hyperplanes(dim=int(probe["d"]))
     tagged = emb.select(

@@ -12,8 +12,9 @@ Scale design:
   inverted-index seek; no index server needed).
 - ``bm25_search`` is query-term-bounded end to end: the postings scan is
   filtered with an ``isin`` literal over the (tiny) tokenized query —
-  pushed to the parquet scan — the df/idf side is ≤ |query| rows collected
-  once, and the final ranking is a TakeOrdered top-k, never a full sort.
+  pushed to the parquet scan — document frequencies are a ≤ |query|-row
+  aggregate broadcast back onto the hits with idf computed in-column,
+  and the final ranking is a TakeOrdered top-k, never a full sort.
 - Scoring is Lucene-classic BM25 (k1=1.2, b=0.75,
   idf = ln(1 + (N - df + 0.5)/(df + 0.5))), all pure column arithmetic.
 
@@ -23,8 +24,6 @@ bit-for-bit; swap a real analyzer in at ``_terms`` if needed.
 """
 
 from __future__ import annotations
-
-import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -46,14 +45,17 @@ def _terms(text: Column) -> Column:
     )
 
 
-def _query_terms(query: str) -> list[str]:
-    """The query-side twin of ``_terms`` — MUST split on exactly Java's
-    ``\\s`` class ([ \\t\\n\\x0b\\f\\r]); Python's ``str.split()`` also
-    splits on Unicode whitespace (NBSP, thin space), which the index does
-    NOT, so a pasted document substring would silently tokenize
-    differently than its indexed form."""
-    stripped = re.sub(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "", query.lower())
-    return sorted({t for t in re.split(r"[ \t\n\x0b\f\r]+", stripped) if t})
+def query_terms(spark, query: str) -> list[str]:
+    """Tokenize a query with the ENGINE'S OWN analyzer — ``_terms`` over a
+    one-row literal (an empty LocalRelation job, no table scan). This is
+    exact index/query parity by construction: same JVM regex ``\\s``
+    class (Python's ``str.split()`` also splits Unicode whitespace, which
+    the index does not) AND same JVM/locale lowercasing (Python
+    ``str.lower()`` can disagree with Java ``toLowerCase`` on non-ASCII —
+    Turkish dotless-i, Unicode-version skew — silently scoring an
+    exact-match doc 0)."""
+    row = spark.range(1).select(_terms(F.lit(query)).alias("tk")).first()
+    return sorted(set(row["tk"])) if row is not None else []
 
 
 def bm25_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -106,7 +108,7 @@ def bm25_search(
     traversals are pruned scans, so this stays cheaper than caching the
     hit set per query.
     """
-    q_terms = _query_terms(query)
+    q_terms = query_terms(index.sparkSession, query)
     if not q_terms:
         # keep the index's doc_id type so callers can union empty and
         # non-empty query results without a schema mismatch

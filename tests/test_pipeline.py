@@ -2181,17 +2181,17 @@ def test_bm25_search_duckdb_oracle(spark):
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
-    q_terms = sorted({t for t in query.lower().split() if t})
+    q_terms = retrieval.query_terms(spark, query)  # the engine's analyzer
     terms_lit = ", ".join(f"'{t}'" for t in q_terms)
     oracle = con.sql(
         f"""
 WITH stripped AS (
-  SELECT doc_id, regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') AS t
+  SELECT doc_id, regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g') AS t
   FROM documents
 ), toks AS (
   SELECT doc_id,
          CASE WHEN length(t) = 0 THEN []
-              ELSE regexp_split_to_array(t, '\\s+') END AS tk
+              ELSE regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+') END AS tk
   FROM stripped
 ), post AS (
   SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks
@@ -2264,10 +2264,12 @@ def test_bm25_tokenizer_edge_cases(spark):
     )
     assert n == 2 and avgdl == 2.0
     # query twin: NBSP is NOT a separator (matches the index's Java \s)
-    assert retrieval._query_terms("data\u00a0system other\n") == [
+    assert retrieval.query_terms(spark, "data\u00a0system other\n") == [
         "data\u00a0system",
         "other",
     ]
+    # vertical tab IS a separator in Java \s (and in the oracle's twin class)
+    assert retrieval.query_terms(spark, "a\x0bb") == ["a", "b"]
     # empty-query fast path keeps the index's doc_id type
     sidx = retrieval.bm25_index(
         spark.createDataFrame([("k1", "x y")], "doc_id string, text string")
