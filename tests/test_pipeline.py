@@ -2277,3 +2277,29 @@ def test_bm25_tokenizer_edge_cases(spark):
     empty = retrieval.bm25_search(sidx, "   ")
     assert empty.schema["doc_id"].dataType.simpleString() == "string"
     assert empty.count() == 0
+
+
+def test_bm25_incremental_append_exact(spark):
+    """Postings are doc-local (tf, dl depend only on their own doc), so
+    append-only index maintenance is EXACT: index(batch1) ++
+    index(batch2) equals index(batch1 ++ batch2) row for row — the
+    crawl-scenario maintenance story needs no rebuild and no merge
+    logic, just a parquet append."""
+    from sydradb_spark.pipeline import retrieval
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    merged = retrieval.bm25_index(b1).unionByName(retrieval.bm25_index(b2))
+    full = retrieval.bm25_index(docs)
+    assert merged.exceptAll(full).isEmpty() and full.exceptAll(merged).isEmpty()
+    # stats recompute from the appended postings, and search agrees
+    n, avgdl = retrieval.bm25_corpus_stats(merged)
+    n2, avgdl2 = retrieval.bm25_corpus_stats(full)
+    assert (n, avgdl) == (n2, avgdl2)
+    a = retrieval.bm25_search(merged, "data model", k=5, n_docs=n, avgdl=avgdl).collect()
+    b = retrieval.bm25_search(full, "data model", k=5, n_docs=n2, avgdl=avgdl2).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+        (r["doc_id"], round(r["score"], 9)) for r in b
+    ]
