@@ -576,19 +576,29 @@ def cluster_pairs(
     definition.
     """
     from pyspark import StorageLevel
+    from pyspark.sql.types import StructField, StructType
 
     spark = pairs.sparkSession
+    # labels carry the pair id type (long doc ids, string keys, ...) — the
+    # union-find path must not silently assume numeric ids
+    id_type = pairs.schema[a_col].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
     slim = pairs.select(a_col, b_col).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = slim.count()
     if n_pairs == 0:
         slim.unpersist()
-        return spark.createDataFrame([], "doc_id long, cluster_id long")
+        return spark.createDataFrame([], out_schema)
     if n_pairs <= driver_threshold:
         probe = slim.collect()
         slim.unpersist()
-        parent: dict[int, int] = {}
+        parent: dict = {}  # id -> parent id, any orderable type
 
-        def find(x: int) -> int:
+        def find(x):
             root = x
             while parent.get(root, root) != root:
                 root = parent[root]
@@ -596,7 +606,7 @@ def cluster_pairs(
                 parent[x], x = root, parent[x]
             return root
 
-        nodes: set[int] = set()
+        nodes: set = set()
         for r in probe:
             nodes.add(r[0])
             nodes.add(r[1])
@@ -606,7 +616,7 @@ def cluster_pairs(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in sorted(nodes)]
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        return spark.createDataFrame(rows, out_schema)
     # nodes appearing ONLY in self-pairs still owe a (x, x) label row —
     # capture them while the pair frame is still cached (they never enter
     # the star rounds, which drop self-loops)
@@ -808,6 +818,8 @@ def semantic_dedup(
     )
     from sydradb_spark.util import drop_hot_keys
 
+    from pyspark import StorageLevel
+
     sample = [
         list(r[0])
         for r in emb.select(F.col(emb_col).cast("array<double>"))
@@ -817,6 +829,10 @@ def semantic_dedup(
     ]
     cents = kmeans_fit_sample(sample, k=n_clusters)
     d2s = centroid_d2s(F.col(emb_col), cents)
+    # tagged (a full-corpus centroid-distance projection) feeds BOTH sides
+    # of the pair self-join AND the labeled join — persist so the distance
+    # scan runs once, released below after the eager checkpoint (the same
+    # persist-hygiene pattern as minhash_near_dups)
     tagged = emb.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("__e"),
@@ -828,7 +844,7 @@ def semantic_dedup(
         .cast("int")
         .alias("cluster"),
         F.array_min("__d2s").alias("centroid_d2"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = drop_hot_keys(tagged, ["cluster"], max_cluster)
     left = cand.select("cluster", F.col("id").alias("a"), F.col("__e").alias("__ea"))
     right = cand.select("cluster", F.col("id").alias("b"), F.col("__e").alias("__eb"))
@@ -849,13 +865,16 @@ def semantic_dedup(
         F.coalesce(F.col("__g"), F.col("id")).alias("group_id"),
         "centroid_d2",
     )
-    # keeper per group: max centroid_d2, ties -> min id (max of (d2, -id))
+    # keeper per group: max centroid_d2, ties -> min id. min of
+    # (-centroid_d2, id) struct order gives exactly that for ANY orderable
+    # id type (negating the always-numeric distance, never the id — the
+    # pre-r08 (-id) trick silently required a numeric id column)
     keepers = labeled.groupBy("group_id").agg(
-        F.max(F.struct(F.col("centroid_d2"), (-F.col("id")).alias("__nid"))).alias(
-            "__k"
-        )
+        F.min(
+            F.struct((-F.col("centroid_d2")).alias("__nd2"), F.col("id"))
+        ).alias("__k")
     )
-    return (
+    out = (
         labeled.join(keepers, on="group_id")
         .select(
             F.col("id").alias(id_col),
@@ -863,8 +882,13 @@ def semantic_dedup(
             "group_id",
             "centroid_d2",
             (
-                (F.col("centroid_d2") == F.col("__k.centroid_d2"))
-                & (F.col("id") == -F.col("__k.__nid"))
+                (F.col("centroid_d2") == -F.col("__k.__nd2"))
+                & (F.col("id") == F.col("__k.id"))
             ).alias("keep"),
         )
     )
+    # materialize the (narrow: id + verdict columns, no embeddings) result
+    # eagerly so the corpus-sized tagged cache can be released in-call
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out

@@ -405,23 +405,34 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
 
 def _split_frames(payload: bytes) -> list[bytes] | None:
     """Split an MJPEG-style concatenated-image stream into frames: PNG
-    frames by signature scan (each frame runs to its IEND chunk), JPEG
-    frames by SOI/EOI marker scan. Returns None when the payload is not a
-    recognizable image stream (caller falls back to the byte-slice fake).
-    This is the real demuxer seam — a production build swaps in
-    PyAV/ffmpeg for true containers; frame iteration, sampling, and the
-    Spark-side schema stay identical."""
+    frames by walking chunks to each IEND (mirroring ``_jpeg_frame_end`` —
+    a signature-byte scan would mis-split on the 8 signature bytes
+    occurring inside IDAT zlib data and desynchronize every later frame
+    boundary), JPEG frames by SOI/EOI marker-segment walk. Returns None
+    when the payload is not a recognizable image stream (caller falls
+    back to the byte-slice fake). This is the real demuxer seam — a
+    production build swaps in PyAV/ffmpeg for true containers; frame
+    iteration, sampling, and the Spark-side schema stay identical."""
     data = bytes(payload or b"")
     if data.startswith(_PNG_SIG):
         frames = []
         pos = 0
-        while True:
-            nxt = data.find(_PNG_SIG, pos + 1)
-            if nxt == -1:
-                frames.append(data[pos:])
-                break
-            frames.append(data[pos:nxt])
-            pos = nxt
+        while pos < len(data) and data[pos : pos + 8] == _PNG_SIG:
+            end = _png_frame_end(data, pos)
+            if end is None:
+                # structural walk failed (bogus chunk length, truncation,
+                # lost chunk sync): fall back to the lenient signature
+                # scan for THIS frame, preserving the pre-walker behavior
+                # for non-conformant streams
+                nxt = data.find(_PNG_SIG, pos + 8)
+                end = nxt if nxt != -1 else len(data)
+            frames.append(data[pos:end])
+            pos = end
+        if pos < len(data):
+            # trailing bytes after the last IEND that are not another PNG
+            # signature: fold into the last frame (the signature scan ran
+            # frames to the next signature/end of data — keep that shape)
+            frames[-1] = frames[-1] + data[pos:]
         return frames
     if data[:2] == b"\xff\xd8":  # JPEG SOI
         frames = []
@@ -441,6 +452,31 @@ def _split_frames(payload: bytes) -> list[bytes] | None:
             frames.append(data[pos:end])
             pos = end
         return frames
+    return None
+
+
+def _png_frame_end(data: bytes, start: int) -> int | None:
+    """Index one past this PNG frame's IEND chunk (including its CRC), by
+    walking the chunk chain — length + type + body + CRC per chunk — from
+    the signature. Returns None on ANY structural anomaly (chunk running
+    past the payload, non-ASCII chunk type = lost sync, no IEND), and the
+    caller falls back to the lenient signature scan for that frame."""
+    if data[start : start + 8] != _PNG_SIG:
+        return None
+    pos = start + 8
+    n = len(data)
+    while pos + 8 <= n:
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        # chunk type is four ASCII letters; anything else means lost sync
+        if not all(65 <= b <= 90 or 97 <= b <= 122 for b in typ):
+            return None
+        end = pos + 12 + ln  # len(4) + type(4) + body + crc(4)
+        if end > n:
+            return None  # truncated / bogus declared length
+        if typ == b"IEND":
+            return end
+        pos = end
     return None
 
 

@@ -46,16 +46,30 @@ def _terms(text: Column) -> Column:
 
 
 def query_terms(spark, query: str) -> list[str]:
-    """Tokenize a query with the ENGINE'S OWN analyzer — ``_terms`` over a
-    one-row literal (an empty LocalRelation job, no table scan). This is
-    exact index/query parity by construction: same JVM regex ``\\s``
-    class (Python's ``str.split()`` also splits Unicode whitespace, which
-    the index does not) AND same JVM/locale lowercasing (Python
-    ``str.lower()`` can disagree with Java ``toLowerCase`` on non-ASCII —
-    Turkish dotless-i, Unicode-version skew — silently scoring an
-    exact-match doc 0)."""
+    """Distinct query terms, tokenized with the ENGINE'S OWN analyzer —
+    ``_terms`` over a one-row literal (an empty LocalRelation job, no
+    table scan). This is exact index/query parity by construction: same
+    JVM regex ``\\s`` class (Python's ``str.split()`` also splits Unicode
+    whitespace, which the index does not) AND same JVM/locale lowercasing
+    (Python ``str.lower()`` can disagree with Java ``toLowerCase`` on
+    non-ASCII — Turkish dotless-i, Unicode-version skew — silently
+    scoring an exact-match doc 0)."""
     row = spark.range(1).select(_terms(F.lit(query)).alias("tk")).first()
     return sorted(set(row["tk"])) if row is not None else []
+
+
+def query_term_freqs(spark, query: str) -> list[tuple[str, int]]:
+    """(term, query-term-frequency) pairs, sorted by term, through the same
+    engine analyzer as ``query_terms``. A term repeated in the query is one
+    entry with qtf > 1 — scoring weights its contribution per occurrence
+    (Lucene-classic semantics: a duplicated query term is a duplicated
+    BooleanQuery clause, so it scores twice)."""
+    row = spark.range(1).select(_terms(F.lit(query)).alias("tk")).first()
+    if row is None:
+        return []
+    from collections import Counter
+
+    return sorted(Counter(row["tk"]).items())
 
 
 def bm25_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,35 +101,35 @@ def bm25_corpus_stats(index: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
-def bm25_search(
+def bm25_scores(
     index: DataFrame,
     query: str,
-    k: int = 10,
     n_docs: int | None = None,
     avgdl: float | None = None,
 ) -> DataFrame:
-    """Top-``k`` (doc_id, score) for ``query`` against a ``bm25_index``
-    frame. Pass ``n_docs``/``avgdl`` (from ``bm25_corpus_stats``, computed
-    once per index) to skip the stats aggregate per query.
+    """(doc_id, score) for EVERY document matching ≥ 1 query term — the
+    un-truncated scoring core ``bm25_search`` ranks. Pass ``n_docs``/
+    ``avgdl`` (from ``bm25_corpus_stats``, computed once per index) to
+    skip the stats aggregate per query.
 
     Every step is query-term-bounded: the postings filter is an ``isin``
     literal (pushed to the scan of a term-partitioned index), df is a
     ≤ |query|-row aggregate broadcast back onto the hits (no driver
-    collect), idf is computed in-column with the N literal, and the
-    ranking is TakeOrdered — no full sort, no join wider than the
-    candidate doc set. The filtered postings are traversed twice (df
-    aggregate + scoring probe); against a term-partitioned index both
-    traversals are pruned scans, so this stays cheaper than caching the
-    hit set per query.
-    """
-    q_terms = query_terms(index.sparkSession, query)
-    if not q_terms:
+    collect), and idf is computed in-column with the N literal — no join
+    wider than the candidate doc set. The filtered postings are traversed
+    twice (df aggregate + scoring probe); against a term-partitioned
+    index both traversals are pruned scans, so this stays cheaper than
+    caching the hit set per query. A term repeated in the query weights
+    its contribution by its query-term frequency (Lucene-classic: a
+    duplicated term is a duplicated BooleanQuery clause)."""
+    qtf = query_term_freqs(index.sparkSession, query)
+    if not qtf:
         # keep the index's doc_id type so callers can union empty and
         # non-empty query results without a schema mismatch
         return index.select("doc_id", F.lit(0.0).alias("score")).limit(0)
     if n_docs is None or avgdl is None:
         n_docs, avgdl = bm25_corpus_stats(index)
-    hits = index.where(F.col("term").isin(q_terms))
+    hits = index.where(F.col("term").isin([t for t, _ in qtf]))
     dfreq = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = F.log(
         1.0
@@ -126,12 +140,34 @@ def bm25_search(
     denom = tf + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(float(avgdl or 1.0))
     )
-    contrib = idf * tf * (BM25_K1 + 1.0) / denom
+    # per-occurrence weight: a CASE over the (tiny) query term list stays a
+    # pure column expression — no extra join
+    w = F.lit(1.0)
+    if any(n > 1 for _, n in qtf):
+        w = F.lit(None).cast("double")
+        for t, n in qtf:
+            w = F.when(F.col("term") == t, float(n)).otherwise(w)
+    contrib = w * idf * tf * (BM25_K1 + 1.0) / denom
     return (
         hits.join(F.broadcast(dfreq), on="term")
         .select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("score"))
+    )
+
+
+def bm25_search(
+    index: DataFrame,
+    query: str,
+    k: int = 10,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Top-``k`` (doc_id, score) for ``query`` against a ``bm25_index``
+    frame: ``bm25_scores`` ranked by (score desc, doc_id) — a TakeOrdered
+    top-k, never a full sort."""
+    return (
+        bm25_scores(index, query, n_docs=n_docs, avgdl=avgdl)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )

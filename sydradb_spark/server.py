@@ -50,15 +50,27 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.sydra  # type: ignore[attr-defined]
 
     # --- plumbing ---------------------------------------------------------
-    def _send(self, status: int, body: bytes, ctype: str = "application/json") -> None:
+    def _send(
+        self,
+        status: int,
+        body: bytes,
+        ctype: str = "application/json",
+        headers: dict[str, str] | None = None,
+    ) -> None:
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
-    def _send_json(self, status: int, obj: Any) -> None:
-        self._send(status, json.dumps(obj, default=_json_default).encode())
+    def _send_json(
+        self, status: int, obj: Any, headers: dict[str, str] | None = None
+    ) -> None:
+        self._send(
+            status, json.dumps(obj, default=_json_default).encode(), headers=headers
+        )
 
     def _error(self, status: int, message: str) -> None:
         # error paths may leave the request body unread; under HTTP/1.1
@@ -253,18 +265,70 @@ class _Handler(BaseHTTPRequestHandler):
             eng.points.where(F.col("series_id") == sid)
             .where((F.col("ts") >= start) & (F.col("ts") <= end))
         )
-        # hard per-request work cap FIRST (TakeOrdered bounds the slice at
-        # max_rows regardless of how wide [start, end] is), THEN the LTTB
-        # downsample over the capped slice — lttb materializes its whole
-        # input in one pandas group, so it must never see an unbounded range
-        pts = pts.orderBy("ts", "value").limit(self.app.max_rows)
+        # hard per-request work cap: the engine never hands LTTB (which
+        # materializes its whole input in one pandas group) or the raw
+        # collect more than ~max_rows points, however wide [start, end] is.
+        # Any point dropped beyond what the client asked for is SIGNALED
+        # (X-Sydra-Truncated) — the r07 shape limit()'d the earliest
+        # max_rows slice before LTTB, silently downsampling only the start
+        # of a wide window.
+        max_rows = self.app.max_rows
+        truncated = False
         if max_points is not None:
+            total = pts.count()
+            if total > max_rows:
+                # bound LTTB input PER TIME-BUCKET so the downsample still
+                # spans the full requested range: max_points buckets over
+                # [start, end], keep the earliest max_rows/max_points rows
+                # of each — ~max_rows total, full-range coverage
+                from pyspark.sql import Window
+
+                n_buckets = max_points
+                cap = max(max_rows // n_buckets, 1)
+                span = max(end - start + 1, 1)
+                bucket = F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col("ts") - F.lit(start))
+                        * F.lit(n_buckets)
+                        / F.lit(span)
+                    ),
+                )
+                w = Window.partitionBy("__b").orderBy("ts", "value")
+                pts = (
+                    pts.withColumn("__b", bucket)
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") <= cap)
+                    .drop("__b", "__rn")
+                )
+                truncated = True
             from sydradb_spark.functions.timeseries import lttb
 
             pts = lttb(pts, max_points)
-        out = pts.orderBy("ts", "value").select("ts", "value")
+            rows = pts.orderBy("ts", "value").select("ts", "value").collect()
+        else:
+            # raw range: fetch one past the cap so truncation is detected,
+            # not guessed
+            rows = (
+                pts.orderBy("ts", "value")
+                .limit(max_rows + 1)
+                .select("ts", "value")
+                .collect()
+            )
+            if len(rows) > max_rows:
+                rows = rows[:max_rows]
+                truncated = True
+        headers = None
+        if truncated:
+            headers = {"X-Sydra-Truncated": "true"}
+            if max_points is None and rows:
+                # the raw path serves only [start, covered-end]; the LTTB
+                # path still covers the full range (input thinned instead)
+                headers["X-Sydra-Covered-End"] = str(rows[-1]["ts"])
         self._send_json(
-            200, [{"ts": r["ts"], "value": r["value"]} for r in out.collect()]
+            200,
+            [{"ts": r["ts"], "value": r["value"]} for r in rows],
+            headers=headers,
         )
 
     def _find(self) -> None:

@@ -51,20 +51,36 @@ def drop_hot_keys(df: DataFrame, keys: list[str], max_n: int) -> DataFrame:
     key (boilerplate collapse) would otherwise mean ~max_n² pairs times
     millions.
 
-    Shape is load-bearing at scale: a window count over the keys, NOT a
-    count-aggregate joined back. The window shuffles the table once by the
-    keys and a following groupBy on the same keys reuses that partitioning
-    (its hashpartitioning requirement is already satisfied), the filter
-    runs inside the same stage, and there is no join for Catalyst to
-    mis-plan — the join-back variant broadcast a multi-million-row size
-    frame at 100x data (post-aggregate size estimates land under the
-    autoBroadcastJoinThreshold) and OOM'd the driver build.
-    """
-    from pyspark.sql import Window
+    Shape is load-bearing at scale, and BOTH naive shapes fail on exactly
+    the degenerate key this guard exists for:
 
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("__n", F.count(F.lit(1)).over(w))
-        .where(F.col("__n") <= max_n)
-        .drop("__n")
+    - a count-aggregate of ALL keys joined back lets Catalyst broadcast a
+      multi-million-row size frame (post-aggregate size estimates land
+      under autoBroadcastJoinThreshold) — OOM'd the driver at 100x data;
+    - ``Window.partitionBy(keys)`` routes every row of a key through ONE
+      task, so the multi-million-row hot key becomes a single spill-heavy
+      straggler AQE cannot split.
+
+    The shipped shape is a parallel count (groupBy has map-side partial
+    aggregation, so even the degenerate key reduces to ~one partial row
+    per task) filtered down to the HOT keys only, anti-joined back with an
+    explicit ``shuffle_hash`` strategy hint — the hint forbids the static
+    planner's broadcast mis-plan regardless of its size estimate, the hot
+    side is tiny by construction, and the anti join's hash partitioning on
+    the keys is reused by the collect_list/groupBy that follows (one
+    effective shuffle of the big table, no single-task stage anywhere).
+    Null-safe equality keeps the pre-r08 window semantics for nullable
+    keys (a hot NULL key is dropped, not leaked past the guard).
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_n)
+        .select(*[F.col(k).alias(f"__hot_{k}") for k in keys])
+        .hint("shuffle_hash")
     )
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(hot[f"__hot_{k}"])
+        cond = c if cond is None else (cond & c)
+    return df.join(hot, cond, "left_anti")

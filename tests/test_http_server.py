@@ -261,6 +261,49 @@ def test_ingest_lenient_per_line(spark, points):
         server.stop()
 
 
+def test_query_range_truncation_signaled_and_lttb_spans_range(spark, points):
+    """A range wider than max_rows must (a) signal truncation on the raw
+    path (X-Sydra-Truncated + covered end) instead of silently serving the
+    earliest slice, and (b) under max_points still downsample the WHOLE
+    range — the r07 shape applied limit(max_rows) before LTTB, so charts
+    over wide ranges showed only the oldest max_rows points."""
+    server = SydraHttpServer(
+        SydraQLEngine(spark, points), max_rows=20
+    ).start()
+    try:
+        sid = server.series_id_for("cpu.total", {"host": "a", "env": "dev"})
+        # cpu.total: 240 points at 15s cadence from ts=1000000
+        rng = f"series_id={sid}&start=1000000&end=1003600"
+
+        def get(path):
+            with urllib.request.urlopen(_url(server, path), timeout=60) as r:
+                return r.status, json.loads(r.read()), dict(r.headers)
+
+        # raw path: capped at max_rows, truncation signaled with covered end
+        status, raw, hdrs = get(f"/api/v1/query/range?{rng}")
+        assert status == 200 and len(raw) == 20
+        assert hdrs.get("X-Sydra-Truncated") == "true"
+        # 20 rows = ts 1000000 twice (dup point) + 18 more at 15s cadence
+        assert int(hdrs["X-Sydra-Covered-End"]) == raw[-1]["ts"] == 1000270
+
+        # LTTB path: 12 points spanning the FULL range, not the first slice
+        status, pts, hdrs = get(f"/api/v1/query/range?{rng}&max_points=12")
+        assert status == 200 and len(pts) == 12
+        assert hdrs.get("X-Sydra-Truncated") == "true"
+        assert "X-Sydra-Covered-End" not in hdrs  # full range covered
+        assert pts[0]["ts"] == 1000000
+        assert pts[-1]["ts"] > 1003000  # reaches the end of the window
+
+        # a range under the cap carries no truncation signal
+        status, small, hdrs = get(
+            f"/api/v1/query/range?series_id={sid}&start=1000000&end=1000100"
+        )
+        assert status == 200 and 0 < len(small) <= 20
+        assert "X-Sydra-Truncated" not in hdrs
+    finally:
+        server.stop()
+
+
 def test_query_range_max_points_downsampling(http):
     """max_points=N serves an LTTB-downsampled range: N points, endpoints
     preserved, every returned point a real stored point; bad values 400."""

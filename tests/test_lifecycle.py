@@ -235,6 +235,29 @@ def test_salted_agg_matches_direct(spark, points):
         assert abs(direct[k][2] - salted[k][2]) < 1e-6
 
 
+def test_drop_hot_keys_semantics_and_plan(spark):
+    """The hot-key guard must (a) drop exactly the keys above the cap —
+    including a hot NULL key (null-safe join semantics), and (b) never
+    plan a broadcast of the counts frame OR a single-task window over the
+    keys: the static plan is a ShuffledHashJoin (anti), so a degenerate
+    key can neither OOM the driver (r07's Catalyst mis-broadcast) nor
+    straggle one task (the r07 window shape this replaces)."""
+    from sydradb_spark.util import drop_hot_keys
+
+    rows = [("hot", i) for i in range(50)]
+    rows += [("warm", i) for i in range(3)]
+    rows += [(None, i) for i in range(50)]  # hot NULL key
+    rows += [("cold", 0)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = drop_hot_keys(df, ["k"], max_n=10)
+    kept = {(r["k"], r["v"]) for r in out.collect()}
+    assert kept == {("warm", i) for i in range(3)} | {("cold", 0)}
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+    assert "Window" not in plan
+
+
 def test_range_response_shape(spark, points, stored):
     sid = points.where(F.col("series") == "cpu.total").select("series_id").first()[0]
     # end-inclusive, like the reference queryRange [start, end]

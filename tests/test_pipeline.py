@@ -370,6 +370,53 @@ def test_mjpeg_split_exif_thumbnail_eoi():
     assert multimodal._split_frames(bogus + plain) == [bogus, plain]
 
 
+def test_png_split_signature_inside_idat():
+    """A PNG whose IDAT zlib stream happens to contain the 8 PNG signature
+    bytes (forced here with a deflate STORED block) must split at its IEND
+    chunk, not at the embedded signature — the pre-r08 signature scan
+    mis-split this frame and desynchronized every later boundary."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    # 16x1 grayscale: one filter byte + 16 pixels, with the signature
+    # verbatim inside the pixel bytes; a STORED deflate block keeps the
+    # raw bytes (and the embedded signature) verbatim in the IDAT stream
+    raw = b"\x00" + bytes(range(4)) + multimodal._PNG_SIG + bytes(4)
+    idat = (
+        b"\x78\x01\x01"
+        + struct.pack("<HH", len(raw), 0xFFFF ^ len(raw))
+        + raw
+        + struct.pack(">I", zlib.adler32(raw))
+    )
+    assert zlib.decompress(idat) == raw and multimodal._PNG_SIG in idat
+    ihdr = struct.pack(">IIBBBBB", 16, 1, 8, 0, 0, 0, 0)
+    tricky = (
+        multimodal._PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    import numpy as np
+
+    plain = multimodal._encode_png(np.full((2, 2, 3), 7, dtype=np.uint8), 3)
+    got = multimodal._split_frames(tricky + plain + tricky)
+    assert got == [tricky, plain, tricky]
+    # both frame shapes stay individually decodable after the split
+    assert multimodal._decode_png_pixels(got[0])[:2] == (16, 1)
+    assert multimodal._decode_png_pixels(got[1])[:2] == (2, 2)
+    # structurally broken stream (bogus chunk length) falls back to the
+    # lenient signature scan per-frame instead of merging frames
+    broken = multimodal._PNG_SIG + b"\xff\xff\xff\xffIHDRxxxx"
+    assert multimodal._split_frames(broken + plain) == [broken, plain]
+    # trailing non-PNG bytes fold into the last frame (pre-walker shape)
+    assert multimodal._split_frames(plain + b"tail") == [plain + b"tail"]
+
+
 def test_ann_lsh_recall(spark):
     """Sign-LSH with seeded Rademacher hyperplanes + multi-probe: recall@5
     vs brute force pinned on clustered synthetic vectors at a fixed seed."""
@@ -2065,6 +2112,27 @@ def test_semantic_dedup_semdedup(spark):
     assert allkept.where(~F.col("keep")).count() == 0
 
 
+def test_semantic_dedup_string_ids(spark):
+    """The keeper tie-break must work for ANY orderable id type (the
+    pre-r08 (-id) trick silently required numeric ids): exact-duplicate
+    vectors tie on centroid_d2, so the keeper is the MIN string id."""
+    rows = [
+        ("b", [1.0, 0.0, 0.0]),
+        ("a", [1.0, 0.0, 0.0]),  # exact dup of "b" -> d2 tie -> min id "a"
+        ("z", [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, threshold=0.999, n_clusters=1, sample_n=3, max_cluster=10
+        ).collect()
+    }
+    assert out["a"]["group_id"] == "a" and out["b"]["group_id"] == "a"
+    assert out["a"]["keep"] is True and out["b"]["keep"] is False
+    assert out["z"]["keep"] is True and out["z"]["group_id"] == "z"
+
+
 def test_lsh_tuning_s_curve():
     """(b, r) selection follows the MMDS S-curve: midpoint (1/b)^(1/r)
     sits at/just below the target threshold, and the chosen curve gives
@@ -2277,6 +2345,50 @@ def test_bm25_tokenizer_edge_cases(spark):
     empty = retrieval.bm25_search(sidx, "   ")
     assert empty.schema["doc_id"].dataType.simpleString() == "string"
     assert empty.count() == 0
+
+
+def test_bm25_repeated_query_term_scores_per_occurrence(spark):
+    """A query term appearing twice contributes twice (Lucene-classic: a
+    duplicated term is a duplicated BooleanQuery clause) — the r07 build
+    silently collapsed duplicates to one contribution."""
+    from sydradb_spark.pipeline import retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    idx = retrieval.bm25_index(docs)
+    n, avgdl = retrieval.bm25_corpus_stats(idx)
+    assert retrieval.query_term_freqs(spark, "banana apple banana") == [
+        ("apple", 1),
+        ("banana", 2),
+    ]
+    single = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(idx, "banana", n_docs=n, avgdl=avgdl).collect()
+    }
+    double = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(
+            idx, "banana banana", n_docs=n, avgdl=avgdl
+        ).collect()
+    }
+    assert set(single) == set(double) == {1, 2}
+    for d in single:
+        assert abs(double[d] - 2.0 * single[d]) < 1e-12
+    # mixed query: repeated term doubled, unique term unchanged
+    mixed = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(
+            idx, "apple banana banana", n_docs=n, avgdl=avgdl
+        ).collect()
+    }
+    apple_only = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_scores(idx, "apple", n_docs=n, avgdl=avgdl).collect()
+    }
+    assert abs(mixed[1] - (apple_only[1] + 2.0 * single[1])) < 1e-12
+    assert abs(mixed[2] - 2.0 * single[2]) < 1e-12
 
 
 def test_bm25_incremental_append_exact(spark):
