@@ -100,6 +100,22 @@ def main() -> None:
 
     curate_corpus(load_table(spark, sf_dir, "documents").limit(64)).count()
 
+    # Self-calibration (round 8): a fixed synthetic pure-CPU query — no I/O,
+    # no data dependence — whose median time rides the JSON so cross-round
+    # totals can be normalized for host drift without re-running old
+    # commits (r07 burned a day proving a 15-20% drift that way). 20M-row
+    # hash+sqrt aggregate over an in-memory range, 32 splits: long enough
+    # (~1s) to dwarf scheduling noise, short enough to be free.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id, id * 31)) as h", "avg(sqrt(id)) as s"
+        ).collect()
+        calib_runs.append(round(time.perf_counter() - t0, 3))
+    calibration = sorted(calib_runs)[1]
+    print(f"# calibration: median={calibration:.3f}s runs={calib_runs}", file=sys.stderr)
+
     # Median-of-3 per query: single-shot timings drifted 1.1-1.2x between
     # rounds with no code change (unfalsifiable noise). Run 1 includes
     # plan compilation + JIT for that query's operators; the median absorbs
@@ -133,6 +149,37 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # MinHash build/query split (round 8): one cold index build, then warm
+    # queries probing the materialized parquet index — the number that shows
+    # repeated near-dup calls no longer re-pay the tokenize+hash pass (the
+    # honest r07 cost of fixing the cache leak). Kept OUT of `queries`/
+    # `value` so headline totals stay comparable to r06/r07.
+    from sydradb_spark.pipeline.dedup import (
+        minhash_query_index,
+        minhash_read_index,
+        minhash_write_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_mh_idx_")
+    index_split: dict = {}
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        minhash_write_index(docs, f"{idx_dir}/mh")
+        index_split["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+        sh_i, bands_i = minhash_read_index(spark, f"{idx_dir}/mh")
+        q_runs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            minhash_query_index(sh_i, bands_i, threshold=0.2).count()
+            q_runs.append(round(time.perf_counter() - t0, 3))
+        index_split["minhash_query_warm"] = sorted(q_runs)[len(q_runs) // 2]
+        index_split["minhash_query_runs"] = q_runs
+        index_split["minhash_cold_fused"] = timings.get("minhash_lsh_pairs")
+        print(f"# minhash index split: {index_split}", file=sys.stderr)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     # like-for-like subtotals for round-over-round comparison: the headline
     # set grew over rounds (corpus_curation + doc_chunking landed in r06),
@@ -157,6 +204,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_num,
                 "repeats": repeats,
+                "calibration": calibration,
+                "calibration_runs": calib_runs,
+                "index_split": index_split,
                 "detail": detail,
                 "comparable_to_prev": comparable,
             }

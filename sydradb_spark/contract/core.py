@@ -59,7 +59,12 @@ def _scan_selector_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (series_id resolved from the live table — the oracle cannot compute
     xxhash64, so this checks identity semantics, not hash parity), a
     WHERE-clause tag filter, and a Prometheus-style qualified FROM selector
-    ``name{k='v'}`` (registry-implied, never parsed in the reference)."""
+    ``name{k='v'}`` (registry-implied, never parsed in the reference).
+    Round-8 consolidation: the former `limit_offset_variants` entry (§2.6
+    items 34/36 — explicit ORDER BY + LIMIT/OFFSET, and the implicit
+    ascending-time order deciding a LIMIT with `time` unprojected) rides
+    the same (path, time, value) shape as two more labeled paths, freeing
+    a catalog slot for `bm25_retrieval`."""
     pts = events_points(spark, sf_dir)
     sid = (
         pts.where(
@@ -90,16 +95,35 @@ def _scan_selector_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"where time >= {T0} and time < {D7} and tag.host =~ 'h[02]' "
         f"and tag.dc !~ '0$'"
     ).df
+    e = eng.query(
+        f"select time, value from events.click where time >= {T0} and time < {T1} "
+        f"order by time, value limit 50 offset 10"
+    ).df
+    # implicit ascending-time order deciding a LIMIT with `time` unprojected
+    # (sydraql-design.md:135) — hidden sort keys must survive the projection
+    f = eng.query(
+        f"select value from events.error where time >= {T0} and time < {T1} limit 30"
+    ).df
     return (
         a.select(F.lit("by_id").alias("path"), "time", "value")
         .unionByName(b.select(F.lit("tag_where").alias("path"), "time", "value"))
         .unionByName(c.select(F.lit("tag_selector").alias("path"), "time", "value"))
         .unionByName(d.select(F.lit("regex").alias("path"), "time", "value"))
+        .unionByName(
+            e.select(F.lit("limit_explicit").alias("path"), "time", "value")
+        )
+        .unionByName(
+            f.select(
+                F.lit("limit_implicit").alias("path"),
+                F.lit(None).cast("long").alias("time"),
+                "value",
+            )
+        )
     )
 
 
 _q(
-    "scan_selector_paths",
+    "scan_limit_paths",
     _scan_selector_paths,
     oracle(
         f"""SELECT 'by_id' AS path, ts AS time, value FROM points
@@ -115,7 +139,15 @@ SELECT 'tag_selector', ts, value FROM points
 UNION ALL
 SELECT 'regex', ts, value FROM points
   WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7}
-    AND regexp_matches(host, 'h[02]') AND NOT regexp_matches(dc, '0$')"""
+    AND regexp_matches(host, 'h[02]') AND NOT regexp_matches(dc, '0$')
+UNION ALL
+SELECT 'limit_explicit', time, value FROM (
+  SELECT ts AS time, value FROM points WHERE series = 'events.click'
+    AND ts >= {T0} AND ts < {T1} ORDER BY ts, value LIMIT 50 OFFSET 10)
+UNION ALL
+SELECT 'limit_implicit', CAST(NULL AS BIGINT), value FROM (
+  SELECT value FROM points WHERE series = 'events.error'
+    AND ts >= {T0} AND ts < {T1} ORDER BY ts, value LIMIT 30)"""
     ),
 )
 
@@ -226,41 +258,9 @@ FROM i GROUP BY series, sid"""
 
 
 # --- §2.6 sorts / limits ------------------------------------------------------
-def _limit_offset_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ORDER BY + LIMIT/OFFSET, and the implicit ascending-time
-    order (sydraql-design.md:135) deciding a LIMIT with `time` unprojected —
-    hidden sort keys must survive the projection."""
-    eng = SydraQLEngine(spark, events_points(spark, sf_dir))
-    a = eng.query(
-        f"select time, value from events.click where time >= {T0} and time < {T1} "
-        f"order by time, value limit 50 offset 10"
-    ).df
-    b = eng.query(
-        f"select value from events.error where time >= {T0} and time < {T1} limit 30"
-    ).df
-    return a.select(F.lit("explicit").alias("variant"), "time", "value").unionByName(
-        b.select(
-            F.lit("implicit").alias("variant"),
-            F.lit(None).cast("long").alias("time"),
-            "value",
-        )
-    )
-
-
-_q(
-    "limit_offset_variants",
-    _limit_offset_variants,
-    oracle(
-        f"""SELECT 'explicit' AS variant, time, value FROM (
-  SELECT ts AS time, value FROM points WHERE series = 'events.click'
-    AND ts >= {T0} AND ts < {T1} ORDER BY ts, value LIMIT 50 OFFSET 10)
-UNION ALL
-SELECT 'implicit', CAST(NULL AS BIGINT), value FROM (
-  SELECT value FROM points WHERE series = 'events.error'
-    AND ts >= {T0} AND ts < {T1} ORDER BY ts, value LIMIT 30)"""
-    ),
-)
-
+# (the former `limit_offset_variants` entry is folded into `scan_limit_paths`
+# above — round-8 consolidation to free a slot for `bm25_retrieval`; top-k
+# fusion keeps its own headline entry below)
 _q(
     "topk_desc",
     ql(
@@ -293,23 +293,70 @@ _q(
     ),
 )
 
-_q(
-    "agg_first_last",
-    # first/last (min_by/max_by on ts) + exact percentile, grouped per exact
-    # series (host+dc) so min_by/max_by ties cannot occur
-    ql(
+# Round-8 consolidation (frees a slot for `semantic_dedup`): the former
+# `agg_first_last` (§2.4 items 23/24: first/last min_by/max_by on ts +
+# exact percentile, grouped per exact series so ties cannot occur) and
+# `agg_multi_key` (§2.4 item 27: multi-key tag grouping) entries are one
+# labeled union with null-padded columns — both sub-checks stay exact.
+def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SydraQLEngine(spark, events_points(spark, sf_dir))
+    a = eng.query(
         f"select tag.host as host, tag.dc as dc, time_bucket(86400, time) as bucket, "
         f"first(value) as first_v, last(value) as last_v, "
         f"{r6('percentile(value, 0.5)')} as p50, count() as n from events.purchase "
         f"where time >= {T0} and time < {T1} "
         f"group by tag.host, tag.dc, time_bucket(86400, time)"
-    ),
+    ).df
+    b = eng.query(
+        f"select tag.host as host, tag.dc as dc, count() as n, "
+        f"{r3('sum(value)')} as sum_v, {r6('avg(value)')} as avg_v from events.view "
+        f"where time >= {T0} and time < {T1} group by tag.host, tag.dc"
+    ).df
+    dnull = F.lit(None).cast("double")
+    return a.select(
+        F.lit("first_last").alias("variant"),
+        "host",
+        "dc",
+        "bucket",
+        "first_v",
+        "last_v",
+        "p50",
+        "n",
+        dnull.alias("sum_v"),
+        dnull.alias("avg_v"),
+    ).unionByName(
+        b.select(
+            F.lit("multi_key").alias("variant"),
+            "host",
+            "dc",
+            F.lit(None).cast("long").alias("bucket"),
+            dnull.alias("first_v"),
+            dnull.alias("last_v"),
+            dnull.alias("p50"),
+            "n",
+            "sum_v",
+            "avg_v",
+        )
+    )
+
+
+_q(
+    "agg_grouped_variants",
+    _agg_grouped_variants,
     oracle(
-        f"SELECT host, dc, (ts // 86400) * 86400 AS bucket, "
-        f"first(value ORDER BY ts, value) AS first_v, "
-        f"last(value ORDER BY ts, value) AS last_v, "
-        f"{r6('quantile_cont(value, 0.5)')} AS p50, count(*) AS n FROM points "
-        f"WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2, 3"
+        f"""SELECT 'first_last' AS variant, host, dc,
+       (ts // 86400) * 86400 AS bucket,
+       first(value ORDER BY ts, value) AS first_v,
+       last(value ORDER BY ts, value) AS last_v,
+       {r6('quantile_cont(value, 0.5)')} AS p50, count(*) AS n,
+       CAST(NULL AS DOUBLE) AS sum_v, CAST(NULL AS DOUBLE) AS avg_v
+  FROM points
+  WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {T1} GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'multi_key', host, dc, NULL, NULL, NULL, NULL,
+       count(*), {r3('sum(value)')}, {r6('avg(value)')}
+  FROM points
+  WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 2, 3"""
     ),
 )
 
@@ -359,20 +406,8 @@ SELECT (ts // 86400) * 86400 AS bucket,
 FROM l GROUP BY 1""",
 )
 
-_q(
-    "agg_multi_key",
-    # multi-key tag grouping (the single-tag case is the same code path)
-    ql(
-        f"select tag.host as host, tag.dc as dc, count() as n, "
-        f"{r3('sum(value)')} as sum_v, {r6('avg(value)')} as avg_v from events.view "
-        f"where time >= {T0} and time < {T1} group by tag.host, tag.dc"
-    ),
-    oracle(
-        f"SELECT host, dc, count(*) AS n, {r3('sum(value)')} AS sum_v, "
-        f"{r6('avg(value)')} AS avg_v FROM points "
-        f"WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 1, 2"
-    ),
-)
+# (`agg_multi_key` folded into `agg_grouped_variants` above — round-8
+# consolidation to free a slot for `semantic_dedup`)
 
 
 def _bucket_group_variants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -581,6 +581,166 @@ SELECT 'simhash', a, b, score FROM ({_SIMHASH_PAIRS_SELECT})""",
 )
 
 
+# --- BM25 full-text retrieval ---------------------------------------------
+# Fixed ASCII query: Python str.split == the engine analyzer on plain
+# spaces, so the oracle's term literals are exact by construction. The
+# entry checks the WHOLE scoring surface (index build, corpus stats, df/
+# idf, per-doc score) for every hit doc, plus a deterministic ranking by
+# the r6-STABILIZED score (raw-score ranking could flip across engines on
+# a sub-ulp tie at the boundary; rounded-score + doc_id cannot).
+_BM25_QUERY = "the data model and system"
+
+
+def _bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sydradb_spark.pipeline import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = retrieval.bm25_index(docs)
+    n, avgdl = retrieval.bm25_corpus_stats(idx)
+    scores = retrieval.bm25_scores(idx, _BM25_QUERY, n_docs=n, avgdl=avgdl)
+    s6 = scores.select("doc_id", _r6(F.col("score")).alias("score"))
+    # check-scale global ranking window (hundreds of hit rows at the
+    # driver's sf); production top-k goes through bm25_search's TakeOrdered
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return s6.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in sorted(set(_BM25_QUERY.split())))
+
+_q(
+    "bm25_retrieval",
+    _bm25_retrieval,
+    f"""WITH stripped AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g') AS t
+  FROM documents
+), btoks AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN []
+              ELSE regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+') END AS tk
+  FROM stripped
+), post AS (
+  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM btoks
+), tfreq AS (
+  SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY 1, 2, 3
+), bstats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM tfreq)
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tfreq
+  WHERE term IN ({_BM25_TERMS}) GROUP BY 1
+), bscored AS (
+  SELECT tfreq.doc_id,
+         sum(ln(1.0 + (bstats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * CAST(tfreq.tf AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tfreq.tf AS DOUBLE)
+                + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tfreq.dl AS DOUBLE) / bstats.avgdl))
+         ) AS score
+  FROM tfreq JOIN dfreq USING (term), bstats
+  GROUP BY 1
+)
+SELECT doc_id, {_O}score{_C} AS score,
+       CAST(row_number() OVER (ORDER BY {_O}score{_C} DESC, doc_id ASC) AS INTEGER) AS rank
+FROM bscored""",
+)
+
+
+# --- SemDeDup semantic dedup -----------------------------------------------
+# Same literal-inlining scheme as the IVF entry: the sample-kmeans trainer
+# is not SQL-expressible, but it is deterministic (fixed first-N-by-id
+# sample, fixed iterations, float64 numpy), so the oracle retrains the
+# IDENTICAL centroids from the same parquet and inlines them — assignment,
+# within-cluster pairs, transitive-closure groups, and the farthest-from-
+# centroid keeper are then exactly checkable cross-engine.
+_SEM_THRESHOLD = 0.95
+_SEM_K = 8
+_SEM_SAMPLE = 256
+
+
+@functools.lru_cache(maxsize=8)
+def _sem_centroids_cached(sf_dir: str) -> tuple:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(_SEM_SAMPLE)
+    x = [[float(v) for v in e] for e in t["embedding"]]
+    return tuple(
+        tuple(c) for c in similarity.kmeans_fit_sample(x, k=_SEM_K)
+    )
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(
+        emb, threshold=_SEM_THRESHOLD, n_clusters=_SEM_K, sample_n=_SEM_SAMPLE
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        "group_id",
+        _r6(F.col("centroid_d2")).alias("centroid_d2"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = [list(c) for c in _sem_centroids_cached(sf_dir)]
+    assign = similarity.assign_cluster_sql("e", cents)
+    d2s = similarity.centroid_d2s_sql("e", cents)
+    cos = (
+        "list_sum([CAST(x.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE) "
+        "for i in generate_series(1, len(x.e))]) "
+        "/ (sqrt(list_sum([CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE) "
+        "for i in generate_series(1, len(x.e))])) "
+        "* sqrt(list_sum([CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE) "
+        "for i in generate_series(1, len(y.e))])))"
+    )
+    return f"""WITH RECURSIVE sd AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+sdt AS (
+  SELECT id, e, CAST({assign} AS INTEGER) AS cluster, list_min({d2s}) AS d2
+  FROM sd
+),
+sdp AS (
+  SELECT x.id AS a, y.id AS b
+  FROM sdt x JOIN sdt y ON x.cluster = y.cluster AND x.id < y.id
+  WHERE {cos} >= {_SEM_THRESHOLD}
+),
+sde AS (SELECT a, b FROM sdp UNION SELECT b, a FROM sdp),
+sdreach AS (
+  SELECT a AS src, b AS dst FROM sde
+  UNION
+  SELECT r.src, e2.b FROM sdreach r JOIN sde e2 ON r.dst = e2.a
+),
+sdall AS (
+  SELECT src, dst FROM sdreach
+  UNION
+  SELECT DISTINCT a, a FROM sde
+),
+sdg AS (SELECT src AS id, min(dst) AS grp FROM sdall GROUP BY 1),
+sdl AS (
+  SELECT t.id, t.cluster, coalesce(g.grp, t.id) AS group_id, t.d2
+  FROM sdt t LEFT JOIN sdg g USING (id)
+),
+sdr AS (
+  SELECT id, cluster, group_id, d2,
+         row_number() OVER (PARTITION BY group_id ORDER BY d2 DESC, id ASC) AS rn
+  FROM sdl
+)
+SELECT id AS vec_id, cluster, group_id, {_O}d2{_C} AS centroid_d2,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM sdr"""
+
+
+_q("semantic_dedup", _semantic_dedup, _semantic_dedup_oracle)
+
+
 _IVF_K = 8
 _IVF_NPROBE = 2
 _IVF_TOPK = 5

@@ -328,6 +328,59 @@ def minhash_near_dups(
     return out
 
 
+def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the MinHash/LSH near-dup index ONCE to parquet so
+    repeated near-dup queries skip the tokenize+hash pass entirely —
+    the build/query split that recovers r06's warm-call latency WITHOUT
+    r06's cross-call cache leak (the r07 fix released the in-call cache
+    and honestly re-paid the shingle pass per call; this makes the warm
+    path a parquet re-read instead):
+
+    - ``{path}/shingles`` — (doc_id, sh), the exact-Jaccard verify input
+    - ``{path}/bands`` — (doc_id, band, sig), the LSH candidate input
+
+    Both tables are doc-local (each row derives from its own document
+    alone, like BM25 postings), so append-only maintenance is EXACT:
+    writing a new batch's index with mode='append' equals a full rebuild
+    row for row (pinned in tests). The shingle table is persisted only
+    across the two writes and released in-call."""
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sh.write.mode("overwrite").parquet(f"{path}/shingles")
+        minhash_band_signatures(sh).write.mode("overwrite").parquet(f"{path}/bands")
+    finally:
+        sh.unpersist()
+
+
+def minhash_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands) frames of a ``minhash_write_index`` layout."""
+    return (
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/bands"),
+    )
+
+
+def minhash_query_index(
+    shingles: DataFrame, bands: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard ≥ threshold) from a materialized
+    index — the warm path of the build/query split. Same candidate → verify
+    chain as ``minhash_near_dups``, but the two shingle-table traversals
+    are columnar parquet re-reads (OS-page-cached on repeats), not
+    recomputes of the tokenize+hash chain, so no corpus-sized persist is
+    needed at all; only the small candidate pair set is persisted for its
+    two verify probes and released in-call."""
+    from pyspark import StorageLevel
+
+    pairs = lsh_candidate_pairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    out = jaccard_for_pairs(pairs, shingles).where(F.col("jaccard") >= threshold)
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
 # --- SimHash ------------------------------------------------------------------
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct whitespace tokens.

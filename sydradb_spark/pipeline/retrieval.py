@@ -31,6 +31,12 @@ from pyspark.sql import functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Fixed modulus for the term-hash partition layout. FIXED on purpose: the
+# query side recomputes each query term's bucket with the same expression,
+# so writer and reader must agree without carrying metadata — changing it
+# means rebuilding written indexes.
+BM25_TERM_BUCKETS = 64
+
 
 def _terms(text: Column) -> Column:
     """Lowercased whitespace terms; empty/whitespace-only text → empty array.
@@ -88,6 +94,29 @@ def bm25_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
 
 
+def term_bucket(term: Column) -> Column:
+    """Term-hash partition key: pmod(xxhash64(term), BM25_TERM_BUCKETS)."""
+    return F.pmod(F.xxhash64(term), F.lit(BM25_TERM_BUCKETS)).cast("int")
+
+
+def bm25_write_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """Write the postings TERM-HASH-PARTITIONED — the default written
+    layout at scale: ``{path}/tb=<bucket>/part-*.parquet``. A search then
+    reads only its query terms' buckets (directory-level partition
+    pruning does the inverted-index seek; ``bm25_scores`` adds the bucket
+    filter automatically when it sees the ``tb`` column). Postings are
+    doc-local, so append-only maintenance (``bm25_index(new).withColumn(
+    'tb', term_bucket(...)).write.mode('append')``) stays exact."""
+    idx = bm25_index(docs, text_col).withColumn("tb", term_bucket(F.col("term")))
+    idx.write.mode("overwrite").partitionBy("tb").parquet(path)
+
+
+def bm25_read_index(spark, path: str) -> DataFrame:
+    """Read a ``bm25_write_index`` layout (carries the ``tb`` partition
+    column that activates pruning in ``bm25_scores``)."""
+    return spark.read.parquet(path)
+
+
 def bm25_corpus_stats(index: DataFrame) -> tuple[int, float]:
     """(N docs, average doc length) from a postings frame — one aggregate.
 
@@ -130,6 +159,23 @@ def bm25_scores(
     if n_docs is None or avgdl is None:
         n_docs, avgdl = bm25_corpus_stats(index)
     hits = index.where(F.col("term").isin([t for t, _ in qtf]))
+    if "tb" in index.columns:
+        # term-hash-partitioned layout: add the bucket filter so the scan
+        # prunes to ≤ |query| partitions (the term isin alone is only a
+        # row-group filter; the tb isin is a directory-level prune). The
+        # buckets are computed with the ENGINE's xxhash64 over a one-row
+        # local relation — same parity rationale as query_terms.
+        bks = sorted(
+            {
+                r["b"]
+                for r in index.sparkSession.createDataFrame(
+                    [(t,) for t, _ in qtf], "term string"
+                )
+                .select(term_bucket(F.col("term")).alias("b"))
+                .collect()
+            }
+        )
+        hits = hits.where(F.col("tb").isin(bks))
     dfreq = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = F.log(
         1.0

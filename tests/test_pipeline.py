@@ -2112,6 +2112,42 @@ def test_semantic_dedup_semdedup(spark):
     assert allkept.where(~F.col("keep")).count() == 0
 
 
+def test_minhash_index_split_matches_fused(spark, tmp_path):
+    """The build/query split must answer EXACTLY what the fused
+    minhash_near_dups answers, and append-only maintenance must equal a
+    full rebuild (shingle/band rows are doc-local, like BM25 postings)."""
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fused = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in dedup.minhash_near_dups(docs, threshold=0.2).collect()
+    }
+    path = str(tmp_path / "mh_idx")
+    dedup.minhash_write_index(docs, path)
+    sh, bands = dedup.minhash_read_index(spark, path)
+    split = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in dedup.minhash_query_index(sh, bands, threshold=0.2).collect()
+    }
+    assert split == fused and len(fused) > 0
+
+    # append-only maintenance: index(b1) ++ index(b2) == index(all)
+    p2 = str(tmp_path / "mh_idx_inc")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    dedup.minhash_write_index(b1, p2)
+    sh2 = dedup.shingle_table(b2)
+    sh2.write.mode("append").parquet(f"{p2}/shingles")
+    dedup.minhash_band_signatures(sh2).write.mode("append").parquet(f"{p2}/bands")
+    shi, bai = dedup.minhash_read_index(spark, p2)
+    inc = {
+        (r["a"], r["b"]): round(r["jaccard"], 9)
+        for r in dedup.minhash_query_index(shi, bai, threshold=0.2).collect()
+    }
+    assert inc == fused
+
+
 def test_semantic_dedup_string_ids(spark):
     """The keeper tie-break must work for ANY orderable id type (the
     pre-r08 (-id) trick silently required numeric ids): exact-duplicate
@@ -2302,6 +2338,38 @@ def test_bm25_postings_filter_pushdown(spark, tmp_path):
     n, avgdl = retrieval.bm25_corpus_stats(idx)
     plan = retrieval.bm25_search(idx, "data system", k=5, n_docs=n, avgdl=avgdl)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan[:2000]
+
+
+def test_bm25_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """bm25_write_index's term-hash layout: a search must read ONLY the
+    query terms' partitions (PartitionFilters on tb — directory-level
+    prune, the inverted-index seek) and return exactly what the
+    unpartitioned index returns."""
+    from sydradb_spark.pipeline import retrieval
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    flat_idx = retrieval.bm25_index(docs)
+    n, avgdl = retrieval.bm25_corpus_stats(flat_idx)
+
+    path = str(tmp_path / "bm25_part")
+    retrieval.bm25_write_index(docs, path)
+    pidx = retrieval.bm25_read_index(spark, path)
+    assert "tb" in pidx.columns
+
+    query = "data system model"
+    plain = retrieval.bm25_search(flat_idx, query, k=10, n_docs=n, avgdl=avgdl)
+    part = retrieval.bm25_search(pidx, query, k=10, n_docs=n, avgdl=avgdl)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in plain.collect()] == [
+        (r["doc_id"], round(r["score"], 9)) for r in part.collect()
+    ]
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], plan[:2000]
+    # the data filter still reaches the row groups too
+    assert "In(term" in plan
+    # stats agree across layouts (tb is a partition column, not a posting)
+    n2, avgdl2 = retrieval.bm25_corpus_stats(pidx)
+    assert (n, avgdl) == (n2, avgdl2)
 
 
 def test_bm25_tokenizer_edge_cases(spark):
