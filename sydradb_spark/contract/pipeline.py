@@ -231,6 +231,11 @@ _BAND_SIG_CASE = "CASE band " + " ".join(
     for b in range(dedup.NUM_BANDS)
 ) + " END"
 
+# The bhot/bands pair replays the engine's `drop_hot_keys(band_sigs,
+# ["band","sig"], LSH_MAX_BUCKET)` guard exactly: a (band, sig) bucket
+# holding more than LSH_MAX_BUCKET docs (boilerplate collapse) contributes
+# no candidate pairs on either engine.  A no-op on uniform corpora; load-
+# bearing on the skew twin, where one doc family is sized past the guard.
 _MINHASH_CTES = f"""{_TOKS}, {_SHINGLES},
 basehash AS (
   SELECT doc_id, {_HASH.format("sh")} % {dedup.MINHASH_M} AS hm FROM sh
@@ -238,9 +243,17 @@ basehash AS (
 minh AS (
   SELECT doc_id, {_MINH_COLS} FROM basehash GROUP BY doc_id
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, band, {_BAND_SIG_CASE} AS sig
   FROM minh, unnest(generate_series(0, {dedup.NUM_BANDS - 1})) AS bb(band)
+),
+bhot AS (
+  SELECT band, sig FROM bands0 GROUP BY band, sig
+  HAVING count(*) > {dedup.LSH_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.doc_id, b.band, b.sig FROM bands0 b
+  ANTI JOIN bhot h ON b.band = h.band AND b.sig = h.sig
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -391,14 +404,39 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry — the late-round-6 consolidation that freed a slot for
     # `doc_chunking`; the signatures keep their own driver row.)
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.simhash_near_pairs(docs, max_hamming=3)
+    out = dedup.simhash_near_pairs(
+        docs, max_hamming=3, max_bucket=dedup.LSH_MAX_BUCKET
+    )
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
-_SIMHASH_PAIRS_SELECT = """SELECT a.doc_id AS a, b.doc_id AS b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS score
-FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+# Banded oracle twin mirroring the engine's pigeonhole join AND its
+# hot-bucket guard (`drop_hot_keys` on (band, bandval)): same 4×8-bit
+# bands, same `> LSH_MAX_BUCKET` drop, so a boilerplate family collapsing
+# onto one simhash is excluded identically on both engines.  `>>` is an
+# arithmetic shift on both engines, but `& mask` keeps only the low
+# band-width bits, so sign-extension cannot differ.
+_SIMHASH_BW = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+_SIMHASH_PAIRS_CTES = f"""sb0 AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {_SIMHASH_BW})) & {(1 << _SIMHASH_BW) - 1} AS bandval
+  FROM sim, unnest(generate_series(0, {dedup.SIMHASH_BANDS - 1})) AS bb(band)
+),
+sbhot AS (
+  SELECT band, bandval FROM sb0 GROUP BY 1, 2
+  HAVING count(*) > {dedup.LSH_MAX_BUCKET}
+),
+sbg AS (
+  SELECT s.doc_id, s.simhash, s.band, s.bandval FROM sb0 s
+  ANTI JOIN sbhot h ON s.band = h.band AND s.bandval = h.bandval
+),
+simpairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS ha, r.simhash AS hb
+  FROM sbg l JOIN sbg r
+    ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id
+)"""
+_SIMHASH_PAIRS_SELECT = """SELECT a, b, CAST(bit_count(xor(ha, hb)) AS DOUBLE) AS score
+FROM simpairs WHERE bit_count(xor(ha, hb)) <= 3"""
 
 
 def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,7 +568,9 @@ FROM documents GROUP BY 1""",
 
 def _embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_dups(emb, threshold=0.3)
+    out = dedup.embedding_near_dups(
+        emb, threshold=0.3, max_bucket=dedup.LSH_MAX_BUCKET
+    )
     return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 
@@ -559,13 +599,22 @@ _q(
     _near_dup_scores,
     f"""WITH {_NGRAM_TOPK_CTES},
 {_SIMHASH_SQL},
+{_SIMHASH_PAIRS_CTES},
 t AS (
   SELECT vec_id, embedding AS e FROM embeddings
 ), tb AS (
   SELECT vec_id, e, {similarity.sign_bucket_sql("e")} AS bucket FROM t
+), tbhot AS (
+  SELECT bucket FROM tb GROUP BY 1 HAVING count(*) > {dedup.LSH_MAX_BUCKET}
+), tbg AS (
+  -- replays drop_hot_keys(["bucket"], LSH_MAX_BUCKET); NULL buckets never
+  -- pair on either engine (equi-join), so the eqNullSafe difference on a
+  -- hypothetical >1000-NULL-bucket corpus cannot change this output
+  SELECT t.vec_id, t.e, t.bucket FROM tb t
+  ANTI JOIN tbhot h ON t.bucket = h.bucket
 ), cand AS (
   SELECT x.vec_id AS a, y.vec_id AS b, x.e AS ea, y.e AS eb
-  FROM tb x JOIN tb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  FROM tbg x JOIN tbg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 ), scored AS (
   SELECT a, b,
     list_sum([CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) for i in generate_series(1, len(ea))])
@@ -657,6 +706,9 @@ FROM bscored""",
 _SEM_THRESHOLD = 0.95
 _SEM_K = 8
 _SEM_SAMPLE = 256
+# oversized-cluster bypass, pinned to the same value engine- and oracle-side:
+# members of a cluster past this size skip pair generation (kept, not deduped)
+_SEM_MAXC = 100_000
 
 
 @functools.lru_cache(maxsize=8)
@@ -676,7 +728,11 @@ def _sem_centroids_cached(sf_dir: str) -> tuple:
 def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = dedup.semantic_dedup(
-        emb, threshold=_SEM_THRESHOLD, n_clusters=_SEM_K, sample_n=_SEM_SAMPLE
+        emb,
+        threshold=_SEM_THRESHOLD,
+        n_clusters=_SEM_K,
+        sample_n=_SEM_SAMPLE,
+        max_cluster=_SEM_MAXC,
     )
     return out.select(
         "vec_id",
@@ -707,9 +763,17 @@ sdt AS (
   SELECT id, e, CAST({assign} AS INTEGER) AS cluster, list_min({d2s}) AS d2
   FROM sd
 ),
+sdhot AS (
+  SELECT cluster FROM sdt GROUP BY 1 HAVING count(*) > {_SEM_MAXC}
+),
+sdc AS (
+  -- replays the engine's drop_hot_keys(["cluster"], max_cluster) bypass:
+  -- members of an oversized cluster generate no pairs (kept, not deduped)
+  SELECT t.id, t.e, t.cluster FROM sdt t ANTI JOIN sdhot h ON t.cluster = h.cluster
+),
 sdp AS (
   SELECT x.id AS a, y.id AS b
-  FROM sdt x JOIN sdt y ON x.cluster = y.cluster AND x.id < y.id
+  FROM sdc x JOIN sdc y ON x.cluster = y.cluster AND x.id < y.id
   WHERE {cos} >= {_SEM_THRESHOLD}
 ),
 sde AS (SELECT a, b FROM sdp UNION SELECT b, a FROM sdp),

@@ -35,6 +35,12 @@ SHINGLE_WORDS = 3
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 × 8 bits; finds all pairs with hamming <= SIMHASH_BANDS-1
 
+# Default hot-bucket guard threshold shared by the LSH family (minhash bands,
+# simhash bands, sign-LSH buckets): a bucket larger than this is boilerplate
+# collapse, and expanding it would cost ~bucket²/2 pairs.  Exposed as a module
+# constant so DuckDB oracle twins can replay the exact same drop.
+LSH_MAX_BUCKET = 1000
+
 
 from sydradb_spark.util import spread as _spread
 
@@ -184,7 +190,9 @@ def minhash_band_signatures(sh: DataFrame) -> DataFrame:
     return band_signatures(minhash_signatures(sh))
 
 
-def lsh_candidate_pairs(band_sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+def lsh_candidate_pairs(
+    band_sigs: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Distinct (a, b) a<b sharing ≥1 LSH bucket. ``max_bucket`` drops
     degenerate buckets (boilerplate collapse) up front — at scale a single
     1M-doc bucket would mean 10¹² candidate pairs.
