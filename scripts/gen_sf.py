@@ -33,6 +33,25 @@ Replication follows the driver's own observed sf0.01 -> sf0.1 scaling:
 Usage: python scripts/gen_sf.py [--base /root/testdata/sf0.1]
     [--out .scratch/sf1] [--factor 10]
 Deterministic — no RNG outside seeded numpy/crc32.
+
+``--skew`` (round 8) builds the Zipf-skew twin on top of the replicated
+tables — every scale twin so far was key-uniform, so the skew armor
+(drop_hot_keys, hot-bucket oracles, AQE splits, per-user caps) had only
+ever seen synthetic unit tests. Three injections, all deterministic:
+
+- events: ~30% of points remapped into ONE series (``events.click``),
+  ~40% of rows onto ONE host tag (h0, via user_id floored to %5==0),
+  and ~2% of all events onto ONE mega-user (7777777) — the degenerate
+  key every per-user window/groupBy has to survive.
+- documents: a boilerplate family of ``--skew-docs`` near-identical docs
+  (one common template, one word varies per doc) — >LSH_MAX_BUCKET, so
+  every banded dedup path (minhash/simhash/winnow) must take its
+  hot-bucket guard, and the DuckDB twins must replay the same drop.
+- embeddings: ``--skew-vecs`` near-copies of one vector — a degenerate
+  sign-LSH bucket and a SemDeDup near-clique in one k-means cell.
+
+TPC-H tables are left uniform: no catalog entry reads them (the gate's
+skew coverage lives entirely in events/documents/embeddings).
 """
 
 from __future__ import annotations
@@ -48,7 +67,7 @@ def _word_map(w: str, k: int) -> str:
     return f"{w}r{k}" if (zlib.crc32(f"{w}|{k}".encode()) & 1) else w
 
 
-def gen_documents(con, base: str, out: str, factor: int) -> None:
+def gen_documents(con, base: str, out: str, factor: int, skew_docs: int = 0) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -69,6 +88,25 @@ def gen_documents(con, base: str, out: str, factor: int) -> None:
             langs.append(lang)
             sources.append(source)
             n_chars.append(len(t))
+    if skew_docs:
+        # boilerplate family: one template (the lowest-id base doc), one
+        # word varied per member. Pairwise ≤2 words differ out of ~60, so
+        # 5-gram Jaccard ≈ 0.85 — every member is a near-dup of every
+        # other, and the family collapses into single (band, sig) LSH
+        # buckets of ~skew_docs members: the degenerate key the
+        # drop_hot_keys guard exists for. ids from 900M keep clear of
+        # every replica offset (k * 1e6).
+        template = (rows[0][1] or "").split(" ")
+        nw = max(1, len(template))
+        for i in range(skew_docs):
+            words = list(template)
+            words[(i * 7) % nw] = f"bpq{i}"
+            t = " ".join(words)
+            doc_ids.append(900_000_000 + i)
+            texts.append(t)
+            langs.append(rows[0][2])
+            sources.append("boilerplate")
+            n_chars.append(len(t))
     pq.write_table(
         pa.table(
             {
@@ -83,7 +121,7 @@ def gen_documents(con, base: str, out: str, factor: int) -> None:
     )
 
 
-def gen_embeddings(con, base: str, out: str, factor: int) -> None:
+def gen_embeddings(con, base: str, out: str, factor: int, skew_vecs: int = 0) -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -110,6 +148,21 @@ def gen_embeddings(con, base: str, out: str, factor: int) -> None:
             vec_ids.append(vec_id + k * 1_000_000)
             vecs.append(pert[i].tolist())
             labels.append(label)
+    if skew_vecs:
+        # hot cluster: near-copies of the lowest-id base vector (noise at
+        # 0.001*std keeps cosine ≥ 0.999 pairwise) — one degenerate
+        # sign-LSH bucket (> LSH_MAX_BUCKET ⇒ guard must fire, twin must
+        # replay) and one SemDeDup near-clique inside a single k-means
+        # cell. ids from 900M, clear of replica offsets.
+        rng = np.random.RandomState(4321)
+        hot = base_vecs[0]
+        noise = rng.normal(0.0, 0.001 * std, (skew_vecs, hot.shape[0])).astype(
+            np.float32
+        )
+        for i in range(skew_vecs):
+            vec_ids.append(900_000_000 + i)
+            vecs.append((hot + noise[i]).tolist())
+            labels.append(rows[0][2])
     pq.write_table(
         pa.table(
             {
@@ -127,6 +180,9 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=".scratch/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skew", action="store_true")
+    ap.add_argument("--skew-docs", type=int, default=10_000)
+    ap.add_argument("--skew-vecs", type=int, default=1_200)
     args = ap.parse_args()
     import duckdb
 
@@ -146,13 +202,49 @@ def main() -> None:
     # prime multi-hour shift (+13017 us so the microsecond layer is also
     # replica-unique), wrapped so the window and density are preserved
     shift = 9973 * 1_000_000 + 13_017
-    copy(
+    ev_sql = (
         f"SELECT e.event_id + r.k*1000000000 AS event_id, "
         f"make_timestamp({t0_us} + ((epoch_us(e.ts) - {t0_us}) + r.k*{shift}) % {w_us}) AS ts, "
         f"e.user_id + r.k*100000 AS user_id, e.event_type, e.value, e.props "
-        f"FROM '{base}/events.parquet' e, range({f}) r(k)",
-        "events",
+        f"FROM '{base}/events.parquet' e, range({f}) r(k)"
     )
+    if args.skew:
+        # Zipf-skew remaps over the replicated rows, each keyed by an
+        # independent hash of the (replica-unique) event_id so the three
+        # injections are uncorrelated and fully deterministic:
+        # - 12% of ALL rows become events.click => click holds ~30% of
+        #   points (12 + 88*0.2) — the hot series;
+        # - 25% of rows get user_id floored to %5==0 => host tag h0
+        #   carries ~40% of rows — the hot tag;
+        # - 2% of rows collapse onto ONE user (7777777, clear of every
+        #   replica offset) — the mega-user every per-user window must
+        #   survive. Mega-user wins over the tag remap where both hit.
+        ev_sql = (
+            "SELECT event_id, ts, "
+            "CASE WHEN hash(event_id + 2) % 100 < 2 THEN 7777777 "
+            "     WHEN hash(event_id + 1) % 100 < 25 THEN user_id - (user_id % 5) "
+            "     ELSE user_id END AS user_id, "
+            "CASE WHEN hash(event_id) % 100 < 12 THEN 'click' "
+            "     ELSE event_type END AS event_type, "
+            f"value, props FROM ({ev_sql})"
+        )
+    copy(ev_sql, "events")
+    if args.skew:
+        hot = con.sql(
+            f"""SELECT event_type, count(*)::DOUBLE / sum(count(*)) OVER () AS share
+                 FROM '{out}/events.parquet' GROUP BY 1 ORDER BY 2 DESC"""
+        ).fetchall()
+        mega = con.sql(
+            f"SELECT count(*) FROM '{out}/events.parquet' WHERE user_id = 7777777"
+        ).fetchone()[0]
+        h0 = con.sql(
+            f"""SELECT count(*) FILTER (user_id % 5 = 0)::DOUBLE / count(*)
+                 FROM '{out}/events.parquet'"""
+        ).fetchone()[0]
+        print(
+            f"skew: top series {hot[0][0]} {hot[0][1]:.1%}, host h0 {h0:.1%}, "
+            f"mega-user events {mega}"
+        )
     ties = con.sql(
         f"""SELECT count(*) FROM (
               SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
@@ -215,9 +307,9 @@ def main() -> None:
     )
     copy(f"SELECT * FROM '{base}/nation.parquet'", "nation")
     copy(f"SELECT * FROM '{base}/region.parquet'", "region")
-    gen_documents(con, base, out, f)
+    gen_documents(con, base, out, f, args.skew_docs if args.skew else 0)
     print("documents: done")
-    gen_embeddings(con, base, out, f)
+    gen_embeddings(con, base, out, f, args.skew_vecs if args.skew else 0)
     print("embeddings: done")
 
 

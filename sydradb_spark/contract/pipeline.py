@@ -743,6 +743,62 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _sem_groups_cached(sf_dir: str) -> tuple:
+    """Independent numpy oracle for the GROUP structure: cluster-assign
+    every vector against the shared centroid literals, replay the
+    oversized-cluster bypass, enumerate within-cluster cosine>=t pairs as
+    a float64 matrix product per cluster, and union-find them into
+    components. Returns ((id, min-id-of-component), ...) for ids in
+    non-trivial components only.
+
+    Why not SQL: the former recursive-CTE transitive closure enumerates
+    reach PAIRS — O(component²) rows with an O(component³)-ish join
+    schedule — which the round-8 Zipf-skew twin's 1200-member near-clique
+    (720k edges) drove to 357 s for a 3200-vector corpus, and which can
+    never certify the third decade. Components themselves are the O(n)
+    object; computing them with an independent union-find and inlining
+    them as literals follows the entry's existing centroid-literal scheme
+    (kmeans is not SQL-expressible either) and keeps every other column —
+    assignment, d2, keeper choice — exactly checkable in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = t["vec_id"].to_numpy()
+    x = np.array([[float(v) for v in e] for e in t["embedding"]], dtype=np.float64)
+    cents = np.array(_sem_centroids_cached(sf_dir), dtype=np.float64)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for c in range(cents.shape[0]):
+        members = np.nonzero(cluster == c)[0]
+        if len(members) < 2 or len(members) > _SEM_MAXC:
+            continue  # oversized cluster: bypass (kept, not deduped)
+        v = x[members]
+        norms = np.sqrt((v * v).sum(axis=1))
+        cos = (v @ v.T) / np.outer(norms, norms)
+        ai, bi = np.nonzero(np.triu(cos >= _SEM_THRESHOLD, k=1))
+        for p, q in zip(members[ai], members[bi]):
+            union(int(ids[p]), int(ids[q]))
+    groups = sorted((i, find(i)) for i in parent)
+    return tuple(groups)
+
+
 def _semantic_dedup_oracle() -> str:
     import os
 
@@ -750,44 +806,19 @@ def _semantic_dedup_oracle() -> str:
     cents = [list(c) for c in _sem_centroids_cached(sf_dir)]
     assign = similarity.assign_cluster_sql("e", cents)
     d2s = similarity.centroid_d2s_sql("e", cents)
-    cos = (
-        "list_sum([CAST(x.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE) "
-        "for i in generate_series(1, len(x.e))]) "
-        "/ (sqrt(list_sum([CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE) "
-        "for i in generate_series(1, len(x.e))])) "
-        "* sqrt(list_sum([CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE) "
-        "for i in generate_series(1, len(y.e))])))"
-    )
-    return f"""WITH RECURSIVE sd AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    groups = _sem_groups_cached(sf_dir)
+    if groups:
+        sdg = "(VALUES " + ", ".join(f"({i}, {g})" for i, g in groups) + ") g(id, grp)"
+    else:
+        sdg = "(SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS grp WHERE 1=0) g"
+    return f"""WITH sd AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
 sdt AS (
   SELECT id, e, CAST({assign} AS INTEGER) AS cluster, list_min({d2s}) AS d2
   FROM sd
 ),
-sdhot AS (
-  SELECT cluster FROM sdt GROUP BY 1 HAVING count(*) > {_SEM_MAXC}
-),
-sdc AS (
-  -- replays the engine's drop_hot_keys(["cluster"], max_cluster) bypass:
-  -- members of an oversized cluster generate no pairs (kept, not deduped)
-  SELECT t.id, t.e, t.cluster FROM sdt t ANTI JOIN sdhot h ON t.cluster = h.cluster
-),
-sdp AS (
-  SELECT x.id AS a, y.id AS b
-  FROM sdc x JOIN sdc y ON x.cluster = y.cluster AND x.id < y.id
-  WHERE {cos} >= {_SEM_THRESHOLD}
-),
-sde AS (SELECT a, b FROM sdp UNION SELECT b, a FROM sdp),
-sdreach AS (
-  SELECT a AS src, b AS dst FROM sde
-  UNION
-  SELECT r.src, e2.b FROM sdreach r JOIN sde e2 ON r.dst = e2.a
-),
-sdall AS (
-  SELECT src, dst FROM sdreach
-  UNION
-  SELECT DISTINCT a, a FROM sde
-),
-sdg AS (SELECT src AS id, min(dst) AS grp FROM sdall GROUP BY 1),
+-- group structure from the independent numpy union-find oracle (inlined
+-- literals, same scheme as the centroids — see _sem_groups_cached)
+sdg AS (SELECT id, grp FROM {sdg}),
 sdl AS (
   SELECT t.id, t.cluster, coalesce(g.grp, t.id) AS group_id, t.d2
   FROM sdt t LEFT JOIN sdg g USING (id)

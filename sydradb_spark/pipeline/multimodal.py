@@ -414,6 +414,12 @@ def _split_frames(payload: bytes) -> list[bytes] | None:
     production build swaps in PyAV/ffmpeg for true containers; frame
     iteration, sampling, and the Spark-side schema stay identical."""
     data = bytes(payload or b"")
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # real MP4/ISO-BMFF demux: moov sample-table walk (stsz/stsc/
+        # stco/stss) — each frame is one stored video access unit
+        mp4 = _mp4_video_samples(data)
+        if mp4 is not None:
+            return mp4[0]
     if data.startswith(_PNG_SIG):
         frames = []
         pos = 0
@@ -527,17 +533,174 @@ def _jpeg_frame_end(data: bytes, start: int) -> int | None:
     return None
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    data[start:end]. Handles size==1 (64-bit largesize) and size==0
+    (box runs to the end of the enclosing container). Stops iterating on
+    any structural anomaly (bogus size, truncation) — callers treat an
+    incomplete walk as 'box not found' and fall back."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return  # bogus declared size / truncation
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """Walk a box path (e.g. [b'moov', b'trak']) and yield the (start, end)
+    body ranges of every box matching the FINAL path element."""
+    if not path:
+        return
+    for typ, b0, b1 in _mp4_boxes(data, start, end):
+        if typ != path[0]:
+            continue
+        if len(path) == 1:
+            yield b0, b1
+        else:
+            yield from _mp4_find(data, b0, b1, path[1:])
+
+
+def _mp4_video_samples(data: bytes) -> tuple[list[bytes], list[bool]] | None:
+    """Demux an MP4/ISO-BMFF payload into its video-track samples by
+    walking the moov sample tables — the same walk PyAV/ffmpeg's demux
+    layer does, built from the public ISO 14496-12 box layout (no codec
+    decode: each returned sample is one access unit exactly as stored in
+    mdat, which is what a demuxer yields). Per track:
+
+    - ``hdlr`` selects the video track (handler 'vide');
+    - ``stsz`` gives per-sample sizes (or one uniform size);
+    - ``stsc`` maps samples onto chunks (first_chunk, samples_per_chunk
+      runs, 1-based, last run extends to the final chunk);
+    - ``stco``/``co64`` give absolute chunk byte offsets; samples within
+      a chunk are contiguous;
+    - ``stss`` lists 1-based sync (key) samples; an ABSENT stss means
+      every sample is a keyframe (ISO 14496-12 §8.6.2).
+
+    Returns (samples, is_sync) or None on any structural anomaly
+    (missing boxes, offsets past the payload, inconsistent counts) — the
+    caller falls back to the byte-slice fake, never a partial split."""
+    n = len(data)
+    if n < 12 or data[4:8] != b"ftyp":
+        return None
+    moovs = list(_mp4_find(data, 0, n, [b"moov"]))
+    if not moovs:
+        return None
+    for t0, t1 in _mp4_find(data, moovs[0][0], moovs[0][1], [b"trak"]):
+        mdias = list(_mp4_find(data, t0, t1, [b"mdia"]))
+        if not mdias:
+            continue
+        hdlrs = list(_mp4_find(data, mdias[0][0], mdias[0][1], [b"hdlr"]))
+        # hdlr body: version/flags(4) pre_defined(4) handler_type(4)
+        if not hdlrs or data[hdlrs[0][0] + 8 : hdlrs[0][0] + 12] != b"vide":
+            continue
+        stbls = list(
+            _mp4_find(data, mdias[0][0], mdias[0][1], [b"minf", b"stbl"])
+        )
+        if not stbls:
+            return None
+        s0, s1 = stbls[0]
+
+        def table(name: bytes):
+            found = list(_mp4_find(data, s0, s1, [name]))
+            return found[0] if found else None
+
+        stsz, stsc, stss = table(b"stsz"), table(b"stsc"), table(b"stss")
+        stco = table(b"stco") or table(b"co64")
+        wide = table(b"stco") is None
+        if stsz is None or stsc is None or stco is None:
+            return None
+        # stsz: version/flags(4) sample_size(4) sample_count(4) [sizes]
+        uniform = int.from_bytes(data[stsz[0] + 4 : stsz[0] + 8], "big")
+        count = int.from_bytes(data[stsz[0] + 8 : stsz[0] + 12], "big")
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            if stsz[0] + 12 + 4 * count > stsz[1]:
+                return None
+            sizes = [
+                int.from_bytes(data[stsz[0] + 12 + 4 * i : stsz[0] + 16 + 4 * i], "big")
+                for i in range(count)
+            ]
+        # stco/co64: version/flags(4) entry_count(4) [offsets]
+        w = 8 if wide else 4
+        nch = int.from_bytes(data[stco[0] + 4 : stco[0] + 8], "big")
+        if stco[0] + 8 + w * nch > stco[1]:
+            return None
+        chunk_offs = [
+            int.from_bytes(data[stco[0] + 8 + w * i : stco[0] + 8 + w * (i + 1)], "big")
+            for i in range(nch)
+        ]
+        # stsc: version/flags(4) entry_count(4) [first_chunk, spc, sdi]
+        nsc = int.from_bytes(data[stsc[0] + 4 : stsc[0] + 8], "big")
+        if stsc[0] + 8 + 12 * nsc > stsc[1] or nsc == 0:
+            return None
+        runs = [
+            (
+                int.from_bytes(data[stsc[0] + 8 + 12 * i : stsc[0] + 12 + 12 * i], "big"),
+                int.from_bytes(data[stsc[0] + 12 + 12 * i : stsc[0] + 16 + 12 * i], "big"),
+            )
+            for i in range(nsc)
+        ]
+        # expand sample → absolute offset: chunks are 1-based; each stsc
+        # run covers [first_chunk, next run's first_chunk)
+        samples: list[bytes] = []
+        si = 0
+        for ri, (first, spc) in enumerate(runs):
+            last = runs[ri + 1][0] - 1 if ri + 1 < nsc else nch
+            for ch in range(first, last + 1):
+                if ch < 1 or ch > nch:
+                    return None
+                off = chunk_offs[ch - 1]
+                for _ in range(spc):
+                    if si >= count:
+                        break
+                    sz = sizes[si]
+                    if off + sz > n:
+                        return None
+                    samples.append(data[off : off + sz])
+                    off += sz
+                    si += 1
+        if si != count:
+            return None
+        if stss is None:
+            sync = [True] * count
+        else:
+            nss = int.from_bytes(data[stss[0] + 4 : stss[0] + 8], "big")
+            if stss[0] + 8 + 4 * nss > stss[1]:
+                return None
+            marks = {
+                int.from_bytes(data[stss[0] + 8 + 4 * i : stss[0] + 12 + 4 * i], "big")
+                for i in range(nss)
+            }
+            sync = [(i + 1) in marks for i in range(count)]
+        return samples, sync
+    return None
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video payloads: emits (media_id, frame_idx,
     frame_payload) rows for every ``every_n``-th frame, ``frame_idx`` the
     frame's index in the original stream.
 
-    Concatenated-PNG and MJPEG (concatenated-JPEG) streams get a REAL
-    split — each emitted frame is a complete, individually decodable
-    image. Opaque payloads fall back to the deterministic byte-slice fake
-    so the plumbing stays pinned without a demuxer library in the
-    container (a production build swaps PyAV/ffmpeg into
-    ``_split_frames``). Raises NotImplementedError for non-video kinds.
+    MP4/ISO-BMFF containers get a REAL demux (moov sample-table walk,
+    ``_mp4_video_samples``) — each emitted frame is one stored video
+    access unit. Concatenated-PNG and MJPEG (concatenated-JPEG) streams
+    get a REAL split — each emitted frame is a complete, individually
+    decodable image. Other opaque payloads fall back to the
+    deterministic byte-slice fake so the plumbing stays pinned without a
+    codec library in the container. Raises NotImplementedError for
+    non-video kinds.
     """
     schema = StructType(
         [
@@ -567,6 +730,58 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                         rows.append(
                             (r["media_id"], i, payload[i * step : (i + 1) * step])
                         )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def extract_keyframes(media: DataFrame) -> DataFrame:
+    """Keyframe extraction for video payloads: emits (media_id,
+    frame_idx, frame_payload) for every SYNC sample only.
+
+    MP4/ISO-BMFF: real — the stss sync-sample table marks the keyframes
+    (absent stss ⇒ every sample is sync, ISO 14496-12 §8.6.2), and each
+    emitted payload is the stored access unit from mdat. Concatenated
+    PNG/MJPEG streams: every frame is intra-coded, so every frame is a
+    keyframe. Opaque payloads that no walker recognizes yield NO rows —
+    a keyframe of an undemuxable container is not fakeable, and silently
+    emitting byte slices here would poison a downstream dedup/caption
+    stage (sample_video_frames keeps the labeled byte-slice fake for
+    plumbing tests; this operator is the honest subset).
+
+    100-TB shape: mapInPandas over Arrow batches, one pass per payload,
+    output bounded by the true keyframe count; no shuffle.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_payload", BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video":
+                    raise NotImplementedError(
+                        f"keyframe extraction for kind={r['kind']!r} requires a real demuxer"
+                    )
+                data = bytes(r["payload"] or b"")
+                if len(data) >= 12 and data[4:8] == b"ftyp":
+                    mp4 = _mp4_video_samples(data)
+                    if mp4 is not None:
+                        samples, sync = mp4
+                        for i, (s, k) in enumerate(zip(samples, sync)):
+                            if k:
+                                rows.append((r["media_id"], i, s))
+                        continue
+                frames = _split_frames(data)
+                if frames is not None:  # PNG/MJPEG: all frames intra
+                    for i, fr in enumerate(frames):
+                        rows.append((r["media_id"], i, fr))
+                # else: opaque — no honest keyframes to emit
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
     return media.mapInPandas(run, schema=schema)

@@ -417,6 +417,123 @@ def test_png_split_signature_inside_idat():
     assert multimodal._split_frames(plain + b"tail") == [plain + b"tail"]
 
 
+def _box(typ: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:  # size==1 + 64-bit largesize encoding
+        return (1).to_bytes(4, "big") + typ + (16 + len(body)).to_bytes(8, "big") + body
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def _build_mp4(samples, sync_1based, large_mdat=False, co64=False, uniform=None):
+    """Minimal ISO-BMFF file: ftyp + mdat(2 chunks of 3 samples, junk gap
+    between chunks so offsets are honored, not inferred) + moov with an
+    audio trak FIRST (selection must skip it) and the video trak's full
+    stbl. Returns (file_bytes, expected_samples)."""
+    b4 = lambda v: v.to_bytes(4, "big")  # noqa: E731
+    ftyp = _box(b"ftyp", b"isom" + b4(0) + b"isom")
+    half = len(samples) // 2
+    c1, gap, c2 = b"".join(samples[:half]), b"JUNK", b"".join(samples[half:])
+    mdat_hdr = 16 if large_mdat else 8
+    off1 = len(ftyp) + mdat_hdr
+    off2 = off1 + len(c1) + len(gap)
+    mdat = _box(b"mdat", c1 + gap + c2, large=large_mdat)
+    full = b4(0)  # version+flags
+    hdlr_v = _box(b"hdlr", full + b4(0) + b"vide" + bytes(12) + b"v\x00")
+    hdlr_a = _box(b"hdlr", full + b4(0) + b"soun" + bytes(12) + b"s\x00")
+    stsd = _box(b"stsd", full + b4(1) + _box(b"mp4v", bytes(16)))
+    stts = _box(b"stts", full + b4(1) + b4(len(samples)) + b4(100))
+    stsc = _box(b"stsc", full + b4(1) + b4(1) + b4(half) + b4(1))
+    if uniform:
+        stsz = _box(b"stsz", full + b4(uniform) + b4(len(samples)))
+    else:
+        stsz = _box(
+            b"stsz", full + b4(0) + b4(len(samples)) + b"".join(b4(len(s)) for s in samples)
+        )
+    if co64:
+        stco = _box(b"co64", full + b4(2) + off1.to_bytes(8, "big") + off2.to_bytes(8, "big"))
+    else:
+        stco = _box(b"stco", full + b4(2) + b4(off1) + b4(off2))
+    stss = _box(b"stss", full + b4(len(sync_1based)) + b"".join(b4(s) for s in sync_1based))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    minf = _box(b"minf", stbl)
+    trak_v = _box(b"trak", _box(b"tkhd", bytes(84)) + _box(b"mdia", hdlr_v + minf))
+    trak_a = _box(b"trak", _box(b"mdia", hdlr_a + _box(b"minf", b"")))
+    moov = _box(b"moov", trak_a + trak_v)
+    return ftyp + mdat + moov
+
+
+def test_mp4_demux_sample_tables():
+    """Real MP4 demux: the moov sample-table walk (stsz/stsc/stco/stss)
+    recovers every stored access unit and its sync flag — chunk offsets
+    honored (junk between chunks never leaks into a sample), audio trak
+    skipped, co64/largesize/uniform-stsz encodings all parsed."""
+    samples = [bytes([i]) * (3 + i) for i in range(6)]
+    mp4 = _build_mp4(samples, [1, 4])
+    got = multimodal._mp4_video_samples(mp4)
+    assert got is not None
+    assert got[0] == samples
+    assert got[1] == [True, False, False, True, False, False]
+    # _split_frames routes ftyp payloads through the demuxer
+    assert multimodal._split_frames(mp4) == samples
+    # co64 (64-bit chunk offsets) and largesize mdat encodings
+    alt = _build_mp4(samples, [2], large_mdat=True, co64=True)
+    got = multimodal._mp4_video_samples(alt)
+    assert got[0] == samples and got[1][1] and not got[1][0]
+    # uniform stsz (sample_size != 0, no per-sample table)
+    usamples = [bytes([i]) * 4 for i in range(6)]
+    uni = _build_mp4(usamples, [1], uniform=4)
+    assert multimodal._mp4_video_samples(uni)[0] == usamples
+    # structural anomalies return None, never a partial split: offsets
+    # past the payload (truncated mdat) and a missing moov
+    trunc = _build_mp4(samples, [1])
+    trunc = trunc.replace(samples[5], b"", 1)
+    assert multimodal._mp4_video_samples(trunc) is None
+    no_moov = mp4[: mp4.rindex(b"moov") - 4]
+    assert multimodal._mp4_video_samples(no_moov) is None
+
+
+def test_mp4_keyframe_extraction(spark):
+    """extract_keyframes: MP4 emits ONLY stss-marked sync samples with
+    their stream indices; PNG streams emit every frame (all intra);
+    opaque payloads emit nothing (no fake keyframes)."""
+    import numpy as np
+
+    samples = [bytes([64 + i]) * 5 for i in range(6)]
+    mp4 = _build_mp4(samples, [1, 4])
+    pngs = [
+        multimodal._encode_png(np.full((2, 2, 3), 9 * i, dtype=np.uint8), 3)
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4), "video/mp4", len(mp4)),
+            (2, "video", bytearray(b"".join(pngs)), "video/x-png-stream", 3),
+            (3, "video", bytearray(b"opaque" * 5), "application/octet-stream", 30),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_keyframes(media).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame_payload"])
+    assert by_media[1] == {0: samples[0], 3: samples[3]}
+    assert by_media[2] == {i: pngs[i] for i in range(3)}
+    assert 3 not in by_media  # opaque: no honest keyframes
+    # sample_video_frames also rides the real demux for MP4 payloads
+    sampled = multimodal.sample_video_frames(
+        media.where("media_id = 1"), every_n=2
+    ).collect()
+    assert {r["frame_idx"]: bytes(r["frame_payload"]) for r in sampled} == {
+        0: samples[0], 2: samples[2], 4: samples[4]
+    }
+    with pytest.raises(Exception, match="real demuxer"):
+        multimodal.extract_keyframes(
+            spark.createDataFrame(
+                [(9, "image", bytearray(b"x"), "image/png", 1)],
+                multimodal.MEDIA_SCHEMA,
+            )
+        ).collect()
+
+
 def test_ann_lsh_recall(spark):
     """Sign-LSH with seeded Rademacher hyperplanes + multi-probe: recall@5
     vs brute force pinned on clustered synthetic vectors at a fixed seed."""
