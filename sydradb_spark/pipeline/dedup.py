@@ -796,8 +796,6 @@ def curate_corpus(
     """
     from sydradb_spark.pipeline.text import quality_score
 
-    from pyspark import StorageLevel
-
     if boilerplate_max_docs is not None:
         from sydradb_spark.pipeline.curation import remove_boilerplate_lines
 
@@ -817,9 +815,16 @@ def curate_corpus(
         )
         kept = kept.join(lp.select("doc_id"), on="doc_id", how="anti")
     # deduped feeds the near-dup stage (shingles + verify) AND the final
-    # anti-join — persist so the quality+dedup chain runs once (A/B at
-    # sf0.1: 3.5 s vs 4.0 s median for the whole composition)
-    deduped = exact_dedup(kept, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # anti-join — materialize so the quality+dedup chain runs once (A/B at
+    # sf0.1: 3.5 s vs 4.0 s median for the whole composition). An eager
+    # localCheckpoint rather than persist: the near-dup stage inside this
+    # call triggers actions anyway, and checkpoint blocks are released when
+    # the caller drops the returned frame — a plain persist here is never
+    # unpersisted (the anti-join below is evaluated by the CALLER, after
+    # this function returns), so repeated calls would each pin a
+    # survivors-sized cache for the session's lifetime: the exact
+    # cross-call leak class the r07 minhash fix removed.
+    deduped = exact_dedup(kept, text_col).localCheckpoint(eager=True)
     clusters = cluster_pairs(
         minhash_near_dups(deduped, near_dup_threshold, text_col)
     )

@@ -712,10 +712,23 @@ def test_curate_corpus_end_to_end(spark):
             "written long enough to pass the quality gate easily today"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    persisted_before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     out = dedup.curate_corpus(docs, min_quality=0.6, near_dup_threshold=0.4)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 5]
     assert all(r["quality"] >= 0.6 for r in out.collect())
+    # persist hygiene (the r07 minhash-leak class): curate_corpus must not
+    # leave a named persist behind — the exact-dedup materialization is an
+    # eager localCheckpoint whose blocks the ContextCleaner frees when the
+    # caller drops the frame, never an unpersisted .persist(). Checkpoint
+    # RDDs of live frames may appear in getPersistentRDDs; allow those two
+    # (deduped + minhash's own result checkpoint), nothing more.
+    persisted_after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert len(persisted_after - persisted_before) <= 2
 
 
 def test_cluster_pairs_driver_and_distributed_agree(spark):
