@@ -485,27 +485,43 @@ _q(
 )
 
 # ema oracle: the engine computes s_1 = x_1, s_i = α·x_i + (1-α)·s_{i-1} over
-# (ts, value) order (pandas ewm(adjust=False); timeseries.with_ema). A DuckDB
-# recursive CTE replays the exact recursion — numerically stable where the
-# pow() closed form overflows — with r6 applied at projection on both sides.
-_q(
-    "window_ema",
-    ql(
-        f"select time, {r6('ema(value, 60, 0.5)')} as ema_v from events.click "
-        f"where time >= {T0} and time < {D7} and tag.host = 'h0' and tag.dc = 'dc0'"
-    ),
-    POINTS_CTE.replace("WITH points AS", "WITH RECURSIVE points AS", 1)
+# (ts, value) order (pandas ewm(adjust=False); timeseries.with_ema). The
+# oracle expands the recursion as a TRUNCATED weighted window — with α=0.5
+# the closed form is s_i = Σ_{j>1} 0.5^(i-j+1)·v_j + 0.5^(i-1)·v_1, and terms
+# more than EMA_TAIL=120 steps back carry weight 0.5^121 ≈ 4e-37, dozens of
+# orders below double ulp, so the truncated double equals the recursion's up
+# to summation-order noise (~1e-13) that the shared 9dp→6dp double rounding
+# absorbs — the SAME stabilizer class as every other float entry. This keeps
+# the oracle LINEAR in the series (range join, ≤121 terms/row) where the
+# previous recursive CTE re-joined the whole series per row — O(n²), which
+# the skew twin's 57k-row hot series turned into a >30-minute oracle stall
+# (the engine side finished in seconds). Same lesson as the SemDeDup
+# closure oracle: the oracle must stay linear-cost or the gate can't scale.
+EMA_TAIL = 120
+EMA_ORACLE = (
+    POINTS_CTE
     + f""",
 f AS (
   SELECT ts, value, CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
   FROM points WHERE series = 'events.click' AND host = 'h0' AND dc = 'dc0'
     AND ts >= {T0} AND ts < {D7}
 ), e AS (
-  SELECT rn, ts, CAST(value AS DOUBLE) AS s FROM f WHERE rn = 1
-  UNION ALL
-  SELECT f.rn, f.ts, 0.5 * f.value + 0.5 * e.s FROM f JOIN e ON f.rn = e.rn + 1
+  SELECT fi.rn, fi.ts,
+         sum(CASE WHEN fj.rn = 1 THEN power(0.5, fi.rn - 1) * fj.value
+                  ELSE power(0.5, fi.rn - fj.rn + 1) * fj.value END) AS s
+  FROM f fi JOIN f fj ON fj.rn BETWEEN fi.rn - {EMA_TAIL} AND fi.rn
+  GROUP BY fi.rn, fi.ts
 )
-SELECT ts AS time, {r6('s')} AS ema_v FROM e""",
+SELECT ts AS time, {r6('s')} AS ema_v FROM e"""
+)
+
+_q(
+    "window_ema",
+    ql(
+        f"select time, {r6('ema(value, 60, 0.5)')} as ema_v from events.click "
+        f"where time >= {T0} and time < {D7} and tag.host = 'h0' and tag.dc = 'dc0'"
+    ),
+    EMA_ORACLE,
 )
 
 # --- §2.9 FILL ---------------------------------------------------------------

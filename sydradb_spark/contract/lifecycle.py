@@ -773,25 +773,15 @@ def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from sydradb_spark.contract.base import POINTS_CTE  # noqa: E402
+from sydradb_spark.contract.core import EMA_ORACLE  # noqa: E402
 
 _q(
     "stream_stateful_ema_equiv",
     _stream_stateful_ema,
-    # identical recursion to the window_ema oracle: s_1 = x_1,
-    # s_i = 0.5·x_i + 0.5·s_{i-1} over (ts, value) order
-    POINTS_CTE.replace("WITH points AS", "WITH RECURSIVE points AS", 1)
-    + f""",
-f AS (
-  SELECT ts, value, CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
-  FROM points WHERE series = 'events.click' AND host = 'h0' AND dc = 'dc0'
-    AND ts >= {T0} AND ts < {D7}
-), e AS (
-  SELECT rn, ts, CAST(value AS DOUBLE) AS s FROM f WHERE rn = 1
-  UNION ALL
-  SELECT f.rn, f.ts, 0.5 * f.value + 0.5 * e.s FROM f JOIN e ON f.rn = e.rn + 1
-)
-SELECT ts AS time, {r6('s')} AS ema_v FROM e""",
+    # identical recursion to window_ema — shares its truncated-window
+    # linear-cost oracle (see contract/core.py for why the recursive CTE
+    # had to go: O(n²) oracle stall on the skew twin's hot series)
+    EMA_ORACLE,
 )
 
 
