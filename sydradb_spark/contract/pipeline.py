@@ -293,27 +293,80 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_clusters(docs, threshold=0.2)
 
 
-_q(
-    "dedup_clusters",
-    _dedup_clusters,
-    f"""WITH RECURSIVE {_MINHASH_CTES},
-ed AS (
-  SELECT a, b FROM jac WHERE jaccard >= 0.2
-  UNION
-  SELECT b, a FROM jac WHERE jaccard >= 0.2
-),
-reach AS (
-  SELECT a AS src, b AS dst FROM ed
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
-),
-allr AS (
-  SELECT src, dst FROM reach
-  UNION
-  SELECT DISTINCT a, a FROM ed
-)
-SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1""",
-)
+def _uf_min_groups(pairs) -> tuple:
+    """Union-find over (a, b) edges; returns ((id, component_min), ...) for
+    EVERY id appearing in any edge — component roots included, mapping to
+    themselves — matching ``cluster_pairs``' non-trivial-components output."""
+    parent: dict = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    seen = set()
+    for a, b in pairs:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return tuple(sorted((i, find(i)) for i in seen))
+
+
+@functools.lru_cache(maxsize=8)
+def _minhash_groups_cached(sf_dir: str, curated: bool) -> tuple:
+    """Independent closure oracle for the MinHash near-dup components: the
+    verified pair set comes from the SAME DuckDB pair chain the pair
+    entries are checked against (shingle → minhash → banded LSH with the
+    hot-bucket drop → exact-Jaccard verify — linear-cost SQL, no Spark
+    anywhere), and the transitive closure over those pairs runs as a python
+    union-find whose (id, component-min) rows are inlined as literals.
+
+    Why not closure-in-SQL: the former recursive CTE enumerated reach
+    PAIRS — O(component²) rows — which the round-8 Zipf-skew twin's
+    boilerplate near-clique drove to a 24-minute oracle for a 60k-doc
+    corpus (engine side: seconds), and which could never certify the third
+    decade. Components are the O(n) object; same scheme as the SemDeDup
+    group oracle (`_sem_groups_cached`)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    if curated:
+        sql = (
+            f"WITH {_CURATION_KEPT_CTES},\n"
+            + _MINHASH_CTES.replace("FROM documents", "FROM dkept", 1)
+            + f"\nSELECT a, b FROM jac WHERE jaccard >= {_CURATE_J}"
+        )
+    else:
+        sql = f"WITH {_MINHASH_CTES}\nSELECT a, b FROM jac WHERE jaccard >= 0.2"
+    return _uf_min_groups(con.sql(sql).fetchall())
+
+
+def _dedup_clusters_oracle() -> str:
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    groups = _minhash_groups_cached(sf_dir, False)
+    if not groups:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS cluster_id WHERE 1=0"
+        )
+    vals = ", ".join(f"({i}, {g})" for i, g in groups)
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(cluster_id AS BIGINT) AS cluster_id "
+        f"FROM (VALUES {vals}) v(doc_id, cluster_id)"
+    )
+
+
+_q("dedup_clusters", _dedup_clusters, _dedup_clusters_oracle)
 
 # --- end-to-end corpus curation ----------------------------------------------
 # quality gate → exact dedup → near-dup collapse, the full training-data
@@ -333,7 +386,7 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _r6(F.col("quality")).alias("quality"))
 
 
-_CURATION_ORACLE = f"""WITH RECURSIVE qtoks AS (
+_CURATION_KEPT_CTES = f"""qtoks AS (
   SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
          ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk FROM documents
 ),
@@ -351,29 +404,32 @@ scored AS (
 ),
 kept AS (SELECT doc_id, text, q FROM scored WHERE q >= {_CURATE_Q}),
 keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
-dkept AS (SELECT k.doc_id, k.text, k.q FROM kept k JOIN keep_ids ki USING (doc_id)),
-{_MINHASH_CTES.replace("FROM documents", "FROM dkept", 1)},
-ed AS (
-  SELECT a, b FROM jac WHERE jaccard >= {_CURATE_J}
-  UNION
-  SELECT b, a FROM jac WHERE jaccard >= {_CURATE_J}
-),
-reach AS (
-  SELECT a AS src, b AS dst FROM ed
-  UNION
-  SELECT r.src, e.b FROM reach r JOIN ed e ON r.dst = e.a
-),
-allr AS (
-  SELECT src, dst FROM reach
-  UNION
-  SELECT DISTINCT a, a FROM ed
-),
-clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM allr GROUP BY 1),
-losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-SELECT d.doc_id, {_O}d.q{_C} AS quality
-FROM dkept d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL"""
+dkept AS (SELECT k.doc_id, k.text, k.q FROM kept k JOIN keep_ids ki USING (doc_id))"""
 
-_q("corpus_curation", _corpus_curation, _CURATION_ORACLE)
+
+def _corpus_curation_oracle() -> str:
+    """Quality gate + exact dedup stay pure SQL; the near-dup closure over
+    the post-gate survivor pairs comes from the shared union-find oracle
+    (see `_minhash_groups_cached` for why closure-in-SQL had to go).
+    Losers — component members that are not the component min — are
+    inlined and anti-joined away."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    losers = [i for i, g in _minhash_groups_cached(sf_dir, True) if i != g]
+    if losers:
+        lsrc = (
+            "(VALUES " + ", ".join(f"({i})" for i in losers) + ") l(doc_id)"
+        )
+    else:
+        lsrc = "(SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1=0) l"
+    return f"""WITH {_CURATION_KEPT_CTES},
+losers AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM {lsrc})
+SELECT d.doc_id, {_O}d.q{_C} AS quality
+FROM dkept d ANTI JOIN losers USING (doc_id)"""
+
+
+_q("corpus_curation", _corpus_curation, _corpus_curation_oracle)
 
 _SIMHASH_SQL = f"""dtok AS (
   SELECT DISTINCT doc_id, tok FROM (
