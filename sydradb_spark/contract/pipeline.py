@@ -97,22 +97,30 @@ rep AS (
               ELSE [] END AS bg
   FROM toks
 ),
+-- top bigram count via unnest + GROUP BY: the former per-doc
+-- list_transform(list_distinct(bg), d -> len(list_filter(bg, ...))) is
+-- O(distinct_bigrams x bigrams) PER DOC — quadratic in doc length, and
+-- the dominant cost of this oracle on the skew twin's boilerplate family
+bgc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS b FROM rep) GROUP BY 1, 2
+),
+bgm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS nbg FROM bgc GROUP BY 1),
 rep2 AS (
-  SELECT doc_id,
+  SELECT rep.doc_id,
          CAST(len(ls) AS BIGINT) AS n_lines,
          CASE WHEN len(ls) > 1
               THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
               ELSE 0.0 END AS dup_line_ratio,
-         CASE WHEN len(bg) > 0
-              THEN CAST(list_max(list_transform(list_distinct(bg),
-                        d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+         CASE WHEN coalesce(bgm.nbg, 0) > 0
+              THEN CAST(bgm.maxc AS DOUBLE) / bgm.nbg
               ELSE 0.0 END AS top_bigram_ratio
-  FROM rep
+  FROM rep LEFT JOIN bgm ON bgm.doc_id = rep.doc_id
 )
 SELECT toks.doc_id AS doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(tk) AS BIGINT) AS n_tokens,
-  CAST(len(tk) + (SELECT transitions FROM bpe WHERE bpe.doc_id = toks.doc_id) AS BIGINT) AS n_tokens_bpe,
+  CAST(len(tk) + bpe.transitions AS BIGINT) AS n_tokens_bpe,
   {_O}CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END{_C} AS distinct_ratio,
   {_O}CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END{_C} AS mean_word_len,
   {_O}CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END{_C} AS space_ratio,
@@ -120,7 +128,9 @@ SELECT toks.doc_id AS doc_id,
   rep2.n_lines AS n_lines,
   {_O}rep2.dup_line_ratio{_C} AS dup_line_ratio,
   {_O}rep2.top_bigram_ratio{_C} AS top_bigram_ratio
-FROM toks JOIN rep2 ON rep2.doc_id = toks.doc_id""",
+FROM toks
+JOIN rep2 ON rep2.doc_id = toks.doc_id
+JOIN bpe ON bpe.doc_id = toks.doc_id""",
 )
 
 

@@ -36,15 +36,14 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 def ngram_hashes(text: Column, n: int = DECONTAM_NGRAM) -> Column:
     """Distinct hashed word n-grams of ``text`` (empty array when < n words).
-    Same md5-based hash64 family as dedup, so oracles reproduce exactly."""
-    toks = F.split(F.trim(text), r"\s+")
-    cnt = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(0), cnt - n),
-        lambda i: hash64(
-            F.concat_ws(" ", *[F.element_at(toks, i + d + 1) for d in range(n)])
-        ),
-    )
+    Same md5-based hash64 family as dedup, so oracles reproduce exactly.
+    Gram strings come from `dedup.kgram_strings` (slice/zip_with shape —
+    see its docstring for the element_at-in-lambda re-tokenize trap the
+    former sequence/transform form paid)."""
+    from sydradb_spark.pipeline.dedup import kgram_strings
+
+    cnt = F.size(F.split(F.trim(text), r"\s+"))
+    joined = F.transform(kgram_strings(text, n), lambda g: hash64(g))
     return F.when(cnt >= n, F.array_distinct(joined)).otherwise(
         F.array().cast("array<long>")
     )

@@ -97,15 +97,35 @@ def incremental_dedup(
 
 
 # --- shingles ----------------------------------------------------------------
-def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
-    """Distinct k-word shingles; docs with < k tokens yield an empty array."""
+def kgram_strings(text: Column, k: int) -> Column:
+    """All k-word grams of ``text`` (with duplicates), as space-joined
+    strings; only valid under a caller-side ``n >= k`` guard.
+
+    Shape note (round 8): the obvious ``transform(sequence(0, n-k), i ->
+    concat_ws(element_at(toks, i+1), ..., element_at(toks, i+k)))``
+    re-inlines the ``split()`` regex into every element_at — Catalyst does
+    not common-subexpression-eliminate through lambda bodies — so every
+    row was re-tokenized k·(n-k+1) times: O(n·k) regex passes per doc,
+    the dominant cost of the whole shingle pipeline (same trap class as
+    the r07 BM25 per-token tokenize, retrieval.py:61). Folding k SLICES of
+    the token array with zip_with evaluates the split O(k) times per ROW
+    instead: 3.6x on a parallelism-matched sf1 shingle_table A/B."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + d + 1) for d in range(k)]),
-    )
-    return F.when(n >= k, F.array_distinct(joined)).otherwise(
+    acc = F.slice(toks, 1, n - k + 1)
+    for d in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, d + 1, n - k + 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
+
+
+def word_shingles(text: Column, k: int = SHINGLE_WORDS) -> Column:
+    """Distinct k-word shingles; docs with < k tokens yield an empty array."""
+    n = F.size(F.split(F.trim(text), r"\s+"))
+    return F.when(n >= k, F.array_distinct(kgram_strings(text, k))).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -197,14 +197,23 @@ def dup_line_ratio(text: Column) -> Column:
 
 def word_bigrams(text: Column) -> Column:
     """Word bigrams WITH duplicates (frequency-carrying, unlike the
-    distinct'd ``dedup.word_shingles``); empty array under 2 tokens."""
+    distinct'd ``dedup.word_shingles``); empty array under 2 tokens.
+
+    Shape note: the obvious ``transform(sequence(0, n-2), i ->
+    concat(element_at(toks, i+1), element_at(toks, i+2)))`` re-inlines the
+    ``split()`` regex into EVERY element_at — Catalyst does not
+    common-subexpression-eliminate through lambda bodies — so each row
+    re-tokenized 2·(n-1) times: O(n·k) regex passes per doc (same trap
+    class as the BM25 per-token tokenize, retrieval.py). ``zip_with``
+    over two slices evaluates the token array O(1) times per row —
+    ~3.5x on a parallelism-matched sf1 A/B, and the dominant cost of
+    repetition_stats before the fix."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    joined = F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
+    joined = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.when(n >= 2, joined).otherwise(F.array().cast("array<string>"))
 
@@ -220,7 +229,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles bounded by docs×distinct-bigrams — the round-6 signature A/B
     showed this beats per-doc interpreted HOF frequency counting. Docs with
     <2 tokens get ratio 0.
+
+    Input is ``spread()`` like shingle_table: a single small parquet file
+    arrives in 1-4 splits, and without the repartition the tokenize +
+    bigram stage runs on that many cores (a local-bench artifact — at
+    scale the source has enough splits and spread() is a no-op).
     """
+    from sydradb_spark.util import spread as _spread
+
+    docs = _spread(docs)
     base = docs.select(
         "doc_id",
         F.size(lines_nonempty(F.col(text_col))).cast("long").alias("n_lines"),
