@@ -128,14 +128,21 @@ def main() -> None:
     detail: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # rows/cols from ONE untimed count (also warms this entry's plan).
+        # Timed runs then materialize through the noop sink: count() lets
+        # Catalyst PRUNE every column the query computes — a map-only entry
+        # like text_stats was "timed" without evaluating a single stat
+        # column (found round 8: its count-time was 0.5s, its real cost
+        # 147s before the k-gram fix). The noop write evaluates the full
+        # projection JVM-side with no I/O, so numbers measure the operator.
+        df = fn(spark, sf_dir)
+        rows = df.count()
+        cols = len(df.columns)
         runs = []
-        rows = 0
-        cols = 0
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            rows = df.count()
-            cols = len(df.columns)
+            df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = sorted(runs)[len(runs) // 2]
         detail[name] = {
@@ -143,6 +150,7 @@ def main() -> None:
             "runs": runs,
             "rows": rows,
             "cols": cols,
+            "measure": "noop_write",
         }
         print(
             f"# {name}: median={timings[name]:.3f}s runs={runs} rows={rows}",
@@ -191,8 +199,11 @@ def main() -> None:
         "r06_set_19q": total,  # r06 ran this exact 19-query set
         "r05_set_17q": round(sum(timings[q] for q in r05_set), 3),
         "note": (
-            "totals comparable only within the named set; per-query medians "
-            "always comparable — check detail[q].cols for width changes"
+            "totals comparable only within the named set AND measure; "
+            "r08 switched timing from count() to a noop-sink write because "
+            "count() let Catalyst prune the computed columns of map-only "
+            "entries (their pre-r08 numbers under-measure the operator) — "
+            "normalize cross-round totals by `calibration` for host drift"
         ),
     }
     print(
