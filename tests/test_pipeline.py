@@ -45,6 +45,48 @@ def test_word_shingles_short_docs(docs):
     assert out[1] == 7  # 9 tokens → 7 trigrams
 
 
+def test_kgram_strings_exact_values(spark):
+    """Pin the slice/zip_with k-gram fold (round-8 replacement for the
+    element_at-in-lambda shape) against hand-computed grams: ordering,
+    duplicates kept, n == k edge, whitespace runs collapsed by the split,
+    and the word_shingles guard for n < k."""
+    rows = [
+        (1, "a b c d"),          # 4 tokens
+        (2, "x  y\tz"),          # whitespace runs / tabs → 3 tokens
+        (3, "p q r"),            # n == k exactly
+        (4, "one two"),          # n < k → empty under word_shingles
+        (5, "a b a b a"),        # duplicate grams preserved pre-distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id",
+            F.when(
+                F.size(F.split(F.trim("text"), r"\s+")) >= 3,
+                dedup.kgram_strings(F.col("text"), 3),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("g"),
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["x y z"]
+    assert got[3] == ["p q r"]
+    assert got[4] == []
+    assert got[5] == ["a b a", "b a b", "a b a"]  # duplicates, in order
+    # and the distinct'd public wrapper agrees with a python reference
+    for doc_id, text in rows:
+        toks = text.split()
+        want = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        shingles = (
+            df.where(F.col("doc_id") == doc_id)
+            .select(dedup.word_shingles(F.col("text")).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert sorted(shingles) == want, doc_id
+
+
 def test_minhash_finds_near_dup(docs):
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_dups(docs, 0.5).collect()}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup always survives LSH
