@@ -838,19 +838,7 @@ def _sem_groups_cached(sf_dir: str) -> tuple:
     cents = np.array(_sem_centroids_cached(sf_dir), dtype=np.float64)
     d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     cluster = d2.argmin(axis=1)
-    parent: dict = {}
-
-    def find(a):
-        while parent.get(a, a) != a:
-            parent[a] = parent.get(parent[a], parent[a])
-            a = parent[a]
-        return a
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
+    edges: list = []
     for c in range(cents.shape[0]):
         members = np.nonzero(cluster == c)[0]
         if len(members) < 2 or len(members) > _SEM_MAXC:
@@ -859,10 +847,13 @@ def _sem_groups_cached(sf_dir: str) -> tuple:
         norms = np.sqrt((v * v).sum(axis=1))
         cos = (v @ v.T) / np.outer(norms, norms)
         ai, bi = np.nonzero(np.triu(cos >= _SEM_THRESHOLD, k=1))
-        for p, q in zip(members[ai], members[bi]):
-            union(int(ids[p]), int(ids[q]))
-    groups = sorted((i, find(i)) for i in parent)
-    return tuple(groups)
+        edges.extend(
+            (int(ids[p]), int(ids[q])) for p, q in zip(members[ai], members[bi])
+        )
+    # shared closure (`_uf_min_groups`) — ONE canonical union-find per
+    # module; includes root self-rows (i, i), which the oracle's
+    # coalesce'd LEFT JOIN maps identically to their absence
+    return _uf_min_groups(edges)
 
 
 def _semantic_dedup_oracle() -> str:

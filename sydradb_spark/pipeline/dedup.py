@@ -217,23 +217,27 @@ def lsh_candidate_pairs(
     degenerate buckets (boilerplate collapse) up front — at scale a single
     1M-doc bucket would mean 10¹² candidate pairs.
 
-    Shape: size-filter via ``util.drop_hot_keys`` (window count over
-    (band, sig) — ONE shuffle of the band table that the collect_list
-    aggregate then reuses, no size-frame join for Catalyst to mis-plan
-    and broadcast; see the helper's docstring for the 100x OOM this
-    replaced). Total cost: one shuffle of the band table plus one of the
-    pair set (distinct). Pair expansion is a bounded JVM array transform
-    (≤ max_bucket²/2 structs per bucket)."""
+    Shape: size-filter via ``util.drop_hot_keys`` (parallel groupBy count
+    anti-joined back under an explicit shuffle_hash hint — nothing for
+    Catalyst to mis-estimate and broadcast, no single-task hot-key window;
+    see the helper's docstring for both rejected shapes). Total cost: the
+    count + anti-join shuffles of the band table plus one of the pair set
+    (distinct). Pair expansion is a bounded JVM array transform
+    (≤ max_bucket²/2 structs per bucket); the sorted id array is HOISTED
+    into a column first — referencing ``array_sort(collect_list(...))``
+    from inside the transform lambdas would re-run the sort once per
+    outer element (the no-CSE-through-lambda trap, see kgram_strings):
+    O(n² log n) per full bucket."""
     if max_bucket is not None:
         from sydradb_spark.util import drop_hot_keys
 
         band_sigs = drop_hot_keys(band_sigs, ["band", "sig"], max_bucket)
     buckets = (
         band_sigs.groupBy("band", "sig")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    ids = F.array_sort(F.col("ids"))
+    ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
             ids,

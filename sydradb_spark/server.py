@@ -258,6 +258,15 @@ class _Handler(BaseHTTPRequestHandler):
             if max_points < 3:
                 self._error(400, "max_points must be >= 3")
                 return
+            # the per-bucket thinning below bounds LTTB input at
+            # ~max_rows only when n_buckets <= max_rows (cap = max_rows //
+            # n_buckets); an unbounded max_points would put nearly every
+            # row in its own bucket and defeat the work cap entirely
+            if max_points > self.app.max_rows:
+                self._error(
+                    400, f"max_points must be <= {self.app.max_rows}"
+                )
+                return
         from pyspark.sql import functions as F
 
         eng = self.app.engine
@@ -274,38 +283,54 @@ class _Handler(BaseHTTPRequestHandler):
         # of a wide window.
         max_rows = self.app.max_rows
         truncated = False
+        covered_end = None
         if max_points is not None:
-            total = pts.count()
-            if total > max_rows:
-                # bound LTTB input PER TIME-BUCKET so the downsample still
-                # spans the full requested range: max_points buckets over
-                # [start, end], keep the earliest max_rows/max_points rows
-                # of each — ~max_rows total, full-range coverage
-                from pyspark.sql import Window
+            # one range traversal serves both the size probe and LTTB:
+            # persist the pruned scan, count it from the cache, thin only
+            # when over the cap, release in-call
+            from pyspark import StorageLevel
 
-                n_buckets = max_points
-                cap = max(max_rows // n_buckets, 1)
-                span = max(end - start + 1, 1)
-                bucket = F.least(
-                    F.lit(n_buckets - 1),
-                    F.floor(
-                        (F.col("ts") - F.lit(start))
-                        * F.lit(n_buckets)
-                        / F.lit(span)
-                    ),
-                )
-                w = Window.partitionBy("__b").orderBy("ts", "value")
-                pts = (
-                    pts.withColumn("__b", bucket)
-                    .withColumn("__rn", F.row_number().over(w))
-                    .where(F.col("__rn") <= cap)
-                    .drop("__b", "__rn")
-                )
-                truncated = True
-            from sydradb_spark.functions.timeseries import lttb
+            pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                total = pts.count()
+                src = pts
+                if total > max_rows:
+                    # bound LTTB input PER TIME-BUCKET so the downsample
+                    # still spans the full requested range: max_points
+                    # buckets over [start, end], keep the earliest
+                    # max_rows/max_points rows of each — ~max_rows total,
+                    # full-range coverage
+                    from pyspark.sql import Window
 
-            pts = lttb(pts, max_points)
-            rows = pts.orderBy("ts", "value").select("ts", "value").collect()
+                    n_buckets = max_points
+                    cap = max(max_rows // n_buckets, 1)
+                    span = max(end - start + 1, 1)
+                    bucket = F.least(
+                        F.lit(n_buckets - 1),
+                        F.floor(
+                            (F.col("ts") - F.lit(start))
+                            * F.lit(n_buckets)
+                            / F.lit(span)
+                        ),
+                    )
+                    w = Window.partitionBy("__b").orderBy("ts", "value")
+                    src = (
+                        pts.withColumn("__b", bucket)
+                        .withColumn("__rn", F.row_number().over(w))
+                        .where(F.col("__rn") <= cap)
+                        .drop("__b", "__rn")
+                    )
+                    truncated = True
+                from sydradb_spark.functions.timeseries import lttb
+
+                rows = (
+                    lttb(src, max_points)
+                    .orderBy("ts", "value")
+                    .select("ts", "value")
+                    .collect()
+                )
+            finally:
+                pts.unpersist()
         else:
             # raw range: fetch one past the cap so truncation is detected,
             # not guessed
@@ -316,15 +341,25 @@ class _Handler(BaseHTTPRequestHandler):
                 .collect()
             )
             if len(rows) > max_rows:
+                nxt = rows[max_rows]
                 rows = rows[:max_rows]
                 truncated = True
+                # covered-end is the last FULLY-served timestamp: if the
+                # cut falls inside a run of equal timestamps (sort is
+                # (ts, value)), that ts is only partially served — report
+                # the previous second so a client resuming from
+                # covered_end + 1 misses nothing (it may re-fetch the
+                # partial second's served rows, never lose the dropped
+                # ones)
+                last_ts = rows[-1]["ts"]
+                covered_end = last_ts - 1 if nxt["ts"] == last_ts else last_ts
         headers = None
         if truncated:
             headers = {"X-Sydra-Truncated": "true"}
-            if max_points is None and rows:
+            if covered_end is not None:
                 # the raw path serves only [start, covered-end]; the LTTB
                 # path still covers the full range (input thinned instead)
-                headers["X-Sydra-Covered-End"] = str(rows[-1]["ts"])
+                headers["X-Sydra-Covered-End"] = str(covered_end)
         self._send_json(
             200,
             [{"ts": r["ts"], "value": r["value"]} for r in rows],
