@@ -99,7 +99,9 @@ def incremental_dedup(
 # --- shingles ----------------------------------------------------------------
 def kgram_strings(text: Column, k: int) -> Column:
     """All k-word grams of ``text`` (with duplicates), as space-joined
-    strings; only valid under a caller-side ``n >= k`` guard.
+    strings; total — docs with fewer than k tokens yield an empty array
+    (the slice length is clamped to >= 0 internally, so callers need no
+    ``n >= k`` guard; r8 ADVICE).
 
     Shape note (round 8): the obvious ``transform(sequence(0, n-k), i ->
     concat_ws(element_at(toks, i+1), ..., element_at(toks, i+k)))``
@@ -112,11 +114,12 @@ def kgram_strings(text: Column, k: int) -> Column:
     instead: 3.6x on a parallelism-matched sf1 shingle_table A/B."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
-    acc = F.slice(toks, 1, n - k + 1)
+    length = F.greatest(n - F.lit(k - 1), F.lit(0))
+    acc = F.slice(toks, 1, length)
     for d in range(1, k):
         acc = F.zip_with(
             acc,
-            F.slice(toks, d + 1, n - k + 1),
+            F.slice(toks, d + 1, length),
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return acc

@@ -353,9 +353,19 @@ class _Handler(BaseHTTPRequestHandler):
                 # ones)
                 last_ts = rows[-1]["ts"]
                 covered_end = last_ts - 1 if nxt["ts"] == last_ts else last_ts
+                if covered_end < start:
+                    # a single timestamp at the window start holds more
+                    # than max_rows rows: covered_end - 1 would send a
+                    # resuming client back to the identical request (r8
+                    # ADVICE). Signal the overflow distinctly instead of
+                    # a covered-end that cannot make progress.
+                    covered_end = None
+                    overflow_ts = last_ts
         headers = None
         if truncated:
             headers = {"X-Sydra-Truncated": "true"}
+            if covered_end is None and max_points is None:
+                headers["X-Sydra-Overflow-Ts"] = str(overflow_ts)
             if covered_end is not None:
                 # the raw path serves only [start, covered-end]; the LTTB
                 # path still covers the full range (input thinned instead)

@@ -304,6 +304,39 @@ def test_query_range_truncation_signaled_and_lttb_spans_range(spark, points):
         server.stop()
 
 
+def test_query_range_single_ts_overflow_signaled(spark):
+    """When a single timestamp at the window start holds more rows than
+    max_rows, a covered-end of start-1 would loop a paginating client (r8
+    ADVICE): the server must omit X-Sydra-Covered-End and signal the
+    overflowing timestamp distinctly via X-Sydra-Overflow-Ts."""
+    from sydradb_spark.model import with_identity
+
+    rows = [("burst.metric", {"host": "a"}, 1_000_000, float(i)) for i in range(10)]
+    rows += [("burst.metric", {"host": "a"}, 1_000_060, 42.0)]
+    df = with_identity(
+        spark.createDataFrame(
+            rows, "series string, tags map<string,string>, ts long, value double"
+        )
+    )
+    server = SydraHttpServer(SydraQLEngine(spark, df), max_rows=5).start()
+    try:
+        sid = server.series_id_for("burst.metric", {"host": "a"})
+        with urllib.request.urlopen(
+            _url(
+                server,
+                f"/api/v1/query/range?series_id={sid}&start=1000000&end=1000100",
+            ),
+            timeout=60,
+        ) as r:
+            body, hdrs = json.loads(r.read()), dict(r.headers)
+        assert len(body) == 5 and all(p["ts"] == 1_000_000 for p in body)
+        assert hdrs.get("X-Sydra-Truncated") == "true"
+        assert "X-Sydra-Covered-End" not in hdrs
+        assert hdrs.get("X-Sydra-Overflow-Ts") == "1000000"
+    finally:
+        server.stop()
+
+
 def test_query_range_max_points_downsampling(http):
     """max_points=N serves an LTTB-downsampled range: N points, endpoints
     preserved, every returned point a real stored point; bad values 400."""

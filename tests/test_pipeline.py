@@ -87,6 +87,25 @@ def test_kgram_strings_exact_values(spark):
         assert sorted(shingles) == want, doc_id
 
 
+def test_kgram_strings_total_without_guard(spark):
+    """kgram_strings is total (r9): docs shorter than k yield an empty
+    array with NO caller-side when(n >= k) guard — the slice length is
+    clamped internally, so the former guard requirement cannot be tripped
+    by a future caller."""
+    rows = [(1, "one two"), (2, ""), (3, "solo"), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", dedup.kgram_strings(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+    # empty string: split(trim("")) yields [""], still < k → empty
+    assert got[2] == []
+
+
 def test_minhash_finds_near_dup(docs):
     pairs = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_dups(docs, 0.5).collect()}
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup always survives LSH
@@ -765,12 +784,18 @@ def test_curate_corpus_end_to_end(spark):
     # leave a named persist behind — the exact-dedup materialization is an
     # eager localCheckpoint whose blocks the ContextCleaner frees when the
     # caller drops the frame, never an unpersisted .persist(). Checkpoint
-    # RDDs of live frames may appear in getPersistentRDDs; allow those two
-    # (deduped + minhash's own result checkpoint), nothing more.
-    persisted_after = set(
-        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    )
-    assert len(persisted_after - persisted_before) <= 2
+    # RDDs of live frames may appear in getPersistentRDDs; assert every NEW
+    # entry IS a localCheckpoint RDD, so a single reintroduced plain
+    # .persist() fails the test (r8 ADVICE tightened the former "<= 2
+    # new entries" bound, which could not catch exactly that regression).
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        if entry.getKey() in persisted_before:
+            continue
+        assert entry.getValue().rdd().isLocallyCheckpointed(), (
+            f"curate_corpus leaked a non-checkpoint persist: RDD "
+            f"{entry.getKey()} ({entry.getValue().name()})"
+        )
 
 
 def test_cluster_pairs_driver_and_distributed_agree(spark):
