@@ -46,12 +46,17 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "knn_cosine_brute",
     "ann_lsh_cosine",
-    "simhash_signatures",
+    # round 9: simhash_signatures folded into near_dup_scores ('sig' part),
+    # aligned_series_ratio + asof_join_latest_before merged into
+    # align_asof_ratio — those three rows are NOT comparable to r08 and
+    # earlier; funnel_retention and vocab_lm_coverage are new.
+    "near_dup_scores",
     "text_stats",
     "storage_roundtrip",
     "rollup_served_engine_query",
-    "aligned_series_ratio",
-    "asof_join_latest_before",
+    "align_asof_ratio",
+    "funnel_retention",
+    "vocab_lm_coverage",
 ]
 
 

@@ -467,19 +467,55 @@ SELECT 'stream', (ts // 3600) * 3600, count(*), {r3('sum(value)')},
 
 
 # --- time-aligned multi-series expressions (roadmap JoinTime) -----------------
-def _aligned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sydradb_spark.functions.align import aligned_ratio
+def _align_asof_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 join family, one labeled union (round-9 consolidation of the
+    former `aligned_series_ratio` + `asof_join_latest_before` entries,
+    freeing a catalog slot under the driver's 50-entry cap):
+
+    - ``ratio``: time-aligned click/view daily-average ratio
+      (`functions.align.aligned_ratio`); t = bucket, rv = ratio;
+    - ``asof``: latest-before as-of join with 1-day tolerance
+      (`functions.align.asof_join`); t = ts, v = left value,
+      rv = right value, rt = matched right ts.
+    """
+    from sydradb_spark.functions.align import aligned_ratio, asof_join
 
     pts = events_points(spark, sf_dir).where(
         (F.col("ts") >= T0) & (F.col("ts") < T1)
     )
-    out = aligned_ratio(pts, "events.click", "events.view", step_s=86400)
-    return out.select("bucket", r6_col(F.col("ratio")).alias("ratio"))
+    rat = aligned_ratio(pts, "events.click", "events.view", step_s=86400).select(
+        F.lit("ratio").alias("part"),
+        F.col("bucket").alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        r6_col(F.col("ratio")).alias("rv"),
+        F.lit(None).cast("long").alias("rt"),
+    )
+    apts = pts.where(
+        (F.col("tags")["host"] == "h1")
+        & (F.col("tags")["dc"] == "dc1")
+        & (F.col("ts") < D7)
+    )
+    left = apts.where(F.col("series") == "events.click")
+    right = apts.where(F.col("series") == "events.view")
+    # align on ts only (single logical pair): collapse both to one join key
+    out = asof_join(
+        left.withColumn("series_id", F.lit(0)),
+        right.withColumn("series_id", F.lit(0)),
+        tolerance_s=86400,
+    )
+    asf = out.select(
+        F.lit("asof").alias("part"),
+        F.col("ts").alias("t"),
+        F.col("value").alias("v"),
+        r6_col(F.col("right_value")).alias("rv"),
+        F.col("right_ts").alias("rt"),
+    )
+    return rat.unionByName(asf)
 
 
 _q(
-    "aligned_series_ratio",
-    _aligned_ratio,
+    "align_asof_ratio",
+    _align_asof_ratio,
     oracle(
         f""", a AS (
   SELECT (ts // 86400) * 86400 AS bucket, avg(value) AS av FROM points
@@ -487,39 +523,7 @@ _q(
 ), b AS (
   SELECT (ts // 86400) * 86400 AS bucket, avg(value) AS bv FROM points
   WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 1
-)
-SELECT a.bucket, {r6('a.av / b.bv')} AS ratio FROM a JOIN b USING (bucket)"""
-    ),
-)
-
-
-def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sydradb_spark.functions.align import asof_join
-
-    pts = events_points(spark, sf_dir).where(
-        (F.col("tags")["host"] == "h1")
-        & (F.col("tags")["dc"] == "dc1")
-        & (F.col("ts") >= T0)
-        & (F.col("ts") < D7)
-    )
-    left = pts.where(F.col("series") == "events.click")
-    right = pts.where(F.col("series") == "events.view")
-    # align on ts only (single logical pair): collapse both to one join key
-    out = asof_join(
-        left.withColumn("series_id", F.lit(0)),
-        right.withColumn("series_id", F.lit(0)),
-        tolerance_s=86400,
-    )
-    return out.select(
-        "ts", "value", r6_col(F.col("right_value")).alias("right_value"), "right_ts"
-    )
-
-
-_q(
-    "asof_join_latest_before",
-    _asof,
-    oracle(
-        f""", l AS (
+), l AS (
   SELECT ts, value FROM points WHERE series = 'events.click'
     AND host = 'h1' AND dc = 'dc1' AND ts >= {T0} AND ts < {D7}
 ), r AS (
@@ -533,7 +537,11 @@ _q(
           ORDER BY r.ts DESC, r.value DESC LIMIT 1) AS right_ts
   FROM l
 )
-SELECT ts, value, {r6('right_value')} AS right_value, right_ts FROM matched"""
+SELECT 'ratio' AS part, a.bucket AS t, CAST(NULL AS DOUBLE) AS v,
+       {r6('a.av / b.bv')} AS rv, CAST(NULL AS BIGINT) AS rt
+FROM a JOIN b USING (bucket)
+UNION ALL
+SELECT 'asof', ts, value, {r6('right_value')}, right_ts FROM matched"""
     ),
 )
 

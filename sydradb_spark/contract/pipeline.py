@@ -183,17 +183,10 @@ def _text_lang_quality_fp_oracle() -> str:
 
 _q("text_lang_quality_fp", _text_lang_quality_fp, _text_lang_quality_fp_oracle())
 
-def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(text.winnow_fingerprints(F.col("text"))).alias("fp")
-    )
-
-
-_q(
-    "winnow_fingerprints",
-    _winnow,
-    f"""WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+# Shared winnow CTE chain: exact char-k-gram rolling hash + window minima,
+# mirroring text.winnow_fingerprints step by step. Used by both parts of
+# the winnow_fingerprints entry.
+_WINNOW_CTES = f"""t AS (SELECT doc_id, trim(text) AS t FROM documents),
 grams AS (
   SELECT doc_id, t,
          [substr(t, i, {text.WINNOW_K}) for i in generate_series(1, greatest(length(t) - {text.WINNOW_K - 1}, 0))] AS gs
@@ -210,8 +203,67 @@ mins AS (
     list_sort(list_distinct([list_min(hs[i:i+{text.WINNOW_W - 1}]) for i in generate_series(1, greatest(len(hs) - {text.WINNOW_W - 1}, 0))]))
     ELSE [] END AS fp
   FROM hashes
-)
-SELECT doc_id, unnest(fp) AS fp FROM mins""",
+)"""
+
+_WOP_MIN_SHARED = 2
+_WOP_MAX_FP_DOCS = 64
+
+
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints + containment pairs, one labeled union
+    (round-9 rotation of `text.winnow_overlap_pairs` into the driver
+    catalog, consolidated under the 50-entry cap):
+
+    - ``fp``: the per-doc fingerprint explosion (a=doc_id, v=fp);
+    - ``pair``: (a, b, v=shared, x=overlap) for pairs sharing ≥2
+      fingerprints after the >64-docs hot-fingerprint guard — containment
+      detection (a quoted paragraph in a larger doc) that whole-document
+      Jaccard scores near zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.explode(text.winnow_fingerprints(F.col("text"))).alias("fp")
+    ).select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("fp").alias("v"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    pr = text.winnow_overlap_pairs(
+        docs, min_shared=_WOP_MIN_SHARED, max_fp_docs=_WOP_MAX_FP_DOCS
+    ).select(
+        F.lit("pair").alias("part"),
+        "a",
+        "b",
+        F.col("shared").alias("v"),
+        F.col("overlap").alias("x"),
+    )
+    return fp.unionByName(pr)
+
+
+_q(
+    "winnow_fingerprints",
+    _winnow,
+    # The pair half replays the engine's drop_hot_keys(fp > max_fp_docs)
+    # guard, the i<j pair expansion, and the min-size overlap ratio. The
+    # overlap is a division of identical ints → identical doubles, so
+    # plain round(x, 6) matches.
+    f"""WITH {_WINNOW_CTES},
+ex AS (SELECT doc_id, unnest(fp) AS fp FROM mins),
+hot AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) > {_WOP_MAX_FP_DOCS}),
+ex2 AS (SELECT e.doc_id, e.fp FROM ex e ANTI JOIN hot h ON e.fp = h.fp),
+shp AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+        FROM ex2 l JOIN ex2 r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {_WOP_MIN_SHARED}),
+sizes AS (SELECT doc_id, len(fp) AS nfp FROM mins WHERE len(fp) > 0)
+SELECT 'fp' AS part, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+       unnest(fp) AS v, CAST(NULL AS DOUBLE) AS x FROM mins
+UNION ALL
+SELECT 'pair', shp.a, shp.b, CAST(shp.shared AS BIGINT),
+       round(CAST(shp.shared AS DOUBLE) / least(na.nfp, nb.nfp), 6)
+FROM shp JOIN sizes na ON na.doc_id = shp.a
+         JOIN sizes nb ON nb.doc_id = shp.b""",
 )
 
 # --- dedup --------------------------------------------------------------------
@@ -458,11 +510,9 @@ sim AS (
   FROM perbit GROUP BY 1
 )"""
 
-_q(
-    "simhash_signatures",
-    lambda spark, sf_dir: dedup.simhash(load_table(spark, sf_dir, "documents")),
-    f"WITH {_SIMHASH_SQL}\nSELECT doc_id, simhash FROM sim",
-)
+# (simhash signatures are checked as the 'sig' part of the merged
+# `near_dup_scores` entry — the round-9 consolidation that freed a slot
+# for `funnel_retention` under the driver's 50-entry cap)
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +694,9 @@ def _near_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled union of the (a, b, score)-shaped near-dup scorers (merged
     round 6 to free slots for `corpus_mix` and `doc_chunking`): exact n-gram
     Jaccard top-10 over a 100-doc subset, embedding-cosine near-dups over
-    sign-LSH candidates, and SimHash banded pairs (score = hamming)."""
+    sign-LSH candidates, and SimHash banded pairs (score = hamming).
+    Round 9 folded the former `simhash_signatures` entry in as part
+    ``sig`` (a = doc_id, b = the 64-bit SimHash) to free a catalog slot."""
     ng = _ngram_topk(spark, sf_dir).select(
         F.lit("ngram").alias("part"), "a", "b", F.col("jaccard").alias("score")
     )
@@ -657,7 +709,13 @@ def _near_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return ng.unionByName(em).unionByName(sh)
+    sig = dedup.simhash(load_table(spark, sf_dir, "documents")).select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return ng.unionByName(em).unionByName(sh).unionByName(sig)
 
 
 _q(
@@ -692,7 +750,9 @@ SELECT 'ngram' AS part, a, b, score FROM ngtop
 UNION ALL
 SELECT 'embed', a, b, {_O}cosine{_C} FROM scored WHERE cosine >= 0.3
 UNION ALL
-SELECT 'simhash', a, b, score FROM ({_SIMHASH_PAIRS_SELECT})""",
+SELECT 'simhash', a, b, score FROM ({_SIMHASH_PAIRS_SELECT})
+UNION ALL
+SELECT 'sig', doc_id, simhash, CAST(NULL AS DOUBLE) FROM sim""",
 )
 
 
@@ -1239,3 +1299,202 @@ SELECT doc_id,
        CAST(least(n - s, {_CHUNK_SIZE}) AS BIGINT) AS n_chunk_tokens
 FROM ch""",
 )
+
+
+# --- funnel + cohort retention (events axis) ----------------------------------
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN = 3600.0
+_RET_BUCKET = 7 * 86400
+
+
+def _funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stages + step rollup + cohort retention, one labeled union
+    (events axis; r8 verdict item 1).
+
+    - ``stage``: per-user deepest funnel stage through view→click→purchase
+      with ≤1h per-step gaps (exact restart-safe DP, `events.funnel_stages`)
+      plus t_first/t_last. The timestamps are copied event epochs — no
+      cross-engine arithmetic — so they carry no float stabilizer.
+    - ``funnel``: users reaching ≥ step i. Derived from the SAME stage
+      frame (``events.funnel`` is pinned equal to exactly this fold in
+      tests/test_pipeline.py), so the Arrow DP kernel runs once per gate.
+    - ``retention``: weekly-cohort activity counts
+      (`events.retention_cohorts`).
+    """
+    from sydradb_spark.pipeline import events as ev_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    st = ev_ops.funnel_stages(ev, _FUNNEL_STEPS, _FUNNEL_WITHIN)
+    stages = st.select(
+        F.lit("stage").alias("part"),
+        F.col("user").cast("long").alias("k1"),
+        F.col("stage").cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("t_first").alias("x1"),
+        F.col("t_last").alias("x2"),
+    )
+    k = len(_FUNNEL_STEPS)
+    sums = st.agg(
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"__s{i}")
+            for i in range(k)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("i"),
+                F.coalesce(F.col(f"__s{i}"), F.lit(0)).alias("n"),
+            )
+            for i in range(k)
+        ]
+    )
+    fr = sums.select(F.explode(pairs).alias("r")).select(
+        F.lit("funnel").alias("part"),
+        F.col("r.i").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("r.n").alias("n"),
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("x2"),
+    )
+    ret = ev_ops.retention_cohorts(ev, bucket_seconds=_RET_BUCKET).select(
+        F.lit("retention").alias("part"),
+        F.col("cohort").alias("k1"),
+        F.col("age").alias("k2"),
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("double").alias("x1"),
+        F.lit(None).cast("double").alias("x2"),
+    )
+    return stages.unionByName(fr).unionByName(ret)
+
+
+def _funnel_retention_oracle() -> str:
+    # The reach CTEs are the feasible-SET formulation of the funnel DP:
+    # stage-i reachable at ts iff a step-i event at ts has SOME reachable
+    # stage-(i-1) timestamp t with t < ts <= t + within — exactly the
+    # independent oracle tests/test_pipeline.py pins funnel_stages against.
+    w = _FUNNEL_WITHIN
+    s1, s2, s3 = _FUNNEL_STEPS
+    b = _RET_BUCKET
+    return f"""WITH ev AS (
+  SELECT user_id AS u, epoch(ts) AS ts, event_type AS ty
+  FROM events WHERE event_type IN ('{s1}', '{s2}', '{s3}')
+),
+r1 AS (SELECT DISTINCT u, ts FROM ev WHERE ty = '{s1}'),
+r2 AS (SELECT DISTINCT e.u, e.ts FROM ev e
+       JOIN r1 p ON p.u = e.u AND p.ts < e.ts AND e.ts <= p.ts + {w}
+       WHERE e.ty = '{s2}'),
+r3 AS (SELECT DISTINCT e.u, e.ts FROM ev e
+       JOIN r2 p ON p.u = e.u AND p.ts < e.ts AND e.ts <= p.ts + {w}
+       WHERE e.ty = '{s3}'),
+m1 AS (SELECT u, min(ts) AS t0, max(ts) AS mx FROM r1 GROUP BY u),
+m2 AS (SELECT u, max(ts) AS mx FROM r2 GROUP BY u),
+m3 AS (SELECT u, max(ts) AS mx FROM r3 GROUP BY u),
+stages AS (
+  SELECT d.u,
+         CASE WHEN m3.u IS NOT NULL THEN 3
+              WHEN m2.u IS NOT NULL THEN 2
+              WHEN m1.u IS NOT NULL THEN 1 ELSE 0 END AS stage,
+         m1.t0 AS t_first,
+         CASE WHEN m3.u IS NOT NULL THEN m3.mx
+              WHEN m2.u IS NOT NULL THEN m2.mx
+              WHEN m1.u IS NOT NULL THEN m1.mx END AS t_last
+  FROM (SELECT DISTINCT u FROM ev) d
+  LEFT JOIN m1 ON m1.u = d.u
+  LEFT JOIN m2 ON m2.u = d.u
+  LEFT JOIN m3 ON m3.u = d.u
+),
+rb AS (SELECT DISTINCT user_id AS u,
+              CAST(floor(epoch(ts) / {b}) * {b} AS BIGINT) AS bkt
+       FROM events),
+fc AS (SELECT u, min(bkt) AS cohort FROM rb GROUP BY u)
+SELECT 'stage' AS part, u AS k1, CAST(stage AS BIGINT) AS k2,
+       CAST(NULL AS BIGINT) AS n, t_first AS x1, t_last AS x2 FROM stages
+UNION ALL
+SELECT 'funnel', CAST(g.i AS BIGINT), CAST(NULL AS BIGINT),
+       (SELECT count(*) FROM stages WHERE stage >= g.i),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM generate_series(1, 3) AS g(i)
+UNION ALL
+SELECT 'retention', fc.cohort, CAST((rb.bkt - fc.cohort) / {b} AS BIGINT),
+       count(DISTINCT rb.u), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM rb JOIN fc ON rb.u = fc.u GROUP BY 1, 2, 3"""
+
+
+_q("funnel_retention", _funnel_retention, _funnel_retention_oracle)
+
+
+# --- vocabulary sweep + coverage + bigram-LM scoring (corpus axis) ------------
+_VOCAB_N = 200
+
+
+def _vocab_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vocab_topk + token_coverage + lm_score_docs, one labeled union
+    (r8 verdict item 1):
+
+    - ``vocab``: the corpus's top-200 tokens with deterministic
+      tie-broken ranks (TakeOrderedAndProject, plan-asserted in pytest);
+    - ``coverage``: fraction of token occurrences covered by that
+      vocabulary (single pass, broadcast vocab);
+    - ``lm``: per-doc mean bigram log-probability under the corpus-trained
+      add-alpha LM (stabilized 9dp→6dp rounding inside lm_score_docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = text.vocab_topk(docs, n=_VOCAB_N)
+    v = vocab.select(
+        F.lit("vocab").alias("part"),
+        F.col("token").alias("k"),
+        F.col("count").alias("a"),
+        F.col("rank").alias("b"),
+        F.lit(None).cast("double").alias("x"),
+    )
+    cov = text.token_coverage(docs, vocab.select("token")).select(
+        F.lit("coverage").alias("part"),
+        F.lit(None).cast("string").alias("k"),
+        F.col("total_tokens").alias("a"),
+        F.col("covered_tokens").alias("b"),
+        F.col("coverage").alias("x"),
+    )
+    lm = text.train_bigram_lm(docs)
+    sc = text.lm_score_docs(docs, lm).select(
+        F.lit("lm").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_bigrams").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("avg_logprob").alias("x"),
+    )
+    return v.unionByName(cov).unionByName(sc)
+
+
+def _vocab_lm_oracle() -> str:
+    a, vs = 0.4, 100_000
+    return f"""WITH {_TOKS},
+c AS (SELECT u.t AS token, count(*) AS cnt FROM toks, unnest(tk) AS u(t) GROUP BY 1),
+top AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM c ORDER BY cnt DESC, token LIMIT {_VOCAB_N}),
+alltok AS (SELECT u.t AS token FROM toks, unnest(tk) AS u(t)),
+cov AS (SELECT count(*) AS total,
+               sum(CASE WHEN token IN (SELECT token FROM top) THEN 1 ELSE 0 END) AS covered
+        FROM alltok),
+bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+lp AS (SELECT b.doc_id, ln(m.c12 + {a}) - ln(u.c1 + {a * vs}) AS lp
+       FROM bg b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+                 JOIN uni u ON b.w1 = u.w1),
+per AS (SELECT doc_id, count(*) AS nbg, {_O}avg(lp){_C} AS alp FROM lp GROUP BY 1)
+SELECT 'vocab' AS part, token AS k, cnt AS a, CAST(rnk AS BIGINT) AS b,
+       CAST(NULL AS DOUBLE) AS x FROM top
+UNION ALL
+SELECT 'coverage', CAST(NULL AS VARCHAR), total, CAST(covered AS BIGINT),
+       round(CAST(covered AS DOUBLE) / total, 6) FROM cov
+UNION ALL
+SELECT 'lm', CAST(d.doc_id AS VARCHAR), coalesce(p.nbg, 0),
+       CAST(NULL AS BIGINT), p.alp
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
+
+_q("vocab_lm_coverage", _vocab_lm_coverage, _vocab_lm_oracle)
+
+

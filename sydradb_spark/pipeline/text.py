@@ -517,9 +517,15 @@ def lm_score_docs(
             ).alias("__lp"),
         )
     )
+    # 9dp-then-6dp double rounding (same scheme as contract.base.rq): the
+    # avg sums doubles in engine-dependent order, so a plain round(x, 6)
+    # can flip the last digit between engines on half-boundary values; the
+    # pre-round absorbs the ulp noise first. |avg_logprob| ~ O(10), well
+    # inside the scheme's 9e6 domain.
+    stab = F.round(F.round(F.avg("__lp") * 1e9) / 1e3) / 1e6
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        stab.alias("avg_logprob"),
     )
     return (
         docs.select("doc_id")
