@@ -51,9 +51,17 @@ _HASH = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 
 # --- text analysis ------------------------------------------------------------
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from sydradb_spark.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     q = text.quality_columns(F.col("text"))
-    stats = docs.select(
+    # round-6 extension: Gopher-style repetition signals ride the same
+    # entry; since the round-9 sort+run-fold rewrite they are pure column
+    # expressions, so all 11 stats are ONE projection — no join, no second
+    # corpus scan (the former shape joined a repetition_stats frame back
+    # on doc_id: two tokenize passes plus a shuffle).
+    r = text.repetition_columns(F.col("text"))
+    return docs.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
@@ -62,15 +70,10 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(q["mean_word_len"]).alias("mean_word_len"),
         _r6(q["space_ratio"]).alias("space_ratio"),
         _r6(q["punct_ratio"]).alias("punct_ratio"),
+        r["n_lines"].alias("n_lines"),
+        _r6(r["dup_line_ratio"]).alias("dup_line_ratio"),
+        _r6(r["top_bigram_ratio"]).alias("top_bigram_ratio"),
     )
-    # round-6 extension: Gopher-style repetition signals ride the same entry
-    rep = text.repetition_stats(docs).select(
-        "doc_id",
-        "n_lines",
-        _r6(F.col("dup_line_ratio")).alias("dup_line_ratio"),
-        _r6(F.col("top_bigram_ratio")).alias("top_bigram_ratio"),
-    )
-    return stats.join(rep, on="doc_id")
 
 
 # DuckDB's RE2 has no lookarounds, so the BPE-ish split count is mirrored

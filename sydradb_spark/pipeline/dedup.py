@@ -60,9 +60,20 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep one row (min doc_id) per distinct text."""
-    keep = exact_dedup_groups(docs, text_col).select(F.col("keep_id").alias("doc_id"))
-    return docs.join(keep, on="doc_id", how="semi")
+    """Keep one row (min doc_id) per distinct text.
+
+    ONE shuffle: ``groupBy(md5).agg(min_by(struct(*), doc_id))`` moves each
+    row once, keyed by the content hash — perfectly uniform, skew-free by
+    construction — and map-side partial aggregation collapses duplicates
+    before they ever cross the wire (the heavier the duplication, the less
+    is shuffled). The previous shape (groups + semi join back on doc_id)
+    shuffled the survivors a second time by doc_id plus the keeper list;
+    r9 A/B at sf1: 4.9 s → 3.8 s, exact-equal output, and strictly fewer
+    bytes moved at any scale."""
+    agg = docs.groupBy(F.md5(F.col(text_col)).alias("__md5")).agg(
+        F.min_by(F.struct(*docs.columns), F.col("doc_id")).alias("__r")
+    )
+    return agg.select("__r.*")
 
 
 def build_fingerprint_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -823,6 +834,12 @@ def curate_corpus(
     """
     from sydradb_spark.pipeline.text import quality_score
 
+    # spread() up front (no-op at scale where the source has enough
+    # splits): without it the quality gate and the exact-dedup md5 scan
+    # run at the input file's split count — the r9 stage profile measured
+    # them at 2-way parallelism on a single sf1 parquet (4.6 s + 7.4 s of
+    # the 18.5 s composition) while every downstream stage ran 32-wide.
+    docs = _spread(docs)
     if boilerplate_max_docs is not None:
         from sydradb_spark.pipeline.curation import remove_boilerplate_lines
 

@@ -224,11 +224,20 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (boilerplate) and a single bigram dominating the text (keyword spam).
 
     ``top_bigram_ratio`` = occurrences of the most frequent bigram / total
-    bigram occurrences. Computed with the exploded codegen shape (explode →
-    count per (doc, bigram) → max/sum per doc): two partial-aggregating
-    shuffles bounded by docs×distinct-bigrams — the round-6 signature A/B
-    showed this beats per-doc interpreted HOF frequency counting. Docs with
-    <2 tokens get ratio 0.
+    bigram occurrences. Per-doc bigram counting is ROW-LOCAL — every
+    bigram of a doc lives in its own row — so no shuffle is needed at all:
+    sort the bigram array and fold it once, tracking the longest run
+    (max-frequency bigram in a sorted array = longest equal-run). One
+    projection, zero shuffles, zero joins. Docs with <2 tokens get ratio 0.
+
+    Shape history: round 6 A/B'd the exploded shape (explode → count per
+    (doc, bigram) → max/sum per doc → join back: TWO full-width shuffles of
+    every bigram occurrence plus a doc-key join) against O(n²) per-doc HOF
+    frequency counting and kept the exploded shape; the round-9 A/B against
+    this O(n log n) sort+run-fold measured 8.2 s → 1.2 s at sf1 (50k docs,
+    parallelism-matched, exact-equal output). At 100 TB the win widens:
+    the exploded shape shuffles ~every token of the corpus twice, the fold
+    shuffles nothing.
 
     Input is ``spread()`` like shingle_table: a single small parquet file
     arrives in 1-4 splits, and without the repartition the tokenize +
@@ -237,23 +246,46 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from sydradb_spark.util import spread as _spread
 
-    docs = _spread(docs)
-    base = docs.select(
+    r = repetition_columns(F.col(text_col))
+    return _spread(docs).select(
         "doc_id",
-        F.size(lines_nonempty(F.col(text_col))).cast("long").alias("n_lines"),
-        dup_line_ratio(F.col(text_col)).alias("dup_line_ratio"),
-        word_bigrams(F.col(text_col)).alias("__bg"),
+        r["n_lines"].alias("n_lines"),
+        r["dup_line_ratio"].alias("dup_line_ratio"),
+        r["top_bigram_ratio"].alias("top_bigram_ratio"),
     )
-    exploded = base.select("doc_id", F.explode("__bg").alias("bg"))
-    counts = exploded.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("doc_id").agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_ratio")
+
+
+def repetition_columns(text: Column) -> dict[str, Column]:
+    """The repetition signals as pure column expressions, so callers (e.g.
+    the text_stats contract entry) can fuse them into a single projection
+    with the quality columns — no join, no second scan."""
+    bg = word_bigrams(text)
+    sorted_bg = F.array_sort(bg)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    return (
-        base.drop("__bg")
-        .join(per_doc, on="doc_id", how="left")
-        .na.fill({"top_bigram_ratio": 0.0})
-    )
+
+    def step(acc, x):
+        # bigrams are never empty strings ("tok tok"), so prev="" can't
+        # match the first element
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    folded = F.aggregate(sorted_bg, init, step)
+    nbg = F.size(sorted_bg)
+    return {
+        "n_lines": F.size(lines_nonempty(text)).cast("long"),
+        "dup_line_ratio": dup_line_ratio(text),
+        "top_bigram_ratio": F.when(
+            nbg > 0, folded["best"].cast("double") / nbg
+        ).otherwise(F.lit(0.0)),
+    }
 
 
 def chunk_documents(
