@@ -310,20 +310,37 @@ def test_differential(engine, ddb, case):
 
 def _fill_cases():
     """FILL fuzz: bucket-agg over the GAPPY series with a dense spine twin.
-    fill(previous) uses DuckDB's IGNORE NULLS carry."""
+    fill(previous) uses DuckDB's IGNORE NULLS carry; fill(linear) (added
+    round 9 per the r8 verdict) mirrors the contract oracle's two-window
+    lerp — leading/trailing gaps stay NULL."""
     rnd = random.Random(31)
     cases = []
-    for strategy in ("null", "7.5", "previous"):
+    for strategy in ("null", "7.5", "previous", "linear"):
         for _ in range(2):
             a = T0 + rnd.randrange(0, 1800)
             b = a + rnd.randrange(600, 3600)
             w = rnd.choice([60, 120, 300])
+            windows = ""
             if strategy == "null":
                 val = "a.v"
             elif strategy == "previous":
                 val = (
                     "last_value(a.v IGNORE NULLS) OVER "
                     "(ORDER BY s.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+            elif strategy == "linear":
+                pb = "last_value(CASE WHEN a.v IS NOT NULL THEN s.b END IGNORE NULLS) OVER prev"
+                nb = "first_value(CASE WHEN a.v IS NOT NULL THEN s.b END IGNORE NULLS) OVER nxt"
+                pv = "last_value(a.v IGNORE NULLS) OVER prev"
+                nv = "first_value(a.v IGNORE NULLS) OVER nxt"
+                val = (
+                    f"CASE WHEN a.v IS NOT NULL THEN a.v ELSE "
+                    f"{pv} + ({nv} - {pv}) * (s.b - {pb}) / ({nb} - {pb}) END"
+                )
+                windows = (
+                    " WINDOW prev AS (ORDER BY s.b ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND CURRENT ROW), nxt AS (ORDER BY s.b ROWS "
+                    "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
                 )
             else:
                 val = f"coalesce(a.v, {strategy})"
@@ -342,10 +359,92 @@ def _fill_cases():
                             (SELECT min(b) FROM agg), (SELECT max(b) FROM agg), {w}
                           )) AS b)
                         SELECT s.b AS b, {val} AS v
-                        FROM spine s LEFT JOIN agg a USING (b)""",
+                        FROM spine s LEFT JOIN agg a USING (b){windows}""",
                 )
             )
     return cases
+
+
+def _window_cases():
+    """Window-function fuzz (round 9 per the r8 verdict): lag/lead with
+    random offsets, moving_avg with random durations, ema with random
+    alphas — the operators whose chunk-seam logic lives in
+    functions/chunked.py — over all three fixture series (gappy room2,
+    duplicate-ts room1, dense cpu.total). Oracles window AFTER the time
+    filter, ordering (ts, value) like the engine's canonical pre-pass."""
+    rnd = random.Random(53)
+    cases = []
+    series = list(SERIES_SPAN)
+    for _ in range(4):
+        s = rnd.choice(series)
+        span = SERIES_SPAN[s]
+        a = T0 + rnd.randrange(0, span // 2)
+        b = a + rnd.randrange(600, span)
+        k1, k2 = rnd.randint(1, 3), rnd.randint(1, 3)
+        cases.append(
+            (
+                f"laglead-{s}-{k1}{k2}-{a}",
+                f"select time, value, lag(value, {k1}) as p, "
+                f"lead(value, {k2}) as n from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT ts AS time, value, lag(value, {k1}) OVER w AS p, "
+                f"lead(value, {k2}) OVER w AS n FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} "
+                f"WINDOW w AS (ORDER BY ts, value)",
+            )
+        )
+    for _ in range(4):
+        s = rnd.choice(series)
+        span = SERIES_SPAN[s]
+        a = T0 + rnd.randrange(0, span // 2)
+        b = a + rnd.randrange(600, span)
+        d = rnd.choice([60, 300, 900])
+        cases.append(
+            (
+                f"movavg-{s}-{d}-{a}",
+                f"select time, moving_avg(value, {d}) as ma from {s} "
+                f"where time >= {a} and time < {b}",
+                f"SELECT ts AS time, avg(value) OVER (ORDER BY ts RANGE "
+                f"BETWEEN {d} PRECEDING AND CURRENT ROW) AS ma FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    for alpha in (0.3, 0.5, 0.8):
+        s = rnd.choice(series)
+        span = SERIES_SPAN[s]
+        a = T0 + rnd.randrange(0, span // 2)
+        b = a + rnd.randrange(600, span)
+        # closed-form expansion of s_i = α·x_i + (1-α)·s_{i-1}, s_1 = x_1;
+        # O(n²) join is fine at fixture scale (≤ ~700 rows), and weights
+        # below double ulp just underflow to 0 inside the sum
+        cases.append(
+            (
+                f"ema-{s}-{alpha}-{a}",
+                f"select time, ema(value, 60, {alpha}) as ema_v from {s} "
+                f"where time >= {a} and time < {b}",
+                f"""WITH f AS (
+                      SELECT ts, value,
+                             CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
+                      FROM pts WHERE series = '{s}' AND ts >= {a} AND ts < {b}),
+                    e AS (
+                      SELECT fi.rn, fi.ts,
+                             sum(CASE WHEN fj.rn = 1
+                                      THEN power({1 - alpha}, fi.rn - 1) * fj.value
+                                      ELSE {alpha} * power({1 - alpha}, fi.rn - fj.rn) * fj.value
+                                 END) AS s
+                      FROM f fi JOIN f fj ON fj.rn <= fi.rn GROUP BY 1, 2)
+                    SELECT ts AS time, s AS ema_v FROM e""",
+            )
+        )
+    return cases
+
+
+WINDOW_CASES = _window_cases()
+
+
+@pytest.mark.parametrize("case", WINDOW_CASES, ids=[c[0] for c in WINDOW_CASES])
+def test_window_differential(engine, ddb, case):
+    test_differential(engine, ddb, case)
 
 
 FILL_CASES = _fill_cases()
