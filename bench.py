@@ -193,6 +193,56 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # Storage-mode path (round 9, r8 verdict item 6): the headline queries
+    # read raw single parquet files; this block writes the same events to
+    # the engine's own hour-partitioned storage layout (write_points +
+    # manifest) and re-runs the range scan + bucket agg through the
+    # engine's storage scan, so partition pruning shows up in a recorded
+    # number — including whether the executed plan actually pruned
+    # (PartitionFilters on hour_bucket). Kept OUT of headline totals
+    # (same policy as index_split).
+    from sydradb_spark.contract.base import D3, T0
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    st_dir = tempfile.mkdtemp(prefix="bench_storage_")
+    storage_mode: dict = {}
+    try:
+        t0 = time.perf_counter()
+        write_points(events_points(spark, sf_dir), f"{st_dir}/t", mode="overwrite")
+        storage_mode["storage_write"] = round(time.perf_counter() - t0, 3)
+        eng = SydraQLEngine(spark, storage_path=f"{st_dir}/t")
+        st_queries = {
+            "storage_scan_range": (
+                f"select time, value from events.click "
+                f"where time >= {T0} and time < {D3}"
+            ),
+            "storage_agg_bucket": (
+                f"select time_bucket(3600, time) as b, avg(value) as v, "
+                f"count() as n from events.click "
+                f"where time >= {T0} and time < {D3} "
+                f"group by time_bucket(3600, time)"
+            ),
+        }
+        for name, q in st_queries.items():
+            df0 = eng.query(q).df
+            plan = df0._jdf.queryExecution().executedPlan().toString()
+            pf = (
+                plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+                if "PartitionFilters" in plan
+                else ""
+            )
+            st_runs = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                eng.query(q).df.write.format("noop").mode("overwrite").save()
+                st_runs.append(round(time.perf_counter() - t0, 3))
+            storage_mode[name] = sorted(st_runs)[len(st_runs) // 2]
+            storage_mode[f"{name}_runs"] = st_runs
+            storage_mode[f"{name}_partition_pruned"] = "hour_bucket" in pf
+        print(f"# storage mode: {storage_mode}", file=sys.stderr)
+    finally:
+        shutil.rmtree(st_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     # like-for-like subtotals for round-over-round comparison: the headline
     # set grew over rounds (corpus_curation + doc_chunking landed in r06),
@@ -223,6 +273,7 @@ def main() -> None:
                 "calibration": calibration,
                 "calibration_runs": calib_runs,
                 "index_split": index_split,
+                "storage_mode": storage_mode,
                 "detail": detail,
                 "comparable_to_prev": comparable,
             }

@@ -11,8 +11,10 @@ extended protocol — work against the same translator + engine path as psql.
 Auth and TLS stay out of scope like the reference (TLS requests answered 'N').
 
 Extended-protocol semantics notes:
-- Statements are prepared per connection; portals bind text-format
-  parameters ($N → quoted/numeric literal; binary format codes → 0A000).
+- Statements are prepared per connection; portals bind text- OR binary-
+  format parameters ($N → quoted/numeric literal; binary values decoded
+  via the parameter OIDs declared in Parse — int2/int4/int8, float4/
+  float8, bool, text; an undeclared OID with a binary value is 0A000).
 - A portal's statement runs ONCE (at Describe or Execute, whichever comes
   first) and the result is cached on the portal — a Describe of an INSERT
   portal therefore executes it early rather than twice; within one Sync
@@ -26,7 +28,10 @@ Production posture: this front-end is a thin driver-side shim for pg-client
 compatibility (psql, BI tools poking at results). Heavy concurrent SQL
 traffic belongs on Spark Connect / Thrift; DEPLOY.md states the split.
 
-Text-format encoding only (format code 0), which every client supports.
+Results honor the Bind message's result-format codes: text (0) always,
+and binary (1) for the engine's output types (int8/float8/bool wire
+encodings; text types pass utf8 either way) — psycopg3's binary=True
+cursors and JDBC's binary transfer mode work unmodified.
 """
 
 from __future__ import annotations
@@ -136,26 +141,86 @@ def _diagnostic_notices(
     return out
 
 
-def _row_description(fields: list[tuple[str, str]]) -> bytes:
+def _fmt_for(i: int, rfmts: tuple[int, ...] | None) -> int:
+    """Result-format code for column i under the Bind message's rules:
+    no codes → all text; one code → applies to every column; else
+    per-column."""
+    if not rfmts:
+        return 0
+    return rfmts[0] if len(rfmts) == 1 else rfmts[i]
+
+
+def _row_description(
+    fields: list[tuple[str, str]], rfmts: tuple[int, ...] | None = None
+) -> bytes:
     out = struct.pack("!H", len(fields))
-    for name, spark_type in fields:
+    for i, (name, spark_type) in enumerate(fields):
         out += (
             name.encode()
             + b"\x00"
-            + struct.pack("!IHIhih", 0, 0, _oid_for(spark_type), -1, -1, 0)
+            + struct.pack(
+                "!IHIhih", 0, 0, _oid_for(spark_type), -1, -1, _fmt_for(i, rfmts)
+            )
         )
     return _msg(b"T", out)
 
 
-def _data_row(values: list[Any]) -> bytes:
+def _encode_binary(value: Any, spark_type: str) -> bytes | None:
+    """Binary result format for the engine's output types, matching the
+    OID _oid_for reports for the column (ints are described as int8, so
+    the wire value is always 8 bytes)."""
+    if value is None:
+        return None
+    if spark_type in ("bigint", "int", "smallint", "tinyint", "long"):
+        return struct.pack("!q", int(value))
+    if spark_type in ("double", "float", "decimal"):
+        return struct.pack("!d", float(value))
+    if spark_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return _encode(value)  # text OID: binary representation IS the utf8 text
+
+
+def _data_row(
+    values: list[Any],
+    types: list[str] | None = None,
+    rfmts: tuple[int, ...] | None = None,
+) -> bytes:
     out = struct.pack("!H", len(values))
-    for v in values:
-        enc = _encode(v)
+    for i, v in enumerate(values):
+        if _fmt_for(i, rfmts) == 1 and types is not None:
+            enc = _encode_binary(v, types[i])
+        else:
+            enc = _encode(v)
         if enc is None:
             out += struct.pack("!i", -1)
         else:
             out += struct.pack("!I", len(enc)) + enc
     return _msg(b"D", out)
+
+
+# Binary PARAMETER decoding (psycopg3/JDBC send these for typed params;
+# the OID comes from the Parse message's declared parameter types).
+def _decode_binary_param(data: bytes, oid: int) -> bytes:
+    """Binary-format parameter → the equivalent text-format bytes, so the
+    substitution path downstream is shared with text parameters."""
+    try:
+        if oid == 20:  # int8
+            return str(struct.unpack("!q", data)[0]).encode()
+        if oid == 23:  # int4
+            return str(struct.unpack("!i", data)[0]).encode()
+        if oid == 21:  # int2
+            return str(struct.unpack("!h", data)[0]).encode()
+        if oid == 701:  # float8
+            return repr(struct.unpack("!d", data)[0]).encode()
+        if oid == 700:  # float4
+            return repr(struct.unpack("!f", data)[0]).encode()
+        if oid == _OID_BOOL:
+            return b"true" if data != b"\x00" else b"false"
+    except struct.error:
+        raise _WireError("malformed binary parameter", "08P01") from None
+    if oid in (25, 1043, 19, 705):  # text/varchar/name/unknown: utf8 already
+        return data
+    raise _WireError(f"binary format for parameter type oid {oid} not supported")
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -316,6 +381,9 @@ class _Handler(socketserver.BaseRequestHandler):
         (n_params,) = struct.unpack("!H", payload[off : off + 2])
         if len(payload) < off + 2 + n_params * 4:
             raise _WireError("parse message truncated", "08P01")
+        param_oids = struct.unpack(
+            f"!{n_params}I", payload[off + 2 : off + 2 + n_params * 4]
+        )
         from sydradb_spark.compat import catalog as pg_catalog
 
         if not pg_catalog.is_catalog_query(sql):
@@ -325,7 +393,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise _WireError(
                     t.message or "translation failed", t.sqlstate or "0A000"
                 )
-        self._stmts[name] = sql.strip()
+        self._stmts[name] = {"sql": sql.strip(), "param_oids": param_oids}
         sock.sendall(_msg(b"1", b""))  # ParseComplete
 
     def _ext_bind(self, sock, payload: bytes) -> None:
@@ -338,28 +406,41 @@ class _Handler(socketserver.BaseRequestHandler):
             off += 2 * n_fmt
             (n_params,) = struct.unpack("!H", payload[off : off + 2])
             off += 2
-            params: list[bytes | None] = []
+            raw: list[tuple[bytes | None, int]] = []
             for i in range(n_params):
                 (ln,) = struct.unpack("!i", payload[off : off + 4])
                 off += 4
+                fmt = fmts[i if n_fmt > 1 else 0] if n_fmt else 0
                 if ln == -1:
-                    params.append(None)
+                    raw.append((None, fmt))
                 else:
-                    params.append(payload[off : off + ln])
+                    raw.append((payload[off : off + ln], fmt))
                     off += ln
-                if n_fmt and fmts[i if n_fmt > 1 else 0] == 1:
-                    raise _WireError("binary parameter format not supported")
             (n_rfmt,) = struct.unpack("!H", payload[off : off + 2])
             off += 2
             rfmts = struct.unpack(f"!{n_rfmt}H", payload[off : off + 2 * n_rfmt])
         except (ValueError, struct.error):
             raise _WireError("malformed bind message", "08P01") from None
-        if any(f == 1 for f in rfmts):
-            raise _WireError("binary result format not supported")
         if stmt not in self._stmts:
             raise _WireError(f"prepared statement {stmt!r} not found", "26000")
+        st = self._stmts[stmt]
+        params: list[bytes | None] = []
+        for i, (data, fmt) in enumerate(raw):
+            if data is None or fmt == 0:
+                params.append(data)
+                continue
+            # binary-format parameter: decode via the OID declared in Parse
+            # (psycopg3/JDBC always declare types when sending binary)
+            oid = st["param_oids"][i] if i < len(st["param_oids"]) else 0
+            if oid == 0:
+                raise _WireError(
+                    "binary parameter with unspecified type (declare the "
+                    "parameter OID in Parse)"
+                )
+            params.append(_decode_binary_param(data, oid))
         self._portals[portal] = {
-            "sql": _substitute_params(self._stmts[stmt], params)
+            "sql": _substitute_params(st["sql"], params),
+            "rfmts": rfmts,
         }
         sock.sendall(_msg(b"2", b""))  # BindComplete
 
@@ -404,14 +485,20 @@ class _Handler(socketserver.BaseRequestHandler):
         if kind == "S":
             if name not in self._stmts:
                 raise _WireError(f"prepared statement {name!r} not found", "26000")
-            n = len(set(_PLACEHOLDER.findall(self._stmts[name])))
-            # ParameterDescription: oid 0 = unspecified (engine is untyped here)
-            sock.sendall(_msg(b"t", struct.pack("!H", n) + b"\x00\x00\x00\x00" * n))
+            st = self._stmts[name]
+            n = max(len(set(_PLACEHOLDER.findall(st["sql"]))), len(st["param_oids"]))
+            # ParameterDescription: the OIDs declared in Parse, 0
+            # (unspecified) for any the client left untyped
+            desc = struct.pack("!H", n)
+            for i in range(n):
+                oid = st["param_oids"][i] if i < len(st["param_oids"]) else 0
+                desc += struct.pack("!I", oid)
+            sock.sendall(_msg(b"t", desc))
             if n == 0:
                 # parameter-less statement: a real RowDescription (JDBC's
                 # Parse→Describe(S)→Bind→Execute flow builds its result
                 # metadata from this) — prepare through a throwaway portal
-                portal = {"sql": self._stmts[name]}
+                portal = {"sql": st["sql"]}
                 self._prepare_portal(server, portal)
                 if portal.get("fields"):
                     sock.sendall(_row_description(portal["fields"]))
@@ -425,7 +512,7 @@ class _Handler(socketserver.BaseRequestHandler):
         portal = self._portals[name]
         self._prepare_portal(server, portal)
         if portal.get("fields"):
-            sock.sendall(_row_description(portal["fields"]))
+            sock.sendall(_row_description(portal["fields"], portal.get("rfmts")))
         else:
             sock.sendall(_msg(b"n", b""))  # NoData
 
@@ -445,10 +532,12 @@ class _Handler(socketserver.BaseRequestHandler):
             sock.sendall(_msg(b"C", b"SELECT 0\x00"))
             return
         fields = portal["fields"]
+        rfmts = portal.get("rfmts")
+        types = [t for _, t in fields]
         if portal["kind"] == "catalog":
             rows = portal["rows"]
             for row in rows:
-                sock.sendall(_data_row(list(row)))
+                sock.sendall(_data_row(list(row), types, rfmts))
             portal["done"] = True
             sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
             return
@@ -457,7 +546,7 @@ class _Handler(socketserver.BaseRequestHandler):
         except Exception as exc:  # noqa: BLE001
             raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
         for row in collected:
-            sock.sendall(_data_row([row[n] for n, _ in fields]))
+            sock.sendall(_data_row([row[n] for n, _ in fields], types, rfmts))
         portal["done"] = True
         sock.sendall(_msg(b"C", f"SELECT {len(collected)}".encode() + b"\x00"))
 

@@ -348,6 +348,135 @@ def test_pgwire_extended_string_param_and_catalog(wire):
     sock.close()
 
 
+def _ext_bind_fmt(sock, portal=b"", stmt=b"", params=(), pfmts=(), rfmts=()):
+    """Bind with explicit per-parameter format codes and result formats."""
+    body = portal + b"\x00" + stmt + b"\x00"
+    body += struct.pack("!H", len(pfmts))
+    for f in pfmts:
+        body += struct.pack("!H", f)
+    body += struct.pack("!H", len(params))
+    for p in params:
+        if p is None:
+            body += struct.pack("!i", -1)
+        else:
+            body += struct.pack("!I", len(p)) + p
+    body += struct.pack("!H", len(rfmts))
+    for f in rfmts:
+        body += struct.pack("!H", f)
+    _send(sock, b"B", body)
+
+
+def test_pgwire_binary_protocol_roundtrip(wire):
+    """psycopg3-style binary flow (r8 verdict item 5): Parse declares the
+    parameter OID, Bind sends the value in BINARY format with binary
+    result formats requested, Describe reports format code 1, and DataRow
+    values come back as wire-order int8/float8 — decoded here with the
+    exact struct layouts a binary-mode pg client uses."""
+    sock = _connect(wire.addr)
+    # Parse with one declared int8 ($1 → OID 20)
+    sql = b"SELECT time, value FROM cpu.total WHERE time >= $1 AND time < 1000060"
+    _send(
+        sock,
+        b"P",
+        b"sb\x00" + sql + b"\x00" + struct.pack("!H", 1) + struct.pack("!I", 20),
+    )
+    # Describe(S): ParameterDescription must echo the declared OID
+    _send(sock, b"D", b"S" + b"sb\x00")
+    # Bind: binary int8 parameter 1000000, all-binary results
+    _ext_bind_fmt(
+        sock,
+        portal=b"pb",
+        stmt=b"sb",
+        params=[struct.pack("!q", 1_000_000)],
+        pfmts=(1,),
+        rfmts=(1,),
+    )
+    _send(sock, b"D", b"P" + b"pb\x00")
+    _send(sock, b"E", b"pb\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    tags = [t for t, _ in msgs]
+    assert b"E" not in tags, msgs
+    # ParameterDescription: one param, OID 20
+    pdesc = [p for t, p in msgs if t == b"t"][0]
+    assert struct.unpack("!HI", pdesc) == (1, 20)
+    # RowDescription from the portal describe carries format code 1
+    rowdesc = [p for t, p in msgs if t == b"T"][-1]
+    (ncols,) = struct.unpack("!H", rowdesc[:2])
+    assert ncols == 2
+    off = 2
+    for _ in range(ncols):
+        end = rowdesc.index(b"\x00", off)
+        tab, col, oid, sz, mod, fmt = struct.unpack(
+            "!IHIhih", rowdesc[end + 1 : end + 19]
+        )
+        assert fmt == 1
+        off = end + 19
+    # DataRows: (int8 ts, float8 value) in network byte order
+    rows = []
+    for t, p in msgs:
+        if t != b"D":
+            continue
+        (nv,) = struct.unpack("!H", p[:2])
+        assert nv == 2
+        o = 2
+        vals = []
+        for _ in range(nv):
+            (ln,) = struct.unpack("!i", p[o : o + 4])
+            o += 4
+            vals.append(p[o : o + ln])
+            o += ln
+        rows.append((struct.unpack("!q", vals[0])[0], struct.unpack("!d", vals[1])[0]))
+    assert len(rows) == 5
+    assert rows[0] == (1_000_000, 50.0) or rows[0] == (1_000_000, 100.0)
+    assert {ts for ts, _ in rows} == {1_000_000, 1_000_015, 1_000_030, 1_000_045}
+
+    # binary param WITHOUT a declared OID → 0A000, session skips to Sync
+    _send(sock, b"P", b"su\x00" + sql + b"\x00" + struct.pack("!H", 0))
+    _ext_bind_fmt(
+        sock, portal=b"pu", stmt=b"su",
+        params=[struct.pack("!q", 1)], pfmts=(1,), rfmts=(),
+    )
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs2 = _drain_to_ready(sock)
+    errs = [p for t, p in msgs2 if t == b"E"]
+    assert len(errs) == 1 and b"0A000" in errs[0]
+    sock.close()
+
+
+def test_pgwire_binary_float_and_text_params(wire):
+    """float8 and text binary parameters decode through the declared OIDs;
+    text results stay utf8 under binary format (same bytes either way)."""
+    sock = _connect(wire.addr)
+    sql = b"SELECT $1 AS a, $2 AS b"
+    _send(
+        sock,
+        b"P",
+        b"\x00" + sql + b"\x00" + struct.pack("!HII", 2, 701, 25),
+    )
+    _ext_bind_fmt(
+        sock,
+        params=[struct.pack("!d", 2.5), b"hi there"],
+        pfmts=(1, 1),
+        rfmts=(1,),
+    )
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    assert not [p for t, p in msgs if t == b"E"], msgs
+    row = [p for t, p in msgs if t == b"D"][0]
+    (nv,) = struct.unpack("!H", row[:2])
+    o, vals = 2, []
+    for _ in range(nv):
+        (ln,) = struct.unpack("!i", row[o : o + 4])
+        o += 4
+        vals.append(row[o : o + ln])
+        o += ln
+    assert struct.unpack("!d", vals[0])[0] == 2.5
+    assert vals[1] == b"hi there"
+    sock.close()
+
+
 def test_pgwire_explain_passthrough(wire):
     """EXPLAIN SELECT through the wire: the translator re-prefixes the
     translated inner statement and the engine answers with the formatted
