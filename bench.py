@@ -129,9 +129,18 @@ def main() -> None:
     # away: cold-cache parquet reads — the warm-up above already pins the
     # OS page cache at this data scale, so medians measure compute, not IO.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # SPARK_GRAFT_BENCH_QUERIES (round 9): comma-separated subset for scale
+    # campaigns (e.g. the sf100 decade runs only the scale-sensitive
+    # entries); default is the full headline set the driver records.
+    subset = [
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").split(",") if q
+    ]
+    headline = [q for q in HEADLINE if not subset or q in subset] + [
+        q for q in subset if q not in HEADLINE
+    ]
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         # rows/cols from ONE untimed count (also warms this entry's plan).
         # Timed runs then materialize through the noop sink: count() lets
@@ -173,23 +182,26 @@ def main() -> None:
         minhash_write_index,
     )
 
-    idx_dir = tempfile.mkdtemp(prefix="bench_mh_idx_")
+    # subset campaigns (SPARK_GRAFT_BENCH_QUERIES) time only the named
+    # entries — the index/storage extras are full-headline instrumentation
+    idx_dir = tempfile.mkdtemp(prefix="bench_mh_idx_") if not subset else ""
     index_split: dict = {}
     try:
-        docs = load_table(spark, sf_dir, "documents")
-        t0 = time.perf_counter()
-        minhash_write_index(docs, f"{idx_dir}/mh")
-        index_split["minhash_index_build"] = round(time.perf_counter() - t0, 3)
-        sh_i, bands_i = minhash_read_index(spark, f"{idx_dir}/mh")
-        q_runs = []
-        for _ in range(repeats):
+        if not subset:
+            docs = load_table(spark, sf_dir, "documents")
             t0 = time.perf_counter()
-            minhash_query_index(sh_i, bands_i, threshold=0.2).count()
-            q_runs.append(round(time.perf_counter() - t0, 3))
-        index_split["minhash_query_warm"] = sorted(q_runs)[len(q_runs) // 2]
-        index_split["minhash_query_runs"] = q_runs
-        index_split["minhash_cold_fused"] = timings.get("minhash_lsh_pairs")
-        print(f"# minhash index split: {index_split}", file=sys.stderr)
+            minhash_write_index(docs, f"{idx_dir}/mh")
+            index_split["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+            sh_i, bands_i = minhash_read_index(spark, f"{idx_dir}/mh")
+            q_runs = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                minhash_query_index(sh_i, bands_i, threshold=0.2).count()
+                q_runs.append(round(time.perf_counter() - t0, 3))
+            index_split["minhash_query_warm"] = sorted(q_runs)[len(q_runs) // 2]
+            index_split["minhash_query_runs"] = q_runs
+            index_split["minhash_cold_fused"] = timings.get("minhash_lsh_pairs")
+            print(f"# minhash index split: {index_split}", file=sys.stderr)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -204,42 +216,43 @@ def main() -> None:
     from sydradb_spark.contract.base import D3, T0
     from sydradb_spark.sydraql.engine import SydraQLEngine
 
-    st_dir = tempfile.mkdtemp(prefix="bench_storage_")
+    st_dir = tempfile.mkdtemp(prefix="bench_storage_") if not subset else ""
     storage_mode: dict = {}
     try:
-        t0 = time.perf_counter()
-        write_points(events_points(spark, sf_dir), f"{st_dir}/t", mode="overwrite")
-        storage_mode["storage_write"] = round(time.perf_counter() - t0, 3)
-        eng = SydraQLEngine(spark, storage_path=f"{st_dir}/t")
-        st_queries = {
-            "storage_scan_range": (
-                f"select time, value from events.click "
-                f"where time >= {T0} and time < {D3}"
-            ),
-            "storage_agg_bucket": (
-                f"select time_bucket(3600, time) as b, avg(value) as v, "
-                f"count() as n from events.click "
-                f"where time >= {T0} and time < {D3} "
-                f"group by time_bucket(3600, time)"
-            ),
-        }
-        for name, q in st_queries.items():
-            df0 = eng.query(q).df
-            plan = df0._jdf.queryExecution().executedPlan().toString()
-            pf = (
-                plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
-                if "PartitionFilters" in plan
-                else ""
-            )
-            st_runs = []
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                eng.query(q).df.write.format("noop").mode("overwrite").save()
-                st_runs.append(round(time.perf_counter() - t0, 3))
-            storage_mode[name] = sorted(st_runs)[len(st_runs) // 2]
-            storage_mode[f"{name}_runs"] = st_runs
-            storage_mode[f"{name}_partition_pruned"] = "hour_bucket" in pf
-        print(f"# storage mode: {storage_mode}", file=sys.stderr)
+        if not subset:
+            t0 = time.perf_counter()
+            write_points(events_points(spark, sf_dir), f"{st_dir}/t", mode="overwrite")
+            storage_mode["storage_write"] = round(time.perf_counter() - t0, 3)
+            eng = SydraQLEngine(spark, storage_path=f"{st_dir}/t")
+            st_queries = {
+                "storage_scan_range": (
+                    f"select time, value from events.click "
+                    f"where time >= {T0} and time < {D3}"
+                ),
+                "storage_agg_bucket": (
+                    f"select time_bucket(3600, time) as b, avg(value) as v, "
+                    f"count() as n from events.click "
+                    f"where time >= {T0} and time < {D3} "
+                    f"group by time_bucket(3600, time)"
+                ),
+            }
+            for name, q in st_queries.items():
+                df0 = eng.query(q).df
+                plan = df0._jdf.queryExecution().executedPlan().toString()
+                pf = (
+                    plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+                    if "PartitionFilters" in plan
+                    else ""
+                )
+                st_runs = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    eng.query(q).df.write.format("noop").mode("overwrite").save()
+                    st_runs.append(round(time.perf_counter() - t0, 3))
+                storage_mode[name] = sorted(st_runs)[len(st_runs) // 2]
+                storage_mode[f"{name}_runs"] = st_runs
+                storage_mode[f"{name}_partition_pruned"] = "hour_bucket" in pf
+            print(f"# storage mode: {storage_mode}", file=sys.stderr)
     finally:
         shutil.rmtree(st_dir, ignore_errors=True)
 
@@ -252,7 +265,9 @@ def main() -> None:
     ]
     comparable = {
         "r06_set_19q": total,  # r06 ran this exact 19-query set
-        "r05_set_17q": round(sum(timings[q] for q in r05_set), 3),
+        "r05_set_17q": round(
+            sum(timings[q] for q in r05_set if q in timings), 3
+        ),
         "note": (
             "totals comparable only within the named set AND measure; "
             "r08 switched timing from count() to a noop-sink write because "

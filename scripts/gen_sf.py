@@ -183,134 +183,165 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--skew-docs", type=int, default=10_000)
     ap.add_argument("--skew-vecs", type=int, default=1_200)
+    # --tables (round 9, sf100): generate only the named axes and symlink
+    # the rest from --link-base. At factor 1000 the TPC-H row tables would
+    # be 600M rows of parquet no catalog entry reads at that decade — the
+    # fourth-decade certification targets the events/documents/embeddings
+    # axes only, so the unused tables ride along at link-base scale
+    # (recorded as such in SCALE_NOTES).
+    ap.add_argument("--tables", default="")
+    ap.add_argument("--link-base", default="")
     args = ap.parse_args()
     import duckdb
 
     base, out, f = args.base, args.out, args.factor
+    only = set(t for t in args.tables.split(",") if t)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+
+    def want(name: str) -> bool:
+        if not only or name in only:
+            return True
+        if args.link_base:
+            src = os.path.abspath(f"{args.link_base}/{name}.parquet")
+            dst = f"{out}/{name}.parquet"
+            if os.path.lexists(dst):
+                os.remove(dst)
+            os.symlink(src, dst)
+            print(f"{name}: linked from {args.link_base}")
+        return False
 
     def copy(sql: str, name: str) -> None:
         con.sql(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
-    t0_us, t1_us = con.sql(
-        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM '{base}/events.parquet'"
-    ).fetchone()
-    w_us = (t1_us - t0_us) + 1_000_000
-    # prime multi-hour shift (+13017 us so the microsecond layer is also
-    # replica-unique), wrapped so the window and density are preserved
-    shift = 9973 * 1_000_000 + 13_017
-    ev_sql = (
-        f"SELECT e.event_id + r.k*1000000000 AS event_id, "
-        f"make_timestamp({t0_us} + ((epoch_us(e.ts) - {t0_us}) + r.k*{shift}) % {w_us}) AS ts, "
-        f"e.user_id + r.k*100000 AS user_id, e.event_type, e.value, e.props "
-        f"FROM '{base}/events.parquet' e, range({f}) r(k)"
-    )
-    if args.skew:
-        # Zipf-skew remaps over the replicated rows, each keyed by an
-        # independent hash of the (replica-unique) event_id so the three
-        # injections are uncorrelated and fully deterministic:
-        # - 12% of ALL rows become events.click => click holds ~30% of
-        #   points (12 + 88*0.2) — the hot series;
-        # - 25% of rows get user_id floored to %5==0 => host tag h0
-        #   carries ~40% of rows — the hot tag;
-        # - 2% of rows collapse onto ONE user (7777777, clear of every
-        #   replica offset) — the mega-user every per-user window must
-        #   survive. Mega-user wins over the tag remap where both hit.
+    if want("events"):
+        t0_us, t1_us = con.sql(
+            f"SELECT epoch_us(min(ts)), epoch_us(max(ts)) FROM '{base}/events.parquet'"
+        ).fetchone()
+        w_us = (t1_us - t0_us) + 1_000_000
+        # prime multi-hour shift (+13017 us so the microsecond layer is also
+        # replica-unique), wrapped so the window and density are preserved
+        shift = 9973 * 1_000_000 + 13_017
         ev_sql = (
-            "SELECT event_id, ts, "
-            "CASE WHEN hash(event_id + 2) % 100 < 2 THEN 7777777 "
-            "     WHEN hash(event_id + 1) % 100 < 25 THEN user_id - (user_id % 5) "
-            "     ELSE user_id END AS user_id, "
-            "CASE WHEN hash(event_id) % 100 < 12 THEN 'click' "
-            "     ELSE event_type END AS event_type, "
-            f"value, props FROM ({ev_sql})"
+            f"SELECT e.event_id + r.k*1000000000 AS event_id, "
+            f"make_timestamp({t0_us} + ((epoch_us(e.ts) - {t0_us}) + r.k*{shift}) % {w_us}) AS ts, "
+            f"e.user_id + r.k*100000 AS user_id, e.event_type, e.value, e.props "
+            f"FROM '{base}/events.parquet' e, range({f}) r(k)"
         )
-    copy(ev_sql, "events")
-    if args.skew:
-        hot = con.sql(
-            f"""SELECT event_type, count(*)::DOUBLE / sum(count(*)) OVER () AS share
-                 FROM '{out}/events.parquet' GROUP BY 1 ORDER BY 2 DESC"""
-        ).fetchall()
-        mega = con.sql(
-            f"SELECT count(*) FROM '{out}/events.parquet' WHERE user_id = 7777777"
+        if args.skew:
+            # Zipf-skew remaps over the replicated rows, each keyed by an
+            # independent hash of the (replica-unique) event_id so the three
+            # injections are uncorrelated and fully deterministic:
+            # - 12% of ALL rows become events.click => click holds ~30% of
+            #   points (12 + 88*0.2) — the hot series;
+            # - 25% of rows get user_id floored to %5==0 => host tag h0
+            #   carries ~40% of rows — the hot tag;
+            # - 2% of rows collapse onto ONE user (7777777, clear of every
+            #   replica offset) — the mega-user every per-user window must
+            #   survive. Mega-user wins over the tag remap where both hit.
+            ev_sql = (
+                "SELECT event_id, ts, "
+                "CASE WHEN hash(event_id + 2) % 100 < 2 THEN 7777777 "
+                "     WHEN hash(event_id + 1) % 100 < 25 THEN user_id - (user_id % 5) "
+                "     ELSE user_id END AS user_id, "
+                "CASE WHEN hash(event_id) % 100 < 12 THEN 'click' "
+                "     ELSE event_type END AS event_type, "
+                f"value, props FROM ({ev_sql})"
+            )
+        copy(ev_sql, "events")
+        if args.skew:
+            hot = con.sql(
+                f"""SELECT event_type, count(*)::DOUBLE / sum(count(*)) OVER () AS share
+                     FROM '{out}/events.parquet' GROUP BY 1 ORDER BY 2 DESC"""
+            ).fetchall()
+            mega = con.sql(
+                f"SELECT count(*) FROM '{out}/events.parquet' WHERE user_id = 7777777"
+            ).fetchone()[0]
+            h0 = con.sql(
+                f"""SELECT count(*) FILTER (user_id % 5 = 0)::DOUBLE / count(*)
+                     FROM '{out}/events.parquet'"""
+            ).fetchone()[0]
+            print(
+                f"skew: top series {hot[0][0]} {hot[0][1]:.1%}, host h0 {h0:.1%}, "
+                f"mega-user events {mega}"
+            )
+        ties = con.sql(
+            f"""SELECT count(*) FROM (
+                  SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
+                  FROM '{out}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
         ).fetchone()[0]
-        h0 = con.sql(
-            f"""SELECT count(*) FILTER (user_id % 5 = 0)::DOUBLE / count(*)
-                 FROM '{out}/events.parquet'"""
+        base_ties = con.sql(
+            f"""SELECT count(*) FROM (
+                  SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
+                  FROM '{base}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
         ).fetchone()[0]
+        # Same-second ties are BIRTHDAY COLLISIONS of the second-resolution
+        # points table: ~n^2/(2*window_s) per series, so densifying 10x grows
+        # them ~100x no matter how replicas are spread — the driver's own sf1
+        # would look the same. The engine is tie-DETERMINISTIC (first/last/
+        # delta/rate break ts ties by value; lag/lead derive one canonical
+        # order), so ties are data to serve correctly, not a generation bug.
+        # This print is the visibility check that growth matches the birthday
+        # estimate rather than an accidental systematic collision.
+        n_base = con.sql(
+            f"SELECT count(*) FROM '{base}/events.parquet'"
+        ).fetchone()[0]
+        est = (n_base * f) ** 2 / (2 * (w_us / 1e6)) / 50  # 50 series
         print(
-            f"skew: top series {hot[0][0]} {hot[0][1]:.1%}, host h0 {h0:.1%}, "
-            f"mega-user events {mega}"
+            f"same-series same-second tie groups: {ties} (base {base_ties}, "
+            f"birthday estimate ~{est:.0f})"
         )
-    ties = con.sql(
-        f"""SELECT count(*) FROM (
-              SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
-              FROM '{out}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
-    ).fetchone()[0]
-    base_ties = con.sql(
-        f"""SELECT count(*) FROM (
-              SELECT event_type, user_id%5, user_id%2, epoch(ts)::BIGINT, count(*)
-              FROM '{base}/events.parquet' GROUP BY 1,2,3,4 HAVING count(*)>1)"""
-    ).fetchone()[0]
-    # Same-second ties are BIRTHDAY COLLISIONS of the second-resolution
-    # points table: ~n^2/(2*window_s) per series, so densifying 10x grows
-    # them ~100x no matter how replicas are spread — the driver's own sf1
-    # would look the same. The engine is tie-DETERMINISTIC (first/last/
-    # delta/rate break ts ties by value; lag/lead derive one canonical
-    # order), so ties are data to serve correctly, not a generation bug.
-    # This print is the visibility check that growth matches the birthday
-    # estimate rather than an accidental systematic collision.
-    n_base = con.sql(
-        f"SELECT count(*) FROM '{base}/events.parquet'"
-    ).fetchone()[0]
-    est = (n_base * f) ** 2 / (2 * (w_us / 1e6)) / 50  # 50 series
-    print(
-        f"same-series same-second tie groups: {ties} (base {base_ties}, "
-        f"birthday estimate ~{est:.0f})"
-    )
-    copy(
-        f"SELECT l.l_orderkey + r.k*1000000000 AS l_orderkey, "
-        f"l.l_partkey + r.k*100000 AS l_partkey, "
-        f"l.l_suppkey + r.k*10000 AS l_suppkey, l.l_linenumber, l.l_quantity, "
-        f"l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, "
-        f"l.l_linestatus, l.l_shipdate "
-        f"FROM '{base}/lineitem.parquet' l, range({f}) r(k)",
-        "lineitem",
-    )
-    copy(
-        f"SELECT o.o_orderkey + r.k*1000000000 AS o_orderkey, "
-        f"o.o_custkey + r.k*1000000 AS o_custkey, o.o_orderstatus, "
-        f"o.o_totalprice, o.o_orderdate, o.o_orderpriority "
-        f"FROM '{base}/orders.parquet' o, range({f}) r(k)",
-        "orders",
-    )
-    copy(
-        f"SELECT c.c_custkey + r.k*1000000 AS c_custkey, c.c_name, "
-        f"c.c_nationkey, c.c_acctbal, c.c_mktsegment "
-        f"FROM '{base}/customer.parquet' c, range({f}) r(k)",
-        "customer",
-    )
-    copy(
-        f"SELECT s.s_suppkey + r.k*10000 AS s_suppkey, s.s_name, "
-        f"s.s_nationkey, s.s_acctbal "
-        f"FROM '{base}/supplier.parquet' s, range({f}) r(k)",
-        "supplier",
-    )
-    copy(
-        f"SELECT p.p_partkey + r.k*100000 AS p_partkey, p.p_name, p.p_brand, "
-        f"p.p_type, p.p_size, p.p_retailprice "
-        f"FROM '{base}/part.parquet' p, range({f}) r(k)",
-        "part",
-    )
-    copy(f"SELECT * FROM '{base}/nation.parquet'", "nation")
-    copy(f"SELECT * FROM '{base}/region.parquet'", "region")
-    gen_documents(con, base, out, f, args.skew_docs if args.skew else 0)
-    print("documents: done")
-    gen_embeddings(con, base, out, f, args.skew_vecs if args.skew else 0)
-    print("embeddings: done")
+    if want("lineitem"):
+        copy(
+            f"SELECT l.l_orderkey + r.k*1000000000 AS l_orderkey, "
+            f"l.l_partkey + r.k*100000 AS l_partkey, "
+            f"l.l_suppkey + r.k*10000 AS l_suppkey, l.l_linenumber, l.l_quantity, "
+            f"l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag, "
+            f"l.l_linestatus, l.l_shipdate "
+            f"FROM '{base}/lineitem.parquet' l, range({f}) r(k)",
+            "lineitem",
+        )
+    if want("orders"):
+        copy(
+            f"SELECT o.o_orderkey + r.k*1000000000 AS o_orderkey, "
+            f"o.o_custkey + r.k*1000000 AS o_custkey, o.o_orderstatus, "
+            f"o.o_totalprice, o.o_orderdate, o.o_orderpriority "
+            f"FROM '{base}/orders.parquet' o, range({f}) r(k)",
+            "orders",
+        )
+    if want("customer"):
+        copy(
+            f"SELECT c.c_custkey + r.k*1000000 AS c_custkey, c.c_name, "
+            f"c.c_nationkey, c.c_acctbal, c.c_mktsegment "
+            f"FROM '{base}/customer.parquet' c, range({f}) r(k)",
+            "customer",
+        )
+    if want("supplier"):
+        copy(
+            f"SELECT s.s_suppkey + r.k*10000 AS s_suppkey, s.s_name, "
+            f"s.s_nationkey, s.s_acctbal "
+            f"FROM '{base}/supplier.parquet' s, range({f}) r(k)",
+            "supplier",
+        )
+    if want("part"):
+        copy(
+            f"SELECT p.p_partkey + r.k*100000 AS p_partkey, p.p_name, p.p_brand, "
+            f"p.p_type, p.p_size, p.p_retailprice "
+            f"FROM '{base}/part.parquet' p, range({f}) r(k)",
+            "part",
+        )
+    if want("nation"):
+        copy(f"SELECT * FROM '{base}/nation.parquet'", "nation")
+    if want("region"):
+        copy(f"SELECT * FROM '{base}/region.parquet'", "region")
+    if want("documents"):
+        gen_documents(con, base, out, f, args.skew_docs if args.skew else 0)
+        print("documents: done")
+    if want("embeddings"):
+        gen_embeddings(con, base, out, f, args.skew_vecs if args.skew else 0)
+        print("embeddings: done")
 
 
 if __name__ == "__main__":

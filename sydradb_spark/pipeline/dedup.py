@@ -537,7 +537,12 @@ def embedding_near_dups(
     silently bucketing on the default 64-dim prefix; pass explicit planes
     to pin a geometry (e.g. to match a stored index or a DuckDB twin).
     """
-    from sydradb_spark.pipeline.similarity import cosine, hyperplanes, sign_bucket
+    from sydradb_spark.pipeline.similarity import (
+        _norm,
+        cosine_prenormed,
+        hyperplanes,
+        sign_bucket,
+    )
 
     if planes is None:
         # null-safe early-exit probe: first row with a non-empty embedding
@@ -557,17 +562,37 @@ def embedding_near_dups(
         F.col("vec_id"),
         F.col(emb_col).alias("__e"),
         sign_bucket(F.col(emb_col), planes).alias("bucket"),
+        # hoisted norm (round 9, similarity.cosine_prenormed): a vector in a
+        # b-member bucket is scored against b-1 partners — fold its norm
+        # once here, not once per pair
+        _norm(F.col(emb_col)).alias("__n"),
     )
     if max_bucket is not None:
         from sydradb_spark.util import drop_hot_keys
 
         tagged = drop_hot_keys(tagged, ["bucket"], max_bucket)
-    left = tagged.select("bucket", F.col("vec_id").alias("a"), F.col("__e").alias("__ea"))
-    right = tagged.select("bucket", F.col("vec_id").alias("b"), F.col("__e").alias("__eb"))
+    left = tagged.select(
+        "bucket",
+        F.col("vec_id").alias("a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    right = tagged.select(
+        "bucket",
+        F.col("vec_id").alias("b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
     return (
         left.join(right, on="bucket")
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("__ea"), F.col("__eb")).alias("cosine"))
+        .select(
+            "a",
+            "b",
+            cosine_prenormed(
+                F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -922,8 +947,9 @@ def semantic_dedup(
     max_by aggregate per group. Never all-pairs across clusters.
     """
     from sydradb_spark.pipeline.similarity import (
+        _norm,
         centroid_d2s,
-        cosine,
+        cosine_prenormed,
         kmeans_fit_sample,
     )
     from sydradb_spark.util import drop_hot_keys
@@ -954,14 +980,33 @@ def semantic_dedup(
         .cast("int")
         .alias("cluster"),
         F.array_min("__d2s").alias("centroid_d2"),
+        # hoisted norm (round 9, similarity.cosine_prenormed): folded once
+        # per vector inside the persisted projection, so the within-cluster
+        # pair join never re-folds it per pair
+        _norm(F.col("__e")).alias("__n"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = drop_hot_keys(tagged, ["cluster"], max_cluster)
-    left = cand.select("cluster", F.col("id").alias("a"), F.col("__e").alias("__ea"))
-    right = cand.select("cluster", F.col("id").alias("b"), F.col("__e").alias("__eb"))
+    left = cand.select(
+        "cluster",
+        F.col("id").alias("a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
+    )
+    right = cand.select(
+        "cluster",
+        F.col("id").alias("b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
     pairs = (
         left.join(right, on="cluster")
         .where(F.col("a") < F.col("b"))
-        .where(cosine(F.col("__ea"), F.col("__eb")) >= threshold)
+        .where(
+            cosine_prenormed(
+                F.col("__ea"), F.col("__eb"), F.col("__na"), F.col("__nb")
+            )
+            >= threshold
+        )
         .select("a", "b")
     )
     groups = cluster_pairs(pairs)  # (doc_id, cluster_id = component min)

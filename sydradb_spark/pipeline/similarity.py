@@ -65,19 +65,39 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-vector norms hoisted out of the pair.
+
+    Inside a pair join, ``cosine(a, b)`` re-folds ``_norm`` over both
+    vectors for EVERY pair — a corpus vector touched by Q queries pays its
+    norm Q times (Catalyst does not hoist one-sided subexpressions across a
+    join). Callers compute ``_norm`` once per row in each side's pre-join
+    projection and pass the columns here; the value is bit-identical (the
+    same left-to-right fold, evaluated once instead of per pair), so the
+    DuckDB twins and the pinned recall tests are unaffected. Measured A/B
+    in SCALE_NOTES (round 9)."""
+    return F.try_divide(_dot(a, b), na * nb)
+
+
 def knn_brute(
     queries: DataFrame, corpus: DataFrame, k: int, emb_col: str = "embedding"
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` per row of ``queries``. Both frames
     need (vec_id, embedding); queries is broadcast."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col(emb_col).alias("__qe")
+        F.col("vec_id").alias("query_id"),
+        F.col(emb_col).alias("__qe"),
+        _norm(F.col(emb_col)).alias("__qn"),
     )
-    c = corpus.select("vec_id", F.col(emb_col).alias("__ce"))
+    c = corpus.select(
+        "vec_id", F.col(emb_col).alias("__ce"), _norm(F.col(emb_col)).alias("__cn")
+    )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("__qe"), F.col("__ce")).alias("cosine"),
+        cosine_prenormed(
+            F.col("__qe"), F.col("__ce"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -276,10 +296,18 @@ def ann_ivf_indexed(
     probes = (
         q.withColumn("__pr", F.row_number().over(w_probe))
         .where(F.col("__pr") <= n_probe)
-        .select("query_id", "__qe", "cluster")
+        .select("query_id", "__qe", _norm(F.col("__qe")).alias("__qn"), "cluster")
     )
+    # hoisted norms (round 9, see cosine_prenormed): stored IVF indexes
+    # predate the norm column — derive it in the scan projection
+    if "__cn" not in index.columns:
+        index = index.withColumn("__cn", _norm(F.col("__ce")))
     scored = index.join(F.broadcast(probes), on="cluster").select(
-        "query_id", "vec_id", cosine(F.col("__qe"), F.col("__ce")).alias("cosine")
+        "query_id",
+        "vec_id",
+        cosine_prenormed(
+            F.col("__qe"), F.col("__ce"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -391,6 +419,10 @@ def sign_index(
         "vec_id",
         F.col(emb_col).alias("__ce"),
         sign_bucket(F.col(emb_col), planes).alias("bucket"),
+        # hoisted norm (round 9): stored with the index so probes never
+        # re-fold it — a corpus vector in a hot bucket is scored against
+        # many queries, each of which used to re-pay the norm
+        _norm(F.col(emb_col)).alias("__cn"),
     )
 
 
@@ -419,10 +451,20 @@ def ann_sign_lsh_indexed(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("__qe"),
+        # norm before the probe explode: once per query, not per probe row
+        _norm(F.col(emb_col)).alias("__qn"),
         F.explode(F.array(*probe_buckets)).alias("bucket"),
     )
+    # stored sign_index tables predate the hoisted-norm column — derive it
+    # in the scan projection (one fold per corpus row, fused into the read)
+    if "__cn" not in index.columns:
+        index = index.withColumn("__cn", _norm(F.col("__ce")))
     scored = index.join(F.broadcast(q), on="bucket").select(
-        "query_id", "vec_id", cosine(F.col("__qe"), F.col("__ce")).alias("cosine")
+        "query_id",
+        "vec_id",
+        cosine_prenormed(
+            F.col("__qe"), F.col("__ce"), F.col("__qn"), F.col("__cn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
