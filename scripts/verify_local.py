@@ -99,9 +99,11 @@ def main() -> int:
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -122,7 +124,7 @@ def main() -> int:
         print(f"{'ok  ' if good else 'FAIL'} {name}: {msg} [{time.time()-t0:.1f}s]")
         if not good:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
+    print(f"\n{n_run - len(failed)}/{n_run} passed")
     return 1 if failed else 0
 
 
