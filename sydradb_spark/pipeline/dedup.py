@@ -273,7 +273,29 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
     Common-shingle counting via two joins against the shingle table — no
     array materialization per pair, so wide docs don't blow up rows.
+
+    Scale shape (round 9, found the hard way at sf100): the verify join
+    must never SHUFFLE the corpus-side shingle table. The b-side join on
+    (b, sh) plans as a shuffle join, and AQE can only convert it to
+    broadcast AFTER the map stage materializes — so the full exploded
+    table (~1.5B rows / ~90 GB of shuffle write at 5M docs) hit disk
+    before any runtime re-plan could help; at sf100 that filled the
+    sandbox disk outright. Candidate-filtering first — a broadcast
+    semi-join on the distinct pair docs — bounds every downstream
+    shuffle by |candidate docs| x shingles/doc, which the LSH hot-bucket
+    guard already keeps small, and costs only the broadcast-build
+    constant the round-8 A/B measured (~3 s/call at sf10, the reason it
+    was originally rejected; the A/B never ran a decade where the
+    unfiltered shape shuffle-writes 100x the input). ``pairs`` is
+    persisted by every caller, so the distinct runs once; the explicit
+    broadcast keeps the corpus side map-local at any scale.
     """
+    cand = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand), on="doc_id", how="semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         pairs.join(sh.select(F.col("doc_id").alias("a"), "sh"), on="a")
@@ -343,13 +365,15 @@ def minhash_near_dups(
     beat an array-higher-order-function rewrite 6× on CPU (codegen'd row
     arithmetic + map-side-combining min-aggregation vs interpreted lambdas;
     the groupBy's shuffle is docs-bounded thanks to partial aggregation, so
-    "zero-shuffle" HOFs bought nothing). Two rejected verify variants:
-    semi-filtering the persisted table to candidate docs (+3 s/call of
-    broadcast job overhead, no local win) and joining candidate shingle
-    ARRAYS per pair (7× slower — the array build recomputes upstream and
-    array_intersect loses to the codegen'd exploded join). The verify join
-    against the persisted exploded table lets AQE broadcast the tiny pair
-    frame, so the corpus-side join is cache-local anyway.
+    "zero-shuffle" HOFs bought nothing). One rejected verify variant:
+    joining candidate shingle ARRAYS per pair (7× slower — the array build
+    recomputes upstream and array_intersect loses to the codegen'd exploded
+    join). The round-8 A/B also rejected semi-filtering the shingle table
+    to candidate docs (+3 s/call, no local win) — REVERSED in round 9: the
+    sf100 run showed the unfiltered verify join shuffle-writes the whole
+    exploded corpus before AQE can broadcast the pair frame (~90 GB at 5M
+    docs); ``jaccard_for_pairs`` now candidate-filters internally, see its
+    docstring.
     """
     from pyspark import StorageLevel
 
