@@ -3,14 +3,14 @@ string, ...)`` — exact, MinHash+LSH, SimHash, and n-gram Jaccard.
 
 Scale design (the point of these shapes at 100 TB):
 - Exact dedup is one hash-groupBy: a single shuffle on a 16-byte key.
-- MinHash-LSH never forms all pairs: signatures are a NARROW zero-shuffle map
-  over docs (array higher-order functions — the shingle array is never
-  exploded for candidate generation), candidate pairs come from per-bucket
-  map-side pair expansion — cost is Σ bucket², not n². Degenerate buckets
-  (e.g. empty/boilerplate docs collapsing to one signature) are the skew
-  risk; AQE skew-join splitting plus the ``max_bucket`` guard bound them.
-  Exact-Jaccard verification is the only consumer of the exploded shingle
-  table, and it sees only candidate docs (broadcast semi filter).
+- MinHash-LSH never forms all pairs: candidate pairs come from per-bucket
+  pair expansion — cost is Σ bucket², not n² — and exact-Jaccard verification
+  happens INSIDE the buckets on each member's shingle set
+  (``bucket_verified_pairs``), so the verify shuffle is NUM_BANDS × the
+  tokenized corpus no matter how many candidates banding admits (the
+  sf100 campaign measured any pairs × shingles join shape at ~400× the
+  corpus size). Degenerate buckets (e.g. boilerplate docs collapsing to
+  one signature) are the skew risk; the ``max_bucket`` guard bounds them.
 - SimHash near-dup uses banded fingerprints (4 bands × 16 bits): by pigeonhole
   any pair within Hamming distance 3 shares at least one exact band, so the
   banded join finds exactly the same pairs as the O(n²) scan.
@@ -152,6 +152,16 @@ def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def shingle_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, arr) — each doc's DISTINCT shingle set as one array row; the
+    map-only verify-side input of ``bucket_verified_pairs`` (zero shuffle —
+    the round-9 tokenization A/B measured the split+fold chain as ~free
+    over the scan, so recomputing it beats persisting an exploded table)."""
+    return _spread(docs).select(
+        "doc_id", word_shingles(F.col(text_col)).alias("arr")
+    )
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 # Hash family: one md5-based base hash per shingle reduced mod the Mersenne
 # prime p = 2^31-1, then NUM_HASHES universal-hash variants
@@ -268,6 +278,81 @@ def lsh_candidate_pairs(
     )
 
 
+def bucket_verified_pairs(
+    band_sigs: DataFrame,
+    arrays: DataFrame,
+    threshold: float,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Exact near-dup pairs (a, b, jaccard >= threshold), verified INSIDE
+    the LSH buckets — the scale shape of the candidate → verify chain.
+
+    Round 9, forced by the sf100 campaign: ANY pair-table × shingle-table
+    join materializes ~|pairs| × shingles/doc rows through a shuffle. At
+    sf100 (5M docs) r=2 banding admits ~100M candidate pairs (measured —
+    every pair with even mild overlap collides on some band), so the join
+    shape shuffle-writes ~230 GB for a 560 MB corpus; the candidate-
+    filtered ``jaccard_for_pairs`` still died on disk because the
+    candidate DOCS were 1.8M of 5M. Carrying each member's shingle SET
+    into its bucket instead bounds the verify shuffle at NUM_BANDS × the
+    tokenized corpus plus one pair-dedup pass, independent of the
+    candidate count:
+
+      bands ⋈ arrays (doc-keyed) → groupBy(band, sig) collect members
+      → per-bucket pair expansion computes size(array_intersect) in place
+      → distinct (a, b) across bands → jaccard + threshold.
+
+    Exactness: shingle sets are DISTINCT on both engines, so
+    |array_intersect| equals the oracle's common-shingle join count, and
+    a pair seen in several buckets carries identical counts from each, so
+    the cross-band distinct is value-safe. Skew: the hot-key guard caps
+    members at ``max_bucket``, so one bucket row costs at most
+    max_bucket²/2 in-place intersections — bounded single-task work by
+    design, and typical buckets are tiny. At 100 TB the shuffle is
+    8× the tokenized corpus; the join shape would be |pairs|-driven and
+    unboundedly worse whenever pairs/doc exceeds NUM_BANDS/2.
+    """
+    if max_bucket is not None:
+        from sydradb_spark.util import drop_hot_keys
+
+        band_sigs = drop_hot_keys(band_sigs, ["band", "sig"], max_bucket)
+    members = band_sigs.join(arrays, on="doc_id")
+    buckets = (
+        members.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "arr"))).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"),
+                    y["doc_id"].alias("b"),
+                    F.size(F.array_intersect(x["arr"], y["arr"])).alias("common"),
+                    F.size(x["arr"]).alias("na"),
+                    F.size(y["arr"]).alias("nb"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.common", "p.na", "p.nb")
+        .distinct()
+    )
+    return pairs.select(
+        "a",
+        "b",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= F.lit(threshold))
+
+
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification pass).
 
@@ -286,9 +371,16 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     guard already keeps small, and costs only the broadcast-build
     constant the round-8 A/B measured (~3 s/call at sf10, the reason it
     was originally rejected; the A/B never ran a decade where the
-    unfiltered shape shuffle-writes 100x the input). ``pairs`` is
-    persisted by every caller, so the distinct runs once; the explicit
-    broadcast keeps the corpus side map-local at any scale.
+    unfiltered shape shuffle-writes 100x the input). ``pairs`` should be
+    persisted by the caller so the distinct runs once; the explicit
+    broadcast keeps the corpus side map-local.
+
+    NOTE: this is the verify for an EXPLICIT externally-supplied pair
+    set. The MinHash chain itself no longer goes through here — when the
+    pairs come from LSH buckets, ``bucket_verified_pairs`` verifies them
+    inside the buckets with a shuffle bounded by the corpus, not the
+    candidate count (see its docstring for the sf100 measurement that
+    forced the split).
     """
     cand = (
         pairs.select(F.col("a").alias("doc_id"))
@@ -354,48 +446,31 @@ def minhash_near_dups(
     docs: DataFrame, threshold: float = 0.2, text_col: str = "text"
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
-    LSH band-bucket join → exact-Jaccard verify. Never all-pairs.
+    LSH band buckets → in-bucket exact-Jaccard verify. Never all-pairs.
 
-    The shingle table feeds three consumers (signatures + both sides of the
-    verify join); persist it spill-to-disk so it's computed once — at corpus
-    scale recomputing the tokenize+hash pass 3x costs more than the spill.
+    Scale shape history: signatures stay on the exploded route (round-6
+    A/B: codegen'd row arithmetic + map-side-combining min-aggregation
+    beat array-HOF signatures 6×; the groupBy shuffle is docs-bounded).
+    The VERIFY moved twice: the r6-r8 exploded-join verify
+    (``jaccard_for_pairs``) shuffle-writes |pairs| × shingles/doc rows,
+    which the sf100 campaign measured at ~230 GB for a 560 MB corpus
+    (100M candidates from r=2 banding) — fatal regardless of candidate
+    filtering. Round 9 verifies inside the buckets instead
+    (``bucket_verified_pairs``): the shuffle is NUM_BANDS × the tokenized
+    corpus, independent of how many candidates banding admits. No
+    corpus-sized persist remains — the shingle table now has exactly one
+    consumer (the signature chain), and AQE exchange reuse covers the
+    hot-key guard's double read of the band table.
 
-    Scale shape (settled by round-6 A/Bs at 5k and 50k docs, SCALE_NOTES
-    addendum — this exact wiring won every measurement): exploded signatures
-    beat an array-higher-order-function rewrite 6× on CPU (codegen'd row
-    arithmetic + map-side-combining min-aggregation vs interpreted lambdas;
-    the groupBy's shuffle is docs-bounded thanks to partial aggregation, so
-    "zero-shuffle" HOFs bought nothing). One rejected verify variant:
-    joining candidate shingle ARRAYS per pair (7× slower — the array build
-    recomputes upstream and array_intersect loses to the codegen'd exploded
-    join). The round-8 A/B also rejected semi-filtering the shingle table
-    to candidate docs (+3 s/call, no local win) — REVERSED in round 9: the
-    sf100 run showed the unfiltered verify join shuffle-writes the whole
-    exploded corpus before AQE can broadcast the pair frame (~90 GB at 5M
-    docs); ``jaccard_for_pairs`` now candidate-filters internally, see its
-    docstring.
+    The eager localCheckpoint materializes the (small) verified pair set
+    once so multi-consumer callers (clustering fixpoint, curation) don't
+    re-run the chain, and keeps the persist-hygiene contract (no plain
+    persists to leak).
     """
-    from pyspark import StorageLevel
-
-    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    # pairs feeds both sides of the verify join — persist so the LSH join
-    # runs once (the candidate set is small relative to the corpus)
-    pairs = lsh_candidate_pairs(minhash_band_signatures(sh)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    out = jaccard_for_pairs(pairs, sh).where(F.col("jaccard") >= threshold)
-    # Materialize the (small) verified pair set eagerly, then release the
-    # corpus-sized caches NOW rather than at ContextCleaner GC time: each
-    # call otherwise pins a cached shingle table (~26M rows at 500k docs)
-    # for the session's lifetime, and a few repeated calls crowd the
-    # storage pool until some later broadcast build OOMs the driver —
-    # exactly how the sf10 bench (3 timed repeats after a warm-up) died.
-    # Same persist-hygiene pattern as bpe_encode's round-7 fix; the
-    # checkpoint partitions are reclaimed when the caller drops the frame.
-    out = out.localCheckpoint(eager=True)
-    pairs.unpersist()
-    sh.unpersist()
-    return out
+    sh = shingle_table(docs, text_col)
+    bands = minhash_band_signatures(sh)
+    out = bucket_verified_pairs(bands, shingle_arrays(docs, text_col), threshold)
+    return out.localCheckpoint(eager=True)
 
 
 def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
@@ -406,49 +481,40 @@ def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> N
     and honestly re-paid the shingle pass per call; this makes the warm
     path a parquet re-read instead):
 
-    - ``{path}/shingles`` — (doc_id, sh), the exact-Jaccard verify input
+    - ``{path}/arrays`` — (doc_id, arr), each doc's distinct shingle set,
+      the in-bucket exact-Jaccard verify input (round 9: replaced the
+      exploded ``shingles`` table when the verify moved into the buckets —
+      same information, ~rows/50 on disk)
     - ``{path}/bands`` — (doc_id, band, sig), the LSH candidate input
 
     Both tables are doc-local (each row derives from its own document
     alone, like BM25 postings), so append-only maintenance is EXACT:
     writing a new batch's index with mode='append' equals a full rebuild
-    row for row (pinned in tests). The shingle table is persisted only
-    across the two writes and released in-call."""
-    from pyspark import StorageLevel
-
-    sh = shingle_table(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        sh.write.mode("overwrite").parquet(f"{path}/shingles")
-        minhash_band_signatures(sh).write.mode("overwrite").parquet(f"{path}/bands")
-    finally:
-        sh.unpersist()
+    row for row (pinned in tests)."""
+    shingle_arrays(docs, text_col).write.mode("overwrite").parquet(f"{path}/arrays")
+    minhash_band_signatures(shingle_table(docs, text_col)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
 
 
 def minhash_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(shingles, bands) frames of a ``minhash_write_index`` layout."""
+    """(arrays, bands) frames of a ``minhash_write_index`` layout."""
     return (
-        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/arrays"),
         spark.read.parquet(f"{path}/bands"),
     )
 
 
 def minhash_query_index(
-    shingles: DataFrame, bands: DataFrame, threshold: float = 0.2
+    arrays: DataFrame, bands: DataFrame, threshold: float = 0.2
 ) -> DataFrame:
     """Near-dup pairs (a, b, jaccard ≥ threshold) from a materialized
-    index — the warm path of the build/query split. Same candidate → verify
-    chain as ``minhash_near_dups``, but the two shingle-table traversals
-    are columnar parquet re-reads (OS-page-cached on repeats), not
-    recomputes of the tokenize+hash chain, so no corpus-sized persist is
-    needed at all; only the small candidate pair set is persisted for its
-    two verify probes and released in-call."""
-    from pyspark import StorageLevel
-
-    pairs = lsh_candidate_pairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
-    out = jaccard_for_pairs(pairs, shingles).where(F.col("jaccard") >= threshold)
-    out = out.localCheckpoint(eager=True)
-    pairs.unpersist()
-    return out
+    index — the warm path of the build/query split. Same bucket-verified
+    chain as ``minhash_near_dups``, but both inputs are columnar parquet
+    re-reads (OS-page-cached on repeats), not recomputes of the
+    tokenize+hash chain."""
+    out = bucket_verified_pairs(bands, arrays, threshold)
+    return out.localCheckpoint(eager=True)
 
 
 # --- SimHash ------------------------------------------------------------------

@@ -2334,9 +2334,10 @@ def test_minhash_index_split_matches_fused(spark, tmp_path):
     b1 = docs.where(F.col("doc_id") % 2 == 0)
     b2 = docs.where(F.col("doc_id") % 2 == 1)
     dedup.minhash_write_index(b1, p2)
-    sh2 = dedup.shingle_table(b2)
-    sh2.write.mode("append").parquet(f"{p2}/shingles")
-    dedup.minhash_band_signatures(sh2).write.mode("append").parquet(f"{p2}/bands")
+    dedup.shingle_arrays(b2).write.mode("append").parquet(f"{p2}/arrays")
+    dedup.minhash_band_signatures(dedup.shingle_table(b2)).write.mode(
+        "append"
+    ).parquet(f"{p2}/bands")
     shi, bai = dedup.minhash_read_index(spark, p2)
     inc = {
         (r["a"], r["b"]): round(r["jaccard"], 9)
