@@ -302,8 +302,13 @@ _BAND_SIG_CASE = "CASE band " + " ".join(
 # no candidate pairs on either engine.  A no-op on uniform corpora; load-
 # bearing on the skew twin, where one doc family is sized past the guard.
 _MINHASH_CTES = f"""{_TOKS}, {_SHINGLES},
+-- shh: the 60-bit hash64 shingle sets — the verify intersects HASHES on
+-- both engines (round 9: bucket_verified_pairs carries hash arrays, not
+-- strings, so the bucket shuffle is 8 bytes/shingle; a collision would
+-- merge elements in both engines' sets identically)
+shh AS (SELECT DISTINCT doc_id, {_HASH.format("sh")} AS hh FROM sh),
 basehash AS (
-  SELECT doc_id, {_HASH.format("sh")} % {dedup.MINHASH_M} AS hm FROM sh
+  SELECT doc_id, hh % {dedup.MINHASH_M} AS hm FROM shh
 ),
 minh AS (
   SELECT doc_id, {_MINH_COLS} FROM basehash GROUP BY doc_id
@@ -324,12 +329,12 @@ cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
 common AS (
   SELECT c.a, c.b, count(*) AS common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  JOIN shh sa ON sa.doc_id = c.a
+  JOIN shh sb ON sb.doc_id = c.b AND sb.hh = sa.hh
   GROUP BY 1, 2
 ),
 jac AS (

@@ -153,12 +153,26 @@ def shingle_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, arr) — each doc's DISTINCT shingle set as one array row; the
-    map-only verify-side input of ``bucket_verified_pairs`` (zero shuffle —
-    the round-9 tokenization A/B measured the split+fold chain as ~free
-    over the scan, so recomputing it beats persisting an exploded table)."""
+    """(doc_id, arr: array<long>) — each doc's distinct shingle set as
+    60-bit ``hash64`` values, one array row per doc; the map-only
+    verify-side input of ``bucket_verified_pairs`` (zero shuffle — the
+    round-9 tokenization A/B measured the split+fold chain as ~free over
+    the scan, so recomputing it beats persisting an exploded table).
+
+    HASHED, not the strings (round 9, second sf100 lesson): carrying the
+    shingle STRINGS into the buckets made the verify shuffle
+    NUM_BANDS × ~2 KB/doc (~80 GB raw for the 5M-doc/560 MB corpus —
+    measured 59 GB of shuffle on disk before the run was cut); 8-byte
+    hashes cut the carried payload ~4×. Exactness is preserved because
+    the DuckDB twin intersects the SAME md5-based hash64 values — a
+    60-bit collision would merge two shingles in BOTH engines' sets
+    identically (P ≈ |union|²/2^61 per doc pair, same family the MinHash
+    signatures already ride), so the gate comparison cannot drift."""
     return _spread(docs).select(
-        "doc_id", word_shingles(F.col(text_col)).alias("arr")
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col)), lambda g: hash64(g))
+        ).alias("arr"),
     )
 
 
@@ -302,8 +316,9 @@ def bucket_verified_pairs(
       → per-bucket pair expansion computes size(array_intersect) in place
       → distinct (a, b) across bands → jaccard + threshold.
 
-    Exactness: shingle sets are DISTINCT on both engines, so
-    |array_intersect| equals the oracle's common-shingle join count, and
+    Exactness: shingle-hash sets are DISTINCT on both engines (the oracle
+    intersects the same ``hash64`` values — see ``shingle_arrays``), so
+    |array_intersect| equals the oracle's common-hash join count, and
     a pair seen in several buckets carries identical counts from each, so
     the cross-band distinct is value-safe. Skew: the hot-key guard caps
     members at ``max_bucket``, so one bucket row costs at most
