@@ -874,6 +874,10 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         _r6(F.col("centroid_d2")).alias("centroid_d2"),
         F.col("keep").cast("int").alias("keep"),
+        # r10: the hot-cluster bypass is now observable per row (r9 verdict
+        # finding 1) — the oracle replays it as a window count over the
+        # same cluster assignment
+        F.col("bypassed").cast("int").alias("bypassed"),
     )
 
 
@@ -950,11 +954,13 @@ sdl AS (
 ),
 sdr AS (
   SELECT id, cluster, group_id, d2,
-         row_number() OVER (PARTITION BY group_id ORDER BY d2 DESC, id ASC) AS rn
+         row_number() OVER (PARTITION BY group_id ORDER BY d2 DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS csz
   FROM sdl
 )
 SELECT id AS vec_id, cluster, group_id, {_O}d2{_C} AS centroid_d2,
-       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(CASE WHEN csz > {_SEM_MAXC} THEN 1 ELSE 0 END AS INTEGER) AS bypassed
 FROM sdr"""
 
 

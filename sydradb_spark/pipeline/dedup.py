@@ -20,10 +20,14 @@ Scale design (the point of these shapes at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sydradb_spark.pipeline.hashing import hash64
+
+_LOG = logging.getLogger(__name__)
 
 # MinHash parameters: 16 hashes in 8 bands of r=2 → candidate-pair recall
 # 1-(1-j²)^8 (≈0.27 at j=0.2, ≈0.92 at j=0.5, ≈1 at j≥0.8).
@@ -1021,11 +1025,12 @@ def curate_corpus(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     sample_n: int = 4096,
     max_cluster: int = 100_000,
+    target_cluster_size: int = 8192,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
     through semantic deduplication", arXiv:2303.09540): k-means-partition the
@@ -1036,20 +1041,37 @@ def semantic_dedup(
     ones), ties broken by min id.
 
     Returns every input id with its verdict:
-    (id_col, cluster, group_id, centroid_d2, keep) — group_id is the
-    component-min id (own id for singletons), ``keep`` marks the survivor.
-    Filter ``keep`` to materialize the deduped corpus.
+    (id_col, cluster, group_id, centroid_d2, keep, bypassed) — group_id is
+    the component-min id (own id for singletons), ``keep`` marks the
+    survivor, and ``bypassed`` marks rows whose cluster exceeded
+    ``max_cluster`` and therefore SKIPPED dedup entirely (kept verbatim).
+    Filter ``keep`` to materialize the deduped corpus; ``sum(bypassed)``
+    (also logged per call) is the operator's no-op detector — a silent
+    version of this bypass let the pre-r10 default geometry quietly keep
+    a whole large corpus (r9 verdict finding 1).
+
+    ``n_clusters`` defaults to corpus-size-aware geometry:
+    ``ceil(count / target_cluster_size)`` clamped to [8, sample_n // 8] —
+    within-cluster pair volume stays ~n * target_cluster_size / 2 (linear
+    in n) instead of quadratic-at-fixed-k. Pass an explicit ``n_clusters``
+    to pin geometry (the driver-contract entry pins k=8 for oracle
+    determinism). If the clamp ceiling makes clusters outgrow
+    ``max_cluster`` anyway (corpus > ~sample_n/8 * max_cluster), the
+    bypass column/log says so — raise ``sample_n`` and ``n_clusters``.
 
     Scale shape: centroids train on a deterministic driver-side sample
     (FAISS-style — quantizer sample size is scale-free) and ride into the
     plan as LITERALS, so assignment is a narrow map with no centroid table
     and no join. Candidate pairs come from a within-cluster self-join whose
-    per-key size is bounded by ``drop_hot_keys(max_cluster)`` — an
-    oversized cluster (quantizer too coarse for the corpus) BYPASSES
-    dedup (its members are kept, counted, and the fix is raising
-    ``n_clusters``), it never materializes a quadratic join. Groups come
-    from the shared ``cluster_pairs`` CC; the keeper choice is one
-    max_by aggregate per group. Never all-pairs across clusters.
+    per-key size is bounded by the hot-cluster bypass — an oversized
+    cluster (quantizer too coarse for the corpus) never materializes a
+    quadratic join. The hot-cluster frame is ≤ n_clusters rows by
+    construction, so a broadcast anti-join is safe here (unlike the
+    general ``drop_hot_keys`` shape, whose hot frame can be huge); one
+    count aggregate feeds the bypass filter, the output column, and the
+    log. Groups come from the shared ``cluster_pairs`` CC; the keeper
+    choice is one max_by aggregate per group. Never all-pairs across
+    clusters.
     """
     from sydradb_spark.pipeline.similarity import (
         _norm,
@@ -1057,10 +1079,15 @@ def semantic_dedup(
         cosine_prenormed,
         kmeans_fit_sample,
     )
-    from sydradb_spark.util import drop_hot_keys
 
     from pyspark import StorageLevel
 
+    if n_clusters is None:
+        # one metadata-cheap count action; clamp floor keeps tiny corpora
+        # from degenerating to k=1 (no partitioning at all) and the ceiling
+        # keeps Lloyd's sample-per-centroid ratio ≥ 8
+        n = emb.count()
+        n_clusters = max(8, min(max(sample_n // 8, 8), -(-n // target_cluster_size)))
     sample = [
         list(r[0])
         for r in emb.select(F.col(emb_col).cast("array<double>"))
@@ -1068,6 +1095,7 @@ def semantic_dedup(
         .limit(sample_n)
         .collect()
     ]
+    n_clusters = min(n_clusters, max(1, len(sample)))
     cents = kmeans_fit_sample(sample, k=n_clusters)
     d2s = centroid_d2s(F.col(emb_col), cents)
     # tagged (a full-corpus centroid-distance projection) feeds BOTH sides
@@ -1090,7 +1118,33 @@ def semantic_dedup(
         # pair join never re-folds it per pair
         _norm(F.col("__e")).alias("__n"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = drop_hot_keys(tagged, ["cluster"], max_cluster)
+    # hot-cluster bypass, OBSERVABLE (r9 verdict finding 1): one count
+    # aggregate over the persisted projection yields the ≤ n_clusters-row
+    # hot frame; it is materialized for the log, broadcast-anti-joined to
+    # bound the pair join, and broadcast-left-joined back so every output
+    # row carries its bypass verdict.
+    hot = (
+        tagged.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_cluster)
+    )
+    hot_rows = hot.collect()
+    if hot_rows:
+        _LOG.warning(
+            "semantic_dedup: %d/%d clusters over max_cluster=%d bypassed "
+            "dedup (%d members kept verbatim) — raise n_clusters/sample_n",
+            len(hot_rows),
+            n_clusters,
+            max_cluster,
+            sum(r["__n"] for r in hot_rows),
+        )
+    if hot_rows:
+        is_hot = F.array_contains(
+            F.array(*[F.lit(int(r["cluster"])) for r in hot_rows]), F.col("cluster")
+        )
+    else:
+        is_hot = F.lit(False)
+    cand = tagged.where(~is_hot)
     left = cand.select(
         "cluster",
         F.col("id").alias("a"),
@@ -1124,6 +1178,7 @@ def semantic_dedup(
         "cluster",
         F.coalesce(F.col("__g"), F.col("id")).alias("group_id"),
         "centroid_d2",
+        is_hot.alias("bypassed"),
     )
     # keeper per group: max centroid_d2, ties -> min id. min of
     # (-centroid_d2, id) struct order gives exactly that for ANY orderable
@@ -1145,6 +1200,7 @@ def semantic_dedup(
                 (F.col("centroid_d2") == -F.col("__k.__nd2"))
                 & (F.col("id") == F.col("__k.id"))
             ).alias("keep"),
+            "bypassed",
         )
     )
     # materialize the (narrow: id + verdict columns, no embeddings) result
