@@ -400,6 +400,14 @@ def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     inside the buckets with a shuffle bounded by the corpus, not the
     candidate count (see its docstring for the sf100 measurement that
     forced the split).
+
+    Jaccard here is STRING-exact (distinct shingle strings), while
+    ``bucket_verified_pairs`` intersects 60-bit ``hash64`` shingle sets —
+    on a hash collision within a pair's shingle union the two APIs can
+    differ by one intersection count (P ≈ |union|²/2^61 per pair,
+    negligible but real). Kept string-exact deliberately: this function's
+    contract is ground-truth verification of arbitrary external pairs,
+    where exactness beats consistency with the LSH fast path.
     """
     cand = (
         pairs.select(F.col("a").alias("doc_id"))
@@ -509,19 +517,57 @@ def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> N
     Both tables are doc-local (each row derives from its own document
     alone, like BM25 postings), so append-only maintenance is EXACT:
     writing a new batch's index with mode='append' equals a full rebuild
-    row for row (pinned in tests)."""
+    row for row (pinned in tests).
+
+    A ``_INDEX_VERSION`` sidecar records the on-disk layout version
+    (r10, advice item): round 9 changed ``arrays.arr`` from
+    array<string> to array<long> with no marker, so mode='append'
+    maintenance against a pre-change index would silently create a
+    mixed-schema parquet directory. ``minhash_read_index`` fails fast on
+    either a stale sidecar or a string-typed ``arr``."""
     shingle_arrays(docs, text_col).write.mode("overwrite").parquet(f"{path}/arrays")
     minhash_band_signatures(shingle_table(docs, text_col)).write.mode(
         "overwrite"
     ).parquet(f"{path}/bands")
+    with open(f"{path}/_INDEX_VERSION", "w") as fh:
+        fh.write(f"{MINHASH_INDEX_VERSION}\n")
+
+
+# On-disk layout version of minhash_write_index. 2 = hash64 shingle arrays
+# (round 9); 1 = the unversioned round-8 string-shingle layout, detectable
+# only by its arr element type.
+MINHASH_INDEX_VERSION = 2
 
 
 def minhash_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(arrays, bands) frames of a ``minhash_write_index`` layout."""
-    return (
-        spark.read.parquet(f"{path}/arrays"),
-        spark.read.parquet(f"{path}/bands"),
-    )
+    """(arrays, bands) frames of a ``minhash_write_index`` layout.
+
+    Fails fast (with rebuild guidance) on a pre-r9 index: a string-typed
+    ``arr`` column, or an ``_INDEX_VERSION`` sidecar naming a different
+    layout — appending the current hash64 rows to such a directory would
+    make Spark read a mixed-schema table as one inferred schema (read
+    failure or silent null arrays feeding bucket_verified_pairs)."""
+    import os
+
+    ver_file = f"{path}/_INDEX_VERSION"
+    if os.path.exists(ver_file):
+        with open(ver_file) as fh:
+            ver = fh.read().strip()
+        if ver != str(MINHASH_INDEX_VERSION):
+            raise ValueError(
+                f"minhash index at {path} has layout version {ver}, this "
+                f"build reads version {MINHASH_INDEX_VERSION} — rebuild it "
+                "with minhash_write_index"
+            )
+    arrays = spark.read.parquet(f"{path}/arrays")
+    elem = arrays.schema["arr"].dataType.elementType.simpleString()
+    if elem != "bigint":
+        raise ValueError(
+            f"minhash index at {path} stores {elem} shingles (pre-r9 "
+            "string layout?) — this build intersects hash64 arrays; "
+            "rebuild the index with minhash_write_index"
+        )
+    return arrays, spark.read.parquet(f"{path}/bands")
 
 
 def minhash_query_index(

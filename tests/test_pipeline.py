@@ -2407,6 +2407,41 @@ def test_minhash_index_split_matches_fused(spark, tmp_path):
     assert inc == fused
 
 
+def test_minhash_index_version_guard(spark, tmp_path):
+    """minhash_read_index must refuse a stale on-disk layout instead of
+    letting mode='append' maintenance build a mixed-schema directory
+    (r9 changed arr from array<string> to array<long> unmarked)."""
+    import pytest
+
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    path = str(tmp_path / "idx")
+    dedup.minhash_write_index(docs, path)
+    assert (
+        open(f"{path}/_INDEX_VERSION").read().strip()
+        == str(dedup.MINHASH_INDEX_VERSION)
+    )
+    dedup.minhash_read_index(spark, path)  # current layout reads fine
+
+    # stale sidecar -> fail fast with rebuild guidance
+    with open(f"{path}/_INDEX_VERSION", "w") as fh:
+        fh.write("1\n")
+    with pytest.raises(ValueError, match="rebuild"):
+        dedup.minhash_read_index(spark, path)
+
+    # unversioned pre-r9 layout (string shingles, no sidecar) -> fail fast
+    p2 = str(tmp_path / "idx_v1")
+    docs.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("arr")
+    ).write.parquet(f"{p2}/arrays")
+    dedup.minhash_band_signatures(dedup.shingle_table(docs)).write.parquet(
+        f"{p2}/bands"
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        dedup.minhash_read_index(spark, p2)
+
+
 def test_semantic_dedup_string_ids(spark):
     """The keeper tie-break must work for ANY orderable id type (the
     pre-r08 (-id) trick silently required numeric ids): exact-duplicate
