@@ -267,6 +267,34 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # Winnow build/query split (round 10, r9 verdict item 4): same pattern —
+    # one cold fingerprint-partitioned index build, then warm containment
+    # queries for a deterministic ~0.1% probe sample, each reading only the
+    # probes' fingerprint partitions.
+    from pyspark.sql import functions as F
+
+    from sydradb_spark.pipeline import text as _text
+
+    wn_dir = tempfile.mkdtemp(prefix="bench_wn_idx_") if not subset else ""
+    try:
+        if not subset:
+            docs = load_table(spark, sf_dir, "documents")
+            t0 = time.perf_counter()
+            _text.winnow_write_index(docs, f"{wn_dir}/wn")
+            index_split["winnow_index_build"] = round(time.perf_counter() - t0, 3)
+            wn_idx = _text.winnow_read_index(spark, f"{wn_dir}/wn")
+            probes = docs.where(F.pmod(F.col("doc_id"), F.lit(997)) == 0)
+            q_runs = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                _text.winnow_query_index(wn_idx, probes, min_shared=2).count()
+                q_runs.append(round(time.perf_counter() - t0, 3))
+            index_split["winnow_query_warm"] = sorted(q_runs)[len(q_runs) // 2]
+            index_split["winnow_query_runs"] = q_runs
+            print(f"# winnow index split: {index_split}", file=sys.stderr)
+    finally:
+        shutil.rmtree(wn_dir, ignore_errors=True)
+
     # Storage-mode path (round 9, r8 verdict item 6): the headline queries
     # read raw single parquet files; this block writes the same events to
     # the engine's own hour-partitioned storage layout (write_points +

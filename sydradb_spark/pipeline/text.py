@@ -414,6 +414,160 @@ def winnow_overlap_pairs(
     )
 
 
+# --- winnowing build/query split (round 10) ---------------------------------
+# Mirrors the MinHash and BM25 index patterns: the expensive pass (the
+# per-doc rolling-hash Pandas UDF + the 608M-row-at-sf100 fingerprint
+# explosion) is materialized ONCE, fingerprint-partitioned, and containment
+# queries then read only the probe's fingerprint partitions. Rows are
+# doc-local, so append-only maintenance is exact (pinned in tests).
+WINNOW_FP_BUCKETS = 64
+WINNOW_INDEX_VERSION = 1
+
+
+def winnow_fp_bucket(fp: Column) -> Column:
+    """Fingerprint partition key: ``pmod(fp, WINNOW_FP_BUCKETS)``. The
+    fingerprint is already a uniform rolling hash mod a Mersenne prime, so
+    a direct pmod spreads buckets evenly without a second hash — and the
+    query side can compute a probe's buckets from its fingerprints alone."""
+    return F.pmod(fp, F.lit(WINNOW_FP_BUCKETS)).cast("int")
+
+
+def winnow_index(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, nfp, fp) — one row per (document, distinct fingerprint),
+    with the document's fingerprint count riding every row (BM25's
+    ``dl``-on-the-posting pattern: overlap scoring needs no doc-table
+    join). Every row derives from its own document alone."""
+    fps = (
+        _spread_docs(docs)
+        .select(
+            "doc_id", winnow_fingerprints(F.col(text_col), k, w).alias("__fps")
+        )
+        .where(F.size("__fps") > 0)
+    )
+    return fps.select(
+        "doc_id", F.size("__fps").alias("nfp"), F.explode("__fps").alias("fp")
+    )
+
+
+def winnow_write_index(
+    docs: DataFrame,
+    path: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> None:
+    """Materialize the winnowing fingerprint index fingerprint-partitioned:
+    ``{path}/fps/fpb=<bucket>/part-*.parquet``. A containment query reads
+    only its probe fingerprints' buckets (directory-level partition
+    pruning — the same inverted-index seek as ``bm25_write_index``).
+    Append-only maintenance stays exact because rows are doc-local:
+    ``winnow_index(new_batch).withColumn('fpb', winnow_fp_bucket(F.col('fp')))
+    .write.mode('append').partitionBy('fpb').parquet(f'{path}/fps')``.
+
+    At sf100 the fused ``winnow_overlap_pairs`` spent 837 s/query mostly
+    re-materializing 608M fingerprint rows (r9 bench); this split pays
+    that once."""
+    idx = winnow_index(docs, k, w, text_col).withColumn(
+        "fpb", winnow_fp_bucket(F.col("fp"))
+    )
+    idx.write.mode("overwrite").partitionBy("fpb").parquet(f"{path}/fps")
+    with open(f"{path}/_INDEX_VERSION", "w") as fh:
+        fh.write(f"{WINNOW_INDEX_VERSION}\n")
+
+
+def winnow_read_index(spark, path: str) -> DataFrame:
+    """Read a ``winnow_write_index`` layout (carries the ``fpb`` partition
+    column that activates pruning in ``winnow_query_index``). Fails fast
+    on a version-marked layout this build doesn't read."""
+    import os
+
+    ver_file = f"{path}/_INDEX_VERSION"
+    if os.path.exists(ver_file):
+        with open(ver_file) as fh:
+            ver = fh.read().strip()
+        if ver != str(WINNOW_INDEX_VERSION):
+            raise ValueError(
+                f"winnow index at {path} has layout version {ver}, this "
+                f"build reads version {WINNOW_INDEX_VERSION} — rebuild it "
+                "with winnow_write_index"
+            )
+    return spark.read.parquet(f"{path}/fps")
+
+
+def winnow_query_index(
+    index: DataFrame,
+    probes: DataFrame,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+) -> DataFrame:
+    """(probe_id, doc_id, shared, overlap) — containment hits of each probe
+    document against a materialized winnow index; the warm path of the
+    build/query split. Semantics match ``winnow_overlap_pairs`` restricted
+    to pairs involving a probe (pinned in tests): ``shared`` counts common
+    fingerprints, ``overlap`` = shared / min(|fp_probe|, |fp_doc|), hot
+    fingerprints (shared by > ``max_fp_docs`` INDEX documents — index
+    doc-frequency, the scalable reading of the fused op's corpus
+    doc-frequency) are dropped, and a probe that is itself indexed never
+    matches itself.
+
+    Scale shape: the probe side is small by contract; its fingerprints
+    broadcast. The index scan is pruned to the probes' fingerprint buckets
+    (``fpb`` isin — directory-level, ≤ WINNOW_FP_BUCKETS values collected
+    from the probe frame, never from the corpus). The hot-fingerprint
+    guard counts per-fp doc frequency AMONG the pruned candidate rows
+    (probe-bounded, map-side partial agg), so no corpus-wide aggregate
+    runs at query time."""
+    pf = winnow_index(probes, k, w, text_col).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("nfp").alias("__qnfp"),
+        "fp",
+    )
+    bks = sorted(
+        r["b"]
+        for r in pf.select(winnow_fp_bucket(F.col("fp")).alias("b"))
+        .distinct()
+        .collect()
+    )
+    cand = index
+    if "fpb" in index.columns:
+        cand = cand.where(F.col("fpb").isin(bks))
+    cand = cand.join(
+        F.broadcast(pf.select("fp").distinct()), on="fp", how="semi"
+    )
+    # index rows are (doc, distinct fp), so count(*) per fp == doc frequency
+    hot = (
+        cand.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_fp_docs)
+        .select("fp")
+    )
+    cand = cand.join(F.broadcast(hot), on="fp", how="anti")
+    hits = cand.join(F.broadcast(pf), on="fp").where(
+        F.col("doc_id") != F.col("probe_id")
+    )
+    return (
+        hits.groupBy("probe_id", "doc_id", "__qnfp", "nfp")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select(
+            "probe_id",
+            "doc_id",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("__qnfp"), F.col("nfp")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 def _spread_docs(docs: DataFrame) -> DataFrame:
     from sydradb_spark.util import spread
 

@@ -2442,6 +2442,82 @@ def test_minhash_index_version_guard(spark, tmp_path):
         dedup.minhash_read_index(spark, p2)
 
 
+def test_winnow_index_split_matches_fused(spark, tmp_path):
+    """winnow_query_index against a materialized index must answer exactly
+    what the fused winnow_overlap_pairs answers for pairs involving the
+    probes; the scan must prune to the probes' fingerprint partitions;
+    append-only maintenance must equal a full rebuild."""
+    from sydradb_spark.pipeline import text as T
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fused = {
+        frozenset((r["a"], r["b"])): (r["shared"], round(r["overlap"], 9))
+        for r in T.winnow_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert fused  # construction sanity: the table has containment pairs
+
+    path = str(tmp_path / "wn_idx")
+    T.winnow_write_index(docs, path)
+    idx = T.winnow_read_index(spark, path)
+    assert "fpb" in idx.columns
+
+    probes = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    probe_ids = {r["doc_id"] for r in probes.select("doc_id").collect()}
+    q = T.winnow_query_index(idx, probes, min_shared=2)
+    got = {
+        frozenset((r["probe_id"], r["doc_id"])): (
+            r["shared"],
+            round(r["overlap"], 9),
+        )
+        for r in q.collect()
+    }
+    exp = {
+        pair: v
+        for pair, v in fused.items()
+        if pair & probe_ids
+        # pairs where BOTH sides are probes come back twice (once per
+        # direction) but collapse to the same frozenset entry
+    }
+    assert got == exp and len(got) > 0
+
+    # the executed plan prunes to the probes' fingerprint buckets
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = (
+        plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        if "PartitionFilters" in plan
+        else ""
+    )
+    assert "fpb" in pf, plan[:2000]
+
+    # append-only maintenance == full rebuild
+    p2 = str(tmp_path / "wn_idx_inc")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    T.winnow_write_index(b1, p2)
+    T.winnow_index(b2).withColumn(
+        "fpb", T.winnow_fp_bucket(F.col("fp"))
+    ).write.mode("append").partitionBy("fpb").parquet(f"{p2}/fps")
+    inc = {
+        frozenset((r["probe_id"], r["doc_id"])): (
+            r["shared"],
+            round(r["overlap"], 9),
+        )
+        for r in T.winnow_query_index(
+            T.winnow_read_index(spark, p2), probes, min_shared=2
+        ).collect()
+    }
+    assert inc == exp
+
+    # version guard
+    import pytest
+
+    with open(f"{path}/_INDEX_VERSION", "w") as fh:
+        fh.write("99\n")
+    with pytest.raises(ValueError, match="rebuild"):
+        T.winnow_read_index(spark, path)
+
+
 def test_semantic_dedup_string_ids(spark):
     """The keeper tie-break must work for ANY orderable id type (the
     pre-r08 (-id) trick silently required numeric ids): exact-duplicate
