@@ -22,6 +22,9 @@ Extended-protocol semantics notes:
 - Execute answers with the same response content as the simple-query path
   (summary rows for INSERT/DELETE, SELECT command tags) — consistency with
   'Q' beats byte-exact pg command tags for this compat shim.
+- Execute honors the protocol's int32 row limit: a positive limit delivers
+  that many rows and suspends the portal (PortalSuspended); the next
+  Execute resumes from the cached position. JDBC setFetchSize paging.
 - After an error the session skips messages until Sync, per protocol.
 
 Production posture: this front-end is a thin driver-side shim for pg-client
@@ -519,7 +522,15 @@ class _Handler(socketserver.BaseRequestHandler):
     def _ext_execute(self, sock, server: "PgWireServer", payload: bytes) -> None:
         try:
             name, off = self._cstring(payload, 0)
-            # int32 row limit follows; 0 = no limit (we cap at max_rows anyway)
+            # int32 row limit follows; <=0 = no limit. A positive limit pages
+            # the portal: rows beyond it stay positioned on the portal and
+            # Execute answers PortalSuspended ('s') instead of
+            # CommandComplete — JDBC's setFetchSize and psycopg3 server-side
+            # cursors drive exactly this loop (r9 verdict item 8; the
+            # reference rejects the whole extended protocol, server.zig:184).
+            limit = 0
+            if len(payload) >= off + 4:
+                (limit,) = struct.unpack("!i", payload[off : off + 4])
         except ValueError:
             raise _WireError("malformed execute message", "08P01") from None
         if name not in self._portals:
@@ -534,21 +545,31 @@ class _Handler(socketserver.BaseRequestHandler):
         fields = portal["fields"]
         rfmts = portal.get("rfmts")
         types = [t for _, t in fields]
-        if portal["kind"] == "catalog":
-            rows = portal["rows"]
-            for row in rows:
-                sock.sendall(_data_row(list(row), types, rfmts))
-            portal["done"] = True
-            sock.sendall(_msg(b"C", f"SELECT {len(rows)}".encode() + b"\x00"))
+        if "out_rows" not in portal:
+            # one materialization per portal, already capped at max_rows by
+            # _prepare_portal's limit(); suspension resumes from this cache
+            if portal["kind"] == "catalog":
+                portal["out_rows"] = [list(r) for r in portal["rows"]]
+            else:
+                try:
+                    collected = portal["df"].collect()
+                except Exception as exc:  # noqa: BLE001
+                    raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
+                portal["out_rows"] = [[row[n] for n, _ in fields] for row in collected]
+            portal["pos"] = 0
+        rows = portal["out_rows"]
+        pos = portal["pos"]
+        end = len(rows) if limit <= 0 else min(pos + limit, len(rows))
+        for row in rows[pos:end]:
+            sock.sendall(_data_row(row, types, rfmts))
+        portal["pos"] = end
+        if end < len(rows):
+            sock.sendall(_msg(b"s", b""))  # PortalSuspended: more rows remain
             return
-        try:
-            collected = portal["df"].collect()
-        except Exception as exc:  # noqa: BLE001
-            raise _WireError(str(exc).split("\n")[0][:500], "42601") from None
-        for row in collected:
-            sock.sendall(_data_row([row[n] for n, _ in fields], types, rfmts))
         portal["done"] = True
-        sock.sendall(_msg(b"C", f"SELECT {len(collected)}".encode() + b"\x00"))
+        # tag counts rows processed in THIS run (pg's nprocessed semantics),
+        # not the portal lifetime total
+        sock.sendall(_msg(b"C", f"SELECT {end - pos}".encode() + b"\x00"))
 
     def _ext_close(self, sock, payload: bytes) -> None:
         try:

@@ -643,3 +643,29 @@ def test_pgwire_copy_to_stdout(wire):
     assert data.decode() == "200\t2.5\n"
     sock.sendall(b"X" + struct.pack("!I", 4))
     sock.close()
+
+
+def test_pgwire_execute_row_limit_portal_suspended(wire):
+    """Execute's int32 row limit pages the portal: each limited Execute
+    delivers that many rows then PortalSuspended ('s'); the next Execute
+    resumes from the cached position; the final one answers
+    CommandComplete with THIS run's row count (pg nprocessed semantics).
+    This is the JDBC setFetchSize / psycopg3 server-side-cursor loop."""
+    sock = _connect(wire.addr)
+    sql = b"SELECT time, value FROM cpu.total WHERE time >= 1000000 AND time < 1000060"
+    _send(sock, b"P", b"s1\x00" + sql + b"\x00" + struct.pack("!H", 0))
+    _ext_bind(sock, portal=b"pp", stmt=b"s1")
+    _send(sock, b"E", b"pp\x00" + struct.pack("!i", 2))  # rows 1-2
+    _send(sock, b"E", b"pp\x00" + struct.pack("!i", 2))  # rows 3-4
+    _send(sock, b"E", b"pp\x00" + struct.pack("!i", 0))  # row 5, complete
+    _send(sock, b"E", b"pp\x00" + struct.pack("!i", 5))  # done: SELECT 0
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    tags = b"".join(t for t, _ in msgs)
+    assert b"E" not in tags, msgs
+    # Parse, Bind, then 2 rows + suspend, 2 rows + suspend, 1 row +
+    # complete, empty complete, ReadyForQuery
+    assert tags == b"12DDsDDsDCCZ", msgs
+    complete = [p for t, p in msgs if t == b"C"]
+    assert complete == [b"SELECT 1\x00", b"SELECT 0\x00"]
+    sock.close()
