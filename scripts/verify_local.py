@@ -97,7 +97,12 @@ def main() -> int:
     import os
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
-    qs, oracles = E.queries(), E.oracle_sql()
+    qs = E.queries()
+    # materialize only the requested oracles: generated ones can be
+    # super-linear in the twin (all_oracles docstring has the war story)
+    from sydradb_spark.contract import all_oracles
+
+    oracles = all_oracles(only=only or set(qs))
     failed = []
     n_run = 0
     for name, fn in qs.items():

@@ -16,10 +16,16 @@ def all_queries() -> dict:
     return out
 
 
-def all_oracles() -> dict[str, str]:
+def all_oracles(only: set[str] | None = None) -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _modules():
         out.update(mod.ORACLES)
+    if only is not None:
+        # subset runs (scripts/verify_local.py NAME...) must not pay for —
+        # or crash on — oracles they never compare: a generated oracle can
+        # be super-linear in the twin (the minhash-group closure at sf10
+        # spilled >70 GB of DuckDB temp and filled the disk, round 10)
+        out = {k: v for k, v in out.items() if k in only}
     # an ORACLES value may be a zero-arg callable for SQL that must be
     # GENERATED at oracle_sql() time (e.g. ann_ivf inlines sample-trained
     # centroids as literals) — resolve lazily so generation cost/paths are

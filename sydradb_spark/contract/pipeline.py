@@ -54,18 +54,36 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sydradb_spark.util import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    q = text.quality_columns(F.col("text"))
     # round-6 extension: Gopher-style repetition signals ride the same
     # entry; since the round-9 sort+run-fold rewrite they are pure column
-    # expressions, so all 11 stats are ONE projection — no join, no second
-    # corpus scan (the former shape joined a repetition_stats frame back
-    # on doc_id: two tokenize passes plus a shuffle).
-    r = text.repetition_columns(F.col("text"))
-    return docs.select(
+    # expressions — no join, no second corpus scan. Round 10 layers the
+    # projection tokenize-once (see text.quality_columns): the token
+    # array, line array and sorted-bigram array are materialized ONCE per
+    # row in parent projections instead of one copy per signal (~11 large
+    # transient arrays/row → 5), which was the sf100 GC term (r9 verdict
+    # item 5). Still zero shuffles, values bit-identical.
+    t = F.col("text")
+    pre = docs.select(
+        "doc_id",
+        t.alias("__t"),
+        text.tokens(t).alias("__toks"),
+        text.lines_nonempty(t).alias("__lines"),
+    ).select(
+        "doc_id",
+        "__t",
+        "__toks",
+        "__lines",
+        F.array_sort(text.word_bigrams(F.col("__t"), F.col("__toks"))).alias("__sbg"),
+    )
+    q = text.quality_columns(F.col("__t"), toks=F.col("__toks"))
+    r = text.repetition_columns(
+        F.col("__t"), lines=F.col("__lines"), sorted_bigrams=F.col("__sbg")
+    )
+    return pre.select(
         "doc_id",
         q["n_chars"].alias("n_chars"),
         q["n_tokens"].alias("n_tokens"),
-        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens_bpe"),
+        text.bpe_ish_token_count(F.col("__t")).cast("long").alias("n_tokens_bpe"),
         _r6(q["distinct_ratio"]).alias("distinct_ratio"),
         _r6(q["mean_word_len"]).alias("mean_word_len"),
         _r6(q["space_ratio"]).alias("space_ratio"),
@@ -142,15 +160,20 @@ def _text_lang_quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — the three per-doc classifier columns in one pass."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # tokenize-once: lang-ID alone is LANGS+1 token-array consumers and the
+    # quality score three more — materialize the split in a parent
+    # projection (see text.quality_columns)
+    pre = docs.select("doc_id", t.alias("__t"), text.tokens(t).alias("__toks"))
+    tt, toks = F.col("__t"), F.col("__toks")
+    return pre.select(
         "doc_id",
         *[
-            text.stopword_hits(t, lang).cast("long").alias(f"hits_{lang}")
+            text.stopword_hits(tt, lang, toks).cast("long").alias(f"hits_{lang}")
             for lang in text.LANGS
         ],
-        text.guess_lang(t).alias("lang_guess"),
-        _r6(text.quality_score(t)).alias("quality"),
-        text.fingerprint(t).alias("fp"),
+        text.guess_lang(tt, toks).alias("lang_guess"),
+        _r6(text.quality_score(tt, toks)).alias("quality"),
+        text.fingerprint(tt).alias("fp"),
     )
 
 

@@ -44,15 +44,20 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
+def stopword_hits(text: Column, lang: str, toks: Column | None = None) -> Column:
     words = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
+    toks = tokens(text) if toks is None else toks
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
 
 
-def guess_lang(text: Column) -> Column:
+def guess_lang(text: Column, toks: Column | None = None) -> Column:
     """Arg-max of per-language stopword hits; ties resolve in LANGS order
-    (first CASE branch wins); zero hits everywhere → 'und' (undetermined)."""
-    scores = {lang: stopword_hits(text, lang) for lang in LANGS}
+    (first CASE branch wins); zero hits everywhere → 'und' (undetermined).
+
+    Pass ``toks`` (a materialized token-array column) to avoid
+    re-evaluating ``split`` once per language — see the tokenize-once note
+    on ``quality_columns``."""
+    scores = {lang: stopword_hits(text, lang, toks) for lang in LANGS}
     mx = F.greatest(*scores.values())
     best = None
     for lang in LANGS:
@@ -61,10 +66,20 @@ def guess_lang(text: Column) -> Column:
     return best.otherwise("und")
 
 
-def quality_columns(text: Column) -> dict[str, Column]:
+def quality_columns(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signals: length, token stats, distinct-token ratio,
-    punctuation/space ratios, mean word length."""
-    toks = tokens(text)
+    punctuation/space ratios, mean word length.
+
+    Tokenize-once (round 10): without ``toks`` each signal embeds its own
+    copy of the ``split`` subtree — Catalyst does NOT common-subexpression-
+    eliminate across projection items (and CollapseProject refuses to
+    inline expensive aliases, which is exactly what makes the fix work):
+    callers that compute several signal groups should materialize
+    ``tokens(text)`` as a column in a parent projection and pass it here,
+    so the regex split runs once per row instead of once per signal. At
+    5M docs the duplicated splits were the dominant allocation source
+    (sf100 GC term, r9 verdict item 5)."""
+    toks = tokens(text) if toks is None else toks
     n_tok = F.size(toks)
     n_chars = F.length(text)
     distinct_ratio = F.when(
@@ -93,10 +108,10 @@ def quality_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """[0,1] heuristic: rewards mid-length docs, diverse vocabulary, sane
     word lengths. Deterministic closed-form so an oracle can replicate it."""
-    q = quality_columns(text)
+    q = quality_columns(text, toks)
     len_score = F.least(q["n_tokens"].cast("double") / 100.0, F.lit(1.0))
     div_score = q["distinct_ratio"]
     word_score = F.when(
@@ -163,14 +178,18 @@ def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> C
 
 def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
-    q = quality_columns(t)
-    return docs.select(
-        "*",
+    # tokenize once in a parent projection (see quality_columns note): the
+    # six signals below would otherwise each re-split the document
+    pre = docs.select("*", tokens(t).alias("__toks"))
+    toks = F.col("__toks")
+    q = quality_columns(t, toks)
+    return pre.select(
+        *docs.columns,
         q["n_tokens"].alias("n_tokens"),
         q["distinct_ratio"].alias("distinct_ratio"),
         q["mean_word_len"].alias("mean_word_len"),
-        guess_lang(t).alias("lang_guess"),
-        quality_score(t).alias("quality"),
+        guess_lang(t, toks).alias("lang_guess"),
+        quality_score(t, toks).alias("quality"),
         fingerprint(t).alias("fp"),
     )
 
@@ -183,21 +202,27 @@ def lines_nonempty(text: Column) -> Column:
     )
 
 
-def dup_line_ratio(text: Column) -> Column:
+def dup_line_ratio(text: Column, lines: Column | None = None) -> Column:
     """Fraction of non-empty lines that are duplicates of an earlier line —
     the Gopher-style boilerplate/repetition filter signal. Pure column
     expression (array ops over the per-doc line array); 0 for 0/1-line
-    docs."""
-    ls = lines_nonempty(text)
+    docs. Pass ``lines`` (materialized ``lines_nonempty``) to share the
+    line split with other signals (tokenize-once, see quality_columns)."""
+    ls = lines_nonempty(text) if lines is None else lines
     n = F.size(ls)
     return F.when(
         n > 1, (n - F.size(F.array_distinct(ls))).cast("double") / n
     ).otherwise(F.lit(0.0))
 
 
-def word_bigrams(text: Column) -> Column:
+def word_bigrams(text: Column, toks: Column | None = None) -> Column:
     """Word bigrams WITH duplicates (frequency-carrying, unlike the
     distinct'd ``dedup.word_shingles``); empty array under 2 tokens.
+
+    ``toks`` (tokenize-once): a materialized ``tokens(text)`` column is
+    accepted in place of the internal split — for <2-token docs the two
+    tokenizations differ ([''] vs []) but both fall in the n<2 branch, so
+    the output is identical.
 
     Shape note: the obvious ``transform(sequence(0, n-2), i ->
     concat(element_at(toks, i+1), element_at(toks, i+2)))`` re-inlines the
@@ -208,7 +233,7 @@ def word_bigrams(text: Column) -> Column:
     over two slices evaluates the token array O(1) times per row —
     ~3.5x on a parallelism-matched sf1 A/B, and the dominant cost of
     repetition_stats before the fix."""
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), r"\s+") if toks is None else toks
     n = F.size(toks)
     joined = F.zip_with(
         F.slice(toks, 1, n - 1),
@@ -246,8 +271,23 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from sydradb_spark.util import spread as _spread
 
-    r = repetition_columns(F.col(text_col))
-    return _spread(docs).select(
+    t = F.col(text_col)
+    pre = _spread(docs).select(
+        "doc_id",
+        t.alias("__t"),
+        tokens(t).alias("__toks"),
+        lines_nonempty(t).alias("__lines"),
+    )
+    pre = pre.select(
+        "doc_id",
+        "__t",
+        "__lines",
+        F.array_sort(word_bigrams(F.col("__t"), F.col("__toks"))).alias("__sbg"),
+    )
+    r = repetition_columns(
+        F.col("__t"), lines=F.col("__lines"), sorted_bigrams=F.col("__sbg")
+    )
+    return pre.select(
         "doc_id",
         r["n_lines"].alias("n_lines"),
         r["dup_line_ratio"].alias("dup_line_ratio"),
@@ -255,12 +295,29 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_columns(text: Column) -> dict[str, Column]:
+def repetition_columns(
+    text: Column,
+    toks: Column | None = None,
+    lines: Column | None = None,
+    sorted_bigrams: Column | None = None,
+) -> dict[str, Column]:
     """The repetition signals as pure column expressions, so callers (e.g.
     the text_stats contract entry) can fuse them into a single projection
-    with the quality columns — no join, no second scan."""
-    bg = word_bigrams(text)
-    sorted_bg = F.array_sort(bg)
+    with the quality columns — no join, no second scan.
+
+    Tokenize-once params (round 10, sf100 GC work): without them this dict
+    embeds THREE copies of the line split (n_lines + dup_line_ratio's two
+    uses) and TWO copies of the whole tokenize→bigram→array_sort pipeline
+    (the fold and its size) — ~6 large transient arrays per row that
+    dominated allocation at 5M docs. Callers materialize ``tokens(text)``,
+    ``lines_nonempty(text)`` and ``array_sort(word_bigrams(text, toks))``
+    in a parent projection and pass them here; every heavy op then runs
+    once per row. Output values are bit-identical either way."""
+    sorted_bg = (
+        F.array_sort(word_bigrams(text, toks))
+        if sorted_bigrams is None
+        else sorted_bigrams
+    )
     init = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -279,9 +336,10 @@ def repetition_columns(text: Column) -> dict[str, Column]:
 
     folded = F.aggregate(sorted_bg, init, step)
     nbg = F.size(sorted_bg)
+    ls = lines_nonempty(text) if lines is None else lines
     return {
-        "n_lines": F.size(lines_nonempty(text)).cast("long"),
-        "dup_line_ratio": dup_line_ratio(text),
+        "n_lines": F.size(ls).cast("long"),
+        "dup_line_ratio": dup_line_ratio(text, ls),
         "top_bigram_ratio": F.when(
             nbg > 0, folded["best"].cast("double") / nbg
         ).otherwise(F.lit(0.0)),
