@@ -52,6 +52,15 @@ def main() -> None:
     ap.add_argument("--out", default=".scratch/sf10s")
     ap.add_argument("--doc-mod", type=int, default=10)
     ap.add_argument("--vec-mod", type=int, default=4)
+    # events sampling (round 10, sf100 events axis): keep a leading TIME
+    # SLICE of the window instead of hash-thinning rows — the fourth
+    # decade's defining property is per-second DENSITY (0.77 rows/series/s,
+    # 23.5M same-second tie groups), which a row sample would destroy but a
+    # shorter window preserves exactly. Used for entries whose DuckDB twin
+    # is super-linear in the row count (align_asof_ratio's as-of
+    # construction spilled >70 GB of temp at 100M rows); both engines read
+    # the same sliced parquet so the gate comparison stays exact.
+    ap.add_argument("--event-days", type=float, default=0.0)
     args = ap.parse_args()
     import duckdb
 
@@ -66,6 +75,13 @@ def main() -> None:
             con.sql(
                 f"COPY (SELECT * FROM '{src}' WHERE hash(doc_id) % {args.doc_mod} = 0 "
                 f"ORDER BY doc_id) TO '{dst}' (FORMAT PARQUET)"
+            )
+        elif t == "events" and args.event_days > 0:
+            cut = int(args.event_days * 86400)
+            con.sql(
+                f"COPY (SELECT * FROM '{src}' WHERE "
+                f"epoch(ts) < (SELECT min(epoch(ts)) FROM '{src}') + {cut} "
+                f"ORDER BY event_id) TO '{dst}' (FORMAT PARQUET)"
             )
         elif t == "embeddings":
             con.sql(

@@ -1,0 +1,266 @@
+"""Streaming decade soak (round 10, r9 verdict item 6).
+
+The four streaming entries are correctness-certified at sf0.01; this
+script is the scale evidence: replay a scale twin's events through the
+Structured Streaming FILE source in arrival-ordered chunks, run the
+watermarked windowed aggregate, and PIN the two properties that decide
+whether the operator survives a decade-up:
+
+- **bounded state**: the state store holds only open windows
+  (series x windows-not-yet-past-watermark), NOT the input — max
+  `numRowsTotal` across every micro-batch must stay orders of magnitude
+  under the row count and must NOT grow with the replayed volume;
+- **watermark accounting**: a deterministic 0.1% of rows are delayed by
+  three chunks (hours of event time, far past the watermark) and every
+  one of them must be counted in `numRowsDroppedByWatermark` — the
+  drop counter equals the injected straggler count exactly;
+- **checkpointed restart**: the query is killed mid-replay and restarted
+  from its checkpoint; the final per-window aggregates must equal the
+  batch twin computed over the non-straggler rows (exactly-once across
+  the restart, at-least-once re-emission folded by last-update-wins).
+
+Usage: python scripts/stream_soak.py [--sf-dir _scratch/sf1]
+    [--chunks 24] [--kill-after 6] [--window "1 hour"]
+    [--watermark "30 minutes"]
+Prints ONE JSON line with the pinned metrics. The sf1 run is recorded in
+SCALE_NOTES ("Round 10: streaming soak"); tests/test_streaming.py pins
+the same three properties at pytest scale.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sydradb_spark.session import get_spark  # noqa: E402
+from sydradb_spark.streaming.windowed import windowed_agg  # noqa: E402
+from sydradb_spark.tables import events_points  # noqa: E402
+
+STRAGGLER_MOD = 1000  # ~0.1% of rows become stragglers
+STRAGGLER_DELAY_CHUNKS = 3
+
+
+def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> dict:
+    """Write the twin's events as `chunks` arrival-ordered parquet files.
+
+    Chunk = contiguous event-time range (the file source replays oldest-
+    mtime first, so arrival order == event-time order, the realistic
+    ingest shape); a deterministic ~0.1% of rows from chunks that have a
+    +3 target are delayed three chunks — hours of event time at any
+    factor, so every straggler arrives with its window long closed.
+    """
+    pts = (
+        events_points(spark, sf_dir)
+        .select(F.col("series").alias("series_id"), "ts", "value")
+    )
+    lo, hi = pts.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo + 1) / chunks
+    base = F.least(
+        F.floor((F.col("ts") - F.lit(lo)) / F.lit(span)).cast("int"),
+        F.lit(chunks - 1),
+    )
+    is_straggler = (F.xxhash64("series_id", "ts", "value") % STRAGGLER_MOD == 0) & (
+        base <= chunks - 1 - STRAGGLER_DELAY_CHUNKS
+    )
+    tagged = pts.select(
+        "series_id",
+        "ts",
+        "value",
+        is_straggler.alias("straggler"),
+        F.when(is_straggler, base + STRAGGLER_DELAY_CHUNKS)
+        .otherwise(base)
+        .alias("chunk"),
+    ).persist()
+    n_total = tagged.count()
+    n_straggler = tagged.where("straggler").count()
+
+    os.makedirs(src_dir, exist_ok=True)
+    tmp = f"{src_dir}__tmp"
+    now = time.time()
+    for i in range(chunks):
+        (
+            tagged.where(F.col("chunk") == i)
+            .select("series_id", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/chunk_{i:04d}.parquet"
+        shutil.move(part, dst)
+        # the file source orders by modification time: stamp arrival order
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    tagged.unpersist()
+    return {"rows": n_total, "stragglers": n_straggler, "lo": lo, "hi": hi}
+
+
+def run_stream(
+    spark,
+    src_dir: str,
+    ck_dir: str,
+    sink: list,
+    window: str,
+    watermark: str,
+    stop_after_batches: int | None,
+) -> list[dict]:
+    """One streaming run (availableNow); returns per-batch state metrics.
+
+    With stop_after_batches the query is stopped mid-replay — the
+    checkpoint makes the next call resume from the first unprocessed
+    file, which is the restart half of the soak.
+    """
+    stream = (
+        spark.readStream.schema("series_id string, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        windowed_agg(stream, window=window, watermark=watermark)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _id: sink.extend(b.collect()))
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if stop_after_batches is None:
+        q.awaitTermination()
+    else:
+        while q.isActive and len(q.recentProgress) < stop_after_batches:
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    out = []
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            out.append(
+                {
+                    "batch": p["batchId"],
+                    "state_rows": op["numRowsTotal"],
+                    "dropped": op.get("numRowsDroppedByWatermark", 0),
+                    "input_rows": p["numInputRows"],
+                }
+            )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="_scratch/sf1")
+    ap.add_argument("--work", default="_scratch/stream_soak")
+    ap.add_argument("--chunks", type=int, default=24)
+    ap.add_argument("--kill-after", type=int, default=6)
+    ap.add_argument("--window", default="1 hour")
+    ap.add_argument("--watermark", default="30 minutes")
+    args = ap.parse_args()
+    if not os.path.isdir(args.sf_dir):
+        sys.exit(
+            f"{args.sf_dir} missing — build it first: "
+            f"python scripts/gen_sf.py --factor 10 --out {args.sf_dir}"
+        )
+
+    spark = get_spark("stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.work, ignore_errors=True)
+    src_dir, ck_dir = f"{args.work}/src", f"{args.work}/ck"
+    t0 = time.perf_counter()
+    meta = prepare_chunks(spark, args.sf_dir, src_dir, args.chunks)
+    t_prep = round(time.perf_counter() - t0, 1)
+
+    emitted: list = []
+    t0 = time.perf_counter()
+    prog1 = run_stream(
+        spark, src_dir, ck_dir, emitted, args.window, args.watermark, args.kill_after
+    )
+    prog2 = run_stream(
+        spark, src_dir, ck_dir, emitted, args.window, args.watermark, None
+    )
+    t_stream = round(time.perf_counter() - t0, 1)
+    prog = prog1 + prog2
+
+    # last update per (series, bucket) wins (update mode + at-least-once
+    # re-emission after the kill both re-send earlier values)
+    final: dict = {}
+    for r in emitted:
+        final[(r["series_id"], r["bucket"])] = (
+            r["cnt"],
+            r["sum_v"],
+            r["min_v"],
+            r["max_v"],
+        )
+
+    # batch twin over the non-straggler rows (every straggler's window is
+    # hours closed when it arrives, so the stream must have dropped ALL)
+    pts = events_points(spark, args.sf_dir).select(
+        F.col("series").alias("series_id"), "ts", "value"
+    )
+    keep = pts.where(
+        ~(
+            (F.xxhash64("series_id", "ts", "value") % STRAGGLER_MOD == 0)
+            & (
+                F.least(
+                    F.floor(
+                        (F.col("ts") - F.lit(meta["lo"]))
+                        / F.lit((meta["hi"] - meta["lo"] + 1) / args.chunks)
+                    ).cast("int"),
+                    F.lit(args.chunks - 1),
+                )
+                <= args.chunks - 1 - STRAGGLER_DELAY_CHUNKS
+            )
+        )
+    )
+    want = {
+        (r["series_id"], r["bucket"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in (
+            keep.groupBy(
+                "series_id", (F.floor(F.col("ts") / 3600) * 3600).alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("value").alias("sum_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .collect()
+        )
+    }
+    mismatch = sum(1 for k, v in want.items() if final.get(k) != v)
+    extra = sum(1 for k in final if k not in want)
+
+    dropped_total = sum(p["dropped"] for p in prog)
+    max_state = max((p["state_rows"] for p in prog), default=0)
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "rows": meta["rows"],
+                "chunks": args.chunks,
+                "stragglers_injected": meta["stragglers"],
+                "dropped_by_watermark": dropped_total,
+                "drop_accounting_exact": dropped_total == meta["stragglers"],
+                "max_state_rows": max_state,
+                "state_rows_per_input_row": round(max_state / meta["rows"], 6),
+                "batches": len(prog),
+                "killed_after": args.kill_after,
+                "restart_equals_batch": mismatch == 0 and extra == 0,
+                "mismatched_windows": mismatch,
+                "extra_windows": extra,
+                "windows": len(want),
+                "prep_s": t_prep,
+                "stream_s": t_stream,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

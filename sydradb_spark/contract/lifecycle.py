@@ -529,13 +529,32 @@ _q(
 ), r AS (
   SELECT ts, value FROM points WHERE series = 'events.view'
     AND host = 'h1' AND dc = 'dc1' AND ts >= {T0} AND ts < {D7}
+), rd AS (
+  -- latest-before tie-break is (r.ts DESC, r.value DESC): at any matched
+  -- ts the max value wins, so collapse r to one row per ts up front
+  SELECT ts, max(value) AS rvalue FROM r GROUP BY ts
+), uni AS (
+  -- union + LOCF window instead of a per-left-row correlated subquery:
+  -- the subquery formulation is O(|l| x candidates-in-tolerance), which
+  -- is quadratic in per-second DENSITY — at the sf100 events decade
+  -- (0.77 rows/series/s) it spilled >70 GB of temp and died; this window
+  -- shape is O(n log n) and computes the identical function. r rows sort
+  -- before l rows at equal ts (is_l) so a same-ts match is visible.
+  SELECT ts, CAST(NULL AS DOUBLE) AS lvalue, rvalue, 0 AS is_l FROM rd
+  UNION ALL
+  SELECT ts, value AS lvalue, CAST(NULL AS DOUBLE) AS rvalue, 1 AS is_l FROM l
+), w AS (
+  SELECT ts, lvalue, is_l,
+         last_value(rvalue IGNORE NULLS) OVER
+           (ORDER BY ts, is_l ROWS UNBOUNDED PRECEDING) AS rv,
+         max(CASE WHEN rvalue IS NOT NULL THEN ts END) OVER
+           (ORDER BY ts, is_l ROWS UNBOUNDED PRECEDING) AS rt
+  FROM uni
 ), matched AS (
-  SELECT l.ts, l.value,
-         (SELECT r.value FROM r WHERE r.ts <= l.ts AND l.ts - r.ts <= 86400
-          ORDER BY r.ts DESC, r.value DESC LIMIT 1) AS right_value,
-         (SELECT r.ts FROM r WHERE r.ts <= l.ts AND l.ts - r.ts <= 86400
-          ORDER BY r.ts DESC, r.value DESC LIMIT 1) AS right_ts
-  FROM l
+  SELECT ts, lvalue AS value,
+         CASE WHEN ts - rt <= 86400 THEN rv END AS right_value,
+         CASE WHEN ts - rt <= 86400 THEN rt END AS right_ts
+  FROM w WHERE is_l = 1
 )
 SELECT 'ratio' AS part, a.bucket AS t, CAST(NULL AS DOUBLE) AS v,
        {r6('a.av / b.bv')} AS rv, CAST(NULL AS BIGINT) AS rt

@@ -508,3 +508,95 @@ def test_ndjson_gzip_ingest(spark, tmp_path):
     )
     q.awaitTermination()
     assert read_points(spark, table).count() == 5
+
+
+def test_windowed_agg_bounded_state_drop_counter_and_restart(spark, tmp_path):
+    """The pytest-scale pin of scripts/stream_soak.py's three soak
+    properties (r9 verdict item 6):
+
+    - state store holds OPEN windows only: with a 10-minute watermark and
+      1-hour windows over 10 replayed hours, state never exceeds a few
+      windows x 2 series — far under the 20 total windows an unbounded
+      operator would accumulate;
+    - `numRowsDroppedByWatermark` accounts for EXACTLY the injected
+      stragglers (two rows hours late), no more, no less;
+    - killing the query mid-replay and restarting from the checkpoint
+      yields final aggregates equal to the batch twin over the
+      non-straggler rows (last-update-wins folds re-emission).
+    """
+    import json as J
+    import os as _os
+    import time as _time
+
+    from sydradb_spark.streaming.windowed import windowed_agg
+
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    hours = 10
+    now = _time.time()
+    expect: dict = {}
+    for h in range(hours):
+        data = [
+            {"series_id": s, "ts": h * 3600 + i * 120, "value": float(i)}
+            for s in ("a", "b")
+            for i in range(20)
+        ]
+        for s in ("a", "b"):
+            expect[(s, h * 3600)] = (20, sum(float(i) for i in range(20)), 0.0, 19.0)
+        if h == 8:  # stragglers: hours 0 and 1 closed ~7 event-hours ago
+            data += [
+                {"series_id": "a", "ts": 100, "value": 99.0},
+                {"series_id": "b", "ts": 3700, "value": 99.0},
+            ]
+        f = src / f"c{h:02d}.ndjson"
+        f.write_text("\n".join(J.dumps(d) for d in data))
+        _os.utime(f, (now + h, now + h))  # file source replays oldest first
+
+    emitted: list = []
+    prog: list = []
+
+    def run(stop_after=None):
+        stream = (
+            spark.readStream.schema("series_id string, ts long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            windowed_agg(stream, window="1 hour", watermark="10 minutes")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, _id: emitted.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "soak_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after is None:
+            q.awaitTermination(180)
+        else:
+            while q.isActive and len(q.recentProgress) < stop_after:
+                _time.sleep(0.2)
+            q.stop()
+            q.awaitTermination(60)
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                prog.append(
+                    {
+                        "state_rows": op["numRowsTotal"],
+                        "dropped": op.get("numRowsDroppedByWatermark", 0),
+                    }
+                )
+
+    run(stop_after=4)  # kill mid-replay...
+    run()  # ...restart from the checkpoint, drain the rest
+
+    # bounded state: open windows only (2 series x <=3 in-flight windows,
+    # + margin), never the 20 windows of the full replay
+    assert prog, "no progress recorded"
+    assert max(p["state_rows"] for p in prog) <= 8
+    # exact watermark accounting: the two stragglers, nothing else
+    assert sum(p["dropped"] for p in prog) == 2
+    # restart equality: last update per window == batch twin minus stragglers
+    final = {
+        (r["series_id"], r["bucket"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in emitted
+    }
+    assert final == expect
