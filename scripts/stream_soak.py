@@ -12,8 +12,11 @@ whether the operator survives a decade-up:
   under the row count and must NOT grow with the replayed volume;
 - **watermark accounting**: a deterministic 0.1% of rows are delayed by
   three chunks (hours of event time, far past the watermark) and every
-  one of them must be counted in `numRowsDroppedByWatermark` — the
-  drop counter equals the injected straggler count exactly;
+  one must be dropped and accounted: `numRowsDroppedByWatermark` must
+  equal the number of distinct late (series, window) groups per batch —
+  the counter's native unit, since the state store sits behind the
+  map-side partial aggregation (its per-batch values matched the
+  distinct-group expectation exactly at sf1, 714/714);
 - **checkpointed restart**: the query is killed mid-replay and restarted
   from its checkpoint; the final per-window aggregates must equal the
   batch twin computed over the non-straggler rows (exactly-once across
@@ -82,6 +85,18 @@ def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> dict:
     ).persist()
     n_total = tagged.count()
     n_straggler = tagged.where("straggler").count()
+    # numRowsDroppedByWatermark counts what the STATE STORE drops, and the
+    # state store sits behind the partial (map-side) aggregation: late rows
+    # are pre-merged per (series, window) within a micro-batch, so the
+    # counter's unit is late GROUPS per batch, not late input rows
+    # (verified empirically: per-batch drops == per-chunk distinct
+    # (series, window) straggler groups, 714 vs 822 raw rows at sf1)
+    n_late_groups = (
+        tagged.where("straggler")
+        .select("chunk", "series_id", F.floor(F.col("ts") / 3600).alias("w"))
+        .distinct()
+        .count()
+    )
 
     os.makedirs(src_dir, exist_ok=True)
     tmp = f"{src_dir}__tmp"
@@ -101,7 +116,13 @@ def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> dict:
         os.utime(dst, (now + i, now + i))
     shutil.rmtree(tmp, ignore_errors=True)
     tagged.unpersist()
-    return {"rows": n_total, "stragglers": n_straggler, "lo": lo, "hi": hi}
+    return {
+        "rows": n_total,
+        "stragglers": n_straggler,
+        "late_groups": n_late_groups,
+        "lo": lo,
+        "hi": hi,
+    }
 
 
 def run_stream(
@@ -150,6 +171,11 @@ def run_stream(
                     "input_rows": p["numInputRows"],
                 }
             )
+    print(
+        "# per-batch (batch, input, dropped, state): "
+        + str([(o["batch"], o["input_rows"], o["dropped"], o["state_rows"]) for o in out]),
+        file=sys.stderr,
+    )
     return out
 
 
@@ -233,8 +259,27 @@ def main() -> None:
             .collect()
         )
     }
-    mismatch = sum(1 for k, v in want.items() if final.get(k) != v)
+    def same(got, v):
+        # cnt/min/max are exact; sum floats in stream vs batch accumulate in
+        # different orders, so compare the sum at 1e-9 relative tolerance
+        if got is None:
+            return False
+        return (
+            got[0] == v[0]
+            and abs(got[1] - v[1]) <= 1e-9 * max(1.0, abs(v[1]))
+            and got[2] == v[2]
+            and got[3] == v[3]
+        )
+
+    mismatch = sum(1 for k, v in want.items() if not same(final.get(k), v))
     extra = sum(1 for k in final if k not in want)
+    examples = [
+        {"key": list(k), "got": final.get(k), "want": v}
+        for k, v in sorted(want.items())
+        if not same(final.get(k), v)
+    ][:5]
+    if examples:
+        print("MISMATCH EXAMPLES:", json.dumps(examples), file=sys.stderr)
 
     dropped_total = sum(p["dropped"] for p in prog)
     max_state = max((p["state_rows"] for p in prog), default=0)
@@ -245,8 +290,9 @@ def main() -> None:
                 "rows": meta["rows"],
                 "chunks": args.chunks,
                 "stragglers_injected": meta["stragglers"],
+                "straggler_groups": meta["late_groups"],
                 "dropped_by_watermark": dropped_total,
-                "drop_accounting_exact": dropped_total == meta["stragglers"],
+                "drop_accounting_exact": dropped_total == meta["late_groups"],
                 "max_state_rows": max_state,
                 "state_rows_per_input_row": round(max_state / meta["rows"], 6),
                 "batches": len(prog),
