@@ -139,6 +139,20 @@ def funnel_stages(
         ]
     )
 
+    # the UDF closure references module-level _funnel_dp, which cloudpickle
+    # serializes BY REFERENCE (re-imported on the Python worker) — that
+    # works only while the worker's sys.path can resolve sydradb_spark
+    # (e.g. driver cwd == repo root). A harness that imports
+    # __spark_entry__ from elsewhere gets ModuleNotFoundError on the
+    # worker (found by the default-session driver simulation, round 10).
+    # Registering the module for by-value pickling ships the DP with the
+    # closure and removes the deployment assumption.
+    from pyspark import cloudpickle
+
+    import sydradb_spark.pipeline.events as _events_mod
+
+    cloudpickle.register_pickle_by_value(_events_mod)
+
     @pandas_udf(out_t)
     def _walk(seqs: pd.Series) -> pd.DataFrame:
         rows = [
