@@ -46,6 +46,13 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
         # the 128 GiB test box; a real cluster sizes driver/executor
         # memory separately and is unaffected by this local-mode knob.
         .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "16g"))
+        # verify harnesses collect full operator outputs for the DuckDB
+        # compare; at the sf100 twins a 5M-row text frame exceeds the 1g
+        # default result cap. Collect-free production paths never hit this.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SYDRA_MAX_RESULT", "8g"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
