@@ -66,22 +66,75 @@ def ingest_batch(spark: SparkSession, ndjson_path: str, table_path: str) -> None
     write_points(read_ndjson(spark, ndjson_path), table_path, mode="append")
 
 
+def _checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Stable identity for the streaming query, stored INSIDE the checkpoint
+    dir so it survives restarts (and travels with the checkpoint if it is
+    relocated). Created once with an atomic exclusive link — two racing
+    starters converge on one id."""
+    import os
+    import uuid
+    from pathlib import Path
+
+    p = Path(checkpoint_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    marker = p / "_sydra_app_id"
+    if not marker.exists():
+        tmp = p / f".appid.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(f"stream-{uuid.uuid4().hex}")
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass  # a concurrent starter won — use theirs
+        finally:
+            tmp.unlink(missing_ok=True)
+    return marker.read_text().strip()
+
+
+def init_points_table(spark: SparkSession, table_path: str) -> None:
+    """Ensure ``table_path`` is a manifested table (empty v1 for a fresh
+    path; an existing plain-directory table is upgraded in place by
+    committing its current listing). The streaming sink requires a manifest
+    BEFORE the first batch so every batch append — including batch 0 — goes
+    through the txn-ledgered commit path."""
+    from pathlib import Path
+
+    from sydradb_spark import manifest as mf
+
+    Path(table_path).mkdir(parents=True, exist_ok=True)
+    if not mf.has_manifest(table_path):
+        mf.commit(table_path, mf.data_files(table_path))
+
+
 def stream_points_sink(
     points: DataFrame,
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    _after_write_hook=None,
 ) -> StreamingQuery:
     """The shared streaming sink: canonical points stream → foreachBatch
     hourly-partitioned append. Every streaming source (file NDJSON, Kafka)
-    funnels through this one writer, so exactly-once semantics (checkpoint
-    offsets + idempotent appends) are pinned in one place.
+    funnels through this one writer, so exactly-once semantics are pinned in
+    one place: the source's replayable offsets + checkpoint give at-least-
+    once batch delivery, and the manifest txn ledger keyed by
+    ``(app_id, batch_id)`` (manifest.read_txn / commit txn=) makes the
+    append idempotent — a foreachBatch replay after a crash in the
+    write→checkpoint-commit gap is detected and becomes a no-op, the
+    Spark-side twin of the reference's WAL replay-above-highwater guard
+    (engine.zig:406-437). Pinned by
+    tests/test_streaming.py::test_stream_sink_exactly_once_replay.
 
     ``available_now=True`` drains what's there and stops (test/cron mode);
-    False runs continuously (micro-batch service mode)."""
+    False runs continuously (micro-batch service mode).
+    ``_after_write_hook(batch_id)`` is a test seam: it runs after the
+    durable write but before Spark's checkpoint commit (crash injection)."""
+    init_points_table(points.sparkSession, table_path)
+    app_id = _checkpoint_app_id(checkpoint_dir)
 
-    def sink(batch: DataFrame, _batch_id: int) -> None:
-        write_points(batch, table_path, mode="append")
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_points(batch, table_path, mode="append", txn=(app_id, batch_id))
+        if _after_write_hook is not None:
+            _after_write_hook(batch_id)
 
     writer = points.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

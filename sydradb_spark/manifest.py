@@ -71,13 +71,30 @@ def latest_version(path: str) -> int | None:
     return max(cands) if cands else None
 
 
+def _read_doc(path: str, version: int) -> dict:
+    return json.loads((_mdir(path) / f"v{version}.json").read_text())
+
+
 def read_files(path: str, version: int | None = None) -> list[str]:
     """Relative data-file paths of ``version`` (default: latest)."""
     v = version if version is not None else latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    doc = json.loads((_mdir(path) / f"v{v}.json").read_text())
-    return list(doc["files"])
+    return list(_read_doc(path, v)["files"])
+
+
+def read_txn(path: str, app_id: str) -> int | None:
+    """Highest transaction version committed for ``app_id`` (None when the
+    table has no manifest or the app has never committed). The txn ledger is
+    the streaming sink's replay guard — the Spark-side twin of the
+    reference's WAL highwater-mark replay cutoff (engine.zig:406-437): a
+    foreachBatch re-delivery of an already-durable ``batch_id`` is detected
+    here and becomes a no-op instead of a duplicate append."""
+    v = latest_version(path)
+    if v is None:
+        return None
+    val = (_read_doc(path, v).get("txn") or {}).get(app_id)
+    return None if val is None else int(val)
 
 
 def data_files(path: str) -> list[str]:
@@ -88,7 +105,9 @@ def data_files(path: str) -> list[str]:
     )
 
 
-def _publish_version(mdir: Path, v: int, files: list[str]) -> bool:
+def _publish_version(
+    mdir: Path, v: int, files: list[str], txn_map: dict[str, int] | None = None
+) -> bool:
     """CAS: atomically publish ``v{v}.json`` iff no other committer already
     has. The payload is fully written to a temp file first, then ``link(2)``
     exposes it under the version name — link is atomic-exclusive (EEXIST
@@ -97,8 +116,11 @@ def _publish_version(mdir: Path, v: int, files: list[str]) -> bool:
     import os
     import uuid
 
+    doc: dict = {"version": v, "files": sorted(files)}
+    if txn_map:
+        doc["txn"] = txn_map
     tmp = mdir / f".v{v}.{uuid.uuid4().hex}.tmp"
-    tmp.write_text(json.dumps({"version": v, "files": sorted(files)}))
+    tmp.write_text(json.dumps(doc))
     try:
         os.link(tmp, mdir / f"v{v}.json")
         return True
@@ -131,8 +153,9 @@ def commit_cas(
     files: list[str] | None = None,
     *,
     mutate=None,
+    txn: tuple[str, int] | None = None,
     max_retries: int = 16,
-) -> int:
+) -> int | None:
     """CAS-with-retry commit: the multi-host protocol (no locks).
 
     Each attempt reads the current version, computes the new file list, and
@@ -140,7 +163,14 @@ def commit_cas(
     re-reads and retries with linear backoff, so a concurrent committer's
     files are never dropped. ``mutate(old_files) -> new_files`` may run once
     PER ATTEMPT against a fresh list — it must be a pure function of its
-    input (every call site here appends/merges literals, which is)."""
+    input (every call site here appends/merges literals, which is).
+
+    ``txn=(app_id, txn_version)`` makes the commit idempotent per app: the
+    txn ledger (carried forward version-to-version) records the highest
+    committed txn_version per app_id, and an attempt whose txn_version is
+    already <= the ledger entry returns None WITHOUT committing — the
+    re-check happens inside the CAS loop, so a racing duplicate committer
+    loses either the version link or the ledger check, never both ways."""
     import time
 
     if (files is None) == (mutate is None):
@@ -150,12 +180,19 @@ def commit_cas(
     for attempt in range(max_retries):
         cur = latest_version(path)
         v = 1 if cur is None else cur + 1
+        cur_doc = _read_doc(path, cur) if cur is not None else {}
+        txn_map = {k: int(tv) for k, tv in (cur_doc.get("txn") or {}).items()}
+        if txn is not None:
+            app_id, txn_v = txn
+            if txn_map.get(app_id, -1) >= txn_v:
+                return None  # already applied — replayed batch is a no-op
+            txn_map[app_id] = txn_v
         new = (
-            list(mutate(read_files(path, cur) if cur is not None else []))
+            list(mutate(list(cur_doc.get("files", []))))
             if mutate is not None
             else list(files)  # type: ignore[arg-type]
         )
-        if _publish_version(mdir, v, new):
+        if _publish_version(mdir, v, new, txn_map):
             _advance_pointer(mdir, v)
             return v
         time.sleep(0.005 * (attempt + 1))
@@ -170,7 +207,8 @@ def commit(
     files: list[str] | None = None,
     *,
     mutate=None,
-) -> int:
+    txn: tuple[str, int] | None = None,
+) -> int | None:
     """Write the next version's file list and advance LATEST.
 
     Two forms:
@@ -181,6 +219,9 @@ def commit(
       new_files`` sees the list actually being replaced. Appenders and
       compactors must use this form: computing the merged list outside the
       commit lets a concurrent committer's files be dropped (lost-append).
+
+    ``txn=(app_id, txn_version)`` adds idempotency (see ``commit_cas``);
+    returns None when the txn was already applied and nothing committed.
 
     Same-host committers serialize on an advisory flock (keeps local
     retries at zero); the commit point itself is ``commit_cas``'s exclusive
@@ -194,7 +235,7 @@ def commit(
     mdir.mkdir(parents=True, exist_ok=True)
     with open(mdir / "COMMIT_LOCK", "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
-        return commit_cas(path, files, mutate=mutate)
+        return commit_cas(path, files, mutate=mutate, txn=txn)
 
 
 def vacuum(

@@ -40,7 +40,12 @@ def _write_tasks(spark: SparkSession) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
-def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_points(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    txn: tuple[str, int] | None = None,
+) -> None:
     """Hour-partitioned write, ts-sorted within files (reference segment
     writer). One shuffle on hour_bucket; files within a partition are sorted
     so Parquet page stats make ts-range reads skip pages.
@@ -48,7 +53,16 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     Commits a file manifest (sydradb_spark.manifest) so readers flip between
     consistent versions atomically: overwrite and new-table writes always
     commit; appends extend the table's manifest when it has one. Appending
-    to a pre-manifest table keeps plain directory semantics."""
+    to a pre-manifest table keeps plain directory semantics.
+
+    ``txn=(app_id, txn_version)`` makes the append idempotent: a write whose
+    txn is already in the manifest's ledger (a replayed streaming batch —
+    reference WAL replay-above-highwater guard, engine.zig:406-437) is a
+    no-op. The pre-check skips the parquet write entirely on the common
+    replay path; the commit itself re-checks inside the CAS loop, so a
+    replay that staged files but loses the ledger check leaves only
+    unreferenced orphans for ``manifest.vacuum`` — LATEST never sees a
+    duplicate row."""
     from sydradb_spark import manifest as mf
 
     # __ns/__tsr/__ssrc are the events-adapter pushdown hints
@@ -60,6 +74,10 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             df = df.drop(hint)
     fresh = not Path(path).exists()
     manifested = mf.has_manifest(path)
+    if txn is not None and manifested and mode == "append":
+        last = mf.read_txn(path, txn[0])
+        if last is not None and last >= txn[1]:
+            return  # replayed batch — this txn is already durable
     before = set(mf.data_files(path)) if (manifested and mode == "append") else set()
     (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
@@ -70,12 +88,14 @@ def write_points(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         .parquet(path)
     )
     if mode == "overwrite" or fresh:
-        mf.commit(path, mf.data_files(path))
+        mf.commit(path, mf.data_files(path), txn=txn)
     elif manifested:
         # physical part names are unique, so `new` is correct even under
-        # concurrent appends; merging into LATEST happens under the lock
+        # concurrent appends; merging into LATEST happens under the lock.
+        # `before` is the DIRECTORY listing, so a crashed prior attempt's
+        # orphaned (never-committed) files are excluded from `new`.
         new = [f for f in mf.data_files(path) if f not in before]
-        mf.commit(path, mutate=lambda old: old + new)
+        mf.commit(path, mutate=lambda old: old + new, txn=txn)
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:

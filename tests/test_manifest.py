@@ -433,3 +433,77 @@ def test_localfs_store_key_escape_rejected(tmp_path):
     store = obs.LocalFSObjectStore(str(tmp_path / "store"))
     with pytest.raises(ValueError):
         store.put("../outside", b"x")
+
+
+# --- txn-ledgered idempotent commits (streaming exactly-once replay guard,
+# --- reference WAL replay-above-highwater cutoff engine.zig:406-437) -------
+
+
+def test_commit_txn_replay_is_noop(tmp_path):
+    path = str(tmp_path / "t")
+    assert mf.commit(path, ["a.parquet"], txn=("app", 0)) == 1
+    assert mf.read_txn(path, "app") == 0
+    # replaying the same txn commits nothing and bumps no version
+    assert mf.commit(path, mutate=lambda old: old + ["dup.parquet"], txn=("app", 0)) is None
+    assert mf.latest_version(path) == 1
+    assert mf.read_files(path) == ["a.parquet"]
+    # the NEXT txn goes through and the ledger advances
+    assert mf.commit(path, mutate=lambda old: old + ["b.parquet"], txn=("app", 1)) == 2
+    assert mf.read_txn(path, "app") == 1
+    assert mf.read_files(path) == ["a.parquet", "b.parquet"]
+    # a LOWER txn version is also rejected (replay of an older batch)
+    assert mf.commit(path, mutate=lambda old: old + ["c"], txn=("app", 0)) is None
+
+
+def test_commit_txn_ledger_is_per_app(tmp_path):
+    path = str(tmp_path / "t")
+    mf.commit(path, ["a"], txn=("app1", 5))
+    # a different app_id with the same txn version is independent
+    assert mf.commit(path, mutate=lambda old: old + ["b"], txn=("app2", 5)) == 2
+    assert mf.read_txn(path, "app1") == 5 and mf.read_txn(path, "app2") == 5
+    # untxn'd commits carry the ledger forward untouched
+    assert mf.commit(path, mutate=lambda old: old + ["c"]) == 3
+    assert mf.read_txn(path, "app1") == 5
+
+
+def test_write_points_txn_replay_skips_append(spark, points, table):
+    n = points.count()
+    storage.write_points(points.limit(3), table, mode="append", txn=("ck", 0))
+    assert storage.read_points(spark, table).count() == n + 3
+    v = mf.latest_version(table)
+    # replaying batch 0 is a complete no-op: no new version, no new rows
+    storage.write_points(points.limit(3), table, mode="append", txn=("ck", 0))
+    assert mf.latest_version(table) == v
+    assert storage.read_points(spark, table).count() == n + 3
+    # batch 1 proceeds normally
+    storage.write_points(points.limit(2), table, mode="append", txn=("ck", 1))
+    assert storage.read_points(spark, table).count() == n + 5
+
+
+def test_write_points_txn_orphan_after_commit_crash(spark, points, table, monkeypatch):
+    """Crash BETWEEN the parquet write and the manifest commit: the retry
+    stages fresh files; the first attempt's files stay on disk as manifest-
+    orphans but LATEST never references them — no duplicate rows."""
+    n = points.count()
+    real_commit = mf.commit
+    calls = {"n": 0}
+
+    def crashing_commit(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before manifest commit")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(mf, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        storage.write_points(points.limit(3), table, mode="append", txn=("ck", 0))
+    # durable state unchanged; staged files are unreferenced orphans
+    assert storage.read_points(spark, table).count() == n
+    assert len(mf.data_files(table)) > len(mf.read_files(table))
+    # the replayed batch commits exactly once
+    storage.write_points(points.limit(3), table, mode="append", txn=("ck", 0))
+    assert storage.read_points(spark, table).count() == n + 3
+    # vacuum reclaims the first attempt's orphans
+    removed = mf.vacuum(table, keep_versions=99, min_age_seconds=0)
+    assert removed
+    assert storage.read_points(spark, table).count() == n + 3

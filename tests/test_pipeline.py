@@ -2853,3 +2853,29 @@ def test_bm25_incremental_append_exact(spark):
     assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
         (r["doc_id"], round(r["score"], 9)) for r in b
     ]
+
+
+def test_bpe_train_batched_equals_sequential(spark):
+    """Batched training (VERDICT r10 item 2): top-m symbol-disjoint merges
+    per round. On a corpus whose hot pairs are symbol-disjoint and context-
+    spread (no merge-cascade pair out-ranks the batch), batched ≡ sequential
+    exactly; m=1 preserves the classic tie-break contract (pinned separately
+    against the pure-Python reference)."""
+    from sydradb_spark.pipeline import bpe
+
+    p1 = ["gabh", "iabj", "kabl", "mabn", "oabp"]  # (a,b) x4 -> count 20
+    p2 = ["qcdr", "scdt", "ucdv", "wcdx", "ycdz"]  # (c,d) x3 -> count 15
+    p3 = ["0ef1", "2ef3", "4ef5", "6ef7", "8ef9"]  # (e,f) x2 -> count 10
+    rows = [
+        (1, " ".join(p1 * 4)),
+        (2, " ".join(p2 * 3)),
+        (3, " ".join(p3 * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq = bpe.bpe_train(df, n_merges=3)  # batch_size=1: exact classic BPE
+    assert seq == [("a", "b"), ("c", "d"), ("e", "f")]
+    for m in (2, 3, 8):
+        assert bpe.bpe_train(df, n_merges=3, batch_size=m) == seq, m
+    # early stop still works batched: a corpus with no repeating pair at all
+    lone = spark.createDataFrame([(9, "qz wx")], "doc_id long, text string")
+    assert bpe.bpe_train(lone, n_merges=50, batch_size=4) == []

@@ -600,3 +600,47 @@ def test_windowed_agg_bounded_state_drop_counter_and_restart(spark, tmp_path):
         for r in emitted
     }
     assert final == expect
+
+
+def test_stream_sink_exactly_once_replay(spark, tmp_path):
+    """Kill the query AFTER the durable write but BEFORE the checkpoint
+    commit (the foreachBatch replay gap); the restart replays the same
+    batch_id and the manifest txn ledger makes it a no-op — no duplicate
+    rows at LATEST (reference WAL replay guard, engine.zig:406-437)."""
+    from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text(
+        '{"series": "s.a", "ts": 100, "value": 1.0}\n'
+        '{"series": "s.a", "ts": 200, "value": 2.0}\n'
+        '{"series": "s.b", "ts": 3700, "value": 3.0}\n'
+    )
+    table, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    def points_stream():
+        return parse_ndjson(spark.readStream.schema(NDJSON_SCHEMA).json(str(src)))
+
+    def crash(_batch_id):
+        raise RuntimeError("injected crash in the write->checkpoint gap")
+
+    q = stream_points_sink(points_stream(), table, ck, _after_write_hook=crash)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    # the write WAS durable before the crash — batch 0 is at LATEST once
+    assert read_points(spark, table).count() == 3
+
+    # restart: Spark replays batch 0 (its checkpoint commit never landed);
+    # the txn ledger detects the replay and appends nothing
+    q2 = stream_points_sink(points_stream(), table, ck)
+    q2.awaitTermination(120)
+    got = read_points(spark, table)
+    assert got.count() == 3
+    assert got.dropDuplicates(["series_id", "ts", "value"]).count() == 3
+
+    # and the stream still makes progress: a new file lands as batch 1
+    (src / "b2.ndjson").write_text('{"series": "s.a", "ts": 300, "value": 4.0}\n')
+    q3 = stream_points_sink(points_stream(), table, ck)
+    q3.awaitTermination(120)
+    assert read_points(spark, table).count() == 4
