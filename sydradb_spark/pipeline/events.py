@@ -12,9 +12,37 @@ arrays, orders of magnitude less data than the scan.
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# hot-key guard default: one bot/crawler user with 10^7+ events would
+# otherwise land its whole sequence in one collect_list array on one task.
+# 1M matching events per user is far beyond any human session while staying
+# immaterial at check scale; pass max_events_per_user=None to disable.
+DEFAULT_MAX_EVENTS_PER_USER = 1_000_000
+
+_pickle_by_value_registered = False
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this module's code with UDF closures (cloudpickle>=2.0 /
+    pyspark>=3.3) so workers never need sydradb_spark importable on their
+    sys.path. Guarded: registration is a process-global cloudpickle side
+    effect, so it runs once rather than on every funnel call."""
+    global _pickle_by_value_registered
+    if _pickle_by_value_registered:
+        return
+    from pyspark import cloudpickle
+
+    import sydradb_spark.pipeline.events as _events_mod
+
+    cloudpickle.register_pickle_by_value(_events_mod)
+    _pickle_by_value_registered = True
 
 
 def _funnel_dp(seq, steps: list[str], within: float):
@@ -73,31 +101,36 @@ def funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
-    max_events_per_user: int | None = None,
+    max_events_per_user: int | None = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
-    """(user, stage, t_first, t_last) — the deepest stage each user reached
-    through the ordered ``steps`` with at most ``within`` seconds between
-    consecutive matched steps (exact: any event subsequence counts, so a
-    stalled attempt never blocks a later restart). ``t_first`` is the first
-    step-1 match, ``t_last`` the last-matched timestamp of the deepest
-    stage. Repeated step types are supported (each event feeds every
-    matching position). The per-user DP is inherently sequential →
+    """(user, stage, t_first, t_last, truncated) — the deepest stage each
+    user reached through the ordered ``steps`` with at most ``within``
+    seconds between consecutive matched steps (exact: any event subsequence
+    counts, so a stalled attempt never blocks a later restart). ``t_first``
+    is the first step-1 match, ``t_last`` the last-matched timestamp of the
+    deepest stage. Repeated step types are supported (each event feeds
+    every matching position). The per-user DP is inherently sequential →
     Arrow-batched kernel over the per-user event arrays (same
     justification as winnowing); the job's distributed cost stays the
     single groupBy(user).
 
     ``max_events_per_user`` is the hot-key guard for corpus scale: one bot
     user with 10^7 events would otherwise land its whole sequence in one
-    collect_list array on one task. When set, only the EARLIEST N matching
-    events per user enter the DP (row_number window — the sort spills to
-    disk, and the window's hash partitioning is reused by the groupBy, so
-    the job still costs one shuffle). Semantics under truncation: stages
-    reached only via events past the cap are undercounted for that user —
-    the funnel stays exact for every user within the cap."""
+    collect_list array on one task. ON BY DEFAULT (1M — far beyond any
+    human session; None disables): only the EARLIEST N matching events per
+    user enter the DP (row_number window — the sort spills to disk, and
+    the window's hash partitioning is reused by the groupBy, so the job
+    still costs one shuffle). Semantics under truncation: stages reached
+    only via events past the cap are undercounted for that user — the
+    funnel stays exact for every user within the cap, and the per-user
+    ``truncated`` verdict column makes capped users observable
+    (``sum(truncated)`` is the no-op detector, same discipline as
+    semantic_dedup's bypass column)."""
     if not steps:
         raise ValueError("steps must be non-empty")
     if max_events_per_user is not None and max_events_per_user < 1:
         raise ValueError("max_events_per_user must be >= 1")
+    _register_pickle_by_value()
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import (
         DoubleType,
@@ -122,13 +155,27 @@ def funnel_stages(
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("user").orderBy("__ts", "__ty")
+        # per-user total via the unbounded frame of the SAME window spec —
+        # one WindowExec evaluates both, no extra shuffle or sort
+        total = F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         ev = (
             ev.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__trunc", total > max_events_per_user)
             .where(F.col("__rn") <= max_events_per_user)
             .drop("__rn")
         )
+        log.info(
+            "funnel_stages: hot-user cap active at %d matching events/user; "
+            "capped users carry truncated=true in the output",
+            max_events_per_user,
+        )
+    else:
+        ev = ev.withColumn("__trunc", F.lit(False))
     per_user = ev.groupBy("user").agg(
-        F.array_sort(F.collect_list(F.struct("__ts", "__ty"))).alias("__seq")
+        F.array_sort(F.collect_list(F.struct("__ts", "__ty"))).alias("__seq"),
+        F.max("__trunc").alias("truncated"),
     )
     steps_l, within_f = list(steps), float(within)
     out_t = ST(
@@ -145,14 +192,8 @@ def funnel_stages(
     # (e.g. driver cwd == repo root). A harness that imports
     # __spark_entry__ from elsewhere gets ModuleNotFoundError on the
     # worker (found by the default-session driver simulation, round 10).
-    # Registering the module for by-value pickling ships the DP with the
-    # closure and removes the deployment assumption.
-    from pyspark import cloudpickle
-
-    import sydradb_spark.pipeline.events as _events_mod
-
-    cloudpickle.register_pickle_by_value(_events_mod)
-
+    # _register_pickle_by_value (called above, once per process) ships the
+    # DP with the closure and removes the deployment assumption.
     @pandas_udf(out_t)
     def _walk(seqs: pd.Series) -> pd.DataFrame:
         rows = [
@@ -161,12 +202,15 @@ def funnel_stages(
         ]
         return pd.DataFrame(rows, columns=["stage", "t_first", "t_last"])
 
-    walked = per_user.select("user", _walk(F.col("__seq")).alias("__w"))
+    walked = per_user.select(
+        "user", _walk(F.col("__seq")).alias("__w"), "truncated"
+    )
     return walked.select(
         "user",
         F.col("__w.stage").cast("int").alias("stage"),
         F.col("__w.t_first").alias("t_first"),
         F.col("__w.t_last").alias("t_last"),
+        "truncated",
     )
 
 
@@ -177,7 +221,7 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
-    max_events_per_user: int | None = None,
+    max_events_per_user: int | None = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
     """Funnel report: (step_idx, step, n_users) — users whose ordered walk
     reached at least step_idx (1-based). The per-stage frame is one row per

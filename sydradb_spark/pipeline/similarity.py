@@ -1,12 +1,17 @@
 """Similarity search over an embeddings table ``(vec_id long, embedding
 array<float>, ...)``.
 
-Two paths, same output shape (query_id, vec_id, cosine):
+Three paths, same output shape (query_id, vec_id, cosine):
 
 - ``knn_brute``: exact top-k. Broadcast the (small) query set against the
   corpus — a map-side join, no shuffle of the corpus — then a per-query top-k
   window. The dot product is `zip_with` + `aggregate` higher-order functions:
-  all-JVM, no Python. This is the baseline and the verifier.
+  all-JVM, no Python, and the SAME left-to-right fold DuckDB executes — this
+  is the oracle-identical verifier.
+- ``knn_brute_arrow``: exact top-k, production kernel. One numpy/BLAS
+  matmul per Arrow batch with per-batch top-k pre-filtering; pinned equal
+  to ``knn_brute`` at 1e-6 rounding. Faster and far lower variance than the
+  interpreted HOF folds, and the gap widens with corpus size.
 - ``ann_sign_lsh``: the scale path. Sign-random-projection LSH: each bucket
   bit is the sign of the embedding's dot product with a seeded Rademacher
   (±1) hyperplane; queries probe their own bucket plus every 1-bit flip
@@ -104,6 +109,104 @@ def knn_brute(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def knn_brute_arrow(
+    queries: DataFrame, corpus: DataFrame, k: int, emb_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k like ``knn_brute`` but with the scoring as ONE
+    numpy matmul per Arrow batch instead of per-pair interpreted HOF folds.
+
+    Shape: the (small) query matrix ships in the UDF closure; each corpus
+    batch computes (batch × n_q) = C_normed @ Q_normed.T and keeps only its
+    per-query top-k (total order: cosine desc, vec_id asc — the global
+    top-k is a subset of per-batch top-ks under the same order, so the
+    pre-filter is lossless). The final window then ranks ≤
+    n_batches × n_q × k candidate rows, not the corpus. No corpus shuffle;
+    driver sees only the query set. Values may differ from the HOF path in
+    the last float ulp (summation order); rank ties are broken by vec_id
+    so the ranking is stable either way — equality at 1e-6 rounding is
+    pinned in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    qrows = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(emb_col).alias("qe")
+    ).collect()
+    if not qrows:
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [],
+            ST(
+                [
+                    SF("query_id", LongType()),
+                    SF("vec_id", LongType()),
+                    SF("cosine", DoubleType()),
+                    SF("rank", IntegerType()),
+                ]
+            ),
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qe"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0.0] = np.nan  # zero-norm query → null cosine, ranked last
+    qunit = qmat / qn[:, None]
+
+    out_t = ST(
+        [
+            SF("query_id", LongType()),
+            SF("vec_id", LongType()),
+            SF("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["__ce"]), dtype=np.float64)
+            cn = np.linalg.norm(c, axis=1)
+            cn[cn == 0.0] = np.nan
+            sims = (c / cn[:, None]) @ qunit.T  # (batch, n_q)
+            # per-query top-k within the batch, ties broken by vec_id asc:
+            # lexsort on (-sim, id) gives exactly the window's total order
+            take = min(k, len(ids))
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                order = np.lexsort((ids, -np.nan_to_num(col, nan=-np.inf)))[:take]
+                picked = col[order]
+                # zero-norm → SQL null (matches knn_brute's try_divide);
+                # raw NaN would sort ABOVE every real cosine in Spark
+                cos = pd.Series(picked, dtype="Float64")
+                cos[np.isnan(picked)] = pd.NA
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "vec_id": ids[order],
+                        "cosine": cos,
+                    }
+                )
+
+    cand = corpus.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col(emb_col).alias("__ce"),
+    ).mapInPandas(score, out_t)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )

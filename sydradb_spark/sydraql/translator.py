@@ -285,7 +285,7 @@ class Translator:
         if not (
             isinstance(g, ast.Call)
             and g.func == "time_bucket"
-            and len(g.args) == 2
+            and len(g.args) in (2, 3)
             and isinstance(g.args[1], ast.Identifier)
             and g.args[1].name == "time"
         ):
@@ -296,6 +296,18 @@ class Translator:
             return None
         if step <= 0 or step % self.rollup_step != 0:
             return None
+        if len(g.args) == 3:
+            # 3-arg origin shifts bucket BOUNDARIES by origin mod step; when
+            # origin ≡ 0 (mod step) the boundaries — and the bucket labels:
+            # origin + floor((t-origin)/step)*step == floor(t/step)*step —
+            # are exactly the 2-arg ones, so the same rollup serves it
+            # (r10 verdict item 8; previously fell back to raw scans)
+            try:
+                origin = int(_literal_value(g.args[2]))
+            except (ValidationError, TypeError, ValueError):
+                return None
+            if origin % step != 0:
+                return None
 
         agg_calls: dict[str, ast.Call] = {}
         for e in [it.expr for it in sel.items] + [o.expr for o in sel.order_by]:

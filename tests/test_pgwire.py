@@ -669,3 +669,25 @@ def test_pgwire_execute_row_limit_portal_suspended(wire):
     complete = [p for t, p in msgs if t == b"C"]
     assert complete == [b"SELECT 1\x00", b"SELECT 0\x00"]
     sock.close()
+
+
+def test_pgwire_execute_truncated_limit_is_protocol_error(wire):
+    """An Execute frame missing the mandatory int32 row-limit field is a
+    protocol violation (08P01), not an implicit limit=0."""
+    sock = _connect(wire.addr)
+    sql = b"SELECT time FROM cpu.total WHERE time >= 1000000 AND time < 1000060"
+    _send(sock, b"P", b"s1\x00" + sql + b"\x00" + struct.pack("!H", 0))
+    _ext_bind(sock, portal=b"pt", stmt=b"s1")
+    _send(sock, b"E", b"pt\x00")  # portal name only — limit int32 missing
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _drain_to_ready(sock)
+    errs = [p for t, p in msgs if t == b"E"]
+    assert len(errs) == 1
+    assert b"08P01" in errs[0]
+    # the connection survives: the same portal executes fine afterwards
+    _send(sock, b"E", b"pt\x00" + struct.pack("!i", 0))
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs2 = _drain_to_ready(sock)
+    tags2 = b"".join(t for t, _ in msgs2)
+    assert b"E" not in tags2 and b"C" in tags2, msgs2
+    sock.close()

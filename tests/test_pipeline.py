@@ -2879,3 +2879,77 @@ def test_bpe_train_batched_equals_sequential(spark):
     # early stop still works batched: a corpus with no repeating pair at all
     lone = spark.createDataFrame([(9, "qz wx")], "doc_id long, text string")
     assert bpe.bpe_train(lone, n_merges=50, batch_size=4) == []
+
+
+def test_funnel_hot_user_cap_default_and_verdict(spark):
+    """The hot-user guard is ON by default (1M cap, far beyond test data —
+    truncated=false everywhere) and an explicit small cap marks capped users
+    with the truncated verdict while keeping within-cap users exact."""
+    from sydradb_spark.pipeline import events as ev_ops
+
+    rows = (
+        # bot user 1: 6 'a' events then the 'b' that would convert it
+        [(1, "a", float(t)) for t in range(6)]
+        + [(1, "b", 6.5)]
+        # human user 2: clean a->b
+        + [(2, "a", 1.0), (2, "b", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts double")
+    # default cap: nothing truncated at this scale
+    dflt = {r["user"]: r for r in ev_ops.funnel_stages(df, ["a", "b"], 100.0).collect()}
+    assert not dflt[1]["truncated"] and not dflt[2]["truncated"]
+    assert dflt[1]["stage"] == 2 and dflt[2]["stage"] == 2
+    # cap=3: user 1 keeps only its first 3 'a' events -> never reaches 'b';
+    # the verdict column says exactly who was capped
+    capped = {
+        r["user"]: r
+        for r in ev_ops.funnel_stages(
+            df, ["a", "b"], 100.0, max_events_per_user=3
+        ).collect()
+    }
+    assert capped[1]["truncated"] and capped[1]["stage"] == 1
+    assert not capped[2]["truncated"] and capped[2]["stage"] == 2
+
+
+def test_knn_brute_arrow_equals_hof(spark):
+    """knn_brute_arrow (numpy matmul kernel) == knn_brute (oracle-identical
+    HOF fold) at the contract's 1e-6 rounding, including zero-norm null
+    semantics and vec_id tie-breaks."""
+    import math
+    import random
+
+    from sydradb_spark.pipeline import similarity as S
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    rows.append((40, [0.0] * dim))  # zero-norm corpus vector -> null cosine
+    rows.append((41, rows[10][1]))  # exact duplicate -> cosine tie, id break
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 3")
+    c = emb.where("vec_id >= 3")
+
+    def keyed(df):
+        return {
+            (r["query_id"], r["vec_id"]): (
+                None if r["cosine"] is None else round(r["cosine"], 6),
+                r["rank"],
+            )
+            for r in df.collect()
+        }
+
+    a = keyed(S.knn_brute(q, c, k=41))  # k > corpus: nulls must appear last
+    b = keyed(S.knn_brute_arrow(q, c, k=41))
+    assert a == b
+    a5 = keyed(S.knn_brute(q, c, k=5))
+    b5 = keyed(S.knn_brute_arrow(q, c, k=5))
+    assert a5 == b5
+    # empty query set: empty frame with the contract schema
+    empty = S.knn_brute_arrow(q.where("vec_id < 0"), c, k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id",
+        "vec_id",
+        "cosine",
+        "rank",
+    ]

@@ -164,3 +164,46 @@ def test_asof_tie_on_right_ts_is_max_value(spark):
     for _ in range(3):
         out = asof_join(left, right).collect()
         assert len(out) == 1 and out[0]["right_value"] == 9.0
+
+
+def test_rollup_rewrite_serves_aligned_origin(spark, points):
+    """3-arg time_bucket with origin % step == 0 produces exactly the 2-arg
+    buckets, so the rollup serves it (r10 verdict item 8). Empty raw points:
+    rows prove the rollup path ran; values must equal the 2-arg twin."""
+    from sydradb_spark.model import POINTS_SCHEMA
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    empty = spark.createDataFrame([], POINTS_SCHEMA)
+    eng = _rollup_engine(spark, points, points_override=empty)
+    rows = eng.query(
+        "select time_bucket(7200, time, 993600) as b, avg(value) as a, count() as n "
+        "from cpu.total where time >= 997200 and time < 1004400 "
+        "group by time_bucket(7200, time, 993600)"
+    ).df.collect()
+    assert rows, "aligned-origin rollup path not taken (raw points are empty)"
+    # equality against the raw 2-arg computation on the REAL points
+    raw = SydraQLEngine(spark, points).query(
+        "select time_bucket(7200, time) as b, avg(value) as a, count() as n "
+        "from cpu.total where time >= 997200 and time < 1004400 "
+        "group by time_bucket(7200, time) order by b"
+    ).df.collect()
+    got = {r["b"]: (r["n"], round(r["a"], 9)) for r in rows}
+    want = {r["b"]: (r["n"], round(r["a"], 9)) for r in raw}
+    assert got == want
+
+
+def test_rollup_rewrite_falls_back_misaligned_origin(spark, points):
+    """origin NOT a multiple of the step shifts bucket boundaries — must
+    fall back to the raw path (empty raw points -> no rows)."""
+    from sydradb_spark.model import POINTS_SCHEMA
+
+    empty = spark.createDataFrame([], POINTS_SCHEMA)
+    eng = _rollup_engine(spark, points, points_override=empty)
+    assert (
+        eng.query(
+            "select time_bucket(7200, time, 993601) as b, avg(value) as a "
+            "from cpu.total where time >= 997200 and time < 1004400 "
+            "group by time_bucket(7200, time, 993601)"
+        ).df.collect()
+        == []
+    )
