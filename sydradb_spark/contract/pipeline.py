@@ -689,31 +689,113 @@ FROM scored
 QUALIFY rank <= 3""",
 )
 
+def _drift_props(d) -> F.Column:
+    """Deterministic drift-injected JSON object per doc_id, built from the
+    SAME string concatenation in the oracle (_DRIFT_PROPS_SQL) — so
+    `jsonprof.json_key_stats`' type classification and per-key counts are
+    exactly checkable: key 'a' drifts int → quoted-int → null, 'b' is
+    float, 't' string, 'flag' bool, and nested/array values classify as
+    string (the documented from_json rendering)."""
+    return (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('{"a":'),
+                (d % 97).cast("string"),
+                F.lit(',"b":'),
+                (d % 7).cast("string"),
+                F.lit('.5,"t":"s'),
+                (d % 3).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit('{"a":"'), (d % 97).cast("string"), F.lit('","flag":true}')),
+        )
+        .when(d % 4 == 2, F.lit('{"a":null,"nested":{"x":1}}'))
+        .otherwise(F.lit('{"t":"plain","arr":[1,2]}'))
+    )
+
+
+_DRIFT_PROPS_SQL = """CASE
+  WHEN doc_id % 4 = 0 THEN '{"a":' || (doc_id % 97) || ',"b":' || (doc_id % 7) || '.5,"t":"s' || (doc_id % 3) || '"}'
+  WHEN doc_id % 4 = 1 THEN '{"a":"' || (doc_id % 97) || '","flag":true}'
+  WHEN doc_id % 4 = 2 THEN '{"a":null,"nested":{"x":1}}'
+  ELSE '{"t":"plain","arr":[1,2]}' END"""
+
+
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus summary — the bread-and-butter sweep a training-data
-    pipeline runs before filtering decisions."""
+    """Corpus profiling, one labeled union (r11 rotation adds the jsonkey
+    half, giving `jsonprof.json_key_stats` a full hash oracle):
+
+    - ``src``: per-source summary — the bread-and-butter sweep a
+      training-data pipeline runs before filtering decisions.
+    - ``jsonkey``: JSON schema-drift profile over a deterministic
+      drift-injected props column (see _drift_props) — per-key presence
+      and value-type counts."""
+    from sydradb_spark.pipeline import jsonprof
+
     docs = load_table(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(toks)).alias("total_tokens"),
-        F.countDistinct("lang").alias("n_langs"),
-        _r6(F.avg(F.length("text"))).alias("avg_chars"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("c1"),
+        F.sum(F.size(toks)).alias("c2"),
+        F.countDistinct("lang").alias("c3"),
+        _r6(F.avg(F.length("text"))).alias("d"),
+        F.min("n_chars").cast("long").alias("c4"),
+        F.max("n_chars").cast("long").alias("c5"),
+    ).select(F.lit("src").alias("part"), F.col("source").alias("s"), "c1", "c2", "c3", "d", "c4", "c5")
+    jk = jsonprof.json_key_stats(
+        docs.select(_drift_props(F.col("doc_id")).alias("props")), "props"
+    ).select(
+        F.lit("jsonkey").alias("part"),
+        F.col("key").alias("s"),
+        F.col("n_rows").alias("c1"),
+        F.col("n_int").alias("c2"),
+        F.col("n_float").alias("c3"),
+        F.col("n_bool").cast("double").alias("d"),
+        F.col("n_string").alias("c4"),
+        F.col("n_null").alias("c5"),
     )
+    return src.unionByName(jk)
 
 
 _q(
     "corpus_stats",
     _corpus_stats,
-    f"""SELECT source, count(*) AS n_docs,
+    f"""WITH props AS (
+  SELECT {_DRIFT_PROPS_SQL} AS p FROM documents
+),
+kv AS (
+  SELECT u.k AS k, p ->> u.k AS val
+  FROM props, unnest(json_keys(p)) AS u(k)
+),
+cls AS (
+  SELECT k,
+    (val IS NULL) AS is_null,
+    coalesce(val IN ('true', 'false'), false) AS is_bool,
+    coalesce(regexp_matches(val, '^-?\\d+$'), false) AS is_int,
+    coalesce(regexp_matches(val, '^-?\\d+\\.\\d+([eE][+-]?\\d+)?$')
+             OR regexp_matches(val, '^-?\\d+[eE][+-]?\\d+$'), false) AS is_float
+  FROM kv
+)
+SELECT 'src' AS part, source AS s, count(*) AS c1,
   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
-  count(DISTINCT lang) AS n_langs,
-  {_O}avg(length(text)){_C} AS avg_chars,
-  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-FROM documents GROUP BY 1""",
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS c2,
+  count(DISTINCT lang) AS c3,
+  {_O}avg(length(text)){_C} AS d,
+  CAST(min(n_chars) AS BIGINT) AS c4, CAST(max(n_chars) AS BIGINT) AS c5
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'jsonkey', k, count(*),
+  CAST(sum(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN NOT is_int AND is_float THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN is_bool THEN 1 ELSE 0 END) AS DOUBLE),
+  CAST(sum(CASE WHEN NOT is_null AND NOT is_bool AND NOT is_int AND NOT is_float
+                THEN 1 ELSE 0 END) AS BIGINT),
+  CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+FROM cls GROUP BY 2""",
 )
 
 
@@ -1096,8 +1178,31 @@ _q(
 
 
 # --- curation: decontamination, PII redaction, deterministic sampling ---------
+_STRAT_FRACTIONS = [0.1, 0.4, 0.9]
+
+
+@functools.lru_cache(maxsize=8)
+def _strat_cuts_cached(sf_dir: str) -> tuple:
+    """Exact tercile boundaries of documents.n_chars, computed driver-side
+    from the parquet (numpy, deterministic) and inlined as literals into
+    BOTH the Spark plan and the DuckDB oracle — the centroid-literal scheme
+    (_ivf_centroids). The entry checks stratified_sample's FROZEN-cuts mode:
+    stratum assignment (tie-up promotion) + per-stratum hash membership;
+    the GK-sketch estimation path stays pytest-pinned (its cuts are
+    approximate by design, so no cross-engine twin exists)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    x = t.column("n_chars").to_numpy().astype("float64")
+    x = x[~np.isnan(x)]
+    return tuple(float(np.quantile(x, q)) for q in (1 / 3, 2 / 3))
+
+
 def _decontam_pii_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three curation utilities, one labeled union (null-padded columns):
+    """Curation utilities, one labeled union (null-padded columns);
+    the ``strat`` part is the r11 rotation: quantile-stratified sampling
+    with frozen cut literals shared with the oracle (n = stratum).
     - contam: docs sharing a word 5-gram with the 'benchmark' set (every
       doc_id % 7 == 0 doc stands in for an eval benchmark) + hit counts;
     - pii: email/IPv4 redaction counts + redacted text over a synthesized
@@ -1157,15 +1262,46 @@ def _decontam_pii_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars_before") - F.col("n_chars_after")).alias("n"),
         F.col("text").alias("s"),
     )
-    return contam.unionByName(pii).unionByName(samp).unionByName(norm)
+    strat = curation.stratified_sample(
+        docs,
+        "n_chars",
+        _STRAT_FRACTIONS,
+        salt="strat0",
+        cuts=list(_strat_cuts_cached(sf_dir)),
+    ).select(
+        F.lit("strat").alias("part"),
+        "doc_id",
+        F.col("stratum").cast("long").alias("n"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return (
+        contam.unionByName(pii)
+        .unionByName(samp)
+        .unionByName(norm)
+        .unionByName(strat)
+    )
 
 
 def _decontam_oracle() -> str:
+    import os
+
     from sydradb_spark.pipeline import curation
 
     email = curation.EMAIL_RE
     ipv4 = curation.IPV4_RE
     gram5 = " || ' ' || ".join(f"tk[i+{d}]" for d in range(5))
+    # frozen stratification cuts, inlined as literals (see _strat_cuts_cached)
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    c1, c2 = _strat_cuts_cached(sf_dir)
+    f1, f2, f3 = (round(f * 1_000_000) for f in _STRAT_FRACTIONS)
+    strat_sql = (
+        "strat AS (SELECT doc_id,\n"
+        f"  CASE WHEN n_chars >= {c2!r} THEN 2 WHEN n_chars >= {c1!r} THEN 1 ELSE 0 END AS st\n"
+        "  FROM documents WHERE n_chars IS NOT NULL),\n"
+        "stratk AS (SELECT doc_id, st FROM strat\n"
+        "  WHERE ('0x' || substr(md5('strat0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000\n"
+        f"        < CASE st WHEN 0 THEN {f1} WHEN 1 THEN {f2} ELSE {f3} END),\n"
+    )
     return (
         "WITH " + _TOKS + ",\n"
         "grams AS (SELECT DISTINCT doc_id, "
@@ -1187,6 +1323,7 @@ def _decontam_oracle() -> str:
         # normalize part: same dirty suffix, then the exact normalize_text
         # chain — nfc, CRLF->LF, strip C0-minus-tab/LF + DEL, collapse
         # spaces/tabs, strip spaces around LF, squeeze 3+ LFs, trim.
+        + strat_sql +
         "norm_in AS (SELECT doc_id, text || ' x' || chr(13) || chr(10)\n"
         "  || 'cafe' || chr(769) || '  end' || chr(1) || ' ' AS s FROM documents),\n"
         "norm AS (SELECT doc_id, s, regexp_replace(regexp_replace(regexp_replace(\n"
@@ -1201,7 +1338,8 @@ def _decontam_oracle() -> str:
         "UNION ALL SELECT 'pii', doc_id, n, red FROM pii\n"
         "UNION ALL SELECT 'sample', doc_id, CAST(NULL AS BIGINT), NULL FROM samp\n"
         "UNION ALL SELECT 'normalize', doc_id,\n"
-        "  CAST(length(s) - length(clean) AS BIGINT), clean FROM norm"
+        "  CAST(length(s) - length(clean) AS BIGINT), clean FROM norm\n"
+        "UNION ALL SELECT 'strat', doc_id, CAST(st AS BIGINT), NULL FROM stratk"
     )
 
 
@@ -1307,24 +1445,50 @@ FROM d2 LEFT JOIN reb ON reb.doc_id = d2.doc_id""",
 )
 
 
-# --- document chunking --------------------------------------------------------
+# --- document chunking + sequence packing -------------------------------------
 _CHUNK_SIZE = 32
 _CHUNK_STRIDE = 24  # chunk_size - overlap(8)
+_PACK_BUDGET = 512  # tokens per training bin
 
 
 def _doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (size 32, overlap 8) — the pre-
-    tokenization split a training/RAG pipeline feeds to the embedder."""
+    """Sequence shaping, one labeled union (r11 rotation: the pack half
+    gives `curation.pack_sequences`' sequential applyInPandas bin state a
+    full hash oracle — the kernel class where silent drift hides):
+
+    - ``chunk``: overlapping token-window chunking (size 32, overlap 8) —
+      the pre-tokenization split a training/RAG pipeline feeds the embedder.
+    - ``pack``: greedy first-fit token packing into 512-token bins per
+      source (doc_id order) — the batch-construction step; the oracle
+      replays the identical fold as a recursive CTE."""
+    from sydradb_spark.pipeline import curation
+
     docs = load_table(spark, sf_dir, "documents")
-    return text.chunk_documents(
+    ch = text.chunk_documents(
         docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_SIZE - _CHUNK_STRIDE
+    ).select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("i1"),
+        F.col("chunk_start").cast("long").alias("i2"),
+        F.col("chunk_text").alias("s"),
+        F.col("n_chunk_tokens").cast("long").alias("n"),
     )
+    pk = curation.pack_sequences(docs, budget=_PACK_BUDGET).select(
+        F.lit("pack").alias("part"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bin_id").cast("long").alias("i1"),
+        F.col("bin_fill").cast("long").alias("i2"),
+        F.col("grp").alias("s"),
+        F.col("n_tokens").cast("long").alias("n"),
+    )
+    return ch.unionByName(pk)
 
 
 _q(
     "doc_chunking",
     _doc_chunking,
-    f"""WITH {_TOKS},
+    f"""WITH RECURSIVE {_TOKS},
 par AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
 st AS (
   SELECT doc_id, tk, n,
@@ -1336,13 +1500,33 @@ st AS (
 ch AS (
   SELECT doc_id, tk, n, u.i AS s
   FROM st, unnest(generate_series(0, smax, {_CHUNK_STRIDE})) AS u(i)
+),
+ordered AS (
+  SELECT d.source AS grp, d.doc_id,
+         CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+  FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+),
+walk AS (
+  SELECT grp, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN w.bin_fill + o.n_tokens > {_PACK_BUDGET}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.bin_fill + o.n_tokens > {_PACK_BUDGET}
+              THEN o.n_tokens ELSE w.bin_fill + o.n_tokens END
+  FROM walk w JOIN ordered o ON o.grp = w.grp AND o.rn = w.rn + 1
 )
-SELECT doc_id,
-       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
-       CAST(s AS BIGINT) AS chunk_start,
-       array_to_string(list_slice(tk, s + 1, s + {_CHUNK_SIZE}), ' ') AS chunk_text,
-       CAST(least(n - s, {_CHUNK_SIZE}) AS BIGINT) AS n_chunk_tokens
-FROM ch""",
+SELECT 'chunk' AS part, doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS i1,
+       CAST(s AS BIGINT) AS i2,
+       array_to_string(list_slice(tk, s + 1, s + {_CHUNK_SIZE}), ' ') AS s,
+       CAST(least(n - s, {_CHUNK_SIZE}) AS BIGINT) AS n
+FROM ch
+UNION ALL
+SELECT 'pack', doc_id, bin_id, bin_fill, grp, n_tokens FROM walk""",
 )
 
 

@@ -163,6 +163,7 @@ def stratified_sample(
     fractions: list[float],
     salt: str = "strat0",
     key_col: str = "doc_id",
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Quantile-stratified deterministic sampling: rows are bucketed into
     ``len(fractions)`` equal-population strata by ``score_col`` (e.g. the
@@ -183,19 +184,27 @@ def stratified_sample(
     saturates at its max (many docs at exactly 1.0) must land in the top
     stratum — a strict ``>`` would dump that whole mass into stratum 0
     and sample it at the lowest fraction.
+
+    Pass explicit ``cuts`` (ascending, len(fractions)-1 thresholds) to
+    FREEZE the boundaries instead of re-estimating them: incremental
+    batches stratified against the corpus-wide boundaries stay consistent
+    across runs, and cross-engine checks can share the cut literals.
     """
     n = len(fractions)
     if n < 1:
         raise ValueError("fractions must be non-empty")
+    if cuts is not None and len(cuts) != n - 1:
+        raise ValueError("cuts must have len(fractions) - 1 thresholds")
     scored = docs.where(
         F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col).cast("double"))
     )
-    qs = [i / n for i in range(1, n)]
-    cuts = (
-        scored.agg(F.percentile_approx(score_col, qs).alias("c")).collect()[0]["c"]
-        if n > 1
-        else []
-    )
+    if cuts is None:
+        qs = [i / n for i in range(1, n)]
+        cuts = (
+            scored.agg(F.percentile_approx(score_col, qs).alias("c")).collect()[0]["c"]
+            if n > 1
+            else []
+        )
     if cuts is None:  # zero scorable rows: empty in, empty out
         cuts = []
     stratum = F.lit(0)

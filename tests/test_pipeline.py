@@ -2953,3 +2953,39 @@ def test_knn_brute_arrow_equals_hof(spark):
         "cosine",
         "rank",
     ]
+
+
+def test_stratified_sample_frozen_cuts(spark):
+    """Explicit cuts freeze the boundaries: membership equals the estimated
+    path when the cuts match, stays consistent for an incremental batch
+    stratified against corpus-wide boundaries, and validates length."""
+    import pytest as _pytest
+
+    from sydradb_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "doc_id long, q double"
+    )
+    est = {
+        (r["doc_id"], r["stratum"])
+        for r in curation.stratified_sample(docs, "q", [0.05, 0.2, 1.0]).collect()
+    }
+    # freezing the exact cuts the estimator produced reproduces it
+    sketch = docs.agg(
+        F.percentile_approx("q", [1 / 3, 2 / 3]).alias("c")
+    ).collect()[0]["c"]
+    froz = {
+        (r["doc_id"], r["stratum"])
+        for r in curation.stratified_sample(
+            docs, "q", [0.05, 0.2, 1.0], cuts=[float(c) for c in sketch]
+        ).collect()
+    }
+    assert froz == est
+    cuts = [100.0, 200.0]
+    # an incremental batch stratified against the SAME frozen cuts lands in
+    # the stratum the full corpus would give it (score 250 -> top stratum)
+    batch = spark.createDataFrame([(1000, 250.0)], "doc_id long, q double")
+    got = curation.stratified_sample(batch, "q", [1.0, 1.0, 1.0], cuts=cuts).collect()
+    assert [(r["doc_id"], r["stratum"]) for r in got] == [(1000, 2)]
+    with _pytest.raises(ValueError):
+        curation.stratified_sample(docs, "q", [0.5, 0.5], cuts=[1.0, 2.0])
