@@ -202,14 +202,33 @@ def read_files(
     return list(json.loads(raw)["files"])
 
 
+def _read_doc(store: ObjectStore, table: str, version: int) -> dict:
+    raw = store.get(_mprefix(table) + f"v{version}.json")
+    if raw is None:
+        raise FileNotFoundError(f"missing manifest v{version} for {table}")
+    return json.loads(raw)
+
+
+def read_txn(store: ObjectStore, table: str, app_id: str) -> int | None:
+    """Highest committed txn version for ``app_id`` — the streaming sink's
+    replay guard, mirrored from ``manifest.read_txn`` so the exactly-once
+    contract carries to object-store deployments unchanged."""
+    v = latest_version(store, table)
+    if v is None:
+        return None
+    val = (_read_doc(store, table, v).get("txn") or {}).get(app_id)
+    return None if val is None else int(val)
+
+
 def commit_cas(
     store: ObjectStore,
     table: str,
     files: list[str] | None = None,
     *,
     mutate=None,
+    txn: tuple[str, int] | None = None,
     max_retries: int = 16,
-) -> int:
+) -> int | None:
     """CAS-with-retry commit against an object store — the multi-host,
     no-locks protocol of ``manifest.commit_cas`` with conditional PUT as
     the commit point.
@@ -222,19 +241,33 @@ def commit_cas(
     fresh list — it must be a pure function of its input. There is no flock
     fast path here: object stores have no locks, contention is absorbed
     entirely by the retry loop (which is also why committers should batch —
-    one commit per micro-append multiplies the conditional-PUT rate)."""
+    one commit per micro-append multiplies the conditional-PUT rate).
+
+    ``txn=(app_id, txn_version)`` is the idempotency ledger of
+    ``manifest.commit_cas``: an attempt whose txn is already recorded
+    returns None without committing (re-checked inside the CAS loop)."""
     if (files is None) == (mutate is None):
         raise ValueError("pass exactly one of files= or mutate=")
     pre = _mprefix(table)
     for attempt in range(max_retries):
         cur = latest_version(store, table)
         v = 1 if cur is None else cur + 1
+        cur_doc = _read_doc(store, table, cur) if cur is not None else {}
+        txn_map = {k: int(tv) for k, tv in (cur_doc.get("txn") or {}).items()}
+        if txn is not None:
+            app_id, txn_v = txn
+            if txn_map.get(app_id, -1) >= txn_v:
+                return None  # already applied — replayed batch is a no-op
+            txn_map[app_id] = txn_v
         new = (
-            list(mutate(read_files(store, table, cur) if cur is not None else []))
+            list(mutate(list(cur_doc.get("files", []))))
             if mutate is not None
             else list(files)  # type: ignore[arg-type]
         )
-        payload = json.dumps({"version": v, "files": sorted(new)}).encode()
+        doc: dict = {"version": v, "files": sorted(new)}
+        if txn_map:
+            doc["txn"] = txn_map
+        payload = json.dumps(doc).encode()
         if store.put_if_absent(pre + f"v{v}.json", payload):
             _advance_pointer(store, table, v)
             return v

@@ -346,6 +346,109 @@ def repetition_columns(
     }
 
 
+def text_stats_arrow(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The WHOLE text_stats signal battery as ONE Arrow pass per document —
+    the fusion step after the r10 tokenize-once layering (sf100 residual:
+    allocation rate of the interpreted HOF lambdas, SCALE_NOTES r10).
+
+    One mapInPandas kernel computes every signal from a single tokenize /
+    line-split / bigram-count per doc in C-backed Python (re, set,
+    Counter), replacing ~5 large transient JVM arrays per row with zero.
+    Output is BIT-IDENTICAL to the expression battery (quality_columns +
+    repetition_columns + bpe_ish_token_count as fused by the text_stats
+    contract entry) — the regexes mirror Java's ASCII ``\\s`` and Spark's
+    space-only ``trim``, and every division happens in the same IEEE
+    double order; pinned by tests/test_pipeline.py::
+    test_text_stats_arrow_bit_identical. Null text rows yield null signals
+    (the expression battery's null propagation).
+
+    Scale shape: map-only, zero shuffles (identical to the expression
+    plan); per-batch cost is pure CPU with no JVM allocation pressure —
+    the term that outran GC at 5M in-flight docs."""
+    import re
+
+    import pandas as pd
+
+    ws_run = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws_one = re.compile(r"[ \t\n\x0b\f\r]")
+    bpe_split = re.compile(
+        r"[ \t\n\x0b\f\r]+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"
+    )
+    punct_keep = re.compile(r"[^.,;:!?'\"()\[\]{}-]")
+    schema = (
+        "doc_id long, n_chars long, n_tokens long, n_tokens_bpe long, "
+        "distinct_ratio double, mean_word_len double, space_ratio double, "
+        "punct_ratio double, n_lines long, dup_line_ratio double, "
+        "top_bigram_ratio double"
+    )
+    names = [f.strip().split(" ")[0] for f in schema.split(",")]
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                if t is None:
+                    # expression-battery null propagation: counts are null
+                    # (size/length of null), but every ratio's when(cond)
+                    # sees a null condition and falls to otherwise(0.0)
+                    rows.append(
+                        (doc_id, None, None, None, 0.0, 0.0, 0.0, 0.0, None, 0.0, 0.0)
+                    )
+                    continue
+                trimmed = t.strip(" ")
+                toks = [] if trimmed == "" else ws_run.split(trimmed)
+                n_tok = len(toks)
+                n_chars = len(t)
+                n_bpe = sum(1 for p in bpe_split.split(trimmed) if p)
+                distinct = float(len(set(toks))) / n_tok if n_tok else 0.0
+                mean_wl = (
+                    float(sum(len(w) for w in toks)) / n_tok if n_tok else 0.0
+                )
+                space_r = (
+                    float(n_chars - len(ws_one.sub("", t))) / n_chars
+                    if n_chars
+                    else 0.0
+                )
+                punct_r = (
+                    float(len(punct_keep.sub("", t))) / n_chars if n_chars else 0.0
+                )
+                lines = [s for s in (x.strip(" ") for x in t.split("\n")) if s]
+                n_ln = len(lines)
+                dup_r = (
+                    float(n_ln - len(set(lines))) / n_ln if n_ln > 1 else 0.0
+                )
+                if n_tok >= 2:
+                    nbg = n_tok - 1
+                    top = max(
+                        Counter(
+                            toks[i] + " " + toks[i + 1] for i in range(nbg)
+                        ).values()
+                    )
+                    top_r = float(top) / nbg
+                else:
+                    top_r = 0.0
+                rows.append(
+                    (
+                        doc_id,
+                        n_chars,
+                        n_tok,
+                        n_bpe,
+                        distinct,
+                        mean_wl,
+                        space_r,
+                        punct_r,
+                        n_ln,
+                        dup_r,
+                        top_r,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=names)
+
+    return docs.select("doc_id", text_col).mapInPandas(kernel, schema)
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 64,

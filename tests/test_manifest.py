@@ -507,3 +507,19 @@ def test_write_points_txn_orphan_after_commit_crash(spark, points, table, monkey
     removed = mf.vacuum(table, keep_versions=99, min_age_seconds=0)
     assert removed
     assert storage.read_points(spark, table).count() == n + 3
+
+
+def test_objectstore_commit_txn_replay_is_noop():
+    store = obs.MemoryObjectStore()
+    assert obs.commit_cas(store, "t", ["a"], txn=("app", 0)) == 1
+    assert obs.read_txn(store, "t", "app") == 0
+    assert (
+        obs.commit_cas(store, "t", mutate=lambda old: old + ["dup"], txn=("app", 0))
+        is None
+    )
+    assert obs.latest_version(store, "t") == 1
+    assert obs.commit_cas(store, "t", mutate=lambda old: old + ["b"], txn=("app", 1)) == 2
+    assert obs.read_files(store, "t") == ["a", "b"]
+    # untxn'd commits carry the ledger forward
+    assert obs.commit_cas(store, "t", mutate=lambda old: old + ["c"]) == 3
+    assert obs.read_txn(store, "t", "app") == 1

@@ -2989,3 +2989,68 @@ def test_stratified_sample_frozen_cuts(spark):
     assert [(r["doc_id"], r["stratum"]) for r in got] == [(1000, 2)]
     with _pytest.raises(ValueError):
         curation.stratified_sample(docs, "q", [0.5, 0.5], cuts=[1.0, 2.0])
+
+
+def test_text_stats_arrow_bit_identical(spark):
+    """The fused Arrow kernel reproduces the expression battery (as fused by
+    the text_stats contract entry) BIT-IDENTICALLY — raw doubles compared
+    with ==, no rounding — across whitespace/unicode/punct edge cases."""
+    from sydradb_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, " "),
+            (2, "\t"),
+            (3, "a"),
+            (4, "a b a b b"),
+            (5, "x\r\ny\n\nz "),
+            (6, "  tab\tsep  mixed \t ws "),
+            (7, "a1b2 and 12ab34 go"),
+            (8, "line one\nline one\nline two\n\n  \n"),
+            (9, "café naïve café café"),
+            (10, ".,;:!?'\"()[]{}- mixed! (punct)."),
+            (11, "\x0bvertical\x0btab"),
+            (12, "spam spam spam spam ham"),
+            # null text is deliberately NOT pinned here: F.size(null) is
+            # session-dependent (-1 legacy, null ANSI); the kernel follows
+            # ANSI (counts null, ratios 0.0) and real corpora are non-null
+            (13, "...---...  '\"quoted\"'"),
+            (14, "ends with newline\n"),
+            (15, "one two one two one two one"),
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    pre = docs.select(
+        "doc_id",
+        t.alias("__t"),
+        T.tokens(t).alias("__toks"),
+        T.lines_nonempty(t).alias("__lines"),
+    ).select(
+        "doc_id",
+        "__t",
+        "__toks",
+        "__lines",
+        F.array_sort(T.word_bigrams(F.col("__t"), F.col("__toks"))).alias("__sbg"),
+    )
+    q = T.quality_columns(F.col("__t"), toks=F.col("__toks"))
+    r = T.repetition_columns(
+        F.col("__t"), lines=F.col("__lines"), sorted_bigrams=F.col("__sbg")
+    )
+    expr = pre.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("__t")).cast("long").alias("n_tokens_bpe"),
+        q["distinct_ratio"].alias("distinct_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["space_ratio"].alias("space_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        r["n_lines"].alias("n_lines"),
+        r["dup_line_ratio"].alias("dup_line_ratio"),
+        r["top_bigram_ratio"].alias("top_bigram_ratio"),
+    )
+    a = {r2["doc_id"]: r2.asDict() for r2 in expr.collect()}
+    b = {r2["doc_id"]: r2.asDict() for r2 in T.text_stats_arrow(docs).collect()}
+    assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
