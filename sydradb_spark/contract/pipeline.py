@@ -53,44 +53,30 @@ _HASH = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sydradb_spark.util import spread
 
+    # Signal history: r6 fused quality+repetition into one projection, r9
+    # replaced the per-doc quadratic bigram count with the sort+run fold,
+    # r10 layered the projection tokenize-once (5 transient arrays/row
+    # instead of ~11 — the sf100 GC term). r11 fuses the WHOLE battery
+    # into ONE Arrow pass per doc (text.text_stats_arrow): C-backed
+    # Python, zero JVM array churn — 178 s → 69.6 s at the 5M-doc twin
+    # (same session, medians of 3), below the sf10-linear estimate,
+    # bit-identical to the expression battery (which remains in text.py
+    # as the oracle-identical verifier, pinned equal by
+    # test_text_stats_arrow_bit_identical). Still map-only, zero shuffles.
     docs = spread(load_table(spark, sf_dir, "documents"))
-    # round-6 extension: Gopher-style repetition signals ride the same
-    # entry; since the round-9 sort+run-fold rewrite they are pure column
-    # expressions — no join, no second corpus scan. Round 10 layers the
-    # projection tokenize-once (see text.quality_columns): the token
-    # array, line array and sorted-bigram array are materialized ONCE per
-    # row in parent projections instead of one copy per signal (~11 large
-    # transient arrays/row → 5), which was the sf100 GC term (r9 verdict
-    # item 5). Still zero shuffles, values bit-identical.
-    t = F.col("text")
-    pre = docs.select(
+    s = text.text_stats_arrow(docs)
+    return s.select(
         "doc_id",
-        t.alias("__t"),
-        text.tokens(t).alias("__toks"),
-        text.lines_nonempty(t).alias("__lines"),
-    ).select(
-        "doc_id",
-        "__t",
-        "__toks",
-        "__lines",
-        F.array_sort(text.word_bigrams(F.col("__t"), F.col("__toks"))).alias("__sbg"),
-    )
-    q = text.quality_columns(F.col("__t"), toks=F.col("__toks"))
-    r = text.repetition_columns(
-        F.col("__t"), lines=F.col("__lines"), sorted_bigrams=F.col("__sbg")
-    )
-    return pre.select(
-        "doc_id",
-        q["n_chars"].alias("n_chars"),
-        q["n_tokens"].alias("n_tokens"),
-        text.bpe_ish_token_count(F.col("__t")).cast("long").alias("n_tokens_bpe"),
-        _r6(q["distinct_ratio"]).alias("distinct_ratio"),
-        _r6(q["mean_word_len"]).alias("mean_word_len"),
-        _r6(q["space_ratio"]).alias("space_ratio"),
-        _r6(q["punct_ratio"]).alias("punct_ratio"),
-        r["n_lines"].alias("n_lines"),
-        _r6(r["dup_line_ratio"]).alias("dup_line_ratio"),
-        _r6(r["top_bigram_ratio"]).alias("top_bigram_ratio"),
+        "n_chars",
+        "n_tokens",
+        "n_tokens_bpe",
+        _r6(F.col("distinct_ratio")).alias("distinct_ratio"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("space_ratio")).alias("space_ratio"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        "n_lines",
+        _r6(F.col("dup_line_ratio")).alias("dup_line_ratio"),
+        _r6(F.col("top_bigram_ratio")).alias("top_bigram_ratio"),
     )
 
 
