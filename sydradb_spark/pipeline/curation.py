@@ -268,6 +268,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     tokens_col: str | None = None,
     text_col: str = "text",
+    shards: int = 1,
 ) -> DataFrame:
     """Greedy sequence packing: assign each doc to a bin so no bin exceeds
     ``budget`` tokens — the batch-construction step before training. Docs are
@@ -286,9 +287,21 @@ def pack_sequences(
     the number of groups, and determinism is total: the pack is a pure
     function of the (group, ordered keys, token counts) input, independent
     of partitioning or retries.
-    """
+
+    ``shards=s > 1`` is the hot-group guard for corpus scale: a group with
+    10^8 docs would otherwise pack single-threaded in one task holding the
+    whole group. Each doc is hashed (pure function of the key) into one of
+    ``s`` sub-shards packed independently, so parallelism becomes
+    n_groups × s and per-task state is group_size/s. Bins never span
+    shards — exactly as valid as the key-order pack, since within-corpus
+    order is an arbitrary choice to begin with; ``bin_id`` encodes the
+    shard in the high bits (shard * 2^40 + local bin), so bins stay unique
+    per group and the shard is recoverable. shards=1 (default) is the
+    classic single-sequence semantics the oracle entry replays."""
     from sydradb_spark.pipeline.text import token_count
 
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
     if tokens_col is None:
         docs = docs.withColumn("__ntok", token_count(F.col(text_col)).cast("long"))
         tokens_col = "__ntok"
@@ -297,8 +310,17 @@ def pack_sequences(
         F.col(key_col).alias("doc_id"),
         F.col(tokens_col).alias("n_tokens"),
     )
+    keys = ["grp"]
+    if shards > 1:
+        slim = slim.withColumn(
+            "__shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(shards))
+        )
+        keys.append("__shard")
 
     def pack(pdf):
+        shard_off = (
+            int(pdf["__shard"].iloc[0]) << 40 if "__shard" in pdf.columns else 0
+        )
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bin_id, fill, ndocs = 0, 0, 0
         bins, fills = [], []
@@ -312,13 +334,13 @@ def pack_sequences(
                 ndocs = 0
             fill += n
             ndocs += 1
-            bins.append(bin_id)
+            bins.append(shard_off + bin_id)
             fills.append(fill)
         pdf["bin_id"] = bins
         pdf["bin_fill"] = fills
-        return pdf
+        return pdf[["grp", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
 
-    return slim.groupBy("grp").applyInPandas(
+    return slim.groupBy(*keys).applyInPandas(
         pack, "grp string, doc_id long, n_tokens long, bin_id long, bin_fill long"
     )
 

@@ -3054,3 +3054,33 @@ def test_text_stats_arrow_bit_identical(spark):
     a = {r2["doc_id"]: r2.asDict() for r2 in expr.collect()}
     b = {r2["doc_id"]: r2.asDict() for r2 in T.text_stats_arrow(docs).collect()}
     assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+
+
+def test_pack_sequences_sharded(spark):
+    """shards>1 (hot-group guard): every doc packed exactly once, fills
+    respect the budget, bins never span shards (bin_id high bits = shard),
+    and membership is deterministic across repartitioning."""
+    from sydradb_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * (1 + i % 7))) for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    out = curation.pack_sequences(docs, budget=10, shards=4).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    fills = {}
+    for r in out:
+        fills.setdefault(r["bin_id"], 0)
+        fills[r["bin_id"]] += r["n_tokens"]
+        assert r["bin_fill"] <= 10
+    assert all(v <= 10 for v in fills.values())
+    # shard recoverable from the high bits; 4 shards all non-empty here
+    assert {r["bin_id"] >> 40 for r in out} == {0, 1, 2, 3}
+    # deterministic under input repartitioning
+    again = curation.pack_sequences(docs.repartition(7), budget=10, shards=4)
+    assert {(r["doc_id"], r["bin_id"], r["bin_fill"]) for r in again.collect()} == {
+        (r["doc_id"], r["bin_id"], r["bin_fill"]) for r in out
+    }
+    # shards=1 unchanged: bin ids stay small (no shard offset)
+    base = curation.pack_sequences(docs, budget=10).collect()
+    assert max(r["bin_id"] for r in base) < 1 << 40
