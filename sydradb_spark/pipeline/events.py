@@ -154,18 +154,32 @@ def funnel_stages(
     if max_events_per_user is not None:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("user").orderBy("__ts", "__ty")
-        # per-user total via the unbounded frame of the SAME window spec —
-        # one WindowExec evaluates both, no extra shuffle or sort
-        total = F.count(F.lit(1)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        # ADAPTIVE guard: pay for the expensive per-user sort window only
+        # where it can bind. A map-side-combining count finds users over
+        # the cap (only distinct users cross the wire); that set is tiny by
+        # construction (a >1M-event key is a bot, not a population), so it
+        # broadcasts, the cold majority skips straight to the groupBy with
+        # NO window sort at all, and only hot users' rows are sorted and
+        # capped. With zero hot users — the normal case — the guard costs
+        # one cheap count aggregation instead of a full event sort.
+        hot = (
+            ev.groupBy("user")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_events_per_user)
+            .select("user")
         )
-        ev = (
-            ev.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__trunc", total > max_events_per_user)
+        cold = ev.join(F.broadcast(hot), on="user", how="left_anti").withColumn(
+            "__trunc", F.lit(False)
+        )
+        w = Window.partitionBy("user").orderBy("__ts", "__ty")
+        capped = (
+            ev.join(F.broadcast(hot), on="user", how="left_semi")
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_events_per_user)
             .drop("__rn")
+            .withColumn("__trunc", F.lit(True))
         )
+        ev = cold.unionByName(capped)
         log.info(
             "funnel_stages: hot-user cap active at %d matching events/user; "
             "capped users carry truncated=true in the output",
