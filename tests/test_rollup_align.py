@@ -207,3 +207,32 @@ def test_rollup_rewrite_falls_back_misaligned_origin(spark, points):
         ).df.collect()
         == []
     )
+
+
+@pytest.mark.parametrize("agg", ["avg(value)", "sum(value)", "count()",
+                                 "min(value)", "max(value)", "first(value)", "last(value)"])
+@pytest.mark.parametrize("bucket", [
+    "time_bucket(3600, time)",          # step == rollup step
+    "time_bucket(7200, time)",          # coarsening
+    "time_bucket(7200, time, 993600)",  # aligned 3-arg origin (r11)
+    "time_bucket(10800, time, 0)",      # aligned origin 0, 3x step
+])
+def test_rollup_rewrite_equality_sweep(spark, points, agg, bucket):
+    """Every (aggregate x bucket shape) the rewrite claims eligible must
+    return exactly what the raw path returns — the rollup is an invisible
+    optimization, never a semantics change."""
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    q = (
+        f"select {bucket} as b, {agg} as v from weather.room1 "
+        f"where time >= 993600 and time < 1008000 group by {bucket} order by b"
+    )
+    raw = SydraQLEngine(spark, points).query(q).df.collect()
+    rolled = _rollup_engine(spark, points).query(q).df.collect()
+    assert len(raw) == len(rolled) > 0, q
+    for r0, r1 in zip(raw, rolled):
+        assert r0["b"] == r1["b"], q
+        if isinstance(r0["v"], float):
+            assert r1["v"] == pytest.approx(r0["v"], rel=1e-12), q
+        else:
+            assert r0["v"] == r1["v"], q
