@@ -110,7 +110,10 @@ def stream_points_sink(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    maintenance_every: int | None = 256,
+    maintenance_keep_versions: int = 8,
     _after_write_hook=None,
+    _vacuum_min_age: int = 600,
 ) -> StreamingQuery:
     """The shared streaming sink: canonical points stream → foreachBatch
     hourly-partitioned append. Every streaming source (file NDJSON, Kafka)
@@ -126,8 +129,21 @@ def stream_points_sink(
 
     ``available_now=True`` drains what's there and stops (test/cron mode);
     False runs continuously (micro-batch service mode).
+
+    ``maintenance_every=k`` vacuums the table every k batches (keeping
+    ``maintenance_keep_versions`` manifest versions plus the usual age
+    window): a continuous stream otherwise accumulates one manifest
+    version per batch FOREVER, and the commit path's version listing is
+    O(versions) — a year at one batch/minute is ~500k version files and a
+    quadratic stream lifetime. Appends never unreference data files, so
+    the vacuum only prunes old version jsons and crashed-attempt orphans;
+    time travel on the stream table is bounded to the kept window.
+
     ``_after_write_hook(batch_id)`` is a test seam: it runs after the
-    durable write but before Spark's checkpoint commit (crash injection)."""
+    durable write but before Spark's checkpoint commit (crash injection);
+    ``_vacuum_min_age`` is the vacuum age window (test seam)."""
+    from sydradb_spark import manifest as mf
+
     init_points_table(points.sparkSession, table_path)
     app_id = _checkpoint_app_id(checkpoint_dir)
 
@@ -135,6 +151,12 @@ def stream_points_sink(
         write_points(batch, table_path, mode="append", txn=(app_id, batch_id))
         if _after_write_hook is not None:
             _after_write_hook(batch_id)
+        if maintenance_every and batch_id > 0 and batch_id % maintenance_every == 0:
+            mf.vacuum(
+                table_path,
+                keep_versions=maintenance_keep_versions,
+                min_age_seconds=_vacuum_min_age,
+            )
 
     writer = points.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

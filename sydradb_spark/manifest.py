@@ -266,13 +266,21 @@ def vacuum(
         except FileNotFoundError:
             return True  # racing with its creator — leave it alone
     keep = set()
+    # a version file already pruned by an earlier vacuum must be SKIPPED,
+    # not treated as young (the missing-file fallback is for data files
+    # racing their creator) — repeated vacuums leave holes below the kept
+    # window, and reading a hole crashed the second maintenance pass
     kept_versions = {
         kv
         for kv in range(1, v + 1)
-        if kv > v - keep_versions or _young(mdir / f"v{kv}.json")
+        if (mdir / f"v{kv}.json").exists()
+        and (kv > v - keep_versions or _young(mdir / f"v{kv}.json"))
     }
     for kv in kept_versions:
-        keep.update(read_files(path, kv))
+        try:
+            keep.update(read_files(path, kv))
+        except FileNotFoundError:
+            continue  # lost a race with a concurrent vacuum — nothing to keep
     removed = []
     root = Path(path)
     for rel in data_files(path):

@@ -523,3 +523,18 @@ def test_objectstore_commit_txn_replay_is_noop():
     # untxn'd commits carry the ledger forward
     assert obs.commit_cas(store, "t", mutate=lambda old: old + ["c"]) == 3
     assert obs.read_txn(store, "t", "app") == 1
+
+
+def test_vacuum_repeated_with_holes(tmp_path):
+    """Repeated vacuums leave version holes below the kept window; a later
+    vacuum must skip the holes, not read them (crashed the streaming
+    sink's second maintenance pass before the r11 fix)."""
+    path = str(tmp_path / "t")
+    for i in range(6):
+        mf.commit(path, mutate=lambda old, i=i: old + [f"f{i}.parquet"])
+    assert mf.vacuum(path, keep_versions=1, min_age_seconds=0) == []
+    assert [p.name for p in (tmp_path / "t" / "_manifest").glob("v*.json")] == ["v6.json"]
+    # more commits, then vacuum again across the v1-v5 hole
+    mf.commit(path, mutate=lambda old: old + ["g.parquet"])
+    assert mf.vacuum(path, keep_versions=1, min_age_seconds=0) == []
+    assert mf.read_files(path) == sorted([f"f{i}.parquet" for i in range(6)] + ["g.parquet"])

@@ -644,3 +644,43 @@ def test_stream_sink_exactly_once_replay(spark, tmp_path):
     q3 = stream_points_sink(points_stream(), table, ck)
     q3.awaitTermination(120)
     assert read_points(spark, table).count() == 4
+
+
+def test_stream_sink_maintenance_prunes_manifest_versions(spark, tmp_path):
+    """A continuous stream must not accumulate manifest versions forever:
+    with maintenance_every set, the sink vacuums old version files while
+    the data (append-only, always referenced by LATEST) stays intact."""
+    from sydradb_spark import manifest as mf
+    from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(5):
+        (src / f"b{i}.ndjson").write_text(
+            f'{{"series": "s.a", "ts": {100 + i}, "value": {float(i)}}}\n'
+        )
+    table, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    raw = (
+        spark.readStream.schema(NDJSON_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_points_sink(
+        parse_ndjson(raw),
+        table,
+        ck,
+        maintenance_every=2,
+        maintenance_keep_versions=1,
+        _vacuum_min_age=0,
+    )
+    q.awaitTermination(120)
+    # 5 batches + init would be 6 versions without maintenance; the vacuum
+    # at batches 2 and 4 prunes the tail (exact survivor count depends on
+    # what was committed when the vacuum ran — the bound is what matters)
+    versions = list((tmp_path / "tbl" / "_manifest").glob("v*.json"))
+    assert len(versions) <= 3, sorted(p.name for p in versions)
+    # data intact, replay guard intact
+    assert read_points(spark, table).count() == 5
+    app_id = (tmp_path / "ck" / "_sydra_app_id").read_text().strip()
+    assert mf.read_txn(table, app_id) == 4
