@@ -36,8 +36,20 @@ def test_stream_rollup_fold(spark, tmp_path):
     assert folded[3600]["cnt"] == 1 and folded[3600]["last_v"] == 5.0
 
     compact_rollup(spark, rollup_path, 3600)
-    raw = spark.read.parquet(rollup_path)
-    assert raw.count() == 2  # one row per (series, bucket) after compaction
+    refolded = {r["bucket"]: r for r in read_rollup(spark, rollup_path, 3600).collect()}
+    assert refolded[0]["cnt"] == 3 and refolded[0]["sum_v"] == pytest.approx(11.0)
+    assert refolded[3600]["cnt"] == 1
+    # everything except the newest (still-replayable) batch dir is folded
+    import pathlib
+
+    top_files = [
+        p
+        for p in pathlib.Path(rollup_path).iterdir()
+        if p.suffix == ".parquet"
+    ]
+    live = [p for p in pathlib.Path(rollup_path).glob("b_*") if p.is_dir()]
+    assert len(live) == 1  # only the newest batch survives unfolded
+    assert spark.read.parquet(*[str(p) for p in top_files]).count() == 2
 
 
 def test_streaming_ema_state_across_batches(spark, tmp_path):
@@ -684,3 +696,38 @@ def test_stream_sink_maintenance_prunes_manifest_versions(spark, tmp_path):
     assert read_points(spark, table).count() == 5
     app_id = (tmp_path / "ck" / "_sydra_app_id").read_text().strip()
     assert mf.read_txn(table, app_id) == 4
+
+
+def test_stream_rollup_replay_is_idempotent(spark, tmp_path):
+    """A replayed rollup batch (crash in the write->checkpoint gap)
+    overwrites its own deterministic target instead of appending a second
+    copy — the fold counts every batch exactly once (VERDICT r10 finding 1
+    applied to the rollup sink), and the guarantee survives compaction
+    because the newest batch dir is never folded."""
+    from sydradb_spark.rollup import build_rollup
+    from sydradb_spark.streaming.rollup_stream import (
+        compact_rollup,
+        read_rollup,
+        write_rollup_batch,
+    )
+
+    roll = str(tmp_path / "roll")
+    pts = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 3.0)], "series string, ts long, value double"
+    ).selectExpr(
+        "xxhash64(series) as series_id", "series",
+        "map() as tags", "ts", "value",
+        "cast(floor(ts/3600)*3600 as long) as hour_bucket",
+    )
+    partial = build_rollup(pts, step_s=3600)
+    write_rollup_batch(partial, roll, 0)
+    write_rollup_batch(partial, roll, 0)  # replay: same batch id
+    folded = read_rollup(spark, roll, 3600).collect()
+    assert len(folded) == 1 and folded[0]["cnt"] == 2  # not 4
+    # batch 1 lands, compaction folds batch 0 but carries batch 1 live;
+    # a replay of batch 1 AFTER compaction still converges
+    write_rollup_batch(partial, roll, 1)
+    compact_rollup(spark, roll, 3600)
+    write_rollup_batch(partial, roll, 1)  # replay after compaction
+    folded = read_rollup(spark, roll, 3600).collect()
+    assert len(folded) == 1 and folded[0]["cnt"] == 4  # batches 0 + 1, once each
