@@ -97,6 +97,33 @@ def read_txn(path: str, app_id: str) -> int | None:
     return None if val is None else int(val)
 
 
+def carry_ledger(src_path: str, dst_path: str) -> bool:
+    """Copy ``src_path``'s txn ledger into ``dst_path``'s next manifest
+    version (file list unchanged). Whole-table rewrites that STAGE a fresh
+    table and swap it in (``storage.compact_storage``) would otherwise
+    discard the ledger — and with it the streaming replay guard: a batch
+    whose checkpoint commit is still pending would re-append after the
+    compaction. Same-table commits don't need this (``commit_cas`` always
+    carries the ledger forward). Returns False when there is nothing to
+    carry. Offline-maintenance context: single committer assumed, one
+    publish attempt."""
+    v = latest_version(src_path)
+    if v is None:
+        return False
+    txn_map = {k: int(t) for k, t in (_read_doc(src_path, v).get("txn") or {}).items()}
+    if not txn_map:
+        return False
+    mdir = _mdir(dst_path)
+    mdir.mkdir(parents=True, exist_ok=True)
+    dv = latest_version(dst_path)
+    files = read_files(dst_path, dv) if dv is not None else []
+    nv = 1 if dv is None else dv + 1
+    if not _publish_version(mdir, nv, files, txn_map):
+        raise RuntimeError(f"carry_ledger lost a version race at {dst_path}")
+    _advance_pointer(mdir, nv)
+    return True
+
+
 def data_files(path: str) -> list[str]:
     """Every parquet data file currently on disk (relative paths)."""
     root = Path(path)

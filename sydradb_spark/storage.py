@@ -221,10 +221,16 @@ def _swap_dir(staged: Path, live: Path) -> None:
 
 
 def compact_storage(spark: SparkSession, path: str, order_col: str | None = None) -> None:
-    """Rewrite the stored table deduped (the reference's segment-merge job)."""
+    """Rewrite the stored table deduped (the reference's segment-merge job).
+    The staged table's manifest gets the live table's txn ledger BEFORE the
+    swap, so a streaming batch whose checkpoint commit is still pending
+    cannot re-append after compaction (replay guard survives rewrites)."""
+    from sydradb_spark import manifest as mf
+
     compacted = compact_points(read_points(spark, path), order_col)
     tmp = path.rstrip("/") + ".compact.tmp"
     write_points(compacted, tmp, mode="overwrite")
+    mf.carry_ledger(path, tmp)
     _swap_dir(Path(tmp), Path(path))
 
 

@@ -538,3 +538,21 @@ def test_vacuum_repeated_with_holes(tmp_path):
     mf.commit(path, mutate=lambda old: old + ["g.parquet"])
     assert mf.vacuum(path, keep_versions=1, min_age_seconds=0) == []
     assert mf.read_files(path) == sorted([f"f{i}.parquet" for i in range(6)] + ["g.parquet"])
+
+
+def test_compact_storage_preserves_txn_ledger(spark, points, table):
+    """A whole-table compaction rewrite must carry the txn ledger into the
+    swapped-in manifest: a streaming batch whose checkpoint commit was
+    pending across the compaction is STILL a no-op on replay."""
+    n0 = storage.read_points(spark, table).count()
+    storage.write_points(points.limit(4), table, mode="append", txn=("ck", 3))
+    storage.compact_storage(spark, table)
+    assert mf.read_txn(table, "ck") == 3
+    # replay of batch 3 after compaction: no duplicates
+    before = storage.read_points(spark, table).count()
+    storage.write_points(points.limit(4), table, mode="append", txn=("ck", 3))
+    assert storage.read_points(spark, table).count() == before
+    # and the next batch proceeds
+    storage.write_points(points.limit(2), table, mode="append", txn=("ck", 4))
+    assert storage.read_points(spark, table).count() == before + 2
+    assert before <= n0 + 4  # compaction deduped, never duplicated
