@@ -3084,3 +3084,41 @@ def test_pack_sequences_sharded(spark):
     # shards=1 unchanged: bin ids stay small (no shard offset)
     base = curation.pack_sequences(docs, budget=10).collect()
     assert max(r["bin_id"] for r in base) < 1 << 40
+
+
+def test_bpe_train_local_equals_distributed_exact(spark):
+    """bpe_train_local (one word-count job + in-memory incremental-delta
+    training) must be BIT-equal to the exact per-merge-job trainer
+    (bpe_train batch_size=1): same tie-breaks, same rewrites, same stop."""
+    import random
+
+    from sydradb_spark.pipeline import bpe
+
+    corpora = [
+        # the reference-pinned corpus (ties + cascades)
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "newest widest widest low lowest"),
+            (3, "low low newest"),
+            (4, ""),
+        ],
+        # the disjoint-pair corpus from the batched test
+        [
+            (1, " ".join(["gabh", "iabj", "kabl", "mabn", "oabp"] * 4)),
+            (2, " ".join(["qcdr", "scdt", "ucdv", "wcdx", "ycdz"] * 3)),
+        ],
+    ]
+    rng = random.Random(23)
+    vocab = ["".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6))) for _ in range(40)]
+    corpora.append(
+        [(i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(12)]
+    )
+    for rows in corpora:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for n in (5, 25):
+            want = bpe.bpe_train(df, n, batch_size=1)
+            got = bpe.bpe_train_local(df, n)
+            assert got == want, (n, got[:6], want[:6])
+    # overlapping self-pair rewrites ("aaaa") are delta-counted exactly
+    df = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id long, text string")
+    assert bpe.bpe_train_local(df, 4) == bpe.bpe_train(df, 4, batch_size=1)
