@@ -408,3 +408,52 @@ def test_bpe_merge_fold_matches_python(spark):
         expect = [apply_one(s, l, r) for s in expect]
     got = {r["id"]: r["out"] for r in df.select("id", col.alias("out")).collect()}
     assert all(got[i] == expect[i] for i in range(len(seqs)))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            # append-commit, optionally txn'd by one of two apps
+            st.tuples(
+                st.just("commit"),
+                st.sampled_from(["appA", "appB", None]),
+                st.integers(min_value=0, max_value=6),
+            ),
+            st.tuples(st.just("vacuum"), st.just(None), st.integers(1, 3)),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_manifest_txn_protocol_model(tmp_path_factory, ops):
+    """Random interleavings of txn'd/untxn'd commits and vacuums against a
+    pure-Python model: the file list is never corrupted, the per-app
+    ledger is monotone and carried through every commit and vacuum, and a
+    replayed (already-ledgered) txn never commits."""
+    from sydradb_spark import manifest as mf
+
+    path = str(tmp_path_factory.mktemp("txnprop") / "t")
+    model_files: list = []
+    model_txn: dict = {}
+    seq = 0
+    for kind, app, arg in ops:
+        if kind == "commit":
+            f = f"f{seq}.parquet"
+            seq += 1
+            txn = None if app is None else (app, arg)
+            expect_noop = txn is not None and model_txn.get(app, -1) >= arg
+            got = mf.commit(path, mutate=lambda old, f=f: old + [f], txn=txn)
+            if expect_noop:
+                assert got is None
+            else:
+                assert isinstance(got, int)
+                model_files.append(f)
+                if txn is not None:
+                    model_txn[app] = arg
+        else:  # vacuum
+            mf.vacuum(path, keep_versions=arg, min_age_seconds=0)
+        if mf.latest_version(path) is not None:
+            assert sorted(mf.read_files(path)) == sorted(model_files)
+            for a, v in model_txn.items():
+                assert mf.read_txn(path, a) == v
