@@ -1012,7 +1012,10 @@ def curate_corpus(
     rejected docs; near-dup (the only multi-shuffle stage) sees the
     smallest surviving set; decontamination scans only survivors.
     """
-    from sydradb_spark.pipeline.text import quality_score
+    # Arrow scoring kernel (r11): bit-identical to text.quality_score's
+    # expression form, minus the interpreted-HOF allocation pressure that
+    # was 52 s of the 5M-doc profile — the gate stays the cheapest stage.
+    from sydradb_spark.pipeline.text import quality_score_arrow
 
     # spread() up front (no-op at scale where the source has enough
     # splits): without it the quality gate and the exact-dedup md5 scan
@@ -1028,7 +1031,7 @@ def curate_corpus(
         docs = docs.select("doc_id", *other_cols).join(
             cleaned.select("doc_id", text_col), on="doc_id"
         )
-    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    scored = docs.withColumn("quality", quality_score_arrow(F.col(text_col)))
     kept = scored.where(F.col("quality") >= min_quality)
     if lm is not None and lm_min_logprob is not None:
         from sydradb_spark.pipeline.text import lm_score_docs

@@ -120,6 +120,43 @@ def quality_score(text: Column, toks: Column | None = None) -> Column:
     return (len_score + div_score + word_score) / 3.0
 
 
+def quality_score_arrow(text: Column) -> Column:
+    """Arrow twin of ``quality_score`` — bit-identical scores from a
+    C-backed kernel (same Java-ASCII tokenize mirror as
+    ``text_stats_arrow``), for corpus-scale gates where the interpreted
+    HOF battery was the allocation hotspot (quality signals were 52 s of
+    the 5M-doc text_stats profile, SCALE_NOTES r10). Null text scores
+    null (the gate drops it either way; the expression battery's null
+    output is session-dependent via size(null)). Everything the kernel
+    needs is closure-local, so it ships by value — no sydradb_spark
+    import on the workers (the round-10 funnel lesson)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws_run = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("double")
+    def _q(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            trimmed = t.strip(" ")
+            toks = [] if trimmed == "" else ws_run.split(trimmed)
+            n = len(toks)
+            distinct = float(len(set(toks))) / n if n else 0.0
+            mean_wl = float(sum(map(len, toks))) / n if n else 0.0
+            len_score = min(n / 100.0, 1.0)
+            word_score = 1.0 if 3.0 <= mean_wl <= 10.0 else 0.5
+            out.append((len_score + distinct + word_score) / 3.0)
+        return pd.Series(out, dtype="float64")
+
+    return _q(text)
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic 16-hex-char document fingerprint (content addressing for
     exact-dup detection and incremental reprocessing)."""

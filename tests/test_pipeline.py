@@ -3122,3 +3122,28 @@ def test_bpe_train_local_equals_distributed_exact(spark):
     # overlapping self-pair rewrites ("aaaa") are delta-counted exactly
     df = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id long, text string")
     assert bpe.bpe_train_local(df, 4) == bpe.bpe_train(df, 4, batch_size=1)
+
+
+def test_quality_score_arrow_bit_identical(spark):
+    """quality_score_arrow == the expression quality_score on raw doubles
+    across whitespace/length/diversity edges (null text excluded: the
+    expression's null output is session-dependent via size(null))."""
+    from sydradb_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, " "),
+            (2, "one"),
+            (3, "a a a a a"),
+            (4, " ".join(f"w{i}" for i in range(250))),  # len_score saturates
+            (5, "tiny xy"),
+            (6, "averageish words here make sense"),
+            (7, "\tlead mixed\tws trail "),
+            (8, "superlongsingletokenexceedingwordlenbounds"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["q"] for r in docs.select("doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
+    b = {r["doc_id"]: r["q"] for r in docs.select("doc_id", T.quality_score_arrow(F.col("text")).alias("q")).collect()}
+    assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
