@@ -207,7 +207,15 @@ def commit_cas(
     for attempt in range(max_retries):
         cur = latest_version(path)
         v = 1 if cur is None else cur + 1
-        cur_doc = _read_doc(path, cur) if cur is not None else {}
+        try:
+            cur_doc = _read_doc(path, cur) if cur is not None else {}
+        except FileNotFoundError:
+            # a concurrent committer advanced LATEST and a concurrent
+            # vacuum(keep_versions small) pruned v{cur} between our
+            # latest_version() and the read — re-read and retry, exactly
+            # like losing the version race
+            time.sleep(0.005 * (attempt + 1))
+            continue
         txn_map = {k: int(tv) for k, tv in (cur_doc.get("txn") or {}).items()}
         if txn is not None:
             app_id, txn_v = txn

@@ -252,7 +252,14 @@ def commit_cas(
     for attempt in range(max_retries):
         cur = latest_version(store, table)
         v = 1 if cur is None else cur + 1
-        cur_doc = _read_doc(store, table, cur) if cur is not None else {}
+        try:
+            cur_doc = _read_doc(store, table, cur) if cur is not None else {}
+        except FileNotFoundError:
+            # concurrent committer advanced the version and a concurrent
+            # vacuum_versions pruned v{cur} between the listing and the
+            # GET — re-read and retry, same as losing the version race
+            time.sleep(0.005 * (attempt + 1))
+            continue
         txn_map = {k: int(tv) for k, tv in (cur_doc.get("txn") or {}).items()}
         if txn is not None:
             app_id, txn_v = txn

@@ -89,17 +89,33 @@ def _select_disjoint(
 ) -> list[tuple[str, str]]:
     """Greedy top-m SYMBOL-DISJOINT pair selection from (pair, count) rows
     already sorted by (count desc, pair asc): a pair is taken only when
-    neither of its symbols appears in any already-taken pair, so the taken
-    merges commute — applying one cannot create or destroy an adjacency of
-    another, and a single rewrite pass applies the whole batch."""
+    neither of its symbols — NOR its concatenated output — collides with an
+    already-taken pair's symbols or output, and neither of its symbols is an
+    already-taken pair's output. The output check matters: a batch like
+    [('a','b'), ('x','ab')] is symbol-disjoint yet NOT independent — the
+    chained single-pass rewrite would merge 'x' with 'ab' tokens the round's
+    count never saw. Even with these checks the batch is applied by ONE
+    sequential rewrite pass, so taken merges can't consume each other's
+    inputs or outputs; batched selection remains the standard frequency-
+    greedy approximation vs per-merge recounting (see bpe_train)."""
     taken: list[tuple[str, str]] = []
-    used: set[str] = set()
+    used: set[str] = set()  # symbols consumed by taken pairs
+    produced: set[str] = set()  # outputs created by taken pairs
     for p, _c in candidates:
         left, right = p.split(" ")
-        if left in used or right in used:
+        out = left + right
+        if (
+            left in used
+            or right in used
+            or left in produced
+            or right in produced
+            or out in used
+            or out in produced
+        ):
             continue
         taken.append((left, right))
         used.update((left, right))
+        produced.add(out)
         if len(taken) >= m:
             break
     return taken

@@ -74,7 +74,11 @@ def write_points(
             df = df.drop(hint)
     fresh = not Path(path).exists()
     manifested = mf.has_manifest(path)
-    if txn is not None and manifested and mode == "append":
+    if txn is not None and manifested:
+        # the pre-check applies to EVERY mode: in overwrite mode especially,
+        # the destructive parquet rewrite would otherwise run before the
+        # ledger check, and a replayed txn's commit would no-op while LATEST
+        # kept referencing the pre-overwrite files the rewrite just deleted
         last = mf.read_txn(path, txn[0])
         if last is not None and last >= txn[1]:
             return  # replayed batch — this txn is already durable

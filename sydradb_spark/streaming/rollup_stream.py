@@ -2,18 +2,34 @@
 
 Pattern: NDJSON stream → watermark on event time → per-micro-batch partial
 rollups written to a BATCH-DETERMINISTIC subdirectory of the rollup table
-(``b_<batch_id>/``, mode=overwrite). Readers (or a periodic compaction)
-fold the partials with ``rollup.combine_rollup`` — every rollup statistic
-is associative, so write-then-fold needs no read-modify-write races.
+(``b_<app_id>_<batch_id>/``, mode=overwrite). Readers (or a periodic
+compaction) fold the partials with ``rollup.combine_rollup`` — every rollup
+statistic is associative, so write-then-fold needs no read-modify-write
+races.
 
 Exactly-once (r11 — this sink previously had the same replay hole the
 points sink did, VERDICT r10 finding 1): the write target is a pure
-function of ``batch_id`` and the write mode is overwrite, so a
+function of ``(app_id, batch_id)`` and the write mode is overwrite, so a
 foreachBatch replay after a crash in the write→checkpoint-commit gap
 OVERWRITES its own output instead of appending a second copy — the fold
-counts each batch exactly once. Compaction preserves that guarantee by
-never folding the newest batch directory (the only batch Spark can still
-replay); see ``compact_rollup``.
+counts each batch exactly once. The app id (minted inside the checkpoint,
+``ingest._checkpoint_app_id``) is part of the target since r12: batch ids
+restart at 0 after a checkpoint reset, and keying by batch id alone would
+let the reset stream's b_0 overwrite-destroy the previous incarnation's
+(or a second stream's) unfolded b_0 partial. Compaction preserves the
+replay guarantee by never folding the newest batch directory of EACH app
+(the only batch that app's restarted stream can still replay); see
+``compact_rollup``.
+
+Compaction vs a live stream (r12): batch writes take a SHARED advisory
+flock on ``<rollup_path>.lock`` and ``compact_rollup`` takes it EXCLUSIVE
+for the whole list→fold→swap, so on one host a batch can no longer start
+writing mid-compaction and be lost with the directory swap, and a replay
+overwrite can no longer race the live-batch copy — the write simply blocks
+until the swap lands, then targets the new root. Across hosts on a shared
+filesystem the offline-maintenance caveat still applies (flock is advisory
+and historically unreliable on NFS); object-store deployments should fold
+through the manifest protocol instead.
 
 The watermark bounds state for Spark's own windowed mode; here aggregation
 happens inside foreachBatch (per-batch partials), so the watermark's role is
@@ -30,20 +46,62 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson
+from sydradb_spark.ingest import NDJSON_SCHEMA, _checkpoint_app_id, parse_ndjson
 from sydradb_spark.rollup import ROLLUP_COLS, build_rollup, combine_rollup
 
+DEFAULT_APP = "default"
 
-def _batch_dir(rollup_path: str, batch_id: int) -> str:
-    return f"{rollup_path.rstrip('/')}/b_{batch_id:012d}"
+
+def _batch_dir(rollup_path: str, batch_id: int, app_id: str = DEFAULT_APP) -> str:
+    # app id first, batch id last: compact_rollup groups live tails per app
+    # by rsplit on the final underscore (app ids are `stream-<hex>`, no '_')
+    return f"{rollup_path.rstrip('/')}/b_{app_id}_{batch_id:012d}"
+
+
+def _lock_path(rollup_path: str) -> Path:
+    # OUTSIDE the table dir so compaction's directory swap can't destroy it
+    return Path(rollup_path.rstrip("/") + ".lock")
+
+
+class _rollup_lock:
+    """Advisory flock serializing batch writes (shared) against compaction
+    (exclusive) on one host. Context manager; blocking."""
+
+    def __init__(self, rollup_path: str, exclusive: bool) -> None:
+        self.path = _lock_path(rollup_path)
+        self.exclusive = exclusive
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX if self.exclusive else fcntl.LOCK_SH)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
 
 
 def write_rollup_batch(
-    partial: DataFrame, rollup_path: str, batch_id: int
+    partial: DataFrame,
+    rollup_path: str,
+    batch_id: int,
+    app_id: str = DEFAULT_APP,
 ) -> None:
-    """Idempotent per-batch partial write: deterministic target + overwrite
-    means a replayed batch converges instead of double-counting."""
-    partial.write.mode("overwrite").parquet(_batch_dir(rollup_path, batch_id))
+    """Idempotent per-batch partial write: deterministic (app, batch) target
+    + overwrite means a replayed batch converges instead of double-counting.
+    Holds the table's shared lock so the write cannot interleave with a
+    ``compact_rollup`` swap."""
+    with _rollup_lock(rollup_path, exclusive=False):
+        partial.write.mode("overwrite").parquet(
+            _batch_dir(rollup_path, batch_id, app_id)
+        )
 
 
 def stream_rollup(
@@ -55,7 +113,11 @@ def stream_rollup(
     watermark: str = "1 hour",
     available_now: bool = True,
 ) -> StreamingQuery:
-    """Maintain an hourly rollup from an NDJSON point stream."""
+    """Maintain an hourly rollup from an NDJSON point stream. The stream's
+    identity (checkpoint-minted app id) keys its batch subdirectories, so a
+    checkpoint reset or a second stream feeding the same rollup table gets
+    fresh targets instead of clobbering b_0/b_1/... partials."""
+    app_id = _checkpoint_app_id(checkpoint_dir)
     raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
     pts = parse_ndjson(raw).withColumn(
         "__event_time", F.timestamp_seconds(F.col("ts"))
@@ -63,7 +125,7 @@ def stream_rollup(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         partial = build_rollup(batch.drop("__event_time"), step_s=step_s)
-        write_rollup_batch(partial, rollup_path, batch_id)
+        write_rollup_batch(partial, rollup_path, batch_id, app_id)
 
     writer = pts.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -88,40 +150,52 @@ def read_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> DataFrame
     return combine_rollup(_read_partials(spark, rollup_path), step_s)
 
 
+def _live_tails(batch_dirs: list[Path]) -> set[Path]:
+    """The newest batch directory of EACH app — the only batch that app's
+    restarted stream can still replay (older batches' commits are already
+    in its checkpoint). These are carried through compaction unfolded."""
+    newest: dict[str, Path] = {}
+    for p in sorted(batch_dirs):
+        app_key = p.name.rsplit("_", 1)[0]
+        newest[app_key] = p  # sorted ascending — last one wins
+    return set(newest.values())
+
+
 def compact_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> None:
     """Periodic job: rewrite the partials as folded rows (rename-before-
     remove swap — the old rollup stays recoverable through a mid-swap
     crash, storage._swap_dir).
 
-    The NEWEST batch directory is carried through UNFOLDED: it is the only
-    batch a restarted stream can still replay (older batches' commits are
-    in the checkpoint), and folding it would let the replay's overwrite
-    re-add what the fold already counted. Run alongside a live stream the
-    usual offline-maintenance caveat applies: a batch that starts writing
-    mid-compaction is lost with the swap."""
+    The NEWEST batch directory of each app id is carried through UNFOLDED
+    (see ``_live_tails``); folding it would let a replay's overwrite re-add
+    what the fold already counted. The whole list→fold→swap runs under the
+    table's EXCLUSIVE lock, so a concurrent batch write on this host blocks
+    at the lock instead of being created-then-lost between the listing and
+    the swap (pinned by test_compact_rollup_concurrent_batch_not_lost)."""
     import shutil
 
     root = Path(rollup_path)
-    batch_dirs = sorted(p for p in root.glob("b_*") if p.is_dir())
-    live = batch_dirs[-1] if batch_dirs else None
-    srcs = [
-        str(p)
-        for p in root.iterdir()
-        if p != live and (p.is_dir() or p.suffix == ".parquet")
-    ]
-    if not srcs:
-        return
-    folded = combine_rollup(
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(*srcs)
-        .select(*ROLLUP_COLS),
-        step_s,
-    )
-    from sydradb_spark.storage import _swap_dir
+    with _rollup_lock(rollup_path, exclusive=True):
+        batch_dirs = sorted(p for p in root.glob("b_*") if p.is_dir())
+        live = _live_tails(batch_dirs)
+        srcs = [
+            str(p)
+            for p in root.iterdir()
+            if p not in live and (p.is_dir() or p.suffix == ".parquet")
+        ]
+        if not srcs:
+            return
+        folded = combine_rollup(
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*srcs)
+            .select(*ROLLUP_COLS),
+            step_s,
+        )
+        from sydradb_spark.storage import _swap_dir
 
-    tmp = rollup_path.rstrip("/") + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(tmp)
-    if live is not None:
-        shutil.copytree(live, Path(tmp) / live.name)
-    _swap_dir(Path(tmp), root)
+        tmp = rollup_path.rstrip("/") + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        folded.write.mode("overwrite").parquet(tmp)
+        for tail in sorted(live):
+            shutil.copytree(tail, Path(tmp) / tail.name)
+        _swap_dir(Path(tmp), root)

@@ -556,3 +556,70 @@ def test_compact_storage_preserves_txn_ledger(spark, points, table):
     storage.write_points(points.limit(2), table, mode="append", txn=("ck", 4))
     assert storage.read_points(spark, table).count() == before + 2
     assert before <= n0 + 4  # compaction deduped, never duplicated
+
+
+def test_commit_cas_retries_through_vacuumed_current_version(tmp_path, monkeypatch):
+    """ADVICE r11 (medium): between latest_version() and the ledger read, a
+    concurrent committer can advance LATEST and a concurrent vacuum can
+    prune v{cur} — the read raises FileNotFoundError and must be absorbed
+    as one more lost CAS attempt, not an unhandled crash."""
+    path = str(tmp_path / "t")
+    mf.commit(path, ["a"], txn=("app", 0))
+    real_read = mf._read_doc
+    calls = {"n": 0}
+
+    def racing_read(p, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # simulate the prune landing between the listing and this read
+            raise FileNotFoundError(f"v{version}.json pruned by vacuum")
+        return real_read(p, version)
+
+    monkeypatch.setattr(mf, "_read_doc", racing_read)
+    assert mf.commit_cas(path, mutate=lambda old: old + ["b"], txn=("app", 1)) == 2
+    assert calls["n"] >= 2  # first attempt lost, retry won
+    assert mf.read_files(path) == ["a", "b"]
+    assert mf.read_txn(path, "app") == 1
+
+
+def test_objectstore_commit_cas_retries_through_vacuumed_version(monkeypatch):
+    """Same vacuum race on the object-store protocol: a pruned v{cur} GET
+    inside the CAS loop retries instead of raising."""
+    import sydradb_spark.objectstore as obs_mod
+
+    store = obs_mod.MemoryObjectStore()
+    obs_mod.commit_cas(store, "t", ["a"], txn=("app", 0))
+    real_read = obs_mod._read_doc
+    calls = {"n": 0}
+
+    def racing_read(s, table, version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(f"missing manifest v{version} for {table}")
+        return real_read(s, table, version)
+
+    monkeypatch.setattr(obs_mod, "_read_doc", racing_read)
+    assert (
+        obs_mod.commit_cas(store, "t", mutate=lambda old: old + ["b"], txn=("app", 1))
+        == 2
+    )
+    assert calls["n"] >= 2
+    assert obs_mod.read_files(store, "t") == ["a", "b"]
+
+
+def test_write_points_txn_overwrite_replay_is_noop(spark, points, table):
+    """ADVICE r11 (low): txn + mode='overwrite' used to run the destructive
+    parquet rewrite BEFORE the ledger check — a replayed txn's commit then
+    no-op'd while LATEST kept referencing the files the rewrite deleted.
+    The pre-check now applies to every mode: the replay never touches disk."""
+    storage.write_points(points.limit(3), table, mode="append", txn=("ck", 7))
+    n = storage.read_points(spark, table).count()
+    v = mf.latest_version(table)
+    # replayed txn in overwrite mode: full no-op, table still readable
+    storage.write_points(points.limit(1), table, mode="overwrite", txn=("ck", 7))
+    assert mf.latest_version(table) == v
+    assert storage.read_points(spark, table).count() == n
+    # a NEW txn in overwrite mode still overwrites (legitimate use)
+    storage.write_points(points.limit(2), table, mode="overwrite", txn=("ck", 8))
+    assert storage.read_points(spark, table).count() == 2
+    assert mf.read_txn(table, "ck") == 8

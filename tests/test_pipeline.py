@@ -3147,3 +3147,26 @@ def test_quality_score_arrow_bit_identical(spark):
     a = {r["doc_id"]: r["q"] for r in docs.select("doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
     b = {r["doc_id"]: r["q"] for r in docs.select("doc_id", T.quality_score_arrow(F.col("text")).alias("q")).collect()}
     assert a == b, {k: (a[k], b[k]) for k in a if a[k] != b[k]}
+
+
+def test_bpe_select_disjoint_skips_output_collisions():
+    """ADVICE r11 (low): symbol-disjointness alone is not independence — a
+    candidate whose SYMBOL is another taken pair's concatenated OUTPUT
+    (('a','b') then ('x','ab')) would chain-merge with tokens the round's
+    count never saw; a candidate whose OUTPUT is another taken pair's
+    symbol (('ab','c') then ('a','b')) feeds it the same way. Both are
+    deferred to a later round."""
+    from sydradb_spark.pipeline.bpe import _select_disjoint
+
+    # symbol == earlier output: ('x','ab') deferred, next disjoint taken
+    got = _select_disjoint([("a b", 10), ("x ab", 9), ("c d", 8)], 3)
+    assert got == [("a", "b"), ("c", "d")]
+    # output == earlier symbol: ('a','b') -> 'ab' collides with taken 'ab'
+    got = _select_disjoint([("ab c", 10), ("a b", 9), ("e f", 8)], 3)
+    assert got == [("ab", "c"), ("e", "f")]
+    # output == earlier OUTPUT: ('a','bc') and ('ab','c') both make 'abc'
+    got = _select_disjoint([("a bc", 10), ("ab c", 9)], 2)
+    assert got == [("a", "bc")]
+    # plain symbol overlap still skipped (pre-existing behavior)
+    got = _select_disjoint([("a b", 10), ("b c", 9), ("d e", 8)], 3)
+    assert got == [("a", "b"), ("d", "e")]
