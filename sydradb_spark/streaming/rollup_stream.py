@@ -46,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from sydradb_spark.ingest import NDJSON_SCHEMA, _checkpoint_app_id, parse_ndjson
+from sydradb_spark.ingest import (
+    NDJSON_SCHEMA,
+    parse_ndjson,
+    resolve_app_id,
+    spark_checkpoint_metadata_id,
+)
 from sydradb_spark.rollup import ROLLUP_COLS, build_rollup, combine_rollup
 
 DEFAULT_APP = "default"
@@ -114,18 +119,24 @@ def stream_rollup(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain an hourly rollup from an NDJSON point stream. The stream's
-    identity (checkpoint-minted app id) keys its batch subdirectories, so a
-    checkpoint reset or a second stream feeding the same rollup table gets
-    fresh targets instead of clobbering b_0/b_1/... partials."""
-    app_id = _checkpoint_app_id(checkpoint_dir)
+    identity (checkpoint-minted app id, ``ingest.resolve_app_id`` — lazy
+    Spark-metadata fallback on non-POSIX checkpoint URIs) keys its batch
+    subdirectories, so a checkpoint reset or a second stream feeding the
+    same rollup table gets fresh targets instead of clobbering b_0/b_1/...
+    partials."""
+    ident = {"app_id": resolve_app_id(checkpoint_dir)}
     raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
     pts = parse_ndjson(raw).withColumn(
         "__event_time", F.timestamp_seconds(F.col("ts"))
     ).withWatermark("__event_time", watermark)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if ident["app_id"] is None:
+            ident["app_id"] = spark_checkpoint_metadata_id(
+                batch.sparkSession, checkpoint_dir
+            )
         partial = build_rollup(batch.drop("__event_time"), step_s=step_s)
-        write_rollup_batch(partial, rollup_path, batch_id, app_id)
+        write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
 
     writer = pts.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

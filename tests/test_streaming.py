@@ -845,3 +845,130 @@ def test_compact_rollup_concurrent_batch_not_lost(spark, tmp_path):
     folded = read_rollup(spark, roll, 3600).collect()
     assert folded[0]["cnt"] == 9  # 2 + 2 + 5: nothing lost, nothing doubled
     late.unpersist()
+
+
+def test_mint_app_id_store_converges_under_races():
+    """Object-store app-id mint (VERDICT r11 item 2): racing starters all
+    converge on one id via the store's conditional PUT."""
+    import threading
+
+    from sydradb_spark.ingest import mint_app_id
+    from sydradb_spark.objectstore import MemoryObjectStore
+
+    store = MemoryObjectStore()
+    got: list[str] = []
+
+    def starter():
+        got.append(mint_app_id(store))
+
+    threads = [threading.Thread(target=starter) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(got)) == 1 and got[0].startswith("stream-")
+    # restarts read the same identity back
+    assert mint_app_id(store) == got[0]
+
+
+def test_resolve_app_id_order(tmp_path):
+    """Explicit id > store mint > POSIX checkpoint mint > defer (None)."""
+    from sydradb_spark.ingest import resolve_app_id
+    from sydradb_spark.objectstore import LocalFSObjectStore
+
+    ck = str(tmp_path / "ck")
+    store = LocalFSObjectStore(str(tmp_path / "store"))
+    assert resolve_app_id(ck, app_id="stream-me") == "stream-me"
+    minted = resolve_app_id("s3://bucket/ck", app_id_store=store)
+    assert minted.startswith("stream-")
+    assert resolve_app_id("s3://bucket/ck", app_id_store=store) == minted
+    posix = resolve_app_id(ck)
+    assert posix.startswith("stream-") and posix != minted
+    # file:// URI is still POSIX — same marker, same id
+    assert resolve_app_id("file://" + ck) == posix
+    # non-POSIX with no store: defer to Spark's checkpoint metadata
+    assert resolve_app_id("s3://bucket/ck") is None
+
+
+def test_stream_sink_exactly_once_replay_with_store_minted_id(spark, tmp_path):
+    """The kill-in-the-gap replay guard with the app id minted through the
+    object-store CAS instead of the POSIX in-checkpoint marker — the path an
+    s3:// checkpoint deployment takes (VERDICT r11 item 2 done-criterion)."""
+    from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
+    from sydradb_spark.objectstore import LocalFSObjectStore
+    from sydradb_spark.storage import read_points
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text(
+        '{"series": "s.a", "ts": 100, "value": 1.0}\n'
+        '{"series": "s.b", "ts": 3700, "value": 3.0}\n'
+    )
+    table, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    store = LocalFSObjectStore(str(tmp_path / "idstore"))
+
+    def points_stream():
+        return parse_ndjson(spark.readStream.schema(NDJSON_SCHEMA).json(str(src)))
+
+    def crash(_batch_id):
+        raise RuntimeError("injected crash in the write->checkpoint gap")
+
+    q = stream_points_sink(
+        points_stream(), table, ck, app_id_store=store, _after_write_hook=crash
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert read_points(spark, table).count() == 2
+    # restart mints the SAME id from the store -> replayed batch 0 no-ops
+    q2 = stream_points_sink(points_stream(), table, ck, app_id_store=store)
+    q2.awaitTermination(120)
+    got = read_points(spark, table)
+    assert got.count() == 2
+    assert got.dropDuplicates(["series_id", "ts", "value"]).count() == 2
+    # no POSIX marker was ever written — the store carried the identity
+    import pathlib
+
+    assert not (pathlib.Path(ck) / "_sydra_app_id").exists()
+
+
+def test_stream_sink_lazy_spark_metadata_app_id(spark, tmp_path, monkeypatch):
+    """Non-POSIX checkpoint URI with no store client: the sink defers to
+    Spark's own checkpoint metadata id, read through the Hadoop FS API on
+    the first batch, and the identity is stable across restarts — so the
+    exactly-once ledger engages on s3://-style deployments (VERDICT r11
+    item 2). Simulated by forcing the eager POSIX path to report non-POSIX."""
+    from sydradb_spark import ingest
+    from sydradb_spark import manifest as mf
+    from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
+    from sydradb_spark.storage import read_points
+
+    monkeypatch.setattr(ingest, "_posix_checkpoint_path", lambda _ck: None)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text('{"series": "s.a", "ts": 100, "value": 1.0}\n')
+    table, ck = str(tmp_path / "tbl"), str(tmp_path / "ck")
+
+    def points_stream():
+        return parse_ndjson(spark.readStream.schema(NDJSON_SCHEMA).json(str(src)))
+
+    def crash(_batch_id):
+        raise RuntimeError("injected crash in the write->checkpoint gap")
+
+    q = stream_points_sink(points_stream(), table, ck, _after_write_hook=crash)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert read_points(spark, table).count() == 1
+    q2 = stream_points_sink(points_stream(), table, ck)
+    q2.awaitTermination(120)
+    assert read_points(spark, table).count() == 1  # replay no-op'd
+
+    # the ledger key IS Spark's metadata id (file read back via Hadoop FS)
+    import json as _json
+    import pathlib
+
+    meta_id = "stream-" + _json.loads(
+        (pathlib.Path(ck) / "metadata").read_text()
+    )["id"]
+    assert ingest.spark_checkpoint_metadata_id(spark, "file://" + ck) == meta_id
+    assert mf.read_txn(table, meta_id) == 0
