@@ -1,0 +1,276 @@
+"""Exactly-once points-sink soak (round 12, r11 verdict item 1).
+
+The streaming points sink's replay guard — the manifest txn ledger keyed by
+``(checkpoint app_id, batch_id)`` with CAS publish, the Spark-side twin of
+the reference's WAL replay-above-highwater cutoff
+(src/sydra/engine.zig:406-437) — was certified in round 11 by a 3-row unit
+test and a pure-model property test. This script is the decade-scale
+evidence: drive ``ingest.stream_points_sink`` through hundreds of real
+micro-batches at a scale twin, inject crashes at seeded-random batch ids in
+the write→checkpoint-commit gap (the ``_after_write_hook`` seam), restart
+from the checkpoint each time, and run the maintenance vacuum aggressively
+(``maintenance_every`` small, ``min_age=0``) while the stream lives. Four
+assertions decide the verdict:
+
+- **zero duplicates vs the batch twin**: the table at LATEST must equal the
+  source multiset exactly — per-(series_id, ts, value) group counts match,
+  despite every crashed batch being redelivered;
+- **bounded manifests**: the version-file count never exceeds the vacuum
+  window (+ the in-flight slack between vacuums) — a year-long stream
+  can't accumulate one manifest per batch;
+- **orphans reclaimed**: after a final vacuum, every data file on disk is
+  referenced by a retained manifest version (crashed attempts' staged
+  files do not leak);
+- **ledger monotone**: the app's txn highwater observed after every batch
+  never decreases and finishes at the last batch id.
+
+Usage: python scripts/sink_soak.py [--sf-dir _scratch/sf10] [--chunks 300]
+    [--crashes 12] [--maintenance-every 20] [--keep-versions 8] [--seed 7]
+Prints ONE JSON line (recorded as SOAK_sink_*.json). The same four
+properties are pinned at pytest scale in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sydradb_spark import manifest as mf  # noqa: E402
+from sydradb_spark.ingest import _checkpoint_app_id, stream_points_sink  # noqa: E402
+from sydradb_spark.model import with_identity  # noqa: E402
+from sydradb_spark.storage import read_points  # noqa: E402
+from sydradb_spark.session import get_spark  # noqa: E402
+from sydradb_spark.tables import events_points  # noqa: E402
+
+
+def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> int:
+    """The twin's events as `chunks` arrival-ordered parquet files (one
+    micro-batch each via maxFilesPerTrigger=1). Returns total rows."""
+    pts = events_points(spark, sf_dir).select(
+        F.col("series").alias("series"), "ts", "value"
+    )
+    lo, hi = pts.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo + 1) / chunks
+    chunked = pts.withColumn(
+        "chunk",
+        F.least(
+            F.floor((F.col("ts") - F.lit(lo)) / F.lit(span)).cast("int"),
+            F.lit(chunks - 1),
+        ),
+    ).persist()
+    total = chunked.count()
+    os.makedirs(src_dir, exist_ok=True)
+    tmp = f"{src_dir}__tmp"
+    now = time.time()
+    for i in range(chunks):
+        (
+            chunked.where(F.col("chunk") == i)
+            .select("series", "ts", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src_dir}/chunk_{i:04d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    chunked.unpersist()
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="_scratch/sf10")
+    ap.add_argument("--work", default="_scratch/sink_soak")
+    ap.add_argument("--chunks", type=int, default=300)
+    ap.add_argument("--crashes", type=int, default=12)
+    ap.add_argument("--maintenance-every", type=int, default=20)
+    ap.add_argument("--keep-versions", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+    if not os.path.isdir(args.sf_dir):
+        sys.exit(
+            f"{args.sf_dir} missing — build it first: python scripts/gen_sf.py "
+            f"--factor 100 --out {args.sf_dir} --tables events"
+        )
+
+    spark = get_spark("sink-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.work, ignore_errors=True)
+    src_dir = f"{args.work}/src"
+    table = f"{args.work}/tbl"
+    ck = f"{args.work}/ck"
+
+    t0 = time.perf_counter()
+    total_rows = prepare_chunks(spark, args.sf_dir, src_dir, args.chunks)
+    t_prep = round(time.perf_counter() - t0, 1)
+
+    # two seeded crash sets, both redelivered under the SAME batch_id:
+    # - gap crashes: AFTER write_points (write + ledger commit durable) but
+    #   before Spark's checkpoint commit — the replay must NO-OP;
+    # - mid-write crashes: AFTER the parquet append but BEFORE the manifest
+    #   commit — the replay must re-append (ledger never saw the batch) and
+    #   the first attempt's staged files become vacuum-reclaimable orphans.
+    rng = random.Random(args.seed)
+    gap_n = args.crashes - args.crashes // 3
+    sampled = rng.sample(range(args.chunks), args.crashes)
+    crash_at = sorted(sampled[:gap_n])
+    midwrite_at = sorted(sampled[gap_n:])
+    remaining = set(crash_at)
+    mid_remaining = set(midwrite_at)
+
+    real_commit = mf.commit
+
+    def crashing_commit(path, files=None, *, mutate=None, txn=None):
+        if txn is not None and path == table and txn[1] in mid_remaining:
+            mid_remaining.discard(txn[1])
+            raise RuntimeError(f"injected mid-write crash at batch {txn[1]}")
+        return real_commit(path, files, mutate=mutate, txn=txn)
+
+    mf.commit = crashing_commit  # write_points resolves mf.commit lazily
+
+    app_id_holder: dict = {}
+    ledger_trace: list[int] = []
+    version_counts: list[int] = []
+    violations: list[str] = []
+
+    def hook(batch_id: int) -> None:
+        # observe AFTER the durable write: ledger must already hold batch_id
+        app = app_id_holder.setdefault("id", _checkpoint_app_id(ck))
+        seen = mf.read_txn(table, app)
+        if seen != batch_id:
+            violations.append(f"ledger {seen} != just-written batch {batch_id}")
+        if ledger_trace and seen < ledger_trace[-1]:
+            violations.append(f"ledger regressed {ledger_trace[-1]} -> {seen}")
+        ledger_trace.append(seen)
+        version_counts.append(
+            len(glob.glob(f"{table}/_manifest/v*.json"))
+        )
+        if batch_id in remaining:
+            remaining.discard(batch_id)
+            raise RuntimeError(f"injected crash after batch {batch_id}")
+
+    def points_stream():
+        raw = (
+            spark.readStream.schema("series string, ts long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return with_identity(
+            raw.select(
+                "series",
+                F.create_map().cast("map<string,string>").alias("tags"),
+                "ts",
+                "value",
+            )
+        )
+
+    t0 = time.perf_counter()
+    restarts = 0
+    while True:
+        q = stream_points_sink(
+            points_stream(),
+            table,
+            ck,
+            available_now=True,
+            maintenance_every=args.maintenance_every,
+            maintenance_keep_versions=args.keep_versions,
+            _after_write_hook=hook,
+            _vacuum_min_age=0,
+        )
+        try:
+            q.awaitTermination()
+            break  # drained clean — no crash fired this run
+        except Exception as e:
+            if "injected" not in str(e):
+                raise
+            restarts += 1
+            if restarts > args.crashes + 5:
+                raise RuntimeError("more restarts than injected crashes")
+    t_stream = round(time.perf_counter() - t0, 1)
+    mf.commit = real_commit
+
+    # --- assertion 1: exact multiset equality vs the batch twin -----------
+    twin = (
+        events_points(spark, args.sf_dir)
+        .select(F.col("series").alias("series"), "ts", "value")
+    )
+    twin_groups = twin.groupBy("series", "ts", "value").count()
+    got_groups = (
+        read_points(spark, table).groupBy("series", "ts", "value").count()
+    )
+    diff = (
+        twin_groups.withColumnRenamed("count", "want")
+        .join(
+            got_groups.withColumnRenamed("count", "got"),
+            ["series", "ts", "value"],
+            "full_outer",
+        )
+        .where(
+            F.coalesce(F.col("want"), F.lit(-1))
+            != F.coalesce(F.col("got"), F.lit(-2))
+        )
+    )
+    n_diff = diff.count()
+    got_rows = read_points(spark, table).count()
+
+    # --- assertion 2: bounded manifest versions ---------------------------
+    # steady-state bound: the kept window + at most maintenance_every
+    # commits since the last vacuum (+1 init commit slack)
+    bound = args.keep_versions + args.maintenance_every + 1
+    max_versions = max(version_counts) if version_counts else 0
+
+    # --- assertion 3: orphans reclaimed after a final vacuum --------------
+    mf.vacuum(table, keep_versions=args.keep_versions, min_age_seconds=0)
+    on_disk = set(mf.data_files(table))
+    referenced: set = set()
+    mdir = f"{table}/_manifest"
+    for vf in glob.glob(f"{mdir}/v*.json"):
+        referenced.update(json.load(open(vf))["files"])
+    orphans = sorted(on_disk - referenced)
+
+    # --- assertion 4: ledger monotone, finished at the last batch ---------
+    app = app_id_holder["id"]
+    final_txn = mf.read_txn(table, app)
+
+    result = {
+        "sf_dir": args.sf_dir,
+        "rows": total_rows,
+        "rows_at_latest": got_rows,
+        "chunks": args.chunks,
+        "crashes_injected": args.crashes,
+        "gap_crash_batch_ids": crash_at,
+        "midwrite_crash_batch_ids": midwrite_at,
+        "restarts": restarts,
+        "zero_duplicates_vs_batch_twin": n_diff == 0 and got_rows == total_rows,
+        "multiset_diff_groups": n_diff,
+        "max_manifest_versions": max_versions,
+        "manifest_version_bound": bound,
+        "manifest_versions_bounded": max_versions <= bound,
+        "orphan_files_after_vacuum": len(orphans),
+        "orphans_reclaimed": len(orphans) == 0,
+        "ledger_final_txn": final_txn,
+        "ledger_monotone": not violations and final_txn == args.chunks - 1,
+        "ledger_violations": violations[:5],
+        "maintenance_every": args.maintenance_every,
+        "keep_versions": args.keep_versions,
+        "prep_s": t_prep,
+        "stream_s": t_stream,
+        "rows_per_s": round(total_rows / t_stream, 1) if t_stream else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
