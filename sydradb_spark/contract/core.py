@@ -293,12 +293,35 @@ _q(
     ),
 )
 
+# LTTB oracle geometry (r12 rotation): n/n_out chosen so numpy's
+# linspace(1, n-1, n_out-1) edges are EXACT integers (step = (n-2)/(n_out-2)
+# divides evenly) — the recursive-CTE replay then shares bucket boundaries
+# with the Spark kernel bit-for-bit, and centroid means stay exact-equal
+# because numpy's pairwise summation is sequential below its 128-element
+# block size while list slices here are <=100 elements.
+_LTTB_N = 1002
+_LTTB_NOUT = 12
+_LTTB_W = (_LTTB_N - 2) // (_LTTB_NOUT - 2)  # 100, exact
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+_ANOM_THRESHOLD = 2.5
+
+
 # Round-8 consolidation (frees a slot for `semantic_dedup`): the former
 # `agg_first_last` (§2.4 items 23/24: first/last min_by/max_by on ts +
 # exact percentile, grouped per exact series so ties cannot occur) and
 # `agg_multi_key` (§2.4 item 27: multi-key tag grouping) entries are one
 # labeled union with null-padded columns — both sub-checks stay exact.
+# Round-12 rotation (VERDICT r11 item 5) adds the three beyond-reference
+# time-series profiling ops that were pytest-pinned only: value_histogram
+# ('hist'), anomalies_zscore ('anom'), and LTTB downsampling ('lttb' — the
+# sequential bucket-pick replayed in DuckDB as a recursive CTE).
 def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sydradb_spark.functions.timeseries import (
+        anomalies_zscore,
+        lttb,
+        value_histogram,
+    )
+
     eng = SydraQLEngine(spark, events_points(spark, sf_dir))
     a = eng.query(
         f"select tag.host as host, tag.dc as dc, time_bucket(86400, time) as bucket, "
@@ -312,39 +335,195 @@ def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{r3('sum(value)')} as sum_v, {r6('avg(value)')} as avg_v from events.view "
         f"where time >= {T0} and time < {T1} group by tag.host, tag.dc"
     ).df
+    pts = events_points(spark, sf_dir)
+    in_range = (F.col("ts") >= T0) & (F.col("ts") < T1)
+    # 'hist': fixed-range histogram of purchase values (clamping edge bins)
+    hist = value_histogram(
+        pts.where((F.col("series") == "events.purchase") & in_range),
+        lo=_HIST_LO,
+        hi=_HIST_HI,
+        n_bins=_HIST_BINS,
+    )
+    # 'anom': per-host z-score outliers on the error series
+    anom = anomalies_zscore(
+        pts.where((F.col("series") == "events.error") & in_range).select(
+            F.col("tags")["host"].alias("host"), "ts", "value"
+        ),
+        threshold=_ANOM_THRESHOLD,
+        partition_col="host",
+    )
+    # 'lttb': downsample a deterministic 1002-point click range to 12 picks;
+    # ts is shifted to a small origin for float-stable triangle areas (the
+    # picks' OUTPUT rows still carry the real ts)
+    sub = (
+        pts.where((F.col("series") == "events.click") & in_range)
+        .select(
+            F.lit("events.click").alias("series"),
+            "ts",
+            (F.col("ts") - F.lit(T0)).cast("double").alias("tsn"),
+            "value",
+        )
+        .orderBy("ts", "value")
+        .limit(_LTTB_N)
+    )
+    # the oracle's recursive replay is pinned to the exact 1002-point
+    # geometry (integer bucket edges); at scale factors too small to fill
+    # the window both sides emit an empty 'lttb' part instead
+    if sub.count() == _LTTB_N:
+        picks = lttb(sub, _LTTB_NOUT, partition_col="series", ts_col="tsn")
+    else:
+        picks = sub.limit(0)
+
     dnull = F.lit(None).cast("double")
-    return a.select(
-        F.lit("first_last").alias("variant"),
-        "host",
-        "dc",
-        "bucket",
-        "first_v",
-        "last_v",
-        "p50",
-        "n",
-        dnull.alias("sum_v"),
-        dnull.alias("avg_v"),
-    ).unionByName(
-        b.select(
-            F.lit("multi_key").alias("variant"),
+    lnull = F.lit(None).cast("long")
+    snull = F.lit(None).cast("string")
+    return (
+        a.select(
+            F.lit("first_last").alias("variant"),
             "host",
             "dc",
-            F.lit(None).cast("long").alias("bucket"),
-            dnull.alias("first_v"),
-            dnull.alias("last_v"),
-            dnull.alias("p50"),
+            "bucket",
+            "first_v",
+            "last_v",
+            "p50",
             "n",
-            "sum_v",
-            "avg_v",
+            dnull.alias("sum_v"),
+            dnull.alias("avg_v"),
+        )
+        .unionByName(
+            b.select(
+                F.lit("multi_key").alias("variant"),
+                "host",
+                "dc",
+                F.lit(None).cast("long").alias("bucket"),
+                dnull.alias("first_v"),
+                dnull.alias("last_v"),
+                dnull.alias("p50"),
+                "n",
+                "sum_v",
+                "avg_v",
+            )
+        )
+        .unionByName(
+            hist.select(
+                F.lit("hist").alias("variant"),
+                snull.alias("host"),
+                snull.alias("dc"),
+                F.col("bin").alias("bucket"),
+                F.col("lo").alias("first_v"),
+                F.col("hi").alias("last_v"),
+                dnull.alias("p50"),
+                "n",
+                dnull.alias("sum_v"),
+                dnull.alias("avg_v"),
+            )
+        )
+        .unionByName(
+            anom.select(
+                F.lit("anom").alias("variant"),
+                "host",
+                snull.alias("dc"),
+                F.col("ts").alias("bucket"),
+                F.col("value").alias("first_v"),
+                r6_col(F.col("zscore")).alias("last_v"),
+                dnull.alias("p50"),
+                lnull.alias("n"),
+                dnull.alias("sum_v"),
+                dnull.alias("avg_v"),
+            )
+        )
+        .unionByName(
+            picks.select(
+                F.lit("lttb").alias("variant"),
+                snull.alias("host"),
+                snull.alias("dc"),
+                F.col("ts").alias("bucket"),
+                F.col("value").alias("first_v"),
+                dnull.alias("last_v"),
+                dnull.alias("p50"),
+                lnull.alias("n"),
+                dnull.alias("sum_v"),
+                dnull.alias("avg_v"),
+            )
         )
     )
 
 
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+_LTTB_NE = (
+    f"CASE WHEN b + 2 <= {_LTTB_NOUT - 2} "
+    f"THEN 1 + (b + 2) * {_LTTB_W} ELSE {_LTTB_N} END"
+)
+
 _q(
     "agg_grouped_variants",
     _agg_grouped_variants,
-    oracle(
-        f"""SELECT 'first_last' AS variant, host, dc,
+    # WITH RECURSIVE + the shared points CTE: the 'lttb' variant replays the
+    # sequential bucket-pick (each pick depends on the previous one and the
+    # next bucket's centroid) as a recursive CTE over the bucket index —
+    # DuckDB list positions are 1-based where the kernel's numpy indices are
+    # 0-based, hence the +1 shifts.
+    "WITH RECURSIVE " + POINTS_CTE[len("WITH "):] + f""",
+hist_src AS (
+  SELECT value FROM points
+  WHERE series = 'events.purchase' AND ts >= {T0} AND ts < {T1}
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+hist AS (
+  SELECT least(greatest(CAST(floor((value - {_HIST_LO}) / {_HIST_W}) AS BIGINT), 0),
+               {_HIST_BINS - 1}) AS bin,
+         count(*) AS n
+  FROM hist_src GROUP BY 1
+),
+err AS (
+  SELECT host, ts, value FROM points
+  WHERE series = 'events.error' AND ts >= {T0} AND ts < {T1}
+    AND value IS NOT NULL AND NOT isnan(value)
+),
+astats AS (
+  SELECT host, avg(value) AS mu, stddev_pop(value) AS sd FROM err GROUP BY host
+),
+anom AS (
+  SELECT e.host, e.ts, e.value, round((e.value - mu) / sd, 6) AS z
+  FROM err e JOIN astats USING (host)
+  WHERE sd > 0 AND abs((e.value - mu) / sd) > {_ANOM_THRESHOLD}
+),
+lsub AS (
+  SELECT ts, CAST(ts - {T0} AS DOUBLE) AS tsn, value FROM points
+  WHERE series = 'events.click' AND ts >= {T0} AND ts < {T1}
+  ORDER BY ts, value LIMIT {_LTTB_N}
+),
+arr AS (
+  SELECT list(tsn ORDER BY tsn, value) AS t,
+         list(value ORDER BY tsn, value) AS v,
+         list(ts ORDER BY tsn, value) AS ots
+  FROM lsub
+),
+sel AS (
+  SELECT 0 AS b, 1 AS prev
+  UNION ALL
+  SELECT b + 1, s0 + list_position(areas, list_max(areas))
+  FROM (
+    SELECT b, s0,
+           list_transform(range(s0 + 1, s0 + {_LTTB_W} + 1), i ->
+             abs((t[prev] - cx) * (v[i] - v[prev])
+                 - (t[prev] - t[i]) * (cy - v[prev]))) AS areas
+    FROM (
+      SELECT b, prev, t, v, 1 + b * {_LTTB_W} AS s0,
+             list_avg(t[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cx,
+             list_avg(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cy
+      FROM sel, arr WHERE b < {_LTTB_NOUT - 2}
+    ) q1
+  ) q2
+),
+lpick AS (
+  SELECT ots[prev] AS ts, v[prev] AS value FROM sel, arr
+  WHERE (SELECT count(*) FROM lsub) = {_LTTB_N}
+  UNION ALL
+  SELECT ots[{_LTTB_N}], v[{_LTTB_N}] FROM arr
+  WHERE (SELECT count(*) FROM lsub) = {_LTTB_N}
+)
+SELECT 'first_last' AS variant, host, dc,
        (ts // 86400) * 86400 AS bucket,
        first(value ORDER BY ts, value) AS first_v,
        last(value ORDER BY ts, value) AS last_v,
@@ -356,8 +535,14 @@ UNION ALL
 SELECT 'multi_key', host, dc, NULL, NULL, NULL, NULL,
        count(*), {r3('sum(value)')}, {r6('avg(value)')}
   FROM points
-  WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 2, 3"""
-    ),
+  WHERE series = 'events.view' AND ts >= {T0} AND ts < {T1} GROUP BY 2, 3
+UNION ALL
+SELECT 'hist', NULL, NULL, bin, {_HIST_LO} + bin * {_HIST_W},
+       {_HIST_LO} + (bin + 1) * {_HIST_W}, NULL, n, NULL, NULL FROM hist
+UNION ALL
+SELECT 'anom', host, NULL, ts, value, {r6('z')}, NULL, NULL, NULL, NULL FROM anom
+UNION ALL
+SELECT 'lttb', NULL, NULL, ts, value, NULL, NULL, NULL, NULL, NULL FROM lpick""",
 )
 
 _q(

@@ -141,9 +141,32 @@ JOIN bpe ON bpe.doc_id = toks.doc_id""",
 )
 
 
+# BPE oracle geometry (r12 rotation, VERDICT r11 item 5): a bounded
+# deterministic sub-corpus (first _BPE_DOCS docs by doc_id, text cleaned to
+# lowercase letters) trains _BPE_MERGES classic-BPE merges; DuckDB replays
+# the greedy trainer with one unrolled CTE pair per round — words encoded as
+# '(sym)(sym)...' strings, where a single left-to-right replace() of
+# '(l)(r)'→'(lr)' is EXACTLY the leftmost-nonoverlapping merge rewrite
+# (adjacent matches share no characters, unlike bare delimiters).
+_BPE_DOCS = 40
+_BPE_MERGES = 10
+_BPE_CLEAN_RE = "[^A-Za-z ]+"
+
+
 def _text_lang_quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword-hit heuristic), quality score, and document
-    fingerprint — the three per-doc classifier columns in one pass."""
+    fingerprint — the three per-doc classifier columns in one pass, plus
+    (r12 rotation) the BPE trainer/encoder surface:
+
+    - ``doc``: per-doc lang/quality/fingerprint classifiers;
+    - ``bpe``: the ordered merge table bpe_train_local produces on the
+      bounded sub-corpus (doc_id=rank, lang_guess=left, fp=right) — the
+      oracle replays the greedy trainer round by round;
+    - ``enc``: per-doc token count after bpe_encode with those merges
+      (count in hits_en) — encoding applies the merges in training order,
+      so the oracle derives it from the replayed final word forms."""
+    from sydradb_spark.pipeline import bpe
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     # tokenize-once: lang-ID alone is LANGS+1 token-array consumers and the
@@ -151,7 +174,8 @@ def _text_lang_quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection (see text.quality_columns)
     pre = docs.select("doc_id", t.alias("__t"), text.tokens(t).alias("__toks"))
     tt, toks = F.col("__t"), F.col("__toks")
-    return pre.select(
+    doc_part = pre.select(
+        F.lit("doc").alias("part"),
         "doc_id",
         *[
             text.stopword_hits(tt, lang, toks).cast("long").alias(f"hits_{lang}")
@@ -161,6 +185,109 @@ def _text_lang_quality_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(text.quality_score(tt, toks)).alias("quality"),
         text.fingerprint(tt).alias("fp"),
     )
+
+    cleaned = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_DOCS)
+        .select(
+            "doc_id",
+            F.lower(F.regexp_replace(t, _BPE_CLEAN_RE, " ")).alias("text"),
+        )
+    )
+    merges = bpe.bpe_train_local(cleaned, _BPE_MERGES)
+    lnull = F.lit(None).cast("long")
+    snull = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    pad = {f"hits_{lang}": lnull for lang in text.LANGS}
+    merge_part = spark.createDataFrame(
+        [(i, le, ri) for i, (le, ri) in enumerate(merges)],
+        "rank long, le string, ri string",
+    ).select(
+        F.lit("bpe").alias("part"),
+        F.col("rank").alias("doc_id"),
+        *[pad[f"hits_{lang}"].alias(f"hits_{lang}") for lang in text.LANGS],
+        F.col("le").alias("lang_guess"),
+        dnull.alias("quality"),
+        F.col("ri").alias("fp"),
+    )
+    hits_cols = [f"hits_{lang}" for lang in text.LANGS]
+    enc_part = bpe.bpe_encode(cleaned, merges).select(
+        F.lit("enc").alias("part"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias(hits_cols[0]),
+        *[lnull.alias(c) for c in hits_cols[1:]],
+        snull.alias("lang_guess"),
+        dnull.alias("quality"),
+        snull.alias("fp"),
+    )
+    return doc_part.unionByName(merge_part).unionByName(enc_part)
+
+
+def _bpe_oracle_ctes() -> str:
+    """The greedy-BPE replay: word table → per-round (pair count → argmax
+    with (count desc, pair asc) tie-break and >=2 stop → one replace()
+    rewrite). Each round is one unrolled CTE pair; an exhausted corpus
+    (no pair >= 2) yields an empty b{i} and the LEFT JOIN carries words
+    through unchanged — matching the trainer's early stop."""
+    ctes = [
+        f"""bdocs AS (
+  SELECT doc_id, lower(regexp_replace(text, '{_BPE_CLEAN_RE}', ' ', 'g')) AS tc
+  FROM documents ORDER BY doc_id LIMIT {_BPE_DOCS}
+)""",
+        """bwords AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(tc), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM bdocs
+  ) GROUP BY w
+)""",
+        """w0 AS MATERIALIZED (
+  SELECT w, '(' || array_to_string(string_split(w, ''), ')(') || ')(</w>)' AS s,
+         freq
+  FROM bwords
+)""",
+    ]
+    for i in range(_BPE_MERGES):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT pr, sum(freq) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pr,
+           freq
+    FROM (SELECT string_split(s[2:-2], ')(') AS l, freq FROM w{i})
+  ) GROUP BY pr HAVING sum(freq) >= 2
+),
+b{i} AS MATERIALIZED (
+  SELECT string_split(pr, ' ')[1] AS le, string_split(pr, ' ')[2] AS ri
+  FROM p{i} ORDER BY c DESC, pr LIMIT 1
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT w,
+         CASE WHEN b.le IS NULL THEN s
+              ELSE replace(s, '(' || b.le || ')(' || b.ri || ')',
+                           '(' || b.le || b.ri || ')') END AS s,
+         freq
+  FROM w{i} LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, le, ri FROM b{i}" for i in range(_BPE_MERGES)
+    )
+    ctes.append(f"bmerges AS (\n{ranked}\n)")
+    ctes.append(
+        f"""bencn AS (
+  SELECT b.doc_id, coalesce(s.n, 0) AS n FROM bdocs b LEFT JOIN (
+    SELECT d.doc_id,
+           CAST(sum(len(string_split(wk.s[2:-2], ')('))) AS BIGINT) AS n
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(tc), '\\s+'),
+                                        x -> x <> '')) AS w
+      FROM bdocs
+    ) d JOIN w{_BPE_MERGES} wk ON wk.w = d.w
+    GROUP BY d.doc_id
+  ) s USING (doc_id)
+)"""
+    )
+    return ",\n".join(ctes)
 
 
 def _text_lang_quality_fp_oracle() -> str:
@@ -178,18 +305,32 @@ def _text_lang_quality_fp_oracle() -> str:
         for lang in text.LANGS
     ) + " ELSE 'und' END"
     cols = ", ".join(f"{sql} AS hits_{lang}" for lang, sql in hits.items())
+    hits_list = ", ".join(f"hits_{lang}" for lang in text.LANGS)
+    null_hits = ", ".join(
+        f"CAST(NULL AS BIGINT) AS hits_{lang}" for lang in text.LANGS
+    )
+    enc_hits = ", ".join(
+        ["n AS hits_" + text.LANGS[0]]
+        + [f"CAST(NULL AS BIGINT) AS hits_{lang}" for lang in text.LANGS[1:]]
+    )
     return (
         f"WITH {_TOKS}, h AS (SELECT doc_id, text, {cols},\n"
         f"  CAST(len(tk) AS BIGINT) AS n_tok,\n"
         f"  CASE WHEN len(tk) > 0 THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END AS dr,\n"
         f"  CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk) ELSE 0.0 END AS mwl\n"
-        f"  FROM toks)\n"
-        f"SELECT doc_id, {', '.join(f'hits_{lang}' for lang in text.LANGS)}, "
+        f"  FROM toks),\n"
+        f"{_bpe_oracle_ctes()}\n"
+        f"SELECT 'doc' AS part, doc_id, {hits_list}, "
         f"{case} AS lang_guess,\n"
         f"  {_O}(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) + dr\n"
         f"         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 3.0{_C} AS quality,\n"
         f"  substr(md5(text), 1, 16) AS fp\n"
-        f"FROM h"
+        f"FROM h\n"
+        f"UNION ALL\n"
+        f"SELECT 'bpe', rank, {null_hits}, le, CAST(NULL AS DOUBLE), ri FROM bmerges\n"
+        f"UNION ALL\n"
+        f"SELECT 'enc', doc_id, {enc_hits}, CAST(NULL AS VARCHAR), "
+        f"CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR) FROM bencn"
     )
 
 
