@@ -547,3 +547,91 @@ def test_tag_filter_differential(tag_engine, tag_ddb, case):
                 assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9), (g, w, sydraql)
             else:
                 assert gv == wv, (g, w, sydraql)
+
+
+# --- rollup-served fuzz (r12, VERDICT r11 item 7) ------------------------------
+# r11 widened rollup eligibility (3-arg time_bucket origins ≡ 0 mod step);
+# the fuzzer previously generated against raw scans only. These cases are
+# generated INSIDE the eligibility envelope (aligned bounds, step a multiple
+# of the rollup step, associative aggregates) and each asserts a THREE-way
+# equality — rollup-served engine ≡ raw engine ≡ DuckDB — plus a
+# servedness proof: the same query against an engine whose raw points are
+# EMPTY (but whose rollup is populated) must still return rows, so an
+# eligibility regression that silently falls back to raw cannot pass.
+_RU_AGGS = {
+    "avg": ("avg(value)", "avg(value)"),
+    "sum": ("sum(value)", "sum(value)"),
+    "count": ("count()", "count(*)"),
+    "min": ("min(value)", "min(value)"),
+    "max": ("max(value)", "max(value)"),
+    "first": ("first(value)", "first(value ORDER BY ts, value)"),
+    "last": ("last(value)", "last(value ORDER BY ts, value)"),
+}
+_RU_STEP = 3600  # rollup materialization step
+
+
+def _rollup_cases():
+    rnd = random.Random(47)
+    aligned = [997200, 1000800, 1004400, 1008000]
+    cases = []
+    for k in range(14):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = sorted(rnd.sample(aligned, 2))
+        step = rnd.choice([3600, 7200, 10800])
+        origin = step * rnd.choice([0, 1, -2, 277])  # always ≡ 0 (mod step)
+        bucket_args = (
+            f"{step}, time" if k % 2 == 0 else f"{step}, time, {origin}"
+        )
+        names = rnd.sample(list(_RU_AGGS), rnd.randrange(2, 4))
+        ql_aggs = ", ".join(f"{_RU_AGGS[n][0]} as v_{n}" for n in names)
+        sql_aggs = ", ".join(f"{_RU_AGGS[n][1]} AS v_{n}" for n in names)
+        cases.append(
+            (
+                f"rollup-{s}-{step}-{'orig' if k % 2 else 'plain'}-{a}",
+                f"select time_bucket({bucket_args}) as b, {ql_aggs} from {s} "
+                f"where time >= {a} and time < {b} "
+                f"group by time_bucket({bucket_args})",
+                f"SELECT (ts // {step}) * {step} AS b, {sql_aggs} FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} GROUP BY 1",
+            )
+        )
+    return cases
+
+
+ROLLUP_CASES = _rollup_cases()
+
+
+@pytest.fixture(scope="module")
+def rollup_engines(spark, points):
+    from sydradb_spark import rollup as rl
+    from sydradb_spark.model import POINTS_SCHEMA
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    r = rl.build_rollup(points, step_s=_RU_STEP)
+    served = SydraQLEngine(spark, points, rollup=r, rollup_step=_RU_STEP)
+    raw = SydraQLEngine(spark, points)
+    empty = spark.createDataFrame([], POINTS_SCHEMA)
+    proof = SydraQLEngine(spark, empty, rollup=r, rollup_step=_RU_STEP)
+    return served, raw, proof
+
+
+@pytest.mark.parametrize("case", ROLLUP_CASES, ids=[c[0] for c in ROLLUP_CASES])
+def test_rollup_served_differential(rollup_engines, ddb, case):
+    _, sydraql, sql = case
+    served, raw, proof = rollup_engines
+    got = _canon([list(r) for r in served.query(sydraql).df.collect()])
+    got_raw = _canon([list(r) for r in raw.query(sydraql).df.collect()])
+    want = _canon(ddb.execute(sql).fetchall())
+    assert len(got) == len(got_raw) == len(want), sydraql
+    for g, gr, w in zip(got, got_raw, want):
+        for gv, grv, wv in zip(g, gr, w):
+            if isinstance(wv, float) and gv is not None:
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9), (g, w, sydraql)
+                assert math.isclose(grv, wv, rel_tol=1e-9, abs_tol=1e-9), (gr, w, sydraql)
+            else:
+                assert gv == wv and grv == wv, (g, gr, w, sydraql)
+    # servedness: with empty raw points the rollup must still answer
+    if want:  # only provable when the range has data
+        assert proof.query(sydraql).df.collect(), (
+            "eligible-shape query fell back to the raw path:\n" + sydraql
+        )
