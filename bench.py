@@ -96,7 +96,38 @@ FROZEN_SETS: dict[str, list[str]] = {
         "storage_roundtrip",
         "rollup_served_engine_query",
     ],
-    # the exact r9/r10 20-query headline set
+    # the exact r11+ 20-query headline set AT R11 SCOPE (r11 verdict item 3 /
+    # r12 re-freeze): same names as r09_set_20q, but two members changed
+    # MEANING in r11 — doc_chunking also runs the rotated pack_sequences
+    # oracle part, funnel_retention carries the default-on adaptive
+    # hot-user guard — so the r09 total stopped measuring drift. This set
+    # pins the r11 scope; compare r12+ rounds against THIS subtotal (the
+    # r09 key is carried one transition round for continuity, then drops).
+    "r11_set_20q": [
+        "corpus_curation",
+        "doc_chunking",
+        "scan_range",
+        "agg_bucket_basic",
+        "agg_rate_delta",
+        "agg_irate_integral",
+        "window_moving_avg",
+        "fill_linear",
+        "topk_desc",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "knn_cosine_brute",
+        "ann_lsh_cosine",
+        "near_dup_scores",
+        "text_stats",
+        "storage_roundtrip",
+        "rollup_served_engine_query",
+        "align_asof_ratio",
+        "funnel_retention",
+        "vocab_lm_coverage",
+    ],
+    # the exact r9/r10 20-query headline set (r09 SCOPE — two members
+    # changed meaning in r11, see r11_set_20q; retained one transition
+    # round for cross-round continuity)
     "r09_set_20q": [
         "corpus_curation",
         "doc_chunking",
