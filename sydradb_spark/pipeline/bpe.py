@@ -319,10 +319,31 @@ def bpe_encode(
     from sydradb_spark.pipeline.text import tokens
 
     mlist = list(merges)
+    end = END
 
+    # the UDF body must be SELF-CONTAINED (locals + worker-importable
+    # modules only): referencing the module-level _apply_merges would make
+    # cloudpickle serialize it by module path, and the driver-contract
+    # session's Python workers cannot import sydradb_spark (the repo is on
+    # the DRIVER's sys.path only) — caught by the r12 bare-session check
     @pandas_udf(ArrayType(StringType()))
     def _enc(words: pd.Series) -> pd.Series:
-        return words.map(lambda w: _apply_merges(w, mlist) if w else [END])
+        def apply(word: str) -> list[str]:
+            syms = list(word) + [end]
+            for left, right in mlist:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return words.map(lambda w: apply(w) if w else [end])
 
     from pyspark import StorageLevel
 

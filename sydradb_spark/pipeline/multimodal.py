@@ -37,6 +37,28 @@ from pyspark.sql.types import (
     StructType,
 )
 
+_pickle_by_value_registered = False
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this module's code with UDF closures (same pattern as
+    pipeline.events, r10): the decode kernels reference module-level
+    helpers (_decode_png_pixels, _split_frames, ...) which cloudpickle
+    otherwise serializes BY REFERENCE — working only while the Python
+    worker's sys.path can resolve sydradb_spark (driver cwd == repo root).
+    Registration removes that deployment assumption for every multimodal
+    kernel at once. Guarded process-global side effect, runs once."""
+    global _pickle_by_value_registered
+    if _pickle_by_value_registered:
+        return
+    from pyspark import cloudpickle
+
+    import sydradb_spark.pipeline.multimodal as _mod
+
+    cloudpickle.register_pickle_by_value(_mod)
+    _pickle_by_value_registered = True
+
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -243,6 +265,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             out = pd.DataFrame({"media_id": pdf["media_id"]})
             yield pd.concat([out, feats], axis=1)
 
+    _register_pickle_by_value()
     return media.where(F.col("kind") == "image").mapInPandas(
         run, schema=IMAGE_FEATURES_SCHEMA
     )
@@ -337,6 +360,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    _register_pickle_by_value()
     return media.where(F.col("kind") == "audio").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
@@ -398,6 +422,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
             out["height"] = out["height"].astype("int32")
             yield out
 
+    _register_pickle_by_value()
     return media.where(F.col("kind") == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
@@ -732,6 +757,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                         )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
+    _register_pickle_by_value()
     return media.mapInPandas(run, schema=schema)
 
 
@@ -784,4 +810,5 @@ def extract_keyframes(media: DataFrame) -> DataFrame:
                 # else: opaque — no honest keyframes to emit
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
 
+    _register_pickle_by_value()
     return media.mapInPandas(run, schema=schema)
