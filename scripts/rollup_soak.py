@@ -1,0 +1,238 @@
+"""Streaming-rollup soak: crash replays + LIVE compaction + two apps
+(round 12, proactive follow-through on r11 verdict finding 1 / advice 5).
+
+The rollup sink's exactly-once story (batch-deterministic overwrite targets
+keyed by (app_id, batch_id)) and the r12 compaction lock (batch writes take
+the table flock shared, compact_rollup exclusive) were pinned by unit tests;
+this script is the scale evidence, mirroring `sink_soak.py`:
+
+- replay an events twin through `stream_rollup` in many micro-batches
+  (maxFilesPerTrigger=1) with seeded crash injection in the
+  write→checkpoint-commit gap — each crashed batch is redelivered under the
+  same batch_id and must OVERWRITE its own partial, not double-count;
+- run `compact_rollup` CONCURRENTLY from a maintenance thread while the
+  stream is live — the r12 exclusive/shared flock is what makes this safe;
+  before r12 a batch landing mid-swap was silently lost;
+- feed the same rollup table from a SECOND stream (different checkpoint →
+  different app id) over a disjoint series slice — partials must not
+  clobber across apps (ADVICE r11 medium);
+- assert the folded rollup equals the batch twin built directly from ALL
+  input points: cnt/min/max/first/last exact, sums at 1e-9 relative;
+- assert the table stays compacted: after a final compaction, batch dirs
+  on disk ≤ one live tail per app.
+
+Usage: python scripts/rollup_soak.py [--sf-dir _scratch/sf10] [--chunks 120]
+    [--crashes 8] [--compact-every-s 3.0] [--seed 11]
+Prints ONE JSON line (recorded as SOAK_rollup_*.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import random
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sydradb_spark.rollup import build_rollup  # noqa: E402
+from sydradb_spark.session import get_spark  # noqa: E402
+from sydradb_spark.streaming.rollup_stream import (  # noqa: E402
+    compact_rollup,
+    read_rollup,
+    stream_rollup,
+)
+from sydradb_spark.tables import events_points  # noqa: E402
+
+STEP_S = 3600
+
+
+def prepare_ndjson_chunks(spark, sf_dir: str, src_dir: str, chunks: int, half: int):
+    """Write the twin's events as NDJSON chunk files. half=0 → even
+    series_id hash slice, half=1 → odd (the two streams' disjoint inputs).
+    Returns the slice's points DataFrame (for the batch twin)."""
+    pts = events_points(spark, sf_dir).where(
+        (F.abs(F.xxhash64("series")) % 2) == half
+    )
+    lo, hi = pts.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo + 1) / chunks
+    chunked = pts.withColumn(
+        "chunk",
+        F.least(
+            F.floor((F.col("ts") - F.lit(lo)) / F.lit(span)).cast("int"),
+            F.lit(chunks - 1),
+        ),
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    tmp = f"{src_dir}__tmp"
+    now = time.time()
+    for i in range(chunks):
+        (
+            chunked.where(F.col("chunk") == i)
+            .select(F.to_json(F.struct("series", "ts", "value", "tags")).alias("v"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        part = glob.glob(f"{tmp}/part-*")[0]
+        dst = f"{src_dir}/chunk_{i:04d}.ndjson"
+        shutil.move(part, dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return pts
+
+
+def drive_stream(spark, src, roll, ck, crash_at: set, mft: int) -> int:
+    """Run the stream to drain, restarting through injected crashes.
+    Returns the number of restarts."""
+    remaining = set(crash_at)
+
+    def hook(batch_id: int) -> None:
+        if batch_id in remaining:
+            remaining.discard(batch_id)
+            raise RuntimeError(f"injected crash after rollup batch {batch_id}")
+
+    restarts = 0
+    while True:
+        q = stream_rollup(
+            spark, src, roll, ck, step_s=STEP_S,
+            available_now=True, max_files_per_trigger=mft,
+            _after_write_hook=hook,
+        )
+        try:
+            q.awaitTermination()
+            return restarts
+        except Exception as e:
+            if "injected" not in str(e):
+                raise
+            restarts += 1
+            if restarts > len(crash_at) + 3:
+                raise RuntimeError("more restarts than injected crashes")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="_scratch/sf10")
+    ap.add_argument("--work", default="_scratch/rollup_soak")
+    ap.add_argument("--chunks", type=int, default=120)
+    ap.add_argument("--crashes", type=int, default=8)
+    ap.add_argument("--compact-every-s", type=float, default=3.0)
+    ap.add_argument("--seed", type=int, default=11)
+    args = ap.parse_args()
+    if not os.path.isdir(args.sf_dir):
+        sys.exit(f"{args.sf_dir} missing — scripts/gen_sf.py builds it")
+
+    spark = get_spark("rollup-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(args.work, ignore_errors=True)
+    roll = f"{args.work}/roll"
+
+    t0 = time.perf_counter()
+    pts_a = prepare_ndjson_chunks(
+        spark, args.sf_dir, f"{args.work}/src_a", args.chunks, half=0
+    ).persist()
+    pts_b = prepare_ndjson_chunks(
+        spark, args.sf_dir, f"{args.work}/src_b", max(args.chunks // 4, 2), half=1
+    ).persist()
+    rows_a, rows_b = pts_a.count(), pts_b.count()
+    t_prep = round(time.perf_counter() - t0, 1)
+
+    rng = random.Random(args.seed)
+    crash_at = set(rng.sample(range(args.chunks), args.crashes))
+
+    # live-compaction thread: folds the table on a timer while stream A runs
+    stop = threading.Event()
+    compactions = {"n": 0, "errors": []}
+
+    def maintenance():
+        while not stop.is_set():
+            time.sleep(args.compact_every_s)
+            try:
+                compact_rollup(spark, roll, STEP_S)
+                compactions["n"] += 1
+            except Exception as e:  # a failed fold is a finding, record it
+                compactions["errors"].append(repr(e))
+
+    t0 = time.perf_counter()
+    thread = threading.Thread(target=maintenance, daemon=True)
+    thread.start()
+    restarts = drive_stream(
+        spark, f"{args.work}/src_a", roll, f"{args.work}/ck_a", crash_at, 1
+    )
+    # second app over its disjoint slice, coarser batches, no crashes
+    drive_stream(spark, f"{args.work}/src_b", roll, f"{args.work}/ck_b", set(), 4)
+    stop.set()
+    thread.join()
+    t_stream = round(time.perf_counter() - t0, 1)
+
+    # final offline compaction, then the batch-twin equality check
+    compact_rollup(spark, roll, STEP_S)
+    folded = {
+        (r["series_id"], r["bucket"]): r
+        for r in read_rollup(spark, roll, STEP_S).collect()
+    }
+    twin = {
+        (r["series_id"], r["bucket"]): r
+        for r in build_rollup(pts_a.unionByName(pts_b), step_s=STEP_S).collect()
+    }
+    mismatches = []
+    for key, w in twin.items():
+        g = folded.get(key)
+        if g is None:
+            mismatches.append({"key": list(key), "why": "missing"})
+            continue
+        ok = (
+            g["cnt"] == w["cnt"]
+            and g["min_v"] == w["min_v"]
+            and g["max_v"] == w["max_v"]
+            and g["first_v"] == w["first_v"]
+            and g["last_v"] == w["last_v"]
+            and math.isclose(g["sum_v"], w["sum_v"], rel_tol=1e-9, abs_tol=1e-9)
+        )
+        if not ok:
+            mismatches.append(
+                {"key": list(key), "got": (g["cnt"], g["sum_v"]), "want": (w["cnt"], w["sum_v"])}
+            )
+    extra = [list(k) for k in folded if k not in twin]
+
+    from pathlib import Path
+
+    live_dirs = sorted(p.name for p in Path(roll).glob("b_*") if p.is_dir())
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": args.sf_dir,
+                "rows_app_a": rows_a,
+                "rows_app_b": rows_b,
+                "chunks_a": args.chunks,
+                "crashes_injected": args.crashes,
+                "restarts": restarts,
+                "live_compactions": compactions["n"],
+                "compaction_errors": compactions["errors"][:5],
+                "windows": len(twin),
+                "mismatched_windows": len(mismatches),
+                "extra_windows": len(extra),
+                "equals_batch_twin": not mismatches and not extra,
+                "mismatch_examples": mismatches[:5],
+                "batch_dirs_after_final_compaction": live_dirs,
+                "dirs_bounded": len(live_dirs) <= 2,  # one live tail per app
+                "prep_s": t_prep,
+                "stream_s": t_stream,
+            }
+        )
+    )
+    if mismatches or extra or compactions["errors"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,8 @@ def stream_rollup(
     step_s: int = 3600,
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    _after_write_hook=None,
 ) -> StreamingQuery:
     """Maintain an hourly rollup from an NDJSON point stream. The stream's
     identity (checkpoint-minted app id, ``ingest.resolve_app_id`` — lazy
@@ -125,7 +127,10 @@ def stream_rollup(
     same rollup table gets fresh targets instead of clobbering b_0/b_1/...
     partials."""
     ident = {"app_id": resolve_app_id(checkpoint_dir)}
-    raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
+    reader = spark.readStream.schema(NDJSON_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_dir)
     pts = parse_ndjson(raw).withColumn(
         "__event_time", F.timestamp_seconds(F.col("ts"))
     ).withWatermark("__event_time", watermark)
@@ -137,6 +142,11 @@ def stream_rollup(
             )
         partial = build_rollup(batch.drop("__event_time"), step_s=step_s)
         write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
+        if _after_write_hook is not None:
+            # test seam: after the durable partial write, before Spark's
+            # checkpoint commit (crash injection — same seam as the points
+            # sink, ingest.stream_points_sink)
+            _after_write_hook(batch_id)
 
     writer = pts.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

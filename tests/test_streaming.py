@@ -972,3 +972,36 @@ def test_stream_sink_lazy_spark_metadata_app_id(spark, tmp_path, monkeypatch):
     )["id"]
     assert ingest.spark_checkpoint_metadata_id(spark, "file://" + ck) == meta_id
     assert mf.read_txn(table, meta_id) == 0
+
+
+def test_stream_rollup_crash_replay_converges(spark, tmp_path):
+    """Kill the rollup stream AFTER the durable partial write but BEFORE the
+    checkpoint commit; the restart redelivers the same batch_id and the
+    (app_id, batch_id)-keyed overwrite converges instead of double-counting
+    — the stream-level twin of scripts/rollup_soak.py."""
+    from sydradb_spark.streaming.rollup_stream import read_rollup, stream_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"b{i}.ndjson").write_text(
+            f'{{"series": "s.a", "ts": {100 + i}, "value": 1.0}}\n'
+        )
+    roll, ck = str(tmp_path / "roll"), str(tmp_path / "ck")
+
+    def crash(batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash in rollup write->checkpoint gap")
+
+    q = stream_rollup(
+        spark, str(src), roll, ck, available_now=True,
+        max_files_per_trigger=1, _after_write_hook=crash,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    q2 = stream_rollup(
+        spark, str(src), roll, ck, available_now=True, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    folded = read_rollup(spark, roll, 3600).collect()
+    assert len(folded) == 1 and folded[0]["cnt"] == 3  # batch 1 counted once
