@@ -635,3 +635,40 @@ def test_rollup_served_differential(rollup_engines, ddb, case):
         assert proof.query(sydraql).df.collect(), (
             "eligible-shape query fell back to the raw path:\n" + sydraql
         )
+
+
+# --- 3-arg time_bucket origin fuzz (raw path) ----------------------------------
+# The rollup fuzz above covers origins ≡ 0 (mod step); the GENERAL origin
+# (reference functions.zig:314-324, declared-never-implemented) shifts every
+# bucket boundary by origin mod step and always runs the raw path. DuckDB
+# twin: origin + floor((ts - origin) / step) * step on BIGINTs.
+def _origin_cases():
+    rnd = random.Random(83)
+    cases = []
+    for _ in range(6):
+        s = rnd.choice(list(SERIES_SPAN))
+        a = T0 + rnd.randrange(0, SERIES_SPAN[s])
+        b = a + rnd.randrange(60, SERIES_SPAN[s])
+        step = rnd.choice([90, 600, 1800])
+        origin = rnd.randrange(1, step)  # deliberately NOT ≡ 0 (mod step)
+        cases.append(
+            (
+                f"origin-{s}-{step}-{origin}",
+                f"select time_bucket({step}, time, {origin}) as b, "
+                f"avg(value) as v, count() as c from {s} "
+                f"where time >= {a} and time < {b} "
+                f"group by time_bucket({step}, time, {origin})",
+                f"SELECT {origin} + ((ts - {origin}) // {step}) * {step} AS b, "
+                f"avg(value) AS v, count(*) AS c FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} GROUP BY 1",
+            )
+        )
+    return cases
+
+
+ORIGIN_CASES = _origin_cases()
+
+
+@pytest.mark.parametrize("case", ORIGIN_CASES, ids=[c[0] for c in ORIGIN_CASES])
+def test_origin_bucket_differential(engine, ddb, case):
+    test_differential(engine, ddb, case)
