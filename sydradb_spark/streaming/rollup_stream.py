@@ -80,16 +80,23 @@ class _rollup_lock:
     def __enter__(self):
         import fcntl
 
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._fh = open(self.path, "w")
-        fcntl.flock(self._fh, fcntl.LOCK_EX if self.exclusive else fcntl.LOCK_SH)
+        try:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._fh = open(self.path, "w")
+            fcntl.flock(self._fh, fcntl.LOCK_EX if self.exclusive else fcntl.LOCK_SH)
+        except OSError:
+            # non-POSIX rollup location (s3://...): no flock exists there —
+            # proceed unlocked; the module docstring routes object-store
+            # deployments to manifest-protocol folding instead of this lock
+            self._fh = None
         return self
 
     def __exit__(self, *exc):
         import fcntl
 
-        fcntl.flock(self._fh, fcntl.LOCK_UN)
-        self._fh.close()
+        if self._fh is not None:
+            fcntl.flock(self._fh, fcntl.LOCK_UN)
+            self._fh.close()
         return False
 
 
