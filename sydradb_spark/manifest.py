@@ -338,4 +338,12 @@ def vacuum(
     for tmp in _mdir(path).glob(".*.tmp"):
         if not _young(tmp):
             tmp.unlink(missing_ok=True)
+    # crashed private append staging (a writer died before its renames —
+    # storage.write_points r12); age-guarded like everything else so a
+    # live writer's staging survives a concurrent vacuum
+    import shutil
+
+    for stg in root.glob(".staging-*"):
+        if stg.is_dir() and not _young(stg):
+            shutil.rmtree(stg, ignore_errors=True)
     return sorted(removed)

@@ -62,7 +62,20 @@ def write_points(
     replay path; the commit itself re-checks inside the CAS loop, so a
     replay that staged files but loses the ledger check leaves only
     unreferenced orphans for ``manifest.vacuum`` — LATEST never sees a
-    duplicate row."""
+    duplicate row.
+
+    Appends to a MANIFESTED table stage through a PRIVATE
+    ``.staging-<uuid>/`` dir and rename the part files into the layout
+    before committing (r12): Spark's ``mode("append")`` shares Hadoop's
+    ``_temporary/0`` staging across jobs, so two concurrent appenders to
+    one table destroy each other's in-flight staging when either commits
+    (found by the two-streams-one-table soak test). Private staging makes
+    concurrent appends collision-free, gives the commit the EXACT moved
+    file list instead of a directory-listing diff, and a crash between the
+    renames and the manifest commit leaves only unreferenced orphans —
+    same contract as before. Hidden dot-dirs are invisible to Spark's file
+    index and to ``manifest.data_files``; crashed staging dirs are
+    reclaimed by ``manifest.vacuum``."""
     from sydradb_spark import manifest as mf
 
     # __ns/__tsr/__ssrc are the events-adapter pushdown hints
@@ -82,24 +95,36 @@ def write_points(
         last = mf.read_txn(path, txn[0])
         if last is not None and last >= txn[1]:
             return  # replayed batch — this txn is already durable
-    before = set(mf.data_files(path)) if (manifested and mode == "append") else set()
-    (
+    shaped = (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
         .repartition(_write_tasks(df.sparkSession), F.col("hour_bucket"))
         .sortWithinPartitions("series_id", "ts")
         .write.partitionBy("hour_bucket")
-        .mode(mode)
-        .parquet(path)
     )
-    if mode == "overwrite" or fresh:
-        mf.commit(path, mf.data_files(path), txn=txn)
-    elif manifested:
-        # physical part names are unique, so `new` is correct even under
-        # concurrent appends; merging into LATEST happens under the lock.
-        # `before` is the DIRECTORY listing, so a crashed prior attempt's
-        # orphaned (never-committed) files are excluded from `new`.
-        new = [f for f in mf.data_files(path) if f not in before]
-        mf.commit(path, mutate=lambda old: old + new, txn=txn)
+    if manifested and mode == "append" and not fresh:
+        import uuid
+
+        stage = Path(path) / f".staging-{uuid.uuid4().hex}"
+        try:
+            shaped.mode("overwrite").parquet(str(stage))
+            moved: list[str] = []
+            for f in sorted(stage.glob("hour_bucket=*/*.parquet")):
+                rel = f.relative_to(stage)
+                dst = Path(path) / rel
+                dst.parent.mkdir(exist_ok=True)
+                crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling
+                if crc.exists():
+                    crc.rename(dst.with_name(f".{dst.name}.crc"))
+                f.rename(dst)
+                moved.append(str(rel))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        # an empty batch still commits (txn ledger must record the batch)
+        mf.commit(path, mutate=lambda old: old + moved, txn=txn)
+    else:
+        shaped.mode(mode).parquet(path)
+        if mode == "overwrite" or fresh:
+            mf.commit(path, mf.data_files(path), txn=txn)
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:

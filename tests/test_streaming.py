@@ -1005,3 +1005,48 @@ def test_stream_rollup_crash_replay_converges(spark, tmp_path):
     q2.awaitTermination(120)
     folded = read_rollup(spark, roll, 3600).collect()
     assert len(folded) == 1 and folded[0]["cnt"] == 3  # batch 1 counted once
+
+
+def test_two_streams_append_same_table_concurrently(spark, tmp_path):
+    """Two live streams (distinct checkpoints → distinct app ids) append to
+    ONE points table at the same time: the manifest CAS must lose no
+    appends across the interleaved commits, and each app's txn ledger must
+    advance independently (multi-writer claim of manifest.commit, here
+    exercised through the real streaming sink rather than bare threads)."""
+    from sydradb_spark import manifest as mf
+    from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
+    from sydradb_spark.storage import read_points
+
+    table = str(tmp_path / "tbl")
+    qs = []
+    for app, series, n in (("a", "s.a", 4), ("b", "s.b", 3)):
+        src = tmp_path / f"src_{app}"
+        src.mkdir()
+        for i in range(n):
+            (src / f"f{i}.ndjson").write_text(
+                f'{{"series": "{series}", "ts": {100 + i}, "value": {float(i)}}}\n'
+            )
+        raw = (
+            spark.readStream.schema(NDJSON_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        qs.append(
+            stream_points_sink(
+                parse_ndjson(raw), table, str(tmp_path / f"ck_{app}")
+            )
+        )
+    for q in qs:
+        q.awaitTermination(120)
+    got = read_points(spark, table)
+    assert got.count() == 7  # no lost appends under interleaved commits
+    assert got.where("series = 's.a'").count() == 4
+    assert got.where("series = 's.b'").count() == 3
+    # independent per-app ledgers, both at their last batch id
+    from pathlib import Path
+
+    ids = [
+        (Path(str(tmp_path / f"ck_{app}")) / "_sydra_app_id").read_text().strip()
+        for app in ("a", "b")
+    ]
+    assert mf.read_txn(table, ids[0]) == 3 and mf.read_txn(table, ids[1]) == 2
