@@ -116,6 +116,43 @@ def r3_col(c):
     return rq_col(c, 3)
 
 
+def events_slice(pts: DataFrame, event_type: str, t0: int, t1: int) -> DataFrame:
+    """Series + time-range filter over ``events_points`` output with the
+    REDUNDANT raw-column predicates that actually reach the parquet scan:
+    Catalyst cannot invert the ``'events.' || event_type`` concat or the
+    ns→s timestamp mapping, so filtering the derived ``series``/``ts``
+    columns alone scans every row group. The ``__ssrc``/``__ns``/``__tsr``
+    hint columns (tables.events_points) carry the raw columns through the
+    projection; the extra equalities/bounds here push as
+    ``EqualTo(event_type,...)`` + ts range — same rewrite the sydraQL
+    translator applies, for contract entries that filter the DataFrame
+    directly (r12 explain audit: the hist/anom/lttb variants' scans showed
+    only IsNotNull pushdowns before this)."""
+    from pyspark.sql import functions as F
+
+    cond = (
+        (F.col("series") == f"events.{event_type}")
+        & (F.col("ts") >= t0)
+        & (F.col("ts") < t1)
+    )
+    if "__ssrc" in pts.columns:
+        cond = cond & (F.col("__ssrc") == event_type)
+    if "__ns" in pts.columns:
+        cond = (
+            cond
+            & (F.col("__ns") >= t0 * 1_000_000_000)
+            & (F.col("__ns") < t1 * 1_000_000_000)
+        )
+    elif "__tsr" in pts.columns:
+        tsr_type = dict(pts.dtypes)["__tsr"]
+        cond = (
+            cond
+            & (F.col("__tsr") >= F.timestamp_seconds(F.lit(t0)).cast(tsr_type))
+            & (F.col("__tsr") < F.timestamp_seconds(F.lit(t1)).cast(tsr_type))
+        )
+    return pts.where(cond)
+
+
 def ql(*statements: str):
     """queries() entry: run sydraQL statements in order, return the last DF."""
 

@@ -23,6 +23,7 @@ from sydradb_spark.contract.base import (
     POINTS_CTE,
     T0,
     T1,
+    events_slice,
     oracle,
     ql,
     r3,
@@ -336,17 +337,18 @@ def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"where time >= {T0} and time < {T1} group by tag.host, tag.dc"
     ).df
     pts = events_points(spark, sf_dir)
-    in_range = (F.col("ts") >= T0) & (F.col("ts") < T1)
+    # events_slice adds the redundant raw-column predicates so the filters
+    # below reach the parquet scan as PushedFilters (r12 explain audit)
     # 'hist': fixed-range histogram of purchase values (clamping edge bins)
     hist = value_histogram(
-        pts.where((F.col("series") == "events.purchase") & in_range),
+        events_slice(pts, "purchase", T0, T1),
         lo=_HIST_LO,
         hi=_HIST_HI,
         n_bins=_HIST_BINS,
     )
     # 'anom': per-host z-score outliers on the error series
     anom = anomalies_zscore(
-        pts.where((F.col("series") == "events.error") & in_range).select(
+        events_slice(pts, "error", T0, T1).select(
             F.col("tags")["host"].alias("host"), "ts", "value"
         ),
         threshold=_ANOM_THRESHOLD,
@@ -356,7 +358,7 @@ def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ts is shifted to a small origin for float-stable triangle areas (the
     # picks' OUTPUT rows still carry the real ts)
     sub = (
-        pts.where((F.col("series") == "events.click") & in_range)
+        events_slice(pts, "click", T0, T1)
         .select(
             F.lit("events.click").alias("series"),
             "ts",

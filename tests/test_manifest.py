@@ -623,3 +623,41 @@ def test_write_points_txn_overwrite_replay_is_noop(spark, points, table):
     storage.write_points(points.limit(2), table, mode="overwrite", txn=("ck", 8))
     assert storage.read_points(spark, table).count() == 2
     assert mf.read_txn(table, "ck") == 8
+
+
+def test_write_points_concurrent_appenders_thread_race(spark, points, table):
+    """Two real threads append to ONE manifested table simultaneously,
+    several rounds each: private staging means neither tramples the
+    other's in-flight job files (shared _temporary/0 did, pre-r12), and
+    the manifest CAS merges every commit — total rows and the LATEST file
+    list must account for every append exactly once."""
+    import threading
+
+    n0 = storage.read_points(spark, table).count()
+    rounds, per_batch = 3, 5
+    errors: list = []
+
+    def appender(app: str) -> None:
+        try:
+            for i in range(rounds):
+                storage.write_points(
+                    points.limit(per_batch), table, mode="append", txn=(app, i)
+                )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=appender, args=(f"app{k}",)) for k in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    expect = n0 + 2 * rounds * per_batch
+    assert storage.read_points(spark, table).count() == expect
+    # LATEST references exactly the files on disk (no stranded staging)
+    assert sorted(mf.read_files(table)) == mf.data_files(table)
+    assert mf.read_txn(table, "app0") == rounds - 1
+    assert mf.read_txn(table, "app1") == rounds - 1
+    from pathlib import Path
+
+    assert not list(Path(table).glob(".staging-*"))

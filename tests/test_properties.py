@@ -457,3 +457,39 @@ def test_manifest_txn_protocol_model(tmp_path_factory, ops):
             assert sorted(mf.read_files(path)) == sorted(model_files)
             for a, v in model_txn.items():
                 assert mf.read_txn(path, a) == v
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            st.integers(min_value=2, max_value=100),
+        ),
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(deadline=None, max_examples=200)
+def test_select_disjoint_batch_is_non_interfering(cands, m):
+    """Property (ADVICE r11 low, generalized): within a selected batch, no
+    pair's symbol equals another pair's symbol OR concatenated output, and
+    no output collides with another output — so the single sequential
+    rewrite pass cannot chain one taken merge into another."""
+    from sydradb_spark.pipeline.bpe import _select_disjoint
+
+    rows = sorted(
+        ((f"{left} {right}", c) for left, right, c in cands),
+        key=lambda r: (-r[1], r[0]),
+    )
+    taken = _select_disjoint(rows, m)
+    assert len(taken) <= m
+    syms: set = set()
+    outs: set = set()
+    for left, right in taken:
+        out = left + right
+        assert left not in syms and right not in syms
+        assert left not in outs and right not in outs
+        assert out not in syms and out not in outs
+        syms.update((left, right))
+        outs.add(out)
