@@ -116,7 +116,9 @@ def r3_col(c):
     return rq_col(c, 3)
 
 
-def events_slice(pts: DataFrame, event_type: str, t0: int, t1: int) -> DataFrame:
+def events_slice(
+    pts: DataFrame, event_type: str, t0: int | None, t1: int | None
+) -> DataFrame:
     """Series + time-range filter over ``events_points`` output with the
     REDUNDANT raw-column predicates that actually reach the parquet scan:
     Catalyst cannot invert the ``'events.' || event_type`` concat or the
@@ -130,26 +132,41 @@ def events_slice(pts: DataFrame, event_type: str, t0: int, t1: int) -> DataFrame
     only IsNotNull pushdowns before this)."""
     from pyspark.sql import functions as F
 
-    cond = (
-        (F.col("series") == f"events.{event_type}")
-        & (F.col("ts") >= t0)
-        & (F.col("ts") < t1)
-    )
+    cond = F.col("series") == f"events.{event_type}"
     if "__ssrc" in pts.columns:
         cond = cond & (F.col("__ssrc") == event_type)
+    return events_time_slice(pts, t0, t1).where(cond)
+
+
+def events_time_slice(
+    pts: DataFrame, t0: int | None, t1: int | None
+) -> DataFrame:
+    """Time-range half of ``events_slice`` (for feeds that span several
+    series): bounds on the derived ``ts`` PLUS the redundant raw-column
+    bounds (``__ns`` long-nanos / ``__tsr`` timestamp) that actually push
+    to the parquet scan."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    if t0 is not None:
+        cond = cond & (F.col("ts") >= t0)
+    if t1 is not None:
+        cond = cond & (F.col("ts") < t1)
     if "__ns" in pts.columns:
-        cond = (
-            cond
-            & (F.col("__ns") >= t0 * 1_000_000_000)
-            & (F.col("__ns") < t1 * 1_000_000_000)
-        )
+        if t0 is not None:
+            cond = cond & (F.col("__ns") >= t0 * 1_000_000_000)
+        if t1 is not None:
+            cond = cond & (F.col("__ns") < t1 * 1_000_000_000)
     elif "__tsr" in pts.columns:
         tsr_type = dict(pts.dtypes)["__tsr"]
-        cond = (
-            cond
-            & (F.col("__tsr") >= F.timestamp_seconds(F.lit(t0)).cast(tsr_type))
-            & (F.col("__tsr") < F.timestamp_seconds(F.lit(t1)).cast(tsr_type))
-        )
+        if t0 is not None:
+            cond = cond & (
+                F.col("__tsr") >= F.timestamp_seconds(F.lit(t0)).cast(tsr_type)
+            )
+        if t1 is not None:
+            cond = cond & (
+                F.col("__tsr") < F.timestamp_seconds(F.lit(t1)).cast(tsr_type)
+            )
     return pts.where(cond)
 
 

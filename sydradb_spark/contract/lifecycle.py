@@ -20,6 +20,7 @@ from sydradb_spark.contract.base import (
     MID,
     T0,
     T1,
+    events_time_slice,
     oracle,
     r3,
     r3_col,
@@ -480,9 +481,9 @@ def _align_asof_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sydradb_spark.functions.align import aligned_ratio, asof_join
 
-    pts = events_points(spark, sf_dir).where(
-        (F.col("ts") >= T0) & (F.col("ts") < T1)
-    )
+    # events_time_slice adds the raw-column bounds that reach the scan as
+    # PushedFilters (r12 explain audit — derived-ts bounds alone don't)
+    pts = events_time_slice(events_points(spark, sf_dir), T0, T1)
     rat = aligned_ratio(pts, "events.click", "events.view", step_s=86400).select(
         F.lit("ratio").alias("part"),
         F.col("bucket").alias("t"),
