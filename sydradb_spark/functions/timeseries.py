@@ -255,11 +255,19 @@ def lttb(
         edges = np.linspace(1, n - 1, n_out - 1).astype(int)
         keep = [0]
         prev = 0
+        def _seq_mean(a: np.ndarray) -> float:
+            # strict left-to-right summation: cumsum's last prefix is by
+            # construction the sequential fold, unlike ndarray.mean's
+            # 8-way-unrolled pairwise sum (ADVICE r12) — this makes the
+            # centroid bit-reproducible against any engine that folds
+            # left-to-right (the DuckDB oracle twin uses list_reduce)
+            return float(np.cumsum(a)[-1]) / len(a)
+
         for b in range(n_out - 2):
             s, e = edges[b], edges[b + 1]
             nxt_s, nxt_e = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
-            cx = t[nxt_s:nxt_e].mean() if nxt_e > nxt_s else t[e - 1]
-            cy = v[nxt_s:nxt_e].mean() if nxt_e > nxt_s else v[e - 1]
+            cx = _seq_mean(t[nxt_s:nxt_e]) if nxt_e > nxt_s else t[e - 1]
+            cy = _seq_mean(v[nxt_s:nxt_e]) if nxt_e > nxt_s else v[e - 1]
             area = np.abs(
                 (t[prev] - cx) * (v[s:e] - v[prev]) - (t[prev] - t[s:e]) * (cy - v[prev])
             )

@@ -51,6 +51,30 @@ def _mdir(path: str) -> Path:
     return Path(path) / MANIFEST_DIR
 
 
+def _tree_mtime(root: Path) -> float:
+    """Newest mtime anywhere inside ``root`` (the dir itself included).
+    A long-running Spark write into a staging tree advances only LEAF
+    mtimes — judging liveness by the root dir's own mtime would let a
+    vacuum rmtree a live writer's staging mid-write (ADVICE r12). Missing
+    entries (racing their creator/deleter) count as 'now' = maximally
+    young, so races always err toward keeping."""
+    import time
+
+    newest = 0.0
+    try:
+        newest = root.stat().st_mtime
+        for p in root.rglob("*"):
+            try:
+                m = p.stat().st_mtime
+            except FileNotFoundError:
+                return time.time()
+            if m > newest:
+                newest = m
+    except FileNotFoundError:
+        return time.time()
+    return newest
+
+
 def has_manifest(path: str) -> bool:
     mdir = _mdir(path)
     return (mdir / "LATEST").exists() or any(mdir.glob("v*.json"))
@@ -339,11 +363,13 @@ def vacuum(
         if not _young(tmp):
             tmp.unlink(missing_ok=True)
     # crashed private append staging (a writer died before its renames —
-    # storage.write_points r12); age-guarded like everything else so a
-    # live writer's staging survives a concurrent vacuum
+    # storage.write_points r12); age-guarded by the NEWEST mtime within the
+    # staging tree, not the root dir's own mtime — during a long Spark
+    # write only leaf mtimes advance, and an append outliving the window
+    # must not have its live staging reclaimed mid-write (ADVICE r12)
     import shutil
 
     for stg in root.glob(".staging-*"):
-        if stg.is_dir() and not _young(stg):
+        if stg.is_dir() and now - _tree_mtime(stg) >= min_age_seconds:
             shutil.rmtree(stg, ignore_errors=True)
     return sorted(removed)

@@ -661,3 +661,33 @@ def test_write_points_concurrent_appenders_thread_race(spark, points, table):
     from pathlib import Path
 
     assert not list(Path(table).glob(".staging-*"))
+
+
+def test_vacuum_spares_staging_with_fresh_leaves(tmp_path):
+    """ADVICE r12: a long-running append's staging dir has a STALE root
+    mtime (only leaf mtimes advance as Spark writes part files); vacuum
+    must judge liveness by the newest mtime anywhere in the tree, or it
+    rmtrees a live writer's staging mid-write."""
+    import os
+    import time
+
+    from sydradb_spark import manifest as mf
+
+    table = tmp_path / "tbl"
+    (table / "_manifest").mkdir(parents=True)
+    mf.commit(str(table), [])
+    old = time.time() - 7200
+    # crashed staging: root AND leaves old → reclaimed
+    dead = table / ".staging-dead"
+    dead.mkdir()
+    (dead / "part-0.parquet").write_bytes(b"x")
+    os.utime(dead / "part-0.parquet", (old, old))
+    os.utime(dead, (old, old))
+    # live staging: old root dir, but a part file written JUST NOW
+    live = table / ".staging-live"
+    live.mkdir()
+    (live / "part-0.parquet").write_bytes(b"x")
+    os.utime(live, (old, old))
+    mf.vacuum(str(table), min_age_seconds=600)
+    assert not dead.exists()
+    assert live.exists()  # fresh leaf kept the whole tree alive

@@ -1,0 +1,254 @@
+"""Manifest-protocol rollup folding (VERDICT r12 item 1): lock-free batch
+writes + compaction over the versioned-manifest CAS, safe on object stores
+where the flock path of `compact_rollup` has no primitive to stand on.
+
+Every test runs against BOTH manifest backends: the local POSIX protocol
+(`manifest.commit_cas`, store=None) and the object-store protocol
+(`objectstore.commit_cas` over MemoryObjectStore — conditional-PUT
+semantics, no filesystem atomicity anywhere in the commit path)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from sydradb_spark import objectstore as obs
+from sydradb_spark.rollup import build_rollup
+from sydradb_spark.streaming.rollup_stream import (
+    STORE_TABLE,
+    compact_rollup_manifested,
+    read_rollup_manifested,
+    stream_rollup,
+    vacuum_rollup,
+    write_rollup_batch_manifested,
+)
+
+
+def _mini_partial(spark, series: str, n: int):
+    pts = spark.createDataFrame(
+        [(series, 100 + i, 1.0) for i in range(n)],
+        "series string, ts long, value double",
+    ).selectExpr(
+        "xxhash64(series) as series_id", "series",
+        "map() as tags", "ts", "value",
+        "cast(floor(ts/3600)*3600 as long) as hour_bucket",
+    )
+    return build_rollup(pts, step_s=3600)
+
+
+@pytest.fixture(params=["local", "store"])
+def backend(request):
+    """store=None → local manifest CAS; else the object-store protocol."""
+    if request.param == "local":
+        return lambda: None
+    return lambda: obs.MemoryObjectStore()
+
+
+def _manifest_names(roll: str, store) -> list[str]:
+    from sydradb_spark.streaming.rollup_stream import _mf_files
+
+    return sorted(_mf_files(roll, store) or [])
+
+
+def test_manifested_write_and_read(spark, tmp_path, backend):
+    store = backend()
+    roll = str(tmp_path / "roll")
+    v1 = write_rollup_batch_manifested(
+        _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
+    )
+    v2 = write_rollup_batch_manifested(
+        _mini_partial(spark, "s.b", 3), roll, 0, "stream-two", store=store
+    )
+    assert (v1, v2) == (1, 2)
+    folded = {
+        r["series"]: r for r in read_rollup_manifested(spark, roll, 3600, store).collect()
+    }
+    assert folded["s.a"]["cnt"] == 2 and folded["s.b"]["cnt"] == 3
+    # a replay is a txn no-op at the manifest level AND converges on disk
+    assert (
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.b", 3), roll, 0, "stream-two", store=store
+        )
+        is None
+    )
+    folded = {
+        r["series"]: r for r in read_rollup_manifested(spark, roll, 3600, store).collect()
+    }
+    assert folded["s.b"]["cnt"] == 3  # not 6
+
+
+def test_manifested_compaction_folds_and_keeps_tails(spark, tmp_path, backend):
+    store = backend()
+    roll = str(tmp_path / "roll")
+    for app, series in (("stream-one", "s.a"), ("stream-two", "s.b")):
+        for b in (0, 1):
+            write_rollup_batch_manifested(
+                _mini_partial(spark, series, 2), roll, b, app, store=store
+            )
+    assert compact_rollup_manifested(spark, roll, 3600, store) is not None
+    names = _manifest_names(roll, store)
+    batches = [n for n in names if n.startswith("b_")]
+    compacted = [n for n in names if n.startswith("c_")]
+    # each app's newest batch rides through unfolded; older ones are folded
+    assert batches == [
+        "b_stream-one_000000000001",
+        "b_stream-two_000000000001",
+    ]
+    assert len(compacted) == 1
+    folded = {
+        r["series"]: r for r in read_rollup_manifested(spark, roll, 3600, store).collect()
+    }
+    assert folded["s.a"]["cnt"] == 4 and folded["s.b"]["cnt"] == 4
+    # post-compaction replay of each app's live tail still converges
+    write_rollup_batch_manifested(
+        _mini_partial(spark, "s.a", 2), roll, 1, "stream-one", store=store
+    )
+    folded = {
+        r["series"]: r for r in read_rollup_manifested(spark, roll, 3600, store).collect()
+    }
+    assert folded["s.a"]["cnt"] == 4
+
+
+def test_manifested_batch_mid_fold_not_lost(spark, tmp_path, backend):
+    """THE object-store race the flock used to close: a batch committed
+    between compaction's manifest read and its commit must land in the new
+    version, not vanish with the fold. No locks — the CAS mutate removes
+    only the exact entries the fold read, so the mid-fold entry rides
+    through."""
+    store = backend()
+    roll = str(tmp_path / "roll")
+    for b in (0, 1):
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 2), roll, b, "stream-one", store=store
+        )
+    late = _mini_partial(spark, "s.a", 5)
+
+    def mid_fold():
+        write_rollup_batch_manifested(late, roll, 2, "stream-one", store=store)
+
+    assert (
+        compact_rollup_manifested(spark, roll, 3600, store, _pre_commit_hook=mid_fold)
+        is not None
+    )
+    names = _manifest_names(roll, store)
+    assert "b_stream-one_000000000002" in names  # the mid-fold batch survived
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 2 + 2 + 5
+
+
+def test_manifested_concurrent_fold_aborts(spark, tmp_path, backend):
+    """Two compactions racing over the same sources must not double-count:
+    the loser's mutate sees its folded sources already removed, aborts the
+    commit, and reclaims its own orphaned output."""
+    store = backend()
+    roll = str(tmp_path / "roll")
+    for b in (0, 1, 2):
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 2), roll, b, "stream-one", store=store
+        )
+
+    def competing_fold():
+        # a full competing compaction commits FIRST
+        assert compact_rollup_manifested(spark, roll, 3600, store) is not None
+
+    assert (
+        compact_rollup_manifested(
+            spark, roll, 3600, store, _pre_commit_hook=competing_fold
+        )
+        is None  # loser detects the conflict and aborts
+    )
+    names = _manifest_names(roll, store)
+    assert len([n for n in names if n.startswith("c_")]) == 1
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 6  # three batches, once each
+    # the loser's orphaned c_ dir is gone from disk
+    on_disk = {p.name for p in pathlib.Path(roll).glob("c_*")}
+    assert on_disk == {n for n in names if n.startswith("c_")}
+
+
+def test_manifested_replay_after_fold_never_resurfaces(spark, tmp_path, backend):
+    """A batch dir recreated AFTER compaction folded it away (replay of a
+    non-tail batch — can't happen live, but the guarantee is belt-and-
+    braces): the txn ledger makes its manifest commit a no-op, so readers
+    never double-count; vacuum reclaims the orphan dir."""
+    store = backend()
+    roll = str(tmp_path / "roll")
+    for b in (0, 1):
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 2), roll, b, "stream-one", store=store
+        )
+    compact_rollup_manifested(spark, roll, 3600, store)  # folds batch 0
+    assert "b_stream-one_000000000000" not in _manifest_names(roll, store)
+    # replay batch 0: dir is recreated on disk, manifest commit is a no-op
+    assert (
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
+        )
+        is None
+    )
+    assert "b_stream-one_000000000000" not in _manifest_names(roll, store)
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 4  # batches 0+1 exactly once
+    removed = vacuum_rollup(roll, store, keep_versions=1, min_age_seconds=0)
+    assert "b_stream-one_000000000000" in removed
+    assert not (pathlib.Path(roll) / "b_stream-one_000000000000").exists()
+    # referenced entries survive the vacuum
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 4
+
+
+def test_manifested_vacuum_age_guard(spark, tmp_path, backend):
+    """An unreferenced dir younger than the window is kept (it may be a
+    live writer's target whose manifest commit hasn't landed yet)."""
+    store = backend()
+    roll = str(tmp_path / "roll")
+    write_rollup_batch_manifested(
+        _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
+    )
+    # an on-disk dir with NO manifest entry (simulates crash between the
+    # parquet write and the manifest commit)
+    _mini_partial(spark, "s.a", 3).write.mode("overwrite").parquet(
+        f"{roll}/b_stream-two_000000000000"
+    )
+    assert vacuum_rollup(roll, store, min_age_seconds=3600) == []
+    assert vacuum_rollup(roll, store, keep_versions=1, min_age_seconds=0) == [
+        "b_stream-two_000000000000"
+    ]
+
+
+def test_stream_rollup_manifest_commit_end_to_end(spark, tmp_path, backend):
+    """The streaming sink in manifest_commit mode: every micro-batch write
+    is followed by a txn-ledgered manifest commit; the manifested reader
+    sees exactly the committed batches and compaction works mid-stream."""
+    store = backend()
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text(
+        '{"series": "s.a", "ts": 100, "value": 1.0}\n'
+        '{"series": "s.a", "ts": 200, "value": 3.0}\n'
+    )
+    roll = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+    q = stream_rollup(
+        spark, str(src), roll, ck, manifest_commit=True, store=store
+    )
+    q.awaitTermination(60)
+    (src / "b2.ndjson").write_text('{"series": "s.a", "ts": 150, "value": 7.0}\n')
+    q2 = stream_rollup(
+        spark, str(src), roll, ck, manifest_commit=True, store=store
+    )
+    q2.awaitTermination(60)
+    compact_rollup_manifested(spark, roll, 3600, store)
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert len(folded) == 1
+    assert folded[0]["cnt"] == 3 and folded[0]["sum_v"] == pytest.approx(11.0)
+    names = _manifest_names(roll, store)
+    assert len([n for n in names if n.startswith("b_")]) == 1  # one live tail
+
+
+def test_store_table_key_is_scoped(tmp_path):
+    """The objectstore manifest lives under the fixed STORE_TABLE key —
+    callers scope the store to one rollup table (mint_app_id's contract)."""
+    store = obs.MemoryObjectStore()
+    assert obs.latest_version(store, STORE_TABLE) is None

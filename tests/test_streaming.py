@@ -1050,3 +1050,40 @@ def test_two_streams_append_same_table_concurrently(spark, tmp_path):
         for app in ("a", "b")
     ]
     assert mf.read_txn(table, ids[0]) == 3 and mf.read_txn(table, ids[1]) == 2
+
+
+def test_rollup_lock_skips_non_posix_uri(tmp_path, monkeypatch):
+    """ADVICE r12: Path('s3://b/tbl.lock') silently becomes the RELATIVE
+    local path 's3:/b/tbl.lock', so the old OSError-based degrade never
+    fired — mkdir/flock succeeded on a stray cwd-local file. The lock now
+    guards by URI scheme: non-POSIX locations get an explicit no-op (their
+    serialization is the manifested fold), and no local droppings appear."""
+    from sydradb_spark.streaming.rollup_stream import _rollup_lock
+
+    monkeypatch.chdir(tmp_path)
+    with _rollup_lock("s3://bucket/tbl", exclusive=True) as lk:
+        assert lk._fh is None  # explicit no-op, not an accidental local lock
+    assert not (tmp_path / "s3:").exists()  # no stray 's3:/' directory
+    # local paths (plain and file://) still take the real flock
+    with _rollup_lock(str(tmp_path / "tbl"), exclusive=False) as lk:
+        assert lk._fh is not None
+    assert (tmp_path / "tbl.lock").exists()
+
+
+def test_stream_rollup_raises_on_unresolvable_app_id(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the rollup sink must mirror stream_points_sink and FAIL
+    when the lazy app-id resolution yields None, instead of silently keying
+    batch dirs 'b_None_<batch>' (which two streams/resets would clobber)."""
+    from sydradb_spark.streaming import rollup_stream as rs
+
+    monkeypatch.setattr(rs, "resolve_app_id", lambda *a, **k: None)
+    monkeypatch.setattr(rs, "spark_checkpoint_metadata_id", lambda *a, **k: None)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.ndjson").write_text('{"series": "s.a", "ts": 100, "value": 1.0}\n')
+    q = rs.stream_rollup(
+        spark, str(src), str(tmp_path / "roll"), str(tmp_path / "ck")
+    )
+    with pytest.raises(Exception, match="no app identity resolvable"):
+        q.awaitTermination(60)
+    assert not list((tmp_path / "roll").glob("b_None_*"))
