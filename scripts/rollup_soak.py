@@ -22,8 +22,21 @@ this script is the scale evidence, mirroring `sink_soak.py`:
   on disk ≤ one live tail per app.
 
 Usage: python scripts/rollup_soak.py [--sf-dir _scratch/sf10] [--chunks 120]
-    [--crashes 8] [--compact-every-s 3.0] [--seed 11]
-Prints ONE JSON line (recorded as SOAK_rollup_*.json).
+    [--crashes 8] [--compact-every-s 3.0] [--seed 11] [--backend flock]
+Prints ONE JSON line (recorded as SOAK_rollup_*.json); exits 1 on any
+broken assertion.
+
+``--backend`` (round 13, r12 verdict item 1) selects the write/compact
+serialization under soak:
+
+- ``flock``      — the r12 shared/exclusive advisory lock (POSIX only);
+- ``manifested`` — the lock-free manifest-CAS protocol (local manifest);
+- ``store``      — the same protocol with the manifest in an object store
+                   (LocalFSObjectStore — conditional-PUT commit point, NO
+                   flock anywhere), i.e. the s3:// deployment shape whose
+                   serialization the flock backend silently lacked.
+Both manifested backends run live compaction AND a periodic vacuum thread
+against the streaming writes, crash-replaying through it all.
 """
 
 from __future__ import annotations
@@ -43,12 +56,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from sydradb_spark.objectstore import LocalFSObjectStore  # noqa: E402
 from sydradb_spark.rollup import build_rollup  # noqa: E402
 from sydradb_spark.session import get_spark  # noqa: E402
 from sydradb_spark.streaming.rollup_stream import (  # noqa: E402
     compact_rollup,
+    compact_rollup_manifested,
     read_rollup,
+    read_rollup_manifested,
     stream_rollup,
+    vacuum_rollup,
 )
 from sydradb_spark.tables import events_points  # noqa: E402
 
@@ -90,7 +107,9 @@ def prepare_ndjson_chunks(spark, sf_dir: str, src_dir: str, chunks: int, half: i
     return pts
 
 
-def drive_stream(spark, src, roll, ck, crash_at: set, mft: int) -> int:
+def drive_stream(
+    spark, src, roll, ck, crash_at: set, mft: int, manifested=False, store=None
+) -> int:
     """Run the stream to drain, restarting through injected crashes.
     Returns the number of restarts."""
     remaining = set(crash_at)
@@ -105,6 +124,7 @@ def drive_stream(spark, src, roll, ck, crash_at: set, mft: int) -> int:
         q = stream_rollup(
             spark, src, roll, ck, step_s=STEP_S,
             available_now=True, max_files_per_trigger=mft,
+            manifest_commit=manifested, store=store,
             _after_write_hook=hook,
         )
         try:
@@ -126,6 +146,9 @@ def main() -> None:
     ap.add_argument("--crashes", type=int, default=8)
     ap.add_argument("--compact-every-s", type=float, default=3.0)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument(
+        "--backend", choices=["flock", "manifested", "store"], default="flock"
+    )
     args = ap.parse_args()
     if not os.path.isdir(args.sf_dir):
         sys.exit(f"{args.sf_dir} missing — scripts/gen_sf.py builds it")
@@ -134,6 +157,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(args.work, ignore_errors=True)
     roll = f"{args.work}/roll"
+    manifested = args.backend != "flock"
+    store = LocalFSObjectStore(f"{args.work}/store") if args.backend == "store" else None
+
+    def compact_once():
+        if manifested:
+            compact_rollup_manifested(spark, roll, STEP_S, store)
+        else:
+            compact_rollup(spark, roll, STEP_S)
+
+    def read_folded():
+        if manifested:
+            return read_rollup_manifested(spark, roll, STEP_S, store)
+        return read_rollup(spark, roll, STEP_S)
 
     t0 = time.perf_counter()
     pts_a = prepare_ndjson_chunks(
@@ -148,16 +184,21 @@ def main() -> None:
     rng = random.Random(args.seed)
     crash_at = set(rng.sample(range(args.chunks), args.crashes))
 
-    # live-compaction thread: folds the table on a timer while stream A runs
+    # live-compaction thread: folds the table on a timer while stream A
+    # runs; manifested backends also vacuum live (age-windowed — a dir
+    # between its parquet write and its manifest commit must survive)
     stop = threading.Event()
-    compactions = {"n": 0, "errors": []}
+    compactions = {"n": 0, "vacuums": 0, "errors": []}
 
     def maintenance():
         while not stop.is_set():
             time.sleep(args.compact_every_s)
             try:
-                compact_rollup(spark, roll, STEP_S)
+                compact_once()
                 compactions["n"] += 1
+                if manifested and compactions["n"] % 3 == 0:
+                    vacuum_rollup(roll, store, keep_versions=4, min_age_seconds=600)
+                    compactions["vacuums"] += 1
             except Exception as e:  # a failed fold is a finding, record it
                 compactions["errors"].append(repr(e))
 
@@ -165,19 +206,23 @@ def main() -> None:
     thread = threading.Thread(target=maintenance, daemon=True)
     thread.start()
     restarts = drive_stream(
-        spark, f"{args.work}/src_a", roll, f"{args.work}/ck_a", crash_at, 1
+        spark, f"{args.work}/src_a", roll, f"{args.work}/ck_a", crash_at, 1,
+        manifested, store,
     )
     # second app over its disjoint slice, coarser batches, no crashes
-    drive_stream(spark, f"{args.work}/src_b", roll, f"{args.work}/ck_b", set(), 4)
+    drive_stream(
+        spark, f"{args.work}/src_b", roll, f"{args.work}/ck_b", set(), 4,
+        manifested, store,
+    )
     stop.set()
     thread.join()
     t_stream = round(time.perf_counter() - t0, 1)
 
     # final offline compaction, then the batch-twin equality check
-    compact_rollup(spark, roll, STEP_S)
+    compact_once()
     folded = {
         (r["series_id"], r["bucket"]): r
-        for r in read_rollup(spark, roll, STEP_S).collect()
+        for r in read_folded().collect()
     }
     twin = {
         (r["series_id"], r["bucket"]): r
@@ -205,12 +250,33 @@ def main() -> None:
 
     from pathlib import Path
 
-    live_dirs = sorted(p.name for p in Path(roll).glob("b_*") if p.is_dir())
+    if manifested:
+        # bound check over the MANIFEST (what readers see), then a final
+        # min_age=0 vacuum must leave disk == manifest (orphans reclaimed)
+        from sydradb_spark.streaming.rollup_stream import _mf_files
+
+        live_dirs = sorted(
+            n for n in (_mf_files(roll, store) or []) if n.startswith("b_")
+        )
+        vacuum_rollup(roll, store, keep_versions=1, min_age_seconds=0)
+        on_disk = {
+            p.name
+            for p in Path(roll).iterdir()
+            if p.is_dir() and p.name[0] in "bc" and p.name[1] == "_"
+        }
+        manifest_now = set(_mf_files(roll, store) or [])
+        orphans_reclaimed = on_disk == manifest_now
+    else:
+        live_dirs = sorted(p.name for p in Path(roll).glob("b_*") if p.is_dir())
+        orphans_reclaimed = True  # flock backend: swap already removed them
 
     print(
         json.dumps(
             {
                 "sf_dir": args.sf_dir,
+                "backend": args.backend,
+                "live_vacuums": compactions["vacuums"],
+                "orphans_reclaimed_after_final_vacuum": orphans_reclaimed,
                 "rows_app_a": rows_a,
                 "rows_app_b": rows_b,
                 "chunks_a": args.chunks,
@@ -230,7 +296,7 @@ def main() -> None:
             }
         )
     )
-    if mismatches or extra or compactions["errors"]:
+    if mismatches or extra or compactions["errors"] or not orphans_reclaimed:
         sys.exit(1)
 
 

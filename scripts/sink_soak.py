@@ -26,8 +26,17 @@ assertions decide the verdict:
 
 Usage: python scripts/sink_soak.py [--sf-dir _scratch/sf10] [--chunks 300]
     [--crashes 12] [--maintenance-every 20] [--keep-versions 8] [--seed 7]
+    [--apps 1]
 Prints ONE JSON line (recorded as SOAK_sink_*.json). The same four
 properties are pinned at pytest scale in tests/test_streaming.py.
+
+``--apps N`` (round 13, r12 verdict item 8): N streams with independent
+checkpoints/app-ids ingest disjoint series slices into ONE table
+CONCURRENTLY, each with its own seeded gap + mid-write crash schedule —
+the soak twin of the r12 private-staging fix (storage.write_points), which
+a two-thread race test pinned but no sustained run had exercised. Crashes
+are per-app; the manifest-version bound widens to cover every app's
+commits between vacuums; assertion 4 checks every app's ledger.
 """
 
 from __future__ import annotations
@@ -53,12 +62,18 @@ from sydradb_spark.session import get_spark  # noqa: E402
 from sydradb_spark.tables import events_points  # noqa: E402
 
 
-def prepare_chunks(spark, sf_dir: str, src_dir: str, chunks: int) -> int:
+def prepare_chunks(
+    spark, sf_dir: str, src_dir: str, chunks: int, apps: int = 1, slot: int = 0
+) -> int:
     """The twin's events as `chunks` arrival-ordered parquet files (one
-    micro-batch each via maxFilesPerTrigger=1). Returns total rows."""
+    micro-batch each via maxFilesPerTrigger=1). With ``apps > 1`` each
+    ``slot`` takes a disjoint series-hash slice (the multi-writer soak's
+    per-app inputs). Returns total rows."""
     pts = events_points(spark, sf_dir).select(
         F.col("series").alias("series"), "ts", "value"
     )
+    if apps > 1:
+        pts = pts.where((F.abs(F.xxhash64("series")) % apps) == slot)
     lo, hi = pts.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo + 1) / chunks
     chunked = pts.withColumn(
@@ -98,6 +113,7 @@ def main() -> None:
     ap.add_argument("--maintenance-every", type=int, default=20)
     ap.add_argument("--keep-versions", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--apps", type=int, default=1)
     args = ap.parse_args()
     if not os.path.isdir(args.sf_dir):
         sys.exit(
@@ -113,10 +129,22 @@ def main() -> None:
     ck = f"{args.work}/ck"
 
     t0 = time.perf_counter()
-    total_rows = prepare_chunks(spark, args.sf_dir, src_dir, args.chunks)
+    totals = [
+        prepare_chunks(
+            spark, args.sf_dir, f"{src_dir}/app{k}", args.chunks, args.apps, k
+        )
+        for k in range(args.apps)
+    ]
+    total_rows = sum(totals)
     t_prep = round(time.perf_counter() - t0, 1)
 
-    # two seeded crash sets, both redelivered under the SAME batch_id:
+    # pre-mint each app's identity (the stream re-reads the same marker) so
+    # the crash schedules and ledger traces key by the REAL app id
+    cks = [f"{ck}_{k}" for k in range(args.apps)]
+    app_ids = [_checkpoint_app_id(c) for c in cks]
+
+    # two seeded crash sets PER APP, both redelivered under the SAME
+    # batch_id:
     # - gap crashes: AFTER write_points (write + ledger commit durable) but
     #   before Spark's checkpoint commit — the replay must NO-OP;
     # - mid-write crashes: AFTER the parquet append but BEFORE the manifest
@@ -124,48 +152,73 @@ def main() -> None:
     #   the first attempt's staged files become vacuum-reclaimable orphans.
     rng = random.Random(args.seed)
     gap_n = args.crashes - args.crashes // 3
-    sampled = rng.sample(range(args.chunks), args.crashes)
-    crash_at = sorted(sampled[:gap_n])
-    midwrite_at = sorted(sampled[gap_n:])
-    remaining = set(crash_at)
-    mid_remaining = set(midwrite_at)
+    crash_at: dict = {}
+    midwrite_at: dict = {}
+    remaining: dict = {}
+    mid_remaining: dict = {}
+    for app in app_ids:
+        sampled = rng.sample(range(args.chunks), args.crashes)
+        crash_at[app] = sorted(sampled[:gap_n])
+        midwrite_at[app] = sorted(sampled[gap_n:])
+        remaining[app] = set(crash_at[app])
+        mid_remaining[app] = set(midwrite_at[app])
 
     real_commit = mf.commit
 
     def crashing_commit(path, files=None, *, mutate=None, txn=None):
-        if txn is not None and path == table and txn[1] in mid_remaining:
-            mid_remaining.discard(txn[1])
-            raise RuntimeError(f"injected mid-write crash at batch {txn[1]}")
+        if (
+            txn is not None
+            and path == table
+            and txn[1] in mid_remaining.get(txn[0], ())
+        ):
+            mid_remaining[txn[0]].discard(txn[1])
+            raise RuntimeError(
+                f"injected mid-write crash at batch {txn[1]} of {txn[0]}"
+            )
         return real_commit(path, files, mutate=mutate, txn=txn)
 
     mf.commit = crashing_commit  # write_points resolves mf.commit lazily
 
-    app_id_holder: dict = {}
-    ledger_trace: list[int] = []
+    ledger_trace: dict = {app: [] for app in app_ids}
     version_counts: list[int] = []
     violations: list[str] = []
 
-    def hook(batch_id: int) -> None:
-        # observe AFTER the durable write: ledger must already hold batch_id
-        app = app_id_holder.setdefault("id", _checkpoint_app_id(ck))
-        seen = mf.read_txn(table, app)
-        if seen != batch_id:
-            violations.append(f"ledger {seen} != just-written batch {batch_id}")
-        if ledger_trace and seen < ledger_trace[-1]:
-            violations.append(f"ledger regressed {ledger_trace[-1]} -> {seen}")
-        ledger_trace.append(seen)
-        version_counts.append(
-            len(glob.glob(f"{table}/_manifest/v*.json"))
-        )
-        if batch_id in remaining:
-            remaining.discard(batch_id)
-            raise RuntimeError(f"injected crash after batch {batch_id}")
+    def read_txn_retry(app: str):
+        # observability read racing a concurrent app's vacuum(min_age=0):
+        # a pruned version between the listing and the doc read is the
+        # commit path's own absorbed race — retry, don't record a finding
+        for _ in range(5):
+            try:
+                return mf.read_txn(table, app)
+            except FileNotFoundError:
+                time.sleep(0.01)
+        return mf.read_txn(table, app)
 
-    def points_stream():
+    def make_hook(app: str):
+        def hook(batch_id: int) -> None:
+            # observe AFTER the durable write: ledger holds batch_id already
+            seen = read_txn_retry(app)
+            if seen != batch_id:
+                violations.append(
+                    f"{app}: ledger {seen} != just-written batch {batch_id}"
+                )
+            if ledger_trace[app] and seen < ledger_trace[app][-1]:
+                violations.append(
+                    f"{app}: ledger regressed {ledger_trace[app][-1]} -> {seen}"
+                )
+            ledger_trace[app].append(seen)
+            version_counts.append(len(glob.glob(f"{table}/_manifest/v*.json")))
+            if batch_id in remaining[app]:
+                remaining[app].discard(batch_id)
+                raise RuntimeError(f"injected crash after batch {batch_id}")
+
+        return hook
+
+    def points_stream(k: int):
         raw = (
             spark.readStream.schema("series string, ts long, value double")
             .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir)
+            .parquet(f"{src_dir}/app{k}")
         )
         return with_identity(
             raw.select(
@@ -176,28 +229,59 @@ def main() -> None:
             )
         )
 
+    def drive(k: int) -> int:
+        restarts = 0
+        hook = make_hook(app_ids[k])
+        while True:
+            q = stream_points_sink(
+                points_stream(k),
+                table,
+                cks[k],
+                available_now=True,
+                maintenance_every=args.maintenance_every,
+                maintenance_keep_versions=args.keep_versions,
+                _after_write_hook=hook,
+                _vacuum_min_age=0,
+            )
+            try:
+                q.awaitTermination()
+                return restarts  # drained clean — no crash fired this run
+            except Exception as e:
+                if "injected" not in str(e):
+                    raise
+                restarts += 1
+                if restarts > args.crashes + 5:
+                    raise RuntimeError("more restarts than injected crashes")
+
     t0 = time.perf_counter()
-    restarts = 0
-    while True:
-        q = stream_points_sink(
-            points_stream(),
-            table,
-            ck,
-            available_now=True,
-            maintenance_every=args.maintenance_every,
-            maintenance_keep_versions=args.keep_versions,
-            _after_write_hook=hook,
-            _vacuum_min_age=0,
-        )
-        try:
-            q.awaitTermination()
-            break  # drained clean — no crash fired this run
-        except Exception as e:
-            if "injected" not in str(e):
-                raise
-            restarts += 1
-            if restarts > args.crashes + 5:
-                raise RuntimeError("more restarts than injected crashes")
+    if args.apps == 1:
+        restarts_per_app = [drive(0)]
+    else:
+        # CONCURRENT apps: every stream ingests into the SAME table while
+        # crashing/restarting on its own schedule — the sustained twin of
+        # the r12 private-staging append race test
+        import threading
+
+        results: dict = {}
+
+        def run(k: int) -> None:
+            try:
+                results[k] = drive(k)
+            except Exception as e:  # surface thread failures as findings
+                results[k] = e
+
+        threads = [
+            threading.Thread(target=run, args=(k,)) for k in range(args.apps)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for k, r in results.items():
+            if isinstance(r, Exception):
+                raise r
+        restarts_per_app = [results[k] for k in range(args.apps)]
+    restarts = sum(restarts_per_app)
     t_stream = round(time.perf_counter() - t0, 1)
     mf.commit = real_commit
 
@@ -227,8 +311,9 @@ def main() -> None:
 
     # --- assertion 2: bounded manifest versions ---------------------------
     # steady-state bound: the kept window + at most maintenance_every
-    # commits since the last vacuum (+1 init commit slack)
-    bound = args.keep_versions + args.maintenance_every + 1
+    # commits PER APP since the last vacuum (+1 init commit slack per app —
+    # concurrent apps interleave their commits between one app's vacuums)
+    bound = args.keep_versions + args.apps * (args.maintenance_every + 1)
     max_versions = max(version_counts) if version_counts else 0
 
     # --- assertion 3: orphans reclaimed after a final vacuum --------------
@@ -240,19 +325,25 @@ def main() -> None:
         referenced.update(json.load(open(vf))["files"])
     orphans = sorted(on_disk - referenced)
 
-    # --- assertion 4: ledger monotone, finished at the last batch ---------
-    app = app_id_holder["id"]
-    final_txn = mf.read_txn(table, app)
+    # --- assertion 4: every app's ledger monotone, finished at the last
+    # batch ------------------------------------------------------------------
+    final_txns = {app: mf.read_txn(table, app) for app in app_ids}
+    ledgers_ok = not violations and all(
+        v == args.chunks - 1 for v in final_txns.values()
+    )
 
     result = {
         "sf_dir": args.sf_dir,
+        "apps": args.apps,
         "rows": total_rows,
+        "rows_per_app": totals,
         "rows_at_latest": got_rows,
         "chunks": args.chunks,
-        "crashes_injected": args.crashes,
+        "crashes_injected_per_app": args.crashes,
         "gap_crash_batch_ids": crash_at,
         "midwrite_crash_batch_ids": midwrite_at,
         "restarts": restarts,
+        "restarts_per_app": restarts_per_app,
         "zero_duplicates_vs_batch_twin": n_diff == 0 and got_rows == total_rows,
         "multiset_diff_groups": n_diff,
         "max_manifest_versions": max_versions,
@@ -260,8 +351,8 @@ def main() -> None:
         "manifest_versions_bounded": max_versions <= bound,
         "orphan_files_after_vacuum": len(orphans),
         "orphans_reclaimed": len(orphans) == 0,
-        "ledger_final_txn": final_txn,
-        "ledger_monotone": not violations and final_txn == args.chunks - 1,
+        "ledger_final_txns": final_txns,
+        "ledger_monotone": ledgers_ok,
         "ledger_violations": violations[:5],
         "maintenance_every": args.maintenance_every,
         "keep_versions": args.keep_versions,
@@ -270,6 +361,13 @@ def main() -> None:
         "rows_per_s": round(total_rows / t_stream, 1) if t_stream else None,
     }
     print(json.dumps(result))
+    if not (
+        result["zero_duplicates_vs_batch_twin"]
+        and result["manifest_versions_bounded"]
+        and result["orphans_reclaimed"]
+        and result["ledger_monotone"]
+    ):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

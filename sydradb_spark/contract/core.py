@@ -218,20 +218,48 @@ SELECT 'scalar', ts, NULL, NULL, NULL,
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series session windows (gap 600 s) via native F.session_window —
     beyond-reference sessionization; same code path Structured Streaming
-    uses (streaming equivalence pinned in tests/test_streaming.py)."""
+    uses (streaming equivalence pinned in tests/test_streaming.py).
+
+    Round-13 rotation (VERDICT r12 item 4) adds the two monitoring
+    complements that were pytest-only, as labeled variants over the SAME
+    time slice: ``gap`` = detect_gaps (the >600s silences BETWEEN the
+    sessions above — one lag pass, the inverse predicate) and ``stale`` =
+    stale_series (per-series last_ts/age at now=D3, 900s timeout — which
+    series are stale is data-dependent, and the oracle computes the same
+    max-aggregate from the same rows)."""
+    from sydradb_spark.functions.timeseries import detect_gaps, stale_series
     from sydradb_spark.streaming.windowed import sessionize
 
-    pts = events_points(spark, sf_dir).where(
-        (F.col("ts") >= T0) & (F.col("ts") < D3)
-    )
-    out = sessionize(pts, gap_s=600)
-    return out.select(
+    from sydradb_spark.contract.base import events_time_slice
+
+    pts = events_time_slice(events_points(spark, sf_dir), T0, D3)
+    lnull = F.lit(None).cast("long")
+    dnull = F.lit(None).cast("double")
+    sess = sessionize(pts, gap_s=600).select(
+        F.lit("sess").alias("variant"),
         "series",
         "session_start",
         "session_end",
         "n_events",
         r3_col(F.col("sum_v")).alias("sum_v"),
     )
+    gaps = detect_gaps(pts, max_gap_s=600, partition_col="series").select(
+        F.lit("gap").alias("variant"),
+        "series",
+        F.col("gap_start").alias("session_start"),
+        F.col("gap_end").alias("session_end"),
+        F.col("gap_s").alias("n_events"),
+        dnull.alias("sum_v"),
+    )
+    stale = stale_series(pts, now_ts=D3, timeout_s=900, partition_col="series").select(
+        F.lit("stale").alias("variant"),
+        "series",
+        F.col("last_ts").alias("session_start"),
+        lnull.alias("session_end"),
+        F.col("age_s").alias("n_events"),
+        dnull.alias("sum_v"),
+    )
+    return sess.unionByName(gaps).unionByName(stale)
 
 
 _q(
@@ -240,6 +268,7 @@ _q(
     oracle(
         f""", s AS (
   SELECT series, ts, value, seq,
+         lag(ts) OVER (PARTITION BY series ORDER BY ts, seq) AS pts,
          CASE WHEN lag(ts) OVER (PARTITION BY series ORDER BY ts, seq) IS NULL
               OR ts - lag(ts) OVER (PARTITION BY series ORDER BY ts, seq) > 600
               THEN 1 ELSE 0 END AS brk
@@ -250,10 +279,17 @@ _q(
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM s
 )
-SELECT series, min(ts) AS session_start, max(ts) + 600 AS session_end,
-       count(*) AS n_events,
+SELECT 'sess' AS variant, series, min(ts) AS session_start,
+       max(ts) + 600 AS session_end, count(*) AS n_events,
        {r3('sum(value)')} AS sum_v
-FROM i GROUP BY series, sid"""
+FROM i GROUP BY series, sid
+UNION ALL
+SELECT 'gap', series, pts, ts, ts - pts, CAST(NULL AS DOUBLE)
+FROM s WHERE pts IS NOT NULL AND ts - pts > 600
+UNION ALL
+SELECT 'stale', series, max(ts), CAST(NULL AS BIGINT), {D3} - max(ts),
+       CAST(NULL AS DOUBLE)
+FROM s GROUP BY series HAVING {D3} - max(ts) > 900"""
     ),
 )
 
@@ -527,7 +563,11 @@ sel AS (
                / len(t[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cx,
              list_reduce(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}], (a, x) -> a + x)
                / len(v[2 + (b + 1) * {_LTTB_W} : {_LTTB_NE}]) AS cy
-      FROM sel, arr WHERE b < {_LTTB_NOUT - 2}
+      -- len(t) guard: at scale factors too small to fill the 1002-point
+      -- window the recursion must stop at b=0 (lpick's count guard already
+      -- emits nothing) — list_avg tolerated the empty slices that arise
+      -- then, list_reduce ERRORS on an empty list
+      FROM sel, arr WHERE b < {_LTTB_NOUT - 2} AND len(t) = {_LTTB_N}
     ) q1
   ) q2
 ),
@@ -580,10 +620,14 @@ _q(
 _q(
     "agg_irate_integral",
     # one exact series: the per-series lag pre-pass must see the same row
-    # sequence as the oracle's window; irate + trapezoid integral share it
+    # sequence as the oracle's window; irate + trapezoid integral share it.
+    # Round-13 rotation (VERDICT r12 item 4): counter-reset-aware
+    # `increase` rides the same lag pre-pass — its DuckDB twin is the
+    # lag-based positive-delta-or-post-reset-value sum (the series head's
+    # NULL term is skipped by sum on both engines).
     ql(
         f"select time_bucket(86400, time) as bucket, {r6('irate(value)')} as irate_v, "
-        f"{r3('integral(value)')} as area "
+        f"{r3('integral(value)')} as area, {r3('increase(value)')} as inc_v "
         f"from events.signup where time >= {T0} and time < {T1} "
         f"and tag.host = 'h0' and tag.dc = 'dc0' group by time_bucket(86400, time)"
     ),
@@ -602,7 +646,9 @@ _q(
 SELECT (ts // 86400) * 86400 AS bucket,
        {r6("arg_max(CASE WHEN ts - pts > 0 THEN (value - pv) / (ts - pts) END, "
            "CASE WHEN ts - pts > 0 AND pv IS NOT NULL THEN ts END)")} AS irate_v,
-       {r3('sum((value + pv) / 2 * (ts - pts))')} AS area
+       {r3('sum((value + pv) / 2 * (ts - pts))')} AS area,
+       {r3("sum(CASE WHEN pv IS NULL THEN NULL "
+           "WHEN value >= pv THEN value - pv ELSE value END)")} AS inc_v
 FROM l GROUP BY 1""",
 )
 

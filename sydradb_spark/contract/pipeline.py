@@ -852,15 +852,64 @@ _DRIFT_PROPS_SQL = """CASE
   ELSE '{"t":"plain","arr":[1,2]}' END"""
 
 
+# Round-13 rotation (VERDICT r12 item 4): zlib compression_ratio golden
+# vectors. DuckDB 1.0 ships no zlib, so the kernel's exact outputs are
+# pinned two ways: the ``zlit`` part runs the REAL Arrow kernel over fixed
+# literal inputs spanning the compressibility range (boilerplate / english /
+# hex noise / empty / shorter-than-overhead) and the oracle inlines the
+# expected (n_bytes, n_compressed, ratio) computed HERE at import with the
+# same stdlib zlib call the kernel makes — deterministic for a fixed level
+# in one environment; the ``zdoc`` part runs the kernel over the whole
+# documents table and oracles the byte-length column (strlen — the UTF-8
+# encode half of the kernel — is what DuckDB can twin without zlib).
+_ZLIT: list[tuple[str, str]] = [
+    ("rep", "spamspam" * 200),
+    ("eng", "The quick brown fox jumps over the lazy dog. " * 30),
+    (
+        "hex",
+        "".join(format((i * 2654435761) % 2**32, "08x") for i in range(160)),
+    ),
+    ("empty", ""),
+    ("short", "xyz"),
+]
+
+
+def _zlit_expected() -> list[tuple[str, int, int | None, float | None]]:
+    import zlib
+
+    out = []
+    for name, t in _ZLIT:
+        b = t.encode("utf-8")
+        if not b:
+            out.append((name, 0, 0, None))
+            continue
+        c = len(zlib.compress(b, 6))
+        out.append((name, len(b), c, round(c / len(b), 6)))
+    return out
+
+
+_ZLIT_SQL = "\nUNION ALL\n".join(
+    f"SELECT 'zlit' AS part, '{name}' AS s, CAST({nb} AS BIGINT) AS c1, "
+    f"CAST({nc} AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3, "
+    f"CAST({'NULL' if ratio is None else repr(ratio)} AS DOUBLE) AS d, "
+    f"CAST(NULL AS BIGINT) AS c4, CAST(NULL AS BIGINT) AS c5"
+    for name, nb, nc, ratio in _zlit_expected()
+)
+
+
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling, one labeled union (r11 rotation adds the jsonkey
-    half, giving `jsonprof.json_key_stats` a full hash oracle):
+    half, giving `jsonprof.json_key_stats` a full hash oracle; r13 adds the
+    compression halves):
 
     - ``src``: per-source summary — the bread-and-butter sweep a
       training-data pipeline runs before filtering decisions.
     - ``jsonkey``: JSON schema-drift profile over a deterministic
       drift-injected props column (see _drift_props) — per-key presence
-      and value-type counts."""
+      and value-type counts.
+    - ``zlit``/``zdoc``: `text.compression_ratio` (the Gopher/RefinedWeb
+      compressibility cut) — golden zlib vectors + the per-document byte
+      lengths (see _ZLIT rationale above)."""
     from sydradb_spark.pipeline import jsonprof
 
     docs = load_table(spark, sf_dir, "documents")
@@ -885,7 +934,30 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_string").alias("c4"),
         F.col("n_null").alias("c5"),
     )
-    return src.unionByName(jk)
+    lnull = F.lit(None).cast("long")
+    zlit = text.compression_ratio(
+        spark.createDataFrame(_ZLIT, "doc_id string, text string")
+    ).select(
+        F.lit("zlit").alias("part"),
+        F.col("doc_id").alias("s"),
+        F.col("n_bytes").alias("c1"),
+        F.col("n_compressed").alias("c2"),
+        lnull.alias("c3"),
+        F.col("ratio").alias("d"),
+        lnull.alias("c4"),
+        lnull.alias("c5"),
+    )
+    zdoc = text.compression_ratio(docs).select(
+        F.lit("zdoc").alias("part"),
+        F.col("doc_id").cast("string").alias("s"),
+        F.col("n_bytes").alias("c1"),
+        lnull.alias("c2"),
+        lnull.alias("c3"),
+        F.lit(None).cast("double").alias("d"),
+        lnull.alias("c4"),
+        lnull.alias("c5"),
+    )
+    return src.unionByName(jk).unionByName(zlit).unionByName(zdoc)
 
 
 _q(
@@ -922,7 +994,14 @@ SELECT 'jsonkey', k, count(*),
   CAST(sum(CASE WHEN NOT is_null AND NOT is_bool AND NOT is_int AND NOT is_float
                 THEN 1 ELSE 0 END) AS BIGINT),
   CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
-FROM cls GROUP BY 2""",
+FROM cls GROUP BY 2
+UNION ALL
+{_ZLIT_SQL}
+UNION ALL
+SELECT 'zdoc', CAST(doc_id AS VARCHAR), CAST(strlen(text) AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents""",
 )
 
 

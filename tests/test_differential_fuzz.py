@@ -672,3 +672,133 @@ ORIGIN_CASES = _origin_cases()
 @pytest.mark.parametrize("case", ORIGIN_CASES, ids=[c[0] for c in ORIGIN_CASES])
 def test_origin_bucket_differential(engine, ddb, case):
     test_differential(engine, ddb, case)
+
+
+# ---------------------------------------------------------------------------
+# align / as-of fuzz (round 13, r12 verdict item 6): the functions.align
+# surface had one oracle entry + unit pins but no generated twins. Cases
+# sweep bucket widths, tolerance windows, and tie shapes (cpu.total carries
+# two values at one ts; weather.room1 a same-ts duplicate) against the
+# union+LOCF DuckDB formulation from the r10 oracle rewrite
+# (contract/lifecycle.py `align_asof_ratio` — latest-before, max-value
+# tie-break at the matched ts, r rows sorting before l rows at equal ts).
+# ---------------------------------------------------------------------------
+
+_ASOF_TWIN = """WITH l AS (
+  SELECT ts, value FROM pts WHERE series = '{ls}' AND ts >= {a} AND ts < {b}
+), r AS (
+  SELECT ts, value FROM pts WHERE series = '{rs}' AND ts >= {a} AND ts < {b}
+), rd AS (
+  SELECT ts, max(value) AS rvalue FROM r GROUP BY ts
+), uni AS (
+  SELECT ts, CAST(NULL AS DOUBLE) AS lvalue, rvalue, 0 AS is_l FROM rd
+  UNION ALL
+  SELECT ts, value, CAST(NULL AS DOUBLE), 1 FROM l
+), w AS (
+  SELECT ts, lvalue, is_l,
+         last_value(rvalue IGNORE NULLS) OVER
+           (ORDER BY ts, is_l ROWS UNBOUNDED PRECEDING) AS rv,
+         max(CASE WHEN rvalue IS NOT NULL THEN ts END) OVER
+           (ORDER BY ts, is_l ROWS UNBOUNDED PRECEDING) AS rt
+  FROM uni
+)
+SELECT ts, lvalue AS value,
+       CASE WHEN ts - rt <= {tol} THEN rv END AS right_value,
+       CASE WHEN ts - rt <= {tol} THEN rt END AS right_ts
+FROM w WHERE is_l = 1"""
+
+_RATIO_TWIN = """WITH a AS (
+  SELECT (ts // {w}) * {w} AS bucket, avg(value) AS av FROM pts
+  WHERE series = '{sa}' AND ts >= {a} AND ts < {b} GROUP BY 1
+), b AS (
+  SELECT (ts // {w}) * {w} AS bucket, avg(value) AS bv FROM pts
+  WHERE series = '{sb}' AND ts >= {a} AND ts < {b} GROUP BY 1
+)
+SELECT bucket, CASE WHEN b.bv = 0 THEN NULL ELSE a.av / b.bv END AS ratio
+FROM a JOIN b USING (bucket)"""
+
+
+def _align_cases():
+    rnd = random.Random(13)
+    names = list(SERIES_SPAN)
+    cases = []
+    for _ in range(6):
+        sa, sb = rnd.sample(names, 2)
+        span = min(SERIES_SPAN[sa], SERIES_SPAN[sb])
+        a = T0 + rnd.randrange(0, span // 2)
+        b = a + rnd.randrange(60, span)
+        w = rnd.choice([30, 60, 300, 900, 3600])
+        cases.append(("ratio", f"ratio-{sa}-{sb}-w{w}-{a}", (sa, sb, w, a, b)))
+    for _ in range(8):
+        ls, rs = rnd.sample(names, 2)
+        span = min(SERIES_SPAN[ls], SERIES_SPAN[rs])
+        a = T0 + rnd.randrange(0, span // 2)
+        b = a + rnd.randrange(60, span)
+        tol = rnd.choice([15, 30, 60, 300, 3600])
+        cases.append(("asof", f"asof-{ls}-{rs}-t{tol}-{a}", (ls, rs, tol, a, b)))
+    # pinned tie shapes on top of the random sweep:
+    # right side has TWO values at one ts (cpu.total at T0) — max must win
+    cases.append(
+        ("asof", "asof-tie-right", ("weather.room2", "cpu.total", 120, T0, T0 + 3600))
+    )
+    # left side carries the duplicate-ts rows (both must emit, each matched)
+    cases.append(
+        ("asof", "asof-tie-left", ("cpu.total", "weather.room1", 45, T0, T0 + 3600))
+    )
+    # self-join: every left row has a same-ts right match (inclusive bound)
+    cases.append(
+        ("asof", "asof-self", ("weather.room1", "weather.room1", 30, T0, T0 + 1200))
+    )
+    return cases
+
+
+ALIGN_CASES = _align_cases()
+
+
+@pytest.fixture(scope="module")
+def align_df(spark):
+    return spark.createDataFrame(
+        _rows(), "series string, ts long, value double"
+    ).cache()
+
+
+@pytest.mark.parametrize("case", ALIGN_CASES, ids=[c[1] for c in ALIGN_CASES])
+def test_align_asof_differential(align_df, ddb, case):
+    from pyspark.sql import functions as F
+
+    from sydradb_spark.functions.align import aligned_ratio, asof_join
+
+    kind, name, params = case
+    if kind == "ratio":
+        sa, sb, w, a, b = params
+        sliced = align_df.where((F.col("ts") >= a) & (F.col("ts") < b))
+        got = _canon(
+            [list(r) for r in aligned_ratio(sliced, sa, sb, step_s=w).collect()]
+        )
+        want = _canon(
+            ddb.execute(_RATIO_TWIN.format(sa=sa, sb=sb, w=w, a=a, b=b)).fetchall()
+        )
+    else:
+        ls, rs, tol, a, b = params
+        sliced = align_df.where((F.col("ts") >= a) & (F.col("ts") < b))
+        out = asof_join(
+            sliced.where(F.col("series") == ls).withColumn("series_id", F.lit(0)),
+            sliced.where(F.col("series") == rs).withColumn("series_id", F.lit(0)),
+            tolerance_s=tol,
+        )
+        got = _canon(
+            [
+                list(r)
+                for r in out.select("ts", "value", "right_value", "right_ts").collect()
+            ]
+        )
+        want = _canon(
+            ddb.execute(_ASOF_TWIN.format(ls=ls, rs=rs, tol=tol, a=a, b=b)).fetchall()
+        )
+    assert len(got) == len(want), f"rowcount {len(got)} != {len(want)}\n{name}"
+    for g, w_ in zip(got, want):
+        for gv, wv in zip(g, w_):
+            if isinstance(wv, float) and gv is not None:
+                assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9), (g, w_, name)
+            else:
+                assert gv == wv, (g, w_, name)
