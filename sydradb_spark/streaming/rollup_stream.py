@@ -258,6 +258,17 @@ def compact_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> None:
     the swap (pinned by test_compact_rollup_concurrent_batch_not_lost)."""
     import shutil
 
+    from sydradb_spark.ingest import _posix_checkpoint_path
+
+    if _posix_checkpoint_path(rollup_path) is None:
+        # Path('s3://...').glob would silently list NOTHING — a no-op fold
+        # masquerading as maintenance; the object-store path is the
+        # manifested protocol, not this directory swap
+        raise ValueError(
+            f"compact_rollup requires a local rollup path, got {rollup_path!r}; "
+            "use compact_rollup_manifested (manifest-CAS fold) for object-store "
+            "locations"
+        )
     root = Path(rollup_path)
     with _rollup_lock(rollup_path, exclusive=True):
         batch_dirs = sorted(p for p in root.glob("b_*") if p.is_dir())
@@ -454,7 +465,15 @@ def vacuum_rollup(
     is the reader/replayer guard: an entry whose tree was touched within it
     (newest mtime anywhere inside — a fold or batch write advances leaf
     mtimes, not necessarily the dir's own) is never deleted. Returns the
-    removed entry names."""
+    removed entry names.
+
+    Scope note: the MANIFEST side is backend-generic (``store`` moves it to
+    conditional-PUT object-store keys), but the DATA reclaim here walks
+    ``rollup_path`` as a local filesystem path — correct when the parquet
+    data is on a POSIX mount (incl. the soak's store-manifest/local-data
+    split). When the data itself lives on s3a://, route the dir removals
+    through the Hadoop FileSystem API instead; the manifest diff (entries
+    present in pruned versions only) is already exactly the delete list."""
     import shutil
     import time
 

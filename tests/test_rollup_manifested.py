@@ -252,3 +252,51 @@ def test_store_table_key_is_scoped(tmp_path):
     callers scope the store to one rollup table (mint_app_id's contract)."""
     store = obs.MemoryObjectStore()
     assert obs.latest_version(store, STORE_TABLE) is None
+
+
+def test_compact_rollup_rejects_non_posix_path(spark):
+    """`compact_rollup`'s Path-glob fold would silently list NOTHING on an
+    object-store URI (a no-op masquerading as maintenance) — it must raise
+    and route to the manifested fold instead."""
+    from sydradb_spark.streaming.rollup_stream import compact_rollup
+
+    with pytest.raises(ValueError, match="compact_rollup_manifested"):
+        compact_rollup(spark, "s3://bucket/rollup", 3600)
+
+
+def test_stream_rollup_manifested_crash_replay_converges(spark, tmp_path, backend):
+    """Pytest-scale twin of the soak's crash schedule: a crash in the
+    write→checkpoint gap redelivers the batch; in manifest_commit mode the
+    replay overwrites its dir AND its manifest commit is a txn no-op — the
+    folded result counts every input row exactly once."""
+    store = backend()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        (src / f"b{i}.ndjson").write_text(
+            f'{{"series": "s.a", "ts": {100 + i}, "value": 1.0}}\n'
+        )
+    roll = str(tmp_path / "roll")
+    ck = str(tmp_path / "ck")
+    crashed = {"done": False}
+
+    def hook(batch_id: int) -> None:
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after rollup batch 1")
+
+    q = stream_rollup(
+        spark, str(src), roll, ck,
+        manifest_commit=True, store=store,
+        max_files_per_trigger=1, _after_write_hook=hook,
+    )
+    with pytest.raises(Exception, match="injected"):
+        q.awaitTermination(120)
+    q2 = stream_rollup(
+        spark, str(src), roll, ck,
+        manifest_commit=True, store=store, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert len(folded) == 1
+    assert folded[0]["cnt"] == 4  # batch 1 replayed, counted once
