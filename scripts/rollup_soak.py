@@ -75,7 +75,13 @@ STEP_S = 3600
 def prepare_ndjson_chunks(spark, sf_dir: str, src_dir: str, chunks: int, half: int):
     """Write the twin's events as NDJSON chunk files. half=0 → even
     series_id hash slice, half=1 → odd (the two streams' disjoint inputs).
-    Returns the slice's points DataFrame (for the batch twin)."""
+    Returns the slice's points DataFrame (for the batch twin).
+
+    One pass (round 13): repartition on the chunk id + partitionBy write
+    emits every chunk file in a single job — the old per-chunk filtered
+    rewrite scanned the slice `chunks` times, which priced the sf100 decade
+    out of the soak budget. File mtimes still force arrival order for
+    maxFilesPerTrigger batching."""
     pts = events_points(spark, sf_dir).where(
         (F.abs(F.xxhash64("series")) % 2) == half
     )
@@ -90,18 +96,28 @@ def prepare_ndjson_chunks(spark, sf_dir: str, src_dir: str, chunks: int, half: i
     )
     os.makedirs(src_dir, exist_ok=True)
     tmp = f"{src_dir}__tmp"
+    (
+        chunked.select(
+            "chunk", F.to_json(F.struct("series", "ts", "value", "tags")).alias("value")
+        )
+        .repartition("chunk")  # one partition per chunk → one part file each
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .text(tmp)
+    )
     now = time.time()
     for i in range(chunks):
-        (
-            chunked.where(F.col("chunk") == i)
-            .select(F.to_json(F.struct("series", "ts", "value", "tags")).alias("v"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .text(tmp)
-        )
-        part = glob.glob(f"{tmp}/part-*")[0]
+        parts = glob.glob(f"{tmp}/chunk={i}/part-*")
         dst = f"{src_dir}/chunk_{i:04d}.ndjson"
-        shutil.move(part, dst)
+        if not parts:  # empty time slice — keep the batch schedule aligned
+            open(dst, "w").close()
+        elif len(parts) == 1:
+            shutil.move(parts[0], dst)
+        else:  # repartition guarantee failed — concatenate, stay correct
+            with open(dst, "wb") as out:
+                for p in sorted(parts):
+                    with open(p, "rb") as fh:
+                        shutil.copyfileobj(fh, out)
         os.utime(dst, (now + i, now + i))
     shutil.rmtree(tmp, ignore_errors=True)
     return pts

@@ -86,18 +86,31 @@ def prepare_chunks(
     total = chunked.count()
     os.makedirs(src_dir, exist_ok=True)
     tmp = f"{src_dir}__tmp"
+    # one pass (round 13): repartition on the chunk id + partitionBy write —
+    # the old per-chunk filtered rewrite scanned the slice `chunks` times
+    (
+        chunked.select("chunk", "series", "ts", "value")
+        .repartition("chunk")  # one partition per chunk → one part file each
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(tmp)
+    )
     now = time.time()
+    empty = chunked.limit(0).select("series", "ts", "value")
     for i in range(chunks):
-        (
-            chunked.where(F.col("chunk") == i)
-            .select("series", "ts", "value")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        parts = glob.glob(f"{tmp}/chunk={i}/part-*.parquet")
         dst = f"{src_dir}/chunk_{i:04d}.parquet"
-        shutil.move(part, dst)
+        # repartition("chunk") puts each chunk in exactly one partition →
+        # exactly one part file; more would silently change the batch
+        # count the crash/txn schedule is built on, so fail loudly
+        assert len(parts) <= 1, f"chunk {i}: {len(parts)} part files"
+        if parts:
+            shutil.move(parts[0], dst)
+        else:  # empty time slice — keep the batch schedule aligned
+            etmp = f"{src_dir}__empty"
+            empty.coalesce(1).write.mode("overwrite").parquet(etmp)
+            shutil.move(glob.glob(f"{etmp}/part-*.parquet")[0], dst)
+            shutil.rmtree(etmp, ignore_errors=True)
         os.utime(dst, (now + i, now + i))
     shutil.rmtree(tmp, ignore_errors=True)
     chunked.unpersist()

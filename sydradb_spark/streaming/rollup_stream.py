@@ -149,7 +149,10 @@ def stream_rollup(
     max_files_per_trigger: int | None = None,
     manifest_commit: bool = False,
     store=None,
+    maintenance_every: int | None = 256,
+    maintenance_keep_versions: int = 8,
     _after_write_hook=None,
+    _vacuum_min_age: int = 600,
 ) -> StreamingQuery:
     """Maintain an hourly rollup from an NDJSON point stream. The stream's
     identity (checkpoint-minted app id, ``ingest.resolve_app_id`` — lazy
@@ -165,7 +168,14 @@ def stream_rollup(
     ``read_rollup_manifested``. Required for object-store rollup locations
     (no flock there); pass ``store`` (an ``objectstore.ObjectStore`` scoped
     to this table) when the manifest itself must live in an object store,
-    else the local manifest protocol is used."""
+    else the local manifest protocol is used.
+
+    ``maintenance_every=k`` (manifested mode only) runs ``vacuum_rollup``
+    every k batches — same rationale as the points sink's in-sink vacuum: a
+    continuous stream otherwise accumulates one manifest version per batch
+    FOREVER, and the commit path's version listing is O(versions), a
+    quadratic stream lifetime. The vacuum also reclaims orphaned batch/
+    compacted dirs outside the ``_vacuum_min_age`` window (test seam)."""
     ident = {"app_id": resolve_app_id(checkpoint_dir)}
     reader = spark.readStream.schema(NDJSON_SCHEMA)
     if max_files_per_trigger is not None:
@@ -197,6 +207,17 @@ def stream_rollup(
             write_rollup_batch_manifested(
                 partial, rollup_path, batch_id, ident["app_id"], store=store
             )
+            if (
+                maintenance_every
+                and batch_id > 0
+                and batch_id % maintenance_every == 0
+            ):
+                vacuum_rollup(
+                    rollup_path,
+                    store,
+                    keep_versions=maintenance_keep_versions,
+                    min_age_seconds=_vacuum_min_age,
+                )
         else:
             write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
         if _after_write_hook is not None:

@@ -300,3 +300,92 @@ def test_stream_rollup_manifested_crash_replay_converges(spark, tmp_path, backen
     folded = read_rollup_manifested(spark, roll, 3600, store).collect()
     assert len(folded) == 1
     assert folded[0]["cnt"] == 4  # batch 1 replayed, counted once
+
+
+def test_manifested_threaded_writers_vs_fold_vs_vacuum(spark, tmp_path, backend):
+    """CI-resident miniature of SOAK_rollup_store_sf10_r13: two writer
+    threads (disjoint series, occasional replays), one maintenance thread
+    folding + vacuuming on a timer, all serialized ONLY by the manifest CAS.
+    Ends with: folded result == expected multiset, exactly one live tail
+    per app in the manifest, no compaction errors."""
+    import threading
+    import time
+
+    store = backend()
+    roll = str(tmp_path / "roll")
+    n_batches = 8
+    partials = {
+        app: [_mini_partial(spark, series, b + 1) for b in range(n_batches)]
+        for app, series in (("stream-one", "s.a"), ("stream-two", "s.b"))
+    }
+    errors: list = []
+
+    def writer(app: str) -> None:
+        try:
+            for b in range(n_batches):
+                write_rollup_batch_manifested(partials[app][b], roll, b, app, store=store)
+                if b % 3 == 1:  # crash-replay twin: re-deliver the same batch
+                    write_rollup_batch_manifested(
+                        partials[app][b], roll, b, app, store=store
+                    )
+        except Exception as e:  # pragma: no cover - surfaced by the assert
+            errors.append(e)
+
+    stop = threading.Event()
+
+    def maintenance() -> None:
+        while not stop.is_set():
+            time.sleep(0.3)
+            try:
+                compact_rollup_manifested(spark, roll, 3600, store)
+                vacuum_rollup(roll, store, keep_versions=2, min_age_seconds=600)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(app,)) for app in partials]
+    maint = threading.Thread(target=maintenance, daemon=True)
+    maint.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    maint.join()
+    assert not errors, errors
+    compact_rollup_manifested(spark, roll, 3600, store)
+    folded = {r["series"]: r for r in read_rollup_manifested(spark, roll, 3600, store).collect()}
+    # per app: batches of sizes 1..8, each counted exactly once = 36 rows
+    assert folded["s.a"]["cnt"] == sum(range(1, n_batches + 1))
+    assert folded["s.b"]["cnt"] == sum(range(1, n_batches + 1))
+    live = [n for n in _manifest_names(roll, store) if n.startswith("b_")]
+    assert len(live) == 2  # one live tail per app
+
+
+def test_stream_rollup_manifested_maintenance_bounds_versions(spark, tmp_path, backend):
+    """Manifested streaming without in-sink maintenance accrues one manifest
+    version per batch forever (the points sink's old quadratic); with
+    maintenance_every=k the version count stays within keep + slack and
+    referenced data survives."""
+    store = backend()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(8):
+        (src / f"b{i}.ndjson").write_text(
+            f'{{"series": "s.a", "ts": {100 + i}, "value": 1.0}}\n'
+        )
+    roll = str(tmp_path / "roll")
+    q = stream_rollup(
+        spark, str(src), roll, str(tmp_path / "ck"),
+        manifest_commit=True, store=store, max_files_per_trigger=1,
+        maintenance_every=3, maintenance_keep_versions=2, _vacuum_min_age=0,
+    )
+    q.awaitTermination(120)
+    if store is None:
+        versions = list((pathlib.Path(roll) / "_manifest").glob("v*.json"))
+    else:
+        versions = store.list("rollup/_manifest/v")
+    # 8 commits would be 8 versions unvacuumed; the bound is keep + the
+    # commits since the last vacuum (fired at batch 6) + slack
+    assert len(versions) <= 2 + 2 + 1, sorted(str(v) for v in versions)
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 8  # every batch still counted exactly once
