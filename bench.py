@@ -181,7 +181,12 @@ def main() -> None:
     from sydradb_spark.tables import events_points, load_table
 
     load_table(spark, sf_dir, "events").count()
-    load_table(spark, sf_dir, "documents").count()
+    # scale twins may carry a single table (e.g. the sf10/sf100 events-only
+    # decades) — skip the documents warm-up there; doc entries can't run on
+    # such a twin anyway, so nothing is measured cold
+    has_documents = os.path.exists(os.path.join(sf_dir, "documents.parquet"))
+    if has_documents:
+        load_table(spark, sf_dir, "documents").count()
     warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
     try:
         write_points(
@@ -194,9 +199,10 @@ def main() -> None:
     # codegen classes on its first execution in a fresh JVM — run it once
     # over a 64-doc subset so the timed runs measure the operators, not
     # one-time class compilation (same rationale as the write warm-up)
-    from sydradb_spark.pipeline.dedup import curate_corpus
+    if has_documents:
+        from sydradb_spark.pipeline.dedup import curate_corpus
 
-    curate_corpus(load_table(spark, sf_dir, "documents").limit(64)).count()
+        curate_corpus(load_table(spark, sf_dir, "documents").limit(64)).count()
 
     # Self-calibration (round 8): a fixed synthetic pure-CPU query — no I/O,
     # no data dependence — whose median time rides the JSON so cross-round

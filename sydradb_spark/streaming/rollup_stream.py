@@ -359,6 +359,33 @@ def _mf_files(rollup_path: str, store) -> list[str] | None:
     return obs.read_files(store, STORE_TABLE)
 
 
+def init_rollup_manifest(rollup_path: str, store=None) -> int | None:
+    """Adopt an existing flock-mode rollup table into the manifested
+    protocol: commit the current on-disk entries (``b_*``/``c_*`` batch
+    dirs plus any top-level compacted ``*.parquet`` files the directory-swap
+    compactor left) as the next manifest version. Idempotent — entries
+    already present stay present; safe to run before pointing a
+    ``manifest_commit=True`` stream at the table. Returns the committed
+    version, or None when the table is empty and has no manifest yet."""
+    root = Path(rollup_path)
+    if not root.exists():
+        return None
+    entries = sorted(
+        p.name
+        for p in root.iterdir()
+        if (
+            p.is_dir()
+            and (p.name.startswith("b_") or p.name.startswith("c_"))
+        )
+        or (p.is_file() and p.suffix == ".parquet" and p.name[0] != ".")
+    )
+    if not entries and _mf_files(rollup_path, store) is None:
+        return None
+    return _mf_commit(
+        rollup_path, store, mutate=lambda cur: sorted(set(cur) | set(entries))
+    )
+
+
 def write_rollup_batch_manifested(
     partial: DataFrame,
     rollup_path: str,
@@ -532,14 +559,24 @@ def vacuum_rollup(
     now = time.time()
     removed = []
     for p in root.iterdir():
-        if not p.is_dir() or not (
+        is_entry_dir = p.is_dir() and (
             p.name.startswith("b_") or p.name.startswith("c_")
-        ):
+        )
+        # legacy flock-mode compacted files adopted by init_rollup_manifest
+        # are top-level *.parquet — once a manifested fold replaces them
+        # they are reclaimable exactly like a folded batch dir
+        is_legacy_file = (
+            p.is_file() and p.suffix == ".parquet" and p.name[0] != "."
+        )
+        if not (is_entry_dir or is_legacy_file):
             continue
         if p.name in kept:
             continue
         if now - _tree_mtime(p) < min_age_seconds:
             continue  # possibly a live writer's target or a fresh fold
-        shutil.rmtree(p, ignore_errors=True)
+        if is_entry_dir:
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
         removed.append(p.name)
     return sorted(removed)

@@ -389,3 +389,40 @@ def test_stream_rollup_manifested_maintenance_bounds_versions(spark, tmp_path, b
     assert len(versions) <= 2 + 2 + 1, sorted(str(v) for v in versions)
     folded = read_rollup_manifested(spark, roll, 3600, store).collect()
     assert folded[0]["cnt"] == 8  # every batch still counted exactly once
+
+
+def test_init_rollup_manifest_adopts_flock_table(spark, tmp_path, backend):
+    """Migration path: a flock-mode table (top-level compacted parquet from
+    the directory-swap compactor + unfolded batch dirs) is adopted by
+    committing its on-disk entries as the first manifest version; folds and
+    vacuums then treat the legacy compacted files like any folded entry."""
+    from sydradb_spark.streaming.rollup_stream import (
+        compact_rollup,
+        init_rollup_manifest,
+        write_rollup_batch,
+    )
+
+    store = backend()
+    roll = str(tmp_path / "roll")
+    # build a flock-mode table: two batches, compact (top-level parquet +
+    # one live tail), then one more batch
+    write_rollup_batch(_mini_partial(spark, "s.a", 2), roll, 0, "stream-one")
+    write_rollup_batch(_mini_partial(spark, "s.a", 2), roll, 1, "stream-one")
+    compact_rollup(spark, roll, 3600)
+    write_rollup_batch(_mini_partial(spark, "s.a", 2), roll, 2, "stream-one")
+
+    assert init_rollup_manifest(roll, store) is not None
+    names = _manifest_names(roll, store)
+    assert any(n.endswith(".parquet") for n in names)  # legacy compacted file
+    assert "b_stream-one_000000000002" in names
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 6  # all three batches, once each
+    # idempotent re-adoption
+    init_rollup_manifest(roll, store)
+    assert _manifest_names(roll, store) == names
+    # a manifested fold replaces the legacy file; vacuum reclaims it
+    assert compact_rollup_manifested(spark, roll, 3600, store) is not None
+    removed = vacuum_rollup(roll, store, keep_versions=1, min_age_seconds=0)
+    assert any(n.endswith(".parquet") for n in removed)
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 6  # nothing lost through migrate+fold+vacuum
