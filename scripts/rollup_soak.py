@@ -105,21 +105,16 @@ def prepare_ndjson_chunks(spark, sf_dir: str, src_dir: str, chunks: int, half: i
         .partitionBy("chunk")
         .text(tmp)
     )
-    now = time.time()
-    for i in range(chunks):
-        parts = glob.glob(f"{tmp}/chunk={i}/part-*")
-        dst = f"{src_dir}/chunk_{i:04d}.ndjson"
-        if not parts:  # empty time slice — keep the batch schedule aligned
-            open(dst, "w").close()
-        elif len(parts) == 1:
-            shutil.move(parts[0], dst)
-        else:  # repartition guarantee failed — concatenate, stay correct
-            with open(dst, "wb") as out:
-                for p in sorted(parts):
-                    with open(p, "rb") as fh:
-                        shutil.copyfileobj(fh, out)
-        os.utime(dst, (now + i, now + i))
-    shutil.rmtree(tmp, ignore_errors=True)
+    from scripts.soak_common import concat_files, finalize_chunk_files
+
+    finalize_chunk_files(
+        tmp,
+        src_dir,
+        chunks,
+        "ndjson",
+        write_empty=lambda dst: open(dst, "w").close(),
+        merge_multi=concat_files,
+    )
     return pts
 
 

@@ -95,24 +95,27 @@ def prepare_chunks(
         .partitionBy("chunk")
         .parquet(tmp)
     )
-    now = time.time()
-    empty = chunked.limit(0).select("series", "ts", "value")
-    for i in range(chunks):
-        parts = glob.glob(f"{tmp}/chunk={i}/part-*.parquet")
-        dst = f"{src_dir}/chunk_{i:04d}.parquet"
-        # repartition("chunk") puts each chunk in exactly one partition →
-        # exactly one part file; more would silently change the batch
-        # count the crash/txn schedule is built on, so fail loudly
-        assert len(parts) <= 1, f"chunk {i}: {len(parts)} part files"
-        if parts:
-            shutil.move(parts[0], dst)
-        else:  # empty time slice — keep the batch schedule aligned
-            etmp = f"{src_dir}__empty"
-            empty.coalesce(1).write.mode("overwrite").parquet(etmp)
-            shutil.move(glob.glob(f"{etmp}/part-*.parquet")[0], dst)
-            shutil.rmtree(etmp, ignore_errors=True)
-        os.utime(dst, (now + i, now + i))
-    shutil.rmtree(tmp, ignore_errors=True)
+    from scripts.soak_common import finalize_chunk_files
+
+    def _spark_rewrite(df, dst: str) -> None:
+        # parquet files can't be concatenated — re-write coalesced
+        etmp = f"{src_dir}__one"
+        df.coalesce(1).write.mode("overwrite").parquet(etmp)
+        shutil.move(glob.glob(f"{etmp}/part-*.parquet")[0], dst)
+        shutil.rmtree(etmp, ignore_errors=True)
+
+    finalize_chunk_files(
+        tmp,
+        src_dir,
+        chunks,
+        "parquet",
+        write_empty=lambda dst: _spark_rewrite(
+            chunked.limit(0).select("series", "ts", "value"), dst
+        ),
+        merge_multi=lambda parts, dst: _spark_rewrite(
+            spark.read.parquet(*parts), dst
+        ),
+    )
     chunked.unpersist()
     return total
 

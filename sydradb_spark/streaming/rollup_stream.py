@@ -108,9 +108,21 @@ class _rollup_lock:
 
         if self.path is None:
             return self  # non-POSIX rollup location: no lock primitive
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._fh = open(self.path, "w")
-        fcntl.flock(self._fh, fcntl.LOCK_EX if self.exclusive else fcntl.LOCK_SH)
+        try:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._fh = open(self.path, "w")
+            fcntl.flock(self._fh, fcntl.LOCK_EX if self.exclusive else fcntl.LOCK_SH)
+        except OSError:
+            # local path whose filesystem refuses flock (NFS mounted
+            # nolock, some containers): degrade to unlocked rather than
+            # kill the stream — writes are idempotent overwrites, and the
+            # module docstring routes lock-less deployments to the
+            # manifested protocol. The URI case above never reaches here
+            # (the scheme guard is what prevents the stray local
+            # 's3:/...' lock file, ADVICE r12).
+            if self._fh is not None:
+                self._fh.close()
+            self._fh = None
         return self
 
     def __exit__(self, *exc):
@@ -217,6 +229,8 @@ def stream_rollup(
                     store,
                     keep_versions=maintenance_keep_versions,
                     min_age_seconds=_vacuum_min_age,
+                    spark=batch.sparkSession,  # URI data locations reclaim
+                    # through the Hadoop FS API (r13 review finding)
                 )
         else:
             write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
@@ -334,11 +348,28 @@ class _ConcurrentFold(Exception):
     read and our commit — committing would double-count the folded rows."""
 
 
+def _local_manifest_path(rollup_path: str) -> str:
+    """The local path the POSIX manifest protocol operates on. Rejects URI
+    locations: ``manifest.commit_cas`` on 's3a://…' would mkdir a RELATIVE
+    local junk directory and 'commit' into it — the object-store protocol
+    (pass ``store=``) is the only correct manifest home there."""
+    from sydradb_spark.ingest import _posix_checkpoint_path
+
+    local = _posix_checkpoint_path(rollup_path)
+    if local is None:
+        raise ValueError(
+            f"the local manifest protocol cannot live on {rollup_path!r}: "
+            "pass store= (an objectstore.ObjectStore) for object-store "
+            "rollup tables"
+        )
+    return local
+
+
 def _mf_commit(rollup_path: str, store, *, mutate, txn=None):
     if store is None:
         from sydradb_spark import manifest as mf
 
-        return mf.commit_cas(rollup_path, mutate=mutate, txn=txn)
+        return mf.commit_cas(_local_manifest_path(rollup_path), mutate=mutate, txn=txn)
     from sydradb_spark import objectstore as obs
 
     return obs.commit_cas(store, STORE_TABLE, mutate=mutate, txn=txn)
@@ -349,9 +380,10 @@ def _mf_files(rollup_path: str, store) -> list[str] | None:
     if store is None:
         from sydradb_spark import manifest as mf
 
-        if mf.latest_version(rollup_path) is None:
+        local = _local_manifest_path(rollup_path)
+        if mf.latest_version(local) is None:
             return None
-        return mf.read_files(rollup_path)
+        return mf.read_files(local)
     from sydradb_spark import objectstore as obs
 
     if obs.latest_version(store, STORE_TABLE) is None:
@@ -359,25 +391,76 @@ def _mf_files(rollup_path: str, store) -> list[str] | None:
     return obs.read_files(store, STORE_TABLE)
 
 
-def init_rollup_manifest(rollup_path: str, store=None) -> int | None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path) for ``path`` on whatever filesystem Spark
+    can reach — the backend-generic escape hatch for data operations on
+    non-POSIX rollup locations (s3a://, hdfs://)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _remove_entry(spark: SparkSession | None, rollup_path: str, name: str) -> None:
+    """Delete one table entry (dir or file) on whichever filesystem holds
+    the table: local paths via the stdlib, URI locations via the Hadoop
+    FileSystem API (shutil against 's3a://…' is a SILENT no-op — the
+    aborted-fold leak the r13 review caught)."""
+    import shutil
+
+    from sydradb_spark.ingest import _posix_checkpoint_path
+
+    local = _posix_checkpoint_path(rollup_path)
+    if local is not None:
+        p = Path(local) / name
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
+        return
+    if spark is None:
+        return  # caller has no session — entry stays until a vacuum with one
+    _, fs, jpath = _hadoop_fs(spark, f"{rollup_path.rstrip('/')}/{name}")
+    fs.delete(jpath, True)
+
+
+def init_rollup_manifest(
+    rollup_path: str, store=None, spark: SparkSession | None = None
+) -> int | None:
     """Adopt an existing flock-mode rollup table into the manifested
     protocol: commit the current on-disk entries (``b_*``/``c_*`` batch
     dirs plus any top-level compacted ``*.parquet`` files the directory-swap
     compactor left) as the next manifest version. Idempotent — entries
     already present stay present; safe to run before pointing a
-    ``manifest_commit=True`` stream at the table. Returns the committed
-    version, or None when the table is empty and has no manifest yet."""
-    root = Path(rollup_path)
-    if not root.exists():
-        return None
-    entries = sorted(
-        p.name
-        for p in root.iterdir()
-        if (
-            p.is_dir()
-            and (p.name.startswith("b_") or p.name.startswith("c_"))
+    ``manifest_commit=True`` stream at the table. Local paths list via the
+    stdlib; URI locations need ``spark`` (Hadoop FileSystem listing).
+    Returns the committed version, or None when the table is empty and has
+    no manifest yet."""
+    from sydradb_spark.ingest import _posix_checkpoint_path
+
+    local = _posix_checkpoint_path(rollup_path)
+    if local is not None:
+        root = Path(local)
+        if not root.exists():
+            return None
+        listing = [(p.name, p.is_dir()) for p in root.iterdir()]
+    elif spark is not None:
+        _, fs, jroot = _hadoop_fs(spark, rollup_path)
+        if not fs.exists(jroot):
+            return None
+        listing = [
+            (st.getPath().getName(), st.isDirectory())
+            for st in fs.listStatus(jroot)
+        ]
+    else:
+        raise ValueError(
+            f"init_rollup_manifest on the URI location {rollup_path!r} needs "
+            "a SparkSession (Hadoop FileSystem listing)"
         )
-        or (p.is_file() and p.suffix == ".parquet" and p.name[0] != ".")
+    entries = sorted(
+        name
+        for name, is_dir in listing
+        if (is_dir and (name.startswith("b_") or name.startswith("c_")))
+        or (not is_dir and name.endswith(".parquet") and name[0] != ".")
     )
     if not entries and _mf_files(rollup_path, store) is None:
         return None
@@ -465,7 +548,6 @@ def compact_rollup_manifested(
     after an age window. ``_pre_commit_hook()`` is a test seam between the
     fold write and the manifest commit. Returns the committed version, or
     None when there was nothing to fold or a concurrent fold won."""
-    import shutil
     import uuid
 
     names = _mf_files(rollup_path, store)
@@ -498,7 +580,9 @@ def compact_rollup_manifested(
     try:
         return _mf_commit(rollup_path, store, mutate=mutate)
     except _ConcurrentFold:
-        shutil.rmtree(f"{root}/{out}", ignore_errors=True)
+        # backend-aware removal: shutil against an s3a:// string would be a
+        # silent no-op and leak the aborted fold's output forever
+        _remove_entry(spark, rollup_path, out)
         return None
 
 
@@ -507,41 +591,49 @@ def vacuum_rollup(
     store=None,
     keep_versions: int = 2,
     min_age_seconds: int = 600,
+    spark: SparkSession | None = None,
 ) -> list[str]:
-    """Reclaim rollup entries (``b_*``/``c_*`` dirs) unreferenced by the
-    retained manifest versions, and prune old version files. The age window
-    is the reader/replayer guard: an entry whose tree was touched within it
-    (newest mtime anywhere inside — a fold or batch write advances leaf
-    mtimes, not necessarily the dir's own) is never deleted. Returns the
-    removed entry names.
+    """Reclaim rollup entries (``b_*``/``c_*`` dirs and legacy top-level
+    ``*.parquet`` files) unreferenced by the retained manifest versions,
+    and prune old version files. The age window is the reader/replayer
+    guard: an entry whose tree was touched within it (newest mtime anywhere
+    inside — a fold or batch write advances leaf mtimes, not necessarily
+    the dir's own) is never deleted. Returns the removed entry names.
 
-    Scope note: the MANIFEST side is backend-generic (``store`` moves it to
-    conditional-PUT object-store keys), but the DATA reclaim here walks
-    ``rollup_path`` as a local filesystem path — correct when the parquet
-    data is on a POSIX mount (incl. the soak's store-manifest/local-data
-    split). When the data itself lives on s3a://, route the dir removals
-    through the Hadoop FileSystem API instead; the manifest diff (entries
-    present in pruned versions only) is already exactly the delete list."""
+    Backends: the MANIFEST side needs ``store`` for object-store manifests
+    (``store=None`` + a non-POSIX ``rollup_path`` is rejected — the local
+    link-CAS protocol cannot live on s3://). The DATA side walks local
+    paths with the stdlib and URI locations through the Hadoop FileSystem
+    API via ``spark`` — without a session, a non-local data pass is SKIPPED
+    (version pruning still runs; entries wait for a vacuum that has one).
+    The streaming sink's in-sink maintenance always passes its session."""
     import shutil
     import time
 
     from sydradb_spark import manifest as mf
+    from sydradb_spark.ingest import _posix_checkpoint_path
     from sydradb_spark.manifest import _tree_mtime
 
-    root = Path(rollup_path)
+    local = _posix_checkpoint_path(rollup_path)
     kept: set[str] = set()
     if store is None:
+        if local is None:
+            raise ValueError(
+                f"vacuum_rollup with store=None needs a local rollup path, "
+                f"got {rollup_path!r}: the link-CAS manifest protocol has no "
+                "object-store primitive — pass an objectstore-backed store"
+            )
         # manifest.vacuum's data pass globs hour_bucket=* (a no-op on a
         # rollup table); it prunes old v*.json + commit temp files for us
         mf.vacuum(
-            rollup_path, keep_versions=keep_versions, min_age_seconds=min_age_seconds
+            local, keep_versions=keep_versions, min_age_seconds=min_age_seconds
         )
-        mdir = root / mf.MANIFEST_DIR
+        mdir = Path(local) / mf.MANIFEST_DIR
         if not mdir.exists():
             return []
         for p in mdir.glob("v*.json"):
             try:
-                kept.update(mf.read_files(rollup_path, int(p.stem[1:])))
+                kept.update(mf.read_files(local, int(p.stem[1:])))
             except FileNotFoundError:
                 continue  # racing a concurrent vacuum
     else:
@@ -556,27 +648,50 @@ def vacuum_rollup(
                 )
             except (ValueError, FileNotFoundError):
                 continue
-    now = time.time()
-    removed = []
-    for p in root.iterdir():
-        is_entry_dir = p.is_dir() and (
-            p.name.startswith("b_") or p.name.startswith("c_")
-        )
+
+    def _is_entry(name: str, is_dir: bool) -> bool:
+        if is_dir:
+            return name.startswith("b_") or name.startswith("c_")
         # legacy flock-mode compacted files adopted by init_rollup_manifest
         # are top-level *.parquet — once a manifested fold replaces them
         # they are reclaimable exactly like a folded batch dir
-        is_legacy_file = (
-            p.is_file() and p.suffix == ".parquet" and p.name[0] != "."
-        )
-        if not (is_entry_dir or is_legacy_file):
-            continue
-        if p.name in kept:
-            continue
-        if now - _tree_mtime(p) < min_age_seconds:
-            continue  # possibly a live writer's target or a fresh fold
-        if is_entry_dir:
-            shutil.rmtree(p, ignore_errors=True)
-        else:
-            p.unlink(missing_ok=True)
-        removed.append(p.name)
+        return name.endswith(".parquet") and name[0] != "."
+
+    now = time.time()
+    removed = []
+    if local is not None:
+        root = Path(local)
+        if not root.exists():
+            return []
+        for p in root.iterdir():
+            if not _is_entry(p.name, p.is_dir()) or p.name in kept:
+                continue
+            if now - _tree_mtime(p) < min_age_seconds:
+                continue  # possibly a live writer's target or a fresh fold
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.unlink(missing_ok=True)
+            removed.append(p.name)
+    elif spark is not None:
+        # URI data location: list/age/delete through the Hadoop FS API —
+        # Path('s3a://…').iterdir() resolves to a NONEXISTENT local path
+        # and previously crashed the in-sink maintenance (r13 review)
+        _, fs, jroot = _hadoop_fs(spark, rollup_path)
+        if not fs.exists(jroot):
+            return []
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not _is_entry(name, st.isDirectory()) or name in kept:
+                continue
+            newest = st.getModificationTime() / 1000.0
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    newest = max(newest, it.next().getModificationTime() / 1000.0)
+            if now - newest < min_age_seconds:
+                continue
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    # else: no session to reach the URI filesystem — manifest-only vacuum
     return sorted(removed)
