@@ -44,9 +44,19 @@ NDJSON_SCHEMA = StructType(
 
 def parse_ndjson(raw: DataFrame) -> DataFrame:
     """Normalize parsed NDJSON rows into the canonical points shape:
-    missing tags → empty map (identity hashing needs a canonical value)."""
+    missing tags → empty map (identity hashing needs a canonical value).
+
+    Malformed lines are DROPPED, not ingested: Spark's PERMISSIVE JSON
+    reader ignores user-schema nullability, so a line with a missing or
+    non-numeric ``ts``/missing ``series`` arrives as nulls — ingested,
+    a null ts lands in the __HIVE_DEFAULT_PARTITION__ hour bucket (pruned
+    and full scans then DISAGREE about it) and a null series collapses
+    every bad line onto one bogus xxhash64(null) series_id (r13 review).
+    The reference HTTP ingest rejects such lines outright
+    (http.zig:657-712); per-line drop is the distributed-sink equivalent."""
     return with_identity(
-        raw.select(
+        raw.where(F.col("series").isNotNull() & F.col("ts").isNotNull())
+        .select(
             F.col("series"),
             F.coalesce(F.col("tags"), F.create_map().cast(NDJSON_SCHEMA["tags"].dataType)).alias(
                 "tags"
@@ -265,11 +275,19 @@ def stream_points_sink(
         if _after_write_hook is not None:
             _after_write_hook(batch_id)
         if maintenance_every and batch_id > 0 and batch_id % maintenance_every == 0:
-            mf.vacuum(
-                table_path,
-                keep_versions=maintenance_keep_versions,
-                min_age_seconds=_vacuum_min_age,
-            )
+            try:
+                mf.vacuum(
+                    table_path,
+                    keep_versions=maintenance_keep_versions,
+                    min_age_seconds=_vacuum_min_age,
+                )
+            except Exception:
+                # maintenance is advisory: the durable write + ledger commit
+                # already succeeded above, and a vacuum hiccup (a transient
+                # FS race with a concurrent writer's vacuum) must not kill
+                # the continuous streaming query — the next boundary
+                # retries (r13 review)
+                pass
 
     writer = points.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -89,7 +89,14 @@ def latest_version(path: str) -> int | None:
     cands = []
     latest = mdir / "LATEST"
     if latest.exists():
-        cands.append(int(latest.read_text().strip()))
+        try:
+            cands.append(int(latest.read_text().strip()))
+        except (ValueError, FileNotFoundError):
+            # corrupt/empty/mid-replace pointer: the hint must never
+            # decide anything, least of all brick the table — the listed
+            # versions below are the source of truth (the objectstore
+            # twin already guards this identically)
+            pass
     if mdir.exists():
         cands.extend(int(p.stem[1:]) for p in mdir.glob("v*.json"))
     return max(cands) if cands else None
@@ -345,19 +352,42 @@ def vacuum(
     for rel in data_files(path):
         if rel not in keep and not _young(root / rel):
             f = root / rel
-            f.unlink()
+            # missing_ok: two concurrent maintenance vacuums (two streams,
+            # one table) may both list the same unreferenced file — the
+            # loser of the unlink race must not fail the batch (r13 review)
+            f.unlink(missing_ok=True)
             crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling
             crc.unlink(missing_ok=True)
             removed.append(rel)
-    # prune partition dirs holding nothing but leftover hidden files
+    # prune partition dirs holding nothing but leftover hidden files —
+    # age-guarded and race-tolerant (r13 review): a concurrent appender
+    # renames the hidden .crc sibling BEFORE its parquet file, so a fresh
+    # dir can legitimately hold only young hidden files; deleting them and
+    # rmdir'ing would yank the parent from under the in-flight rename
     for d in root.glob("hour_bucket=*"):
-        if d.is_dir() and not any(p.name[0] != "." for p in d.iterdir()):
-            for p in d.iterdir():
-                p.unlink()
+        try:
+            entries = list(d.iterdir()) if d.is_dir() else None
+        except FileNotFoundError:
+            continue  # racing another vacuum
+        if entries is None or any(p.name[0] != "." for p in entries):
+            continue
+        if any(_young(p) for p in entries) or _young(d):
+            continue  # possibly an appender's just-renamed .crc
+        try:
+            for p in entries:
+                p.unlink(missing_ok=True)
             d.rmdir()
+        except OSError:
+            pass  # a file landed between the listing and the rmdir — keep
     for mf in _mdir(path).glob("v*.json"):
-        if int(mf.stem[1:]) not in kept_versions:
-            mf.unlink()
+        # prune only versions from OUR snapshot's past (<= v) that are
+        # neither kept nor young: a version committed concurrently during
+        # this vacuum is > v (or young) and must survive — unlinking it
+        # left LATEST pointing at a deleted manifest, making the table
+        # unreadable AND uncommittable (r13 review, the severe one)
+        kv = int(mf.stem[1:])
+        if kv <= v and kv not in kept_versions and not _young(mf):
+            mf.unlink(missing_ok=True)
     # orphaned commit temp files (a committer died between write and link)
     for tmp in _mdir(path).glob(".*.tmp"):
         if not _young(tmp):

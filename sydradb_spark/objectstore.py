@@ -44,10 +44,13 @@ from typing import Protocol
 
 
 class ObjectStore(Protocol):
-    """The four primitives the commit protocol needs. ``put_if_absent`` is
-    the only one with atomicity requirements: it must create the key iff it
+    """The five primitives the protocol needs. ``put_if_absent`` is the
+    only one with atomicity requirements: it must create the key iff it
     does not already exist, atomically against concurrent creators (S3
-    If-None-Match, GCS if-generation-match:0, Azure If-None-Match)."""
+    If-None-Match, GCS if-generation-match:0, Azure If-None-Match).
+    ``delete`` is used only by maintenance (``vacuum_versions``) — it was
+    implicit before r13, which meant a client implementing the documented
+    surface hit AttributeError at its first vacuum, not at type-check."""
 
     def put_if_absent(self, key: str, data: bytes) -> bool: ...
 
@@ -56,6 +59,8 @@ class ObjectStore(Protocol):
     def get(self, key: str) -> bytes | None: ...
 
     def list(self, prefix: str) -> list[str]: ...
+
+    def delete(self, key: str) -> None: ...
 
 
 class MemoryObjectStore:
@@ -147,11 +152,20 @@ class LocalFSObjectStore:
             return None
 
     def list(self, prefix: str) -> list[str]:
-        base = self.root
+        # walk only the prefix's fixed directory, not the whole store:
+        # manifest reads call list() once per read AND per CAS attempt, and
+        # a store root that also holds data files made every manifest
+        # operation O(all keys) (r13 review)
+        from pathlib import PurePath
+
+        pp = PurePath(prefix)
+        base = self.root / (pp if prefix.endswith("/") else pp.parent)
+        if not base.is_dir():
+            return []
         out = []
         for p in base.rglob("*"):
             if p.is_file() and not p.name.startswith("."):
-                rel = str(p.relative_to(base))
+                rel = str(p.relative_to(self.root))
                 if rel.startswith(prefix):
                     out.append(rel)
         return sorted(out)
@@ -196,10 +210,7 @@ def read_files(
     v = version if version is not None else latest_version(store, table)
     if v is None:
         raise FileNotFoundError(f"no manifest for {table}")
-    raw = store.get(_mprefix(table) + f"v{v}.json")
-    if raw is None:
-        raise FileNotFoundError(f"missing manifest v{v} for {table}")
-    return list(json.loads(raw)["files"])
+    return list(_read_doc(store, table, v)["files"])
 
 
 def _read_doc(store: ObjectStore, table: str, version: int) -> dict:
@@ -321,6 +332,6 @@ def vacuum_versions(
         except ValueError:
             continue
         if kv <= v - keep_versions:
-            store.delete(key)  # type: ignore[attr-defined]
+            store.delete(key)
             removed.append(key)
     return sorted(removed)

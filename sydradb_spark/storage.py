@@ -107,6 +107,8 @@ def write_points(
         stage = Path(path) / f".staging-{uuid.uuid4().hex}"
         try:
             shaped.mode("overwrite").parquet(str(stage))
+            import os
+
             moved: list[str] = []
             for f in sorted(stage.glob("hour_bucket=*/*.parquet")):
                 rel = f.relative_to(stage)
@@ -114,8 +116,16 @@ def write_points(
                 dst.parent.mkdir(exist_ok=True)
                 crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling
                 if crc.exists():
-                    crc.rename(dst.with_name(f".{dst.name}.crc"))
+                    crc_dst = dst.with_name(f".{dst.name}.crc")
+                    crc.rename(crc_dst)
+                    os.utime(crc_dst)
                 f.rename(dst)
+                # rename(2) PRESERVES mtime: a part file staged early in a
+                # >min_age write would be born "old" and a concurrent
+                # vacuum could reclaim it between this rename and the
+                # commit below (r13 review) — stamp publication time so
+                # the age guard means what it says
+                os.utime(dst)
                 moved.append(str(rel))
         finally:
             shutil.rmtree(stage, ignore_errors=True)

@@ -224,14 +224,19 @@ def stream_rollup(
                 and batch_id > 0
                 and batch_id % maintenance_every == 0
             ):
-                vacuum_rollup(
-                    rollup_path,
-                    store,
-                    keep_versions=maintenance_keep_versions,
-                    min_age_seconds=_vacuum_min_age,
-                    spark=batch.sparkSession,  # URI data locations reclaim
-                    # through the Hadoop FS API (r13 review finding)
-                )
+                try:
+                    vacuum_rollup(
+                        rollup_path,
+                        store,
+                        keep_versions=maintenance_keep_versions,
+                        min_age_seconds=_vacuum_min_age,
+                        spark=batch.sparkSession,  # URI data locations
+                        # reclaim through the Hadoop FS API (r13 review)
+                    )
+                except Exception:
+                    # advisory maintenance must not kill the stream — the
+                    # batch's write + manifest commit already succeeded
+                    pass
         else:
             write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
         if _after_write_hook is not None:

@@ -691,3 +691,112 @@ def test_vacuum_spares_staging_with_fresh_leaves(tmp_path):
     mf.vacuum(str(table), min_age_seconds=600)
     assert not dead.exists()
     assert live.exists()  # fresh leaf kept the whole tree alive
+
+
+def test_vacuum_spares_concurrently_committed_version(tmp_path):
+    """r13 review (severe): a version committed DURING a vacuum is above the
+    vacuum's snapshot and must survive the version-json prune — unlinking it
+    left LATEST pointing at a deleted manifest, bricking reads AND commits."""
+    from sydradb_spark import manifest as mf
+
+    table = str(tmp_path / "tbl")
+    for i in range(5):
+        mf.commit(table, [f"f{i}"])
+    # simulate the race: the prune loop iterates glob('v*.json') AFTER a
+    # concurrent committer landed v6 — with min_age=0 nothing is 'young',
+    # so only the <= snapshot bound protects it. Patch data_files to inject
+    # the commit mid-vacuum (between the keep-set build and the prune).
+    real_data_files = mf.data_files
+    fired = {"done": False}
+
+    def inject_then_list(path):
+        if not fired["done"]:
+            fired["done"] = True
+            mf.commit(path, ["f_concurrent"])
+        return real_data_files(path)
+
+    mf.data_files = inject_then_list
+    try:
+        mf.vacuum(table, keep_versions=2, min_age_seconds=0)
+    finally:
+        mf.data_files = real_data_files
+    assert mf.latest_version(table) == 6
+    assert mf.read_files(table) == ["f_concurrent"]  # readable, not bricked
+    mf.commit(table, mutate=lambda old: old + ["f_next"])  # committable too
+
+
+def test_vacuum_keeps_fresh_partition_dir_with_only_hidden_crc(tmp_path):
+    """r13 review: an appender renames the hidden .crc sibling BEFORE its
+    parquet file, so a fresh partition dir can hold only a young hidden
+    file — the empty-dir prune must not delete it (the in-flight rename
+    would lose its parent). Old all-hidden dirs are still pruned."""
+    import os
+    import time
+
+    from sydradb_spark import manifest as mf
+
+    table = tmp_path / "tbl"
+    (table / "_manifest").mkdir(parents=True)
+    mf.commit(str(table), [])
+    fresh = table / "hour_bucket=0"
+    fresh.mkdir()
+    (fresh / ".part-0.parquet.crc").write_bytes(b"x")  # appender mid-rename
+    stale = table / "hour_bucket=3600"
+    stale.mkdir()
+    (stale / ".leftover.crc").write_bytes(b"x")
+    old = time.time() - 7200
+    os.utime(stale / ".leftover.crc", (old, old))
+    os.utime(stale, (old, old))
+    mf.vacuum(str(table), min_age_seconds=600)
+    assert (fresh / ".part-0.parquet.crc").exists()  # young: kept
+    assert not stale.exists()  # genuinely stale leftovers: pruned
+
+
+def test_concurrent_vacuums_tolerate_each_other(tmp_path):
+    """r13 review: the second of two racing vacuums must not crash on a
+    file the first already unlinked (missing_ok on the data prune)."""
+    import os
+    import time
+
+    from sydradb_spark import manifest as mf
+
+    table = tmp_path / "tbl"
+    d = table / "hour_bucket=0"
+    d.mkdir(parents=True)
+    (d / "part-dead.parquet").write_bytes(b"x")
+    old = time.time() - 7200
+    os.utime(d / "part-dead.parquet", (old, old))
+    mf.commit(str(table), [])  # dead file is unreferenced
+    real_young = mf.vacuum.__globals__  # no seam needed: delete mid-listing
+    # simulate the loser: remove the file after data_files() listed it
+    real_data_files = mf.data_files
+
+    def list_then_steal(path):
+        rels = real_data_files(path)
+        for rel in rels:
+            (table / rel).unlink(missing_ok=True)  # the winner got there first
+        return rels
+
+    mf.data_files = list_then_steal
+    try:
+        removed = mf.vacuum(str(table), min_age_seconds=600)
+    finally:
+        mf.data_files = real_data_files
+    # the loser neither crashes nor double-claims: the missing file stats
+    # as 'young' (racing its deleter) and is skipped entirely
+    assert removed == []
+    assert not (d / "part-dead.parquet").exists()
+
+
+def test_latest_version_survives_corrupt_pointer(tmp_path):
+    """r13 review: a truncated/empty LATEST hint must not brick the table —
+    the listed versions are the source of truth (objectstore twin parity)."""
+    from sydradb_spark import manifest as mf
+
+    table = str(tmp_path / "tbl")
+    mf.commit(table, ["f0"])
+    mf.commit(table, ["f0", "f1"])
+    (tmp_path / "tbl" / "_manifest" / "LATEST").write_text("")  # corrupt
+    assert mf.latest_version(table) == 2
+    assert mf.read_files(table) == ["f0", "f1"]
+    assert mf.commit(table, mutate=lambda old: old + ["f2"]) == 3

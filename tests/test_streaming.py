@@ -1087,3 +1087,27 @@ def test_stream_rollup_raises_on_unresolvable_app_id(spark, tmp_path, monkeypatc
     with pytest.raises(Exception, match="no app identity resolvable"):
         q.awaitTermination(60)
     assert not list((tmp_path / "roll").glob("b_None_*"))
+
+
+def test_parse_ndjson_drops_malformed_lines(spark, tmp_path):
+    """r13 review: PERMISSIVE JSON parsing yields null series/ts for
+    malformed lines (Spark ignores user-schema nullability) — ingesting
+    them poisons the table (null hour_bucket partition, xxhash64(null)
+    series_id); the reference rejects such lines (http.zig:657-712), so
+    parse_ndjson drops them."""
+    from sydradb_spark.ingest import read_ndjson
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "mixed.ndjson").write_text(
+        '{"series": "s.a", "ts": 100, "value": 1.0}\n'
+        '{"ts": "abc", "value": 2.0}\n'          # non-numeric ts, no series
+        '{"series": "s.b", "value": 3.0}\n'      # missing ts
+        '{"ts": 200, "value": 4.0}\n'            # missing series
+        '{"series": "s.c", "ts": 300, "value": null}\n'  # null value: KEPT
+    )
+    rows = read_ndjson(spark, str(src)).collect()
+    assert sorted((r["series"], r["ts"]) for r in rows) == [
+        ("s.a", 100),
+        ("s.c", 300),
+    ]
