@@ -315,7 +315,18 @@ def with_chunked_ema(
     Arrow kernel computes (plain-ewm e, zero-state z, row index i) per
     bounded (series, chunk) group in parallel; the incoming state per chunk
     is folded sequentially ONLY over the one-row-per-chunk summary frame,
-    then the final value is a vectorized JVM-side expression."""
+    then the final value is a vectorized JVM-side expression.
+
+    Null observations (r13 review): a null ``src_col`` row is excluded from
+    the recursion and emitted with a null EMA — the recursion is defined
+    over OBSERVED values only. Letting NaNs into the kernel silently mixed
+    two models: pandas ewm renormalizes weights around NaNs in-chunk
+    (ignore_na=False) while the cross-chunk carry decayed by the TOTAL row
+    count — the answer then depended on where the chunk boundary fell."""
+    null_rows = df.where(F.col(src_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    df = df.where(F.col(src_col).isNotNull())
     df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
     # deterministic per-chunk position: the kernel sorts by THIS column, so
     # the Arrow-side order and the join-back key are the same thing — no
@@ -363,7 +374,11 @@ def with_chunked_ema(
         F.struct(F.col("__e").alias("e"), F.col("__z").alias("z")),
         F.col("__i"),
     )
-    summary = dfk.groupBy(partition, "__wchunk").agg(
+    # summarize the NARROW kernel output, not the joined full-width frame
+    # (r13 review): grouping dfk put the Arrow kernel AND the join into
+    # both the summary subtree and the output subtree — the two most
+    # expensive stages evaluated twice per query
+    summary = kernel_out.groupBy(partition, "__wchunk").agg(
         last_row.alias("__last"), F.count("*").alias("__m")
     )
 
@@ -388,6 +403,7 @@ def with_chunked_ema(
     final = F.when(F.col("__s_in").isNull(), F.col("__e")).otherwise(
         F.col("__z") + F.pow(F.lit(1.0 - alpha), F.col("__i")) * F.col("__s_in")
     )
-    return out.withColumn(out_col, final).drop(
+    result = out.withColumn(out_col, final).drop(
         "__e", "__z", "__i", "__s_in", "__wchunk"
     )
+    return result.unionByName(null_rows)

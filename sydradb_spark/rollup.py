@@ -29,6 +29,7 @@ ROLLUP_COLS = [
     "series",
     "bucket",
     "cnt",
+    "cnt_v",
     "sum_v",
     "min_v",
     "max_v",
@@ -49,6 +50,10 @@ def build_rollup(points: DataFrame, step_s: int = 3600) -> DataFrame:
         .agg(
             F.min("series").alias("series"),
             F.count("*").alias("cnt"),
+            # non-null value count (r13 review): avg must divide by the
+            # values avg(value) actually averages — sum_v/cnt silently
+            # diverges from the raw path when a bucket holds null values
+            F.count("value").alias("cnt_v"),
             F.sum("value").alias("sum_v"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
@@ -71,13 +76,21 @@ def combine_rollup(rollup: DataFrame, step_s: int) -> DataFrame:
         .agg(
             F.min("series").alias("series"),
             F.sum("cnt").alias("cnt"),
+            F.sum("cnt_v").alias("cnt_v"),
             F.sum("sum_v").alias("sum_v"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
             F.min("first_ts").alias("first_ts"),
-            F.min_by("first_v", "first_ts").alias("first_v"),
+            # struct tie-break (r13 review): two partials of one bucket can
+            # share the same first_ts/last_ts whole second (the sf1 tie
+            # scenario above) — ordering by the bare ts picked whichever
+            # partial arrived first, diverging run-to-run and from
+            # build_rollup's min_by(value, struct(ts, value)). min over
+            # struct(first_ts, first_v) == the global struct minimum, so
+            # combine-of-partials equals one-shot build exactly.
+            F.min_by("first_v", F.struct("first_ts", "first_v")).alias("first_v"),
             F.max("last_ts").alias("last_ts"),
-            F.max_by("last_v", "last_ts").alias("last_v"),
+            F.max_by("last_v", F.struct("last_ts", "last_v")).alias("last_v"),
         )
         .select(*ROLLUP_COLS)
     )
@@ -93,7 +106,7 @@ def rollup_answer(rollup: DataFrame) -> DataFrame:
         "bucket",
         F.col("cnt").alias("n"),
         "sum_v",
-        (F.col("sum_v") / F.col("cnt")).alias("avg_v"),
+        (F.col("sum_v") / F.col("cnt_v")).alias("avg_v"),
         "min_v",
         "max_v",
         "first_v",

@@ -101,40 +101,59 @@ def write_points(
         .sortWithinPartitions("series_id", "ts")
         .write.partitionBy("hour_bucket")
     )
-    if manifested and mode == "append" and not fresh:
-        import uuid
-
-        stage = Path(path) / f".staging-{uuid.uuid4().hex}"
-        try:
-            shaped.mode("overwrite").parquet(str(stage))
-            import os
-
-            moved: list[str] = []
-            for f in sorted(stage.glob("hour_bucket=*/*.parquet")):
-                rel = f.relative_to(stage)
-                dst = Path(path) / rel
-                dst.parent.mkdir(exist_ok=True)
-                crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling
-                if crc.exists():
-                    crc_dst = dst.with_name(f".{dst.name}.crc")
-                    crc.rename(crc_dst)
-                    os.utime(crc_dst)
-                f.rename(dst)
-                # rename(2) PRESERVES mtime: a part file staged early in a
-                # >min_age write would be born "old" and a concurrent
-                # vacuum could reclaim it between this rename and the
-                # commit below (r13 review) — stamp publication time so
-                # the age guard means what it says
-                os.utime(dst)
-                moved.append(str(rel))
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
-        # an empty batch still commits (txn ledger must record the batch)
-        mf.commit(path, mutate=lambda old: old + moved, txn=txn)
+    if manifested and not fresh:
+        moved = _stage_and_publish(shaped, path)
+        if mode == "append":
+            # an empty batch still commits (txn ledger must record the batch)
+            mf.commit(path, mutate=lambda old: old + moved, txn=txn)
+        else:
+            # overwrite on a LIVE manifested table is a manifest-level flip,
+            # NOT a Spark directory truncation (r13 review): static
+            # partitionOverwriteMode deletes the whole path — _manifest/,
+            # version history, and BOTH apps' txn ledgers included — and
+            # readers crash mid-scan on the vanished files. Staging the new
+            # files in and committing a full-replacement list keeps readers
+            # atomic (old files stay until vacuum) and commit_cas carries
+            # the ledger forward.
+            mf.commit(path, files=moved, txn=txn)
     else:
         shaped.mode(mode).parquet(path)
         if mode == "overwrite" or fresh:
             mf.commit(path, mf.data_files(path), txn=txn)
+
+
+def _stage_and_publish(shaped_writer, path: str) -> list[str]:
+    """Write through a PRIVATE ``.staging-<uuid>/`` dir and rename the part
+    files into the live layout, returning the EXACT moved-file list for the
+    manifest commit. This is the only safe append shape under concurrent
+    committers (r12 + r13 reviews): Spark's ``mode("append")`` into the
+    live path shares Hadoop's ``_temporary/0`` staging across jobs, and a
+    before/after ``data_files()`` diff double-commits (or drops) a
+    concurrent appender's files. Publication time is stamped on every
+    renamed file — rename(2) preserves the staging mtime, which would void
+    ``manifest.vacuum``'s age guard for writes longer than the window."""
+    import os
+    import uuid
+
+    stage = Path(path) / f".staging-{uuid.uuid4().hex}"
+    try:
+        shaped_writer.mode("overwrite").parquet(str(stage))
+        moved: list[str] = []
+        for f in sorted(stage.glob("hour_bucket=*/*.parquet")):
+            rel = f.relative_to(stage)
+            dst = Path(path) / rel
+            dst.parent.mkdir(exist_ok=True)
+            crc = f.with_name(f".{f.name}.crc")  # local-FS checksum sibling
+            if crc.exists():
+                crc_dst = dst.with_name(f".{dst.name}.crc")
+                crc.rename(crc_dst)
+                os.utime(crc_dst)
+            f.rename(dst)
+            os.utime(dst)
+            moved.append(str(rel))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return moved
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
@@ -234,7 +253,13 @@ def compact_points(df: DataFrame, order_col: str | None = None) -> DataFrame:
     the ingest order (e.g. a WAL sequence); without one, max(value) is the
     documented deterministic tiebreak. Single shuffle on (series_id, ts);
     map-side combine keeps it partial-aggregating."""
-    order = F.col(order_col) if order_col else F.col("value")
+    # struct wrapper (r13 review): max_by SKIPS rows whose ordering key is
+    # null, so a (series_id, ts) group whose every duplicate has value=null
+    # aggregated to a NULL __row — an all-null row with its identity
+    # destroyed. struct(null) is a non-null ordering key (null field sorts
+    # lowest), so a non-null value still wins and an all-null group keeps
+    # one intact row instead of corrupting the table.
+    order = F.col(order_col) if order_col else F.struct(F.col("value"))
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy("series_id", "ts")
@@ -372,9 +397,8 @@ def optimize_partitions(
     df = spark.read.option("basePath", path).parquet(
         *[f"{path}/{f}" for f in target_files]
     )
-    before = set(mf.data_files(path))
     extra = [c for c in df.columns if c not in POINT_COLS]
-    (
+    shaped = (
         df.select(
             *POINT_COLS[:5],
             F.col("hour_bucket").cast("long").alias("hour_bucket"),
@@ -383,10 +407,12 @@ def optimize_partitions(
         .repartition(_write_tasks(spark), F.col("hour_bucket"))
         .sortWithinPartitions("series_id", "ts")
         .write.partitionBy("hour_bucket")
-        .mode("append")
-        .parquet(path)
     )
-    new = [f for f in mf.data_files(path) if f not in before]
+    # private staging + exact moved list (r13 review): a direct
+    # mode("append") with a before/after data_files() diff both shares
+    # Hadoop's _temporary/0 with concurrent appenders AND double-commits
+    # any file they rename in during this job's window
+    new = _stage_and_publish(shaped, path)
     dropped = set(target_files)
     mf.commit(path, mutate=lambda old: [f for f in old if f not in dropped] + new)
     return targets
@@ -421,8 +447,13 @@ def snapshot(path: str, dest: str) -> None:
             os.link(src_root / rel, target)
         except OSError:  # cross-device etc. → real copy
             shutil.copy2(src_root / rel, target)
-    # fresh v1 manifest listing exactly the snapshotted files
+    # fresh v1 manifest listing exactly the snapshotted files, plus the
+    # source's txn ledger (r13 review): restoring a snapshot WITHOUT the
+    # ledger erases the streaming replay guard — a checkpoint-replayed
+    # batch would re-append after the restore. Same reason compact_storage
+    # carries it through whole-table rewrites.
     mf.commit(dest, files)
+    mf.carry_ledger(path, dest)
 
 
 def restore(snapshot_path: str, path: str) -> None:
@@ -456,7 +487,17 @@ def delete_where(
     Pre-manifest tables keep the staged rename-before-remove dir swap."""
     from sydradb_spark import manifest as mf
 
-    df = read_points(spark, path)
+    # pin ONE manifest snapshot for both the read plan and the commit's
+    # drop list — read_points would take its own LATEST, and a commit
+    # landing between two listings would desynchronize them
+    snapshot_version = (
+        mf.latest_version(path) if mf.has_manifest(path) else None
+    )
+    df = (
+        read_points_version(spark, path, snapshot_version)
+        if snapshot_version is not None
+        else read_points(spark, path)
+    )
     hb = hour_bucket_bounds(ts_min, ts_max)
     scoped = df.where(hb) if hb is not None else df
     affected = [r[0] for r in scoped.select("hour_bucket").distinct().collect()]
@@ -464,27 +505,30 @@ def delete_where(
         return
     remaining = scoped.where(~F.coalesce(predicate, F.lit(False)))
 
-    if mf.has_manifest(path):
-        before = set(mf.data_files(path))
-        affected_dirs = {f"hour_bucket={b}/" for b in affected}
+    if snapshot_version is not None:
+        # drop EXACTLY the files this rewrite read (the snapshot version's
+        # affected-partition files), not everything under the partition
+        # prefixes (r13 review): a concurrent append into an affected hour
+        # lands files the DELETE's predicate never evaluated — a prefix
+        # drop would silently delete those rows, and a before/after
+        # directory diff would double-commit them
+        affected_dirs = tuple(f"hour_bucket={b}/" for b in affected)
+        rewritten = {
+            f
+            for f in mf.read_files(path, version=snapshot_version)
+            if f.startswith(affected_dirs)
+        }
         extra = [c for c in remaining.columns if c not in POINT_COLS]
-        # plan reads an explicit file list (read_points), so appending new
-        # part files into the same directories is safe mid-job
-        (
+        shaped = (
             remaining.select(*POINT_COLS, *extra)
             .repartition(_write_tasks(remaining.sparkSession), F.col("hour_bucket"))
             .sortWithinPartitions("series_id", "ts")
             .write.partitionBy("hour_bucket")
-            .mode("append")
-            .parquet(path)
         )
-        new = [f for f in mf.data_files(path) if f not in before]
+        new = _stage_and_publish(shaped, path)
         mf.commit(
             path,
-            mutate=lambda old: [
-                f for f in old if not any(f.startswith(d) for d in affected_dirs)
-            ]
-            + new,
+            mutate=lambda old: [f for f in old if f not in rewritten] + new,
         )
         return
 

@@ -512,7 +512,7 @@ def read_rollup_manifested(
         empty = spark.createDataFrame(
             [],
             "series_id long, series string, bucket long, cnt long, "
-            "sum_v double, min_v double, max_v double, "
+            "cnt_v long, sum_v double, min_v double, max_v double, "
             "first_ts long, first_v double, last_ts long, last_v double",
         )
         return combine_rollup(empty.select(*ROLLUP_COLS), step_s)

@@ -213,7 +213,9 @@ class Translator:
     @staticmethod
     def _rollup_agg_expr(func: str) -> Column:
         return {
-            "avg": F.col("sum_v") / F.col("cnt"),
+            # cnt_v divisor (r13 review): avg over a bucket holding null
+            # values must divide by the non-null count, like F.avg does
+            "avg": F.col("sum_v") / F.col("cnt_v"),
             "sum": F.col("sum_v"),
             "count": F.col("cnt"),
             "min": F.col("min_v"),
@@ -347,11 +349,15 @@ class Translator:
             ts_fn.time_bucket(step, F.col("bucket")).alias(bucket_name)
         ).agg(
             F.sum("cnt").alias("cnt"),
+            F.sum("cnt_v").alias("cnt_v"),
             F.sum("sum_v").alias("sum_v"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
-            F.min_by("first_v", "first_ts").alias("first_v"),
-            F.max_by("last_v", "last_ts").alias("last_v"),
+            # struct tie-break mirrors rollup.combine_rollup (r13): equal
+            # first_ts/last_ts across merged rows must break on the value,
+            # matching build_rollup's struct(ts, value) ordering
+            F.min_by("first_v", F.struct("first_ts", "first_v")).alias("first_v"),
+            F.max_by("last_v", F.struct("last_ts", "last_v")).alias("last_v"),
         )
 
         ctx.post_scope = {canon(g): bucket_name}

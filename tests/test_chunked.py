@@ -352,3 +352,27 @@ def test_tie_determinism_first_last_lag_lead(spark):
     assert [r["value"] for r in out] == [2.0, 2.0, 5.0, 1.0, 9.0, 7.0]
     assert [r["prev"] for r in out] == [None, 2.0, 2.0, 5.0, 1.0, 9.0]
     assert [r["nxt"] for r in out] == [5.0, 1.0, 9.0, 7.0, None, None]
+
+
+def test_chunked_ema_null_values_excluded_and_boundary_invariant(spark):
+    """r13 review: null observations must not enter the EMA recursion —
+    in-chunk pandas renormalized around NaNs while the cross-chunk carry
+    decayed by the TOTAL row count, so the answer depended on where the
+    chunk boundary fell. Nulls now pass through with a null EMA and the
+    observed-value recursion is chunk-invariant."""
+    from sydradb_spark.functions.chunked import with_chunked_ema
+
+    rows = [(1, 0, 1.0), (1, 5000, None), (1, 9000, 2.0)]
+    df = spark.createDataFrame(rows, "series_id long, ts long, value double")
+
+    def ema(chunk_s):
+        out = with_chunked_ema(df, "value", "ema", alpha=0.5, chunk_s=chunk_s)
+        return {r["ts"]: r["ema"] for r in out.collect()}
+
+    # one chunk vs a boundary between the null and the second observation
+    wide, narrow = ema(1_000_000), ema(4096)
+    expected = {0: 1.0, 5000: None, 9000: 0.5 * 2.0 + 0.5 * 1.0}
+    for got in (wide, narrow):
+        assert got[0] == expected[0]
+        assert got[5000] is None
+        assert got[9000] == pytest.approx(expected[9000])

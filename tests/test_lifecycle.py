@@ -433,3 +433,109 @@ def test_cli_retention(spark, tmp_path, capsys):
     assert out["dropped_hour_buckets"] == [0, 3600, 7200]
     left = sorted(r["ts"] for r in read_points(spark, table).collect())
     assert left == [500000]
+
+
+# --- r13 protocol-review fixes -------------------------------------------------
+def _pts_df(spark, rows):
+    """rows: (series, ts, value) → canonical points shape."""
+    return spark.createDataFrame(
+        rows, "series string, ts long, value double"
+    ).selectExpr(
+        "xxhash64(series) as series_id", "series",
+        "map() as tags", "ts", "value",
+        "cast(floor(ts/3600)*3600 as long) as hour_bucket",
+    )
+
+
+def test_overwrite_on_live_manifested_table_is_a_manifest_flip(spark, tmp_path):
+    """r13 review: mode='overwrite' on a manifested table used to let Spark
+    truncate the whole path — _manifest/, version history, and every app's
+    txn ledger included. It is now a staged write + full-replacement
+    manifest commit: history and ledgers survive, readers flip atomically,
+    old files stay until vacuum."""
+    from sydradb_spark import manifest as mf
+
+    path = str(tmp_path / "tbl")
+    storage.write_points(_pts_df(spark, [("s.a", 100, 1.0)]), path)
+    storage.write_points(
+        _pts_df(spark, [("s.a", 200, 2.0)]), path, mode="append",
+        txn=("stream-one", 7),
+    )
+    v_before = mf.latest_version(path)
+    old_files = set(mf.read_files(path))
+    storage.write_points(_pts_df(spark, [("s.b", 300, 3.0)]), path, mode="overwrite")
+    # manifest history intact: next version, not a rebuilt v1
+    assert mf.latest_version(path) == v_before + 1
+    # the replay guard survives the overwrite
+    assert mf.read_txn(path, "stream-one") == 7
+    # LATEST is exactly the new data
+    back = storage.read_points(spark, path)
+    assert [(r["series"], r["ts"]) for r in back.collect()] == [("s.b", 300)]
+    # old files still on disk (time travel until vacuum), just unreferenced
+    assert all((tmp_path / "tbl" / f).exists() for f in old_files)
+    assert storage.read_points_version(spark, path, v_before).count() == 2
+
+
+def test_delete_where_commit_spares_concurrent_appends(spark, tmp_path, monkeypatch):
+    """r13 review: the DELETE's manifest mutate must drop EXACTLY the files
+    its rewrite read — a file committed concurrently into an affected hour
+    (rows the predicate never evaluated) has to ride through the commit."""
+    from sydradb_spark import manifest as mf
+
+    path = str(tmp_path / "tbl")
+    storage.write_points(
+        _pts_df(spark, [("s.a", 100, 1.0), ("s.a", 200, 2.0)]), path
+    )
+    captured = {}
+    real_commit = mf.commit
+
+    def spy(p, files=None, *, mutate=None, txn=None):
+        if mutate is not None:
+            captured["mutate"] = mutate
+        return real_commit(p, files, mutate=mutate, txn=txn)
+
+    monkeypatch.setattr(mf, "commit", spy)
+    storage.delete_where(
+        spark, path, F.col("value") >= 2.0, ts_min=0, ts_max=4000
+    )
+    back = storage.read_points(spark, path)
+    assert [r["value"] for r in back.collect()] == [1.0]
+    # replay the captured mutate against a list holding a concurrent
+    # appender's file in the SAME affected partition: it must survive
+    concurrent = "hour_bucket=0/part-concurrent-xyz.parquet"
+    out = captured["mutate"]([concurrent])
+    assert concurrent in out
+
+
+def test_compact_points_all_null_value_group_keeps_identity(spark):
+    """r13 review: a (series_id, ts) duplicate group whose every value is
+    null must keep ONE intact row — max_by over the bare value returned a
+    NULL row struct and wrote an identity-destroyed all-null row."""
+    df = _pts_df(spark, [("s.a", 100, None), ("s.a", 100, None), ("s.b", 50, 5.0)])
+    out = {r["series"]: r for r in storage.compact_points(df).collect()}
+    assert out["s.a"]["ts"] == 100 and out["s.a"]["value"] is None
+    assert out["s.a"]["series_id"] is not None
+    assert out["s.b"]["value"] == 5.0
+
+
+def test_snapshot_carries_txn_ledger(spark, tmp_path):
+    """r13 review: restoring a snapshot without the txn ledger erases the
+    streaming replay guard — a checkpoint-replayed batch re-appends."""
+    from sydradb_spark import manifest as mf
+
+    path = str(tmp_path / "tbl")
+    storage.write_points(_pts_df(spark, [("s.a", 100, 1.0)]), path)
+    storage.write_points(
+        _pts_df(spark, [("s.a", 200, 2.0)]), path, mode="append",
+        txn=("stream-one", 3),
+    )
+    dest = str(tmp_path / "snap")
+    storage.snapshot(path, dest)
+    assert mf.read_txn(dest, "stream-one") == 3
+    storage.restore(dest, path)
+    # the replayed batch is still a no-op after restore
+    storage.write_points(
+        _pts_df(spark, [("s.a", 200, 2.0)]), path, mode="append",
+        txn=("stream-one", 3),
+    )
+    assert storage.read_points(spark, path).count() == 2  # not 3

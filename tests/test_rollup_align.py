@@ -236,3 +236,49 @@ def test_rollup_rewrite_equality_sweep(spark, points, agg, bucket):
             assert r1["v"] == pytest.approx(r0["v"], rel=1e-12), q
         else:
             assert r0["v"] == r1["v"], q
+
+
+def test_combine_rollup_tie_break_matches_build(spark):
+    """r13 review: partials of one bucket sharing the same first_ts/last_ts
+    whole second must combine to build_rollup's struct(ts, value) pick —
+    the bare-ts ordering chose whichever partial arrived first."""
+    from sydradb_spark.rollup import build_rollup, combine_rollup
+
+    def pts(rows):
+        return spark.createDataFrame(
+            rows, "series string, ts long, value double"
+        ).selectExpr(
+            "xxhash64(series) as series_id", "series", "map() as tags",
+            "ts", "value", "cast(floor(ts/3600)*3600 as long) as hour_bucket",
+        )
+
+    # two same-second points split across two partials, both bucket 0
+    a = pts([("s.a", 100, 5.0), ("s.a", 200, 7.0)])
+    b = pts([("s.a", 100, 3.0), ("s.a", 200, 9.0)])
+    combined = combine_rollup(
+        build_rollup(a).unionByName(build_rollup(b)), 3600
+    ).collect()[0]
+    oneshot = build_rollup(a.unionByName(b)).collect()[0]
+    assert combined["first_v"] == oneshot["first_v"] == 3.0  # min (ts, value)
+    assert combined["last_v"] == oneshot["last_v"] == 9.0  # max (ts, value)
+    assert combined["cnt"] == 4 and combined["cnt_v"] == 4
+
+
+def test_rollup_avg_null_safe(spark):
+    """r13 review: avg served from the rollup must divide by the non-null
+    value count (cnt_v) — sum_v/cnt diverged from F.avg on null values."""
+    from pyspark.sql import functions as F
+
+    from sydradb_spark.rollup import build_rollup, rollup_answer
+
+    pts = spark.createDataFrame(
+        [("s.a", 100, 2.0), ("s.a", 200, None)],
+        "series string, ts long, value double",
+    ).selectExpr(
+        "xxhash64(series) as series_id", "series", "map() as tags",
+        "ts", "value", "cast(floor(ts/3600)*3600 as long) as hour_bucket",
+    )
+    ans = rollup_answer(build_rollup(pts)).collect()[0]
+    raw = pts.agg(F.avg("value"), F.count("*"), F.count("value")).first()
+    assert ans["avg_v"] == raw[0] == 2.0  # not 1.0
+    assert ans["n"] == raw[1] == 2  # count() still counts rows
