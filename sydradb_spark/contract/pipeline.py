@@ -888,6 +888,49 @@ def _zlit_expected() -> list[tuple[str, int, int | None, float | None]]:
     return out
 
 
+# one probe per Spark application: the parity check below costs a 1-row job
+_ZLIB_PARITY_OK: dict[str, bool] = {}
+
+
+def _assert_zlib_parity(spark: SparkSession) -> None:
+    """The zlit golden vectors inline DRIVER-computed ``zlib.compress``
+    lengths while the kernel compresses on EXECUTORS; exact-length equality
+    is only sound when both tiers run the same zlib build — a zlib-ng
+    substitution on either side legitimately changes compressed sizes
+    (ADVICE r13). Probe once per application: compress the golden inputs on
+    an executor and compare lengths, raising a CLEAR error instead of
+    letting the contract entry fail as a mysterious hash mismatch. In a
+    single-JVM local[] deployment driver == executor and this never fires;
+    on a real cluster it turns an environment skew into a diagnosis."""
+    app = spark.sparkContext.applicationId
+    if _ZLIB_PARITY_OK.get(app):
+        return
+    texts = [t for _, t in _ZLIT]  # plain list: pickled by value into the
+    # closure — no module reference a bare-session worker can't import
+
+    def _probe(ts):
+        import zlib
+
+        return (
+            zlib.ZLIB_RUNTIME_VERSION,
+            [len(zlib.compress(t.encode("utf-8"), 6)) if t else 0 for t in ts],
+        )
+
+    exec_ver, exec_lens = spark.sparkContext.parallelize([texts], 1).map(_probe).collect()[0]
+    import zlib
+
+    drv_lens = [nc or 0 for _, _, nc, _ in _zlit_expected()]
+    if list(exec_lens) != drv_lens:
+        raise RuntimeError(
+            "zlib build skew between driver and executors: driver "
+            f"zlib {zlib.ZLIB_RUNTIME_VERSION} compresses the zlit golden "
+            f"vectors to {drv_lens} bytes, executor zlib {exec_ver} to "
+            f"{list(exec_lens)} — the compression_ratio golden-vector "
+            "oracle requires one zlib build on both tiers"
+        )
+    _ZLIB_PARITY_OK[app] = True
+
+
 _ZLIT_SQL = "\nUNION ALL\n".join(
     f"SELECT 'zlit' AS part, '{name}' AS s, CAST({nb} AS BIGINT) AS c1, "
     f"CAST({nc} AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS c3, "
@@ -935,6 +978,7 @@ def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_null").alias("c5"),
     )
     lnull = F.lit(None).cast("long")
+    _assert_zlib_parity(spark)  # golden-vector soundness gate (ADVICE r13)
     zlit = text.compression_ratio(
         spark.createDataFrame(_ZLIT, "doc_id string, text string")
     ).select(

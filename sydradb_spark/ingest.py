@@ -32,6 +32,35 @@ from pyspark.sql.types import (
 from sydradb_spark.model import with_identity
 from sydradb_spark.storage import write_points
 
+_MAINT_LOG = __import__("logging").getLogger("sydradb_spark.maintenance")
+
+
+def note_maintenance_failure(state: dict, where: str, exc: Exception) -> int:
+    """Record an in-sink maintenance failure WITHOUT killing the stream, but
+    observably (ADVICE r13): a bare ``except: pass`` made a persistently
+    failing vacuum (store permissions, misconfigured path) silently disable
+    maintenance forever, reintroducing the unbounded version/orphan growth
+    it exists to prevent — with zero operator signal. Logs every one of the
+    first 3 consecutive failures, then every 16th (rate limit: maintenance
+    fires once per ``maintenance_every`` batches, so a broken path would
+    otherwise log once per boundary forever). Returns the consecutive
+    count; callers reset it via ``note_maintenance_ok``."""
+    n = state.get("maintenance_failures", 0) + 1
+    state["maintenance_failures"] = n
+    if n <= 3 or n % 16 == 0:
+        _MAINT_LOG.warning(
+            "in-sink maintenance failed (%d consecutive) at %s: %r "
+            "(stream continues; durable writes are unaffected)",
+            n,
+            where,
+            exc,
+        )
+    return n
+
+
+def note_maintenance_ok(state: dict) -> None:
+    state["maintenance_failures"] = 0
+
 NDJSON_SCHEMA = StructType(
     [
         StructField("series", StringType(), False),
@@ -42,7 +71,7 @@ NDJSON_SCHEMA = StructType(
 )
 
 
-def parse_ndjson(raw: DataFrame) -> DataFrame:
+def parse_ndjson(raw: DataFrame, observe_drops=None) -> DataFrame:
     """Normalize parsed NDJSON rows into the canonical points shape:
     missing tags → empty map (identity hashing needs a canonical value).
 
@@ -52,10 +81,28 @@ def parse_ndjson(raw: DataFrame) -> DataFrame:
     a null ts lands in the __HIVE_DEFAULT_PARTITION__ hour bucket (pruned
     and full scans then DISAGREE about it) and a null series collapses
     every bad line onto one bogus xxhash64(null) series_id (r13 review).
-    The reference HTTP ingest rejects such lines outright
-    (http.zig:657-712); per-line drop is the distributed-sink equivalent."""
+    Reference behavior (http.zig:678-682) for comparison: unparseable
+    JSON is skipped (``catch continue``), but a PARSED line missing
+    ``series``/``ts`` hits a ``.?`` unwrap — a panic, not a rejection —
+    so a clean per-line drop is strictly safer than the reference, not a
+    transcription of it (ADVICE r13 comment correction).
+
+    ``observe_drops`` makes the drop OBSERVABLE instead of silent (ADVICE
+    r13 — systematic producer breakage must not be invisible): pass a
+    ``pyspark.sql.Observation`` (batch) or a string name (streaming —
+    surfaces in every StreamingQueryProgress ``observedMetrics``) to get
+    ``input_rows`` / ``dropped_malformed`` counts per action/batch. The
+    streaming sinks wire a default observation in (``stream_ndjson`` /
+    ``stream_rollup``)."""
+    malformed = F.col("series").isNull() | F.col("ts").isNull()
+    if observe_drops is not None:
+        raw = raw.observe(
+            observe_drops,
+            F.count(F.lit(1)).alias("input_rows"),
+            F.sum(malformed.cast("long")).alias("dropped_malformed"),
+        )
     return with_identity(
-        raw.where(F.col("series").isNotNull() & F.col("ts").isNotNull())
+        raw.where(~malformed)
         .select(
             F.col("series"),
             F.coalesce(F.col("tags"), F.create_map().cast(NDJSON_SCHEMA["tags"].dataType)).alias(
@@ -67,9 +114,10 @@ def parse_ndjson(raw: DataFrame) -> DataFrame:
     )
 
 
-def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """Batch NDJSON → points (CLI stdin / HTTP-batch equivalent)."""
-    return parse_ndjson(spark.read.schema(NDJSON_SCHEMA).json(path))
+def read_ndjson(spark: SparkSession, path: str, observe_drops=None) -> DataFrame:
+    """Batch NDJSON → points (CLI stdin / HTTP-batch equivalent). Pass an
+    ``Observation`` as ``observe_drops`` to count malformed dropped lines."""
+    return parse_ndjson(spark.read.schema(NDJSON_SCHEMA).json(path), observe_drops)
 
 
 def ingest_batch(spark: SparkSession, ndjson_path: str, table_path: str) -> None:
@@ -281,13 +329,15 @@ def stream_points_sink(
                     keep_versions=maintenance_keep_versions,
                     min_age_seconds=_vacuum_min_age,
                 )
-            except Exception:
+                note_maintenance_ok(ident)
+            except Exception as exc:
                 # maintenance is advisory: the durable write + ledger commit
                 # already succeeded above, and a vacuum hiccup (a transient
                 # FS race with a concurrent writer's vacuum) must not kill
                 # the continuous streaming query — the next boundary
-                # retries (r13 review)
-                pass
+                # retries (r13 review). But NOT silent (ADVICE r13): a
+                # persistent failure is logged with a consecutive count.
+                note_maintenance_failure(ident, f"manifest.vacuum({table_path})", exc)
 
     writer = points.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -324,7 +374,9 @@ def stream_ndjson(
     ``dedupe_watermark`` (e.g. "1 hour") to drop producer-retry duplicates
     within that event-time horizon."""
     raw = spark.readStream.schema(NDJSON_SCHEMA).json(source_dir)
-    points = parse_ndjson(raw)
+    # named observation: per-batch input/dropped-malformed counts in every
+    # StreamingQueryProgress (ADVICE r13 — drops must be operator-visible)
+    points = parse_ndjson(raw, observe_drops="sydra_ingest")
     if dedupe_watermark is not None:
         points = dedupe_stream(points, dedupe_watermark)
     return stream_points_sink(points, table_path, checkpoint_dir, available_now)

@@ -40,6 +40,25 @@ ROLLUP_COLS = [
 ]
 
 
+def ensure_rollup_compat(df: DataFrame) -> DataFrame:
+    """Read-compat shim for rollup partials written before ``cnt_v`` (the
+    non-null value count, r13) joined ROLLUP_COLS: synthesize the column
+    when a parquet set predates it. Legacy partials tracked no null
+    distinction — their served avg was sum_v/cnt — so ``cnt_v = cnt`` is
+    exactly the pre-upgrade semantics for old rows, while rows written
+    since keep the null-correct count. Without this every pre-existing
+    rollup table (including the legacy flock-mode tables
+    ``init_rollup_manifest`` explicitly adopts) raised AnalysisException
+    at its first post-upgrade read (ADVICE r13).
+
+    New-path writes never produce a null cnt_v (``F.count``/``F.sum`` over
+    non-null longs), so a null here can only mean a legacy file read under
+    a merged schema — coalescing to ``cnt`` is unambiguous."""
+    if "cnt_v" not in df.columns:
+        return df.withColumn("cnt_v", F.col("cnt"))
+    return df.withColumn("cnt_v", F.coalesce(F.col("cnt_v"), F.col("cnt")))
+
+
 def build_rollup(points: DataFrame, step_s: int = 3600) -> DataFrame:
     """Partial aggregates per (series_id, bucket). Single shuffle with
     map-side combine; tags are dropped (series_id keys them — rejoin the

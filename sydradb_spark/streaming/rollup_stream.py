@@ -64,11 +64,18 @@ from pyspark.sql.streaming import StreamingQuery
 
 from sydradb_spark.ingest import (
     NDJSON_SCHEMA,
+    note_maintenance_failure,
+    note_maintenance_ok,
     parse_ndjson,
     resolve_app_id,
     spark_checkpoint_metadata_id,
 )
-from sydradb_spark.rollup import ROLLUP_COLS, build_rollup, combine_rollup
+from sydradb_spark.rollup import (
+    ROLLUP_COLS,
+    build_rollup,
+    combine_rollup,
+    ensure_rollup_compat,
+)
 
 DEFAULT_APP = "default"
 
@@ -193,7 +200,8 @@ def stream_rollup(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(source_dir)
-    pts = parse_ndjson(raw).withColumn(
+    # named observation: malformed-drop counts per progress (ADVICE r13)
+    pts = parse_ndjson(raw, observe_drops="sydra_ingest").withColumn(
         "__event_time", F.timestamp_seconds(F.col("ts"))
     ).withWatermark("__event_time", watermark)
 
@@ -233,10 +241,14 @@ def stream_rollup(
                         spark=batch.sparkSession,  # URI data locations
                         # reclaim through the Hadoop FS API (r13 review)
                     )
-                except Exception:
+                    note_maintenance_ok(ident)
+                except Exception as exc:
                     # advisory maintenance must not kill the stream — the
-                    # batch's write + manifest commit already succeeded
-                    pass
+                    # batch's write + manifest commit already succeeded —
+                    # but a persistent failure must be visible (ADVICE r13)
+                    note_maintenance_failure(
+                        ident, f"vacuum_rollup({rollup_path})", exc
+                    )
         else:
             write_rollup_batch(partial, rollup_path, batch_id, ident["app_id"])
         if _after_write_hook is not None:
@@ -255,12 +267,17 @@ def stream_rollup(
 
 def _read_partials(spark: SparkSession, rollup_path: str) -> DataFrame:
     # recursiveFileLookup: the table mixes top-level compacted files with
-    # b_* batch subdirs; plain partition discovery would reject the mix
-    return (
+    # b_* batch subdirs; plain partition discovery would reject the mix.
+    # mergeSchema + ensure_rollup_compat: a table upgraded mid-life mixes
+    # pre-cnt_v and post-cnt_v files — without the merge Spark takes ONE
+    # file's footer as the schema, silently dropping cnt_v (or nulling it
+    # on legacy rows, undercounting the avg divisor); rollup entries are
+    # ~3600x smaller than raw points, so the footer merge is cheap
+    return ensure_rollup_compat(
         spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
         .parquet(rollup_path)
-        .select(*ROLLUP_COLS)
-    )
+    ).select(*ROLLUP_COLS)
 
 
 def read_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> DataFrame:
@@ -321,9 +338,11 @@ def compact_rollup(spark: SparkSession, rollup_path: str, step_s: int) -> None:
         if not srcs:
             return
         folded = combine_rollup(
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(*srcs)
-            .select(*ROLLUP_COLS),
+            ensure_rollup_compat(
+                spark.read.option("recursiveFileLookup", "true")
+                .option("mergeSchema", "true")
+                .parquet(*srcs)
+            ).select(*ROLLUP_COLS),
             step_s,
         )
         from sydradb_spark.storage import _swap_dir
@@ -518,9 +537,11 @@ def read_rollup_manifested(
         return combine_rollup(empty.select(*ROLLUP_COLS), step_s)
     srcs = [f"{rollup_path.rstrip('/')}/{n}" for n in names]
     return combine_rollup(
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(*srcs)
-        .select(*ROLLUP_COLS),
+        ensure_rollup_compat(
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(*srcs)
+        ).select(*ROLLUP_COLS),
         step_s,
     )
 
@@ -565,9 +586,11 @@ def compact_rollup_manifested(
     root = rollup_path.rstrip("/")
     out = f"c_{uuid.uuid4().hex}"
     folded = combine_rollup(
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(*[f"{root}/{n}" for n in folded_srcs])
-        .select(*ROLLUP_COLS),
+        ensure_rollup_compat(
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(*[f"{root}/{n}" for n in folded_srcs])
+        ).select(*ROLLUP_COLS),
         step_s,
     )
     folded.write.mode("overwrite").parquet(f"{root}/{out}")
