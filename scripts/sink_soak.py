@@ -30,6 +30,15 @@ Usage: python scripts/sink_soak.py [--sf-dir _scratch/sf10] [--chunks 300]
 Prints ONE JSON line (recorded as SOAK_sink_*.json). The same four
 properties are pinned at pytest scale in tests/test_streaming.py.
 
+``--backend store`` (round 14, r13 verdict item 1): the table's manifest —
+init, every txn-ledgered batch commit, the maintenance vacuum, and every
+observability read — runs through the OBJECT-STORE protocol
+(``objectstore.LocalFSObjectStore``, conditional-PUT CAS; no link(2), no
+flock, no rename anywhere in the commit path), the exact deployment shape
+the r13 verdict found silently broken (``Path('s3a://…')`` committing the
+exactly-once ledger to a relative local junk dir). Same crash schedules,
+same four assertions.
+
 ``--apps N`` (round 13, r12 verdict item 8): N streams with independent
 checkpoints/app-ids ingest disjoint series slices into ONE table
 CONCURRENTLY, each with its own seeded gap + mid-write crash schedule —
@@ -130,6 +139,7 @@ def main() -> None:
     ap.add_argument("--keep-versions", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--apps", type=int, default=1)
+    ap.add_argument("--backend", choices=["local", "store"], default="local")
     args = ap.parse_args()
     if not os.path.isdir(args.sf_dir):
         sys.exit(
@@ -143,6 +153,49 @@ def main() -> None:
     src_dir = f"{args.work}/src"
     table = f"{args.work}/tbl"
     ck = f"{args.work}/ck"
+
+    # backend seam (r14): store=None → local link-CAS manifest; else the
+    # objectstore conditional-PUT protocol over a real filesystem store
+    store = None
+    if args.backend == "store":
+        from sydradb_spark import objectstore as obs
+
+        store = obs.LocalFSObjectStore(f"{args.work}/store")
+
+    def be_read_txn(app: str):
+        if store is None:
+            return mf.read_txn(table, app)
+        from sydradb_spark import objectstore as obs
+        from sydradb_spark.storage import POINTS_STORE_TABLE
+
+        return obs.read_txn(store, POINTS_STORE_TABLE, app)
+
+    def be_version_count() -> int:
+        if store is None:
+            return len(glob.glob(f"{table}/_manifest/v*.json"))
+        from sydradb_spark.storage import POINTS_STORE_TABLE
+
+        return len(store.list(f"{POINTS_STORE_TABLE}/_manifest/v"))
+
+    def be_final_vacuum() -> None:
+        from sydradb_spark.storage import vacuum_points
+
+        vacuum_points(
+            table, store, keep_versions=args.keep_versions, min_age_seconds=0
+        )
+
+    def be_referenced() -> set:
+        referenced: set = set()
+        if store is None:
+            for vf in glob.glob(f"{table}/_manifest/v*.json"):
+                referenced.update(json.load(open(vf))["files"])
+            return referenced
+        from sydradb_spark.storage import POINTS_STORE_TABLE
+
+        pre = f"{POINTS_STORE_TABLE}/_manifest/"
+        for key in store.list(pre + "v"):
+            referenced.update(json.loads(store.get(key))["files"])
+        return referenced
 
     t0 = time.perf_counter()
     totals = [
@@ -179,21 +232,35 @@ def main() -> None:
         remaining[app] = set(crash_at[app])
         mid_remaining[app] = set(midwrite_at[app])
 
-    real_commit = mf.commit
-
-    def crashing_commit(path, files=None, *, mutate=None, txn=None):
-        if (
-            txn is not None
-            and path == table
-            and txn[1] in mid_remaining.get(txn[0], ())
-        ):
+    def _mid_crash(txn) -> None:
+        if txn is not None and txn[1] in mid_remaining.get(txn[0], ()):
             mid_remaining[txn[0]].discard(txn[1])
             raise RuntimeError(
                 f"injected mid-write crash at batch {txn[1]} of {txn[0]}"
             )
-        return real_commit(path, files, mutate=mutate, txn=txn)
 
-    mf.commit = crashing_commit  # write_points resolves mf.commit lazily
+    real_commit = mf.commit
+    real_store_commit = None
+
+    if store is None:
+
+        def crashing_commit(path, files=None, *, mutate=None, txn=None):
+            if path == table:
+                _mid_crash(txn)
+            return real_commit(path, files, mutate=mutate, txn=txn)
+
+        mf.commit = crashing_commit  # write_points resolves mf.commit lazily
+    else:
+        from sydradb_spark import objectstore as obs_mod
+
+        real_store_commit = obs_mod.commit_cas
+
+        def crashing_store_commit(st, tbl, files=None, *, mutate=None, txn=None, **kw):
+            if tbl == "points":
+                _mid_crash(txn)
+            return real_store_commit(st, tbl, files, mutate=mutate, txn=txn, **kw)
+
+        obs_mod.commit_cas = crashing_store_commit  # storage resolves lazily
 
     ledger_trace: dict = {app: [] for app in app_ids}
     version_counts: list[int] = []
@@ -205,10 +272,10 @@ def main() -> None:
         # commit path's own absorbed race — retry, don't record a finding
         for _ in range(5):
             try:
-                return mf.read_txn(table, app)
+                return be_read_txn(app)
             except FileNotFoundError:
                 time.sleep(0.01)
-        return mf.read_txn(table, app)
+        return be_read_txn(app)
 
     def make_hook(app: str):
         def hook(batch_id: int) -> None:
@@ -223,7 +290,7 @@ def main() -> None:
                     f"{app}: ledger regressed {ledger_trace[app][-1]} -> {seen}"
                 )
             ledger_trace[app].append(seen)
-            version_counts.append(len(glob.glob(f"{table}/_manifest/v*.json")))
+            version_counts.append(be_version_count())
             if batch_id in remaining[app]:
                 remaining[app].discard(batch_id)
                 raise RuntimeError(f"injected crash after batch {batch_id}")
@@ -256,6 +323,7 @@ def main() -> None:
                 available_now=True,
                 maintenance_every=args.maintenance_every,
                 maintenance_keep_versions=args.keep_versions,
+                store=store,
                 _after_write_hook=hook,
                 _vacuum_min_age=0,
             )
@@ -299,7 +367,12 @@ def main() -> None:
         restarts_per_app = [results[k] for k in range(args.apps)]
     restarts = sum(restarts_per_app)
     t_stream = round(time.perf_counter() - t0, 1)
-    mf.commit = real_commit
+    if store is None:
+        mf.commit = real_commit
+    else:
+        from sydradb_spark import objectstore as obs_mod
+
+        obs_mod.commit_cas = real_store_commit
 
     # --- assertion 1: exact multiset equality vs the batch twin -----------
     twin = (
@@ -308,7 +381,9 @@ def main() -> None:
     )
     twin_groups = twin.groupBy("series", "ts", "value").count()
     got_groups = (
-        read_points(spark, table).groupBy("series", "ts", "value").count()
+        read_points(spark, table, store=store)
+        .groupBy("series", "ts", "value")
+        .count()
     )
     diff = (
         twin_groups.withColumnRenamed("count", "want")
@@ -323,7 +398,7 @@ def main() -> None:
         )
     )
     n_diff = diff.count()
-    got_rows = read_points(spark, table).count()
+    got_rows = read_points(spark, table, store=store).count()
 
     # --- assertion 2: bounded manifest versions ---------------------------
     # steady-state bound: the kept window + at most maintenance_every
@@ -333,23 +408,24 @@ def main() -> None:
     max_versions = max(version_counts) if version_counts else 0
 
     # --- assertion 3: orphans reclaimed after a final vacuum --------------
-    mf.vacuum(table, keep_versions=args.keep_versions, min_age_seconds=0)
-    on_disk = set(mf.data_files(table))
-    referenced: set = set()
-    mdir = f"{table}/_manifest"
-    for vf in glob.glob(f"{mdir}/v*.json"):
-        referenced.update(json.load(open(vf))["files"])
+    be_final_vacuum()
+    on_disk = {
+        os.path.relpath(f, table)
+        for f in glob.glob(f"{table}/hour_bucket=*/*.parquet")
+    }
+    referenced = be_referenced()
     orphans = sorted(on_disk - referenced)
 
     # --- assertion 4: every app's ledger monotone, finished at the last
     # batch ------------------------------------------------------------------
-    final_txns = {app: mf.read_txn(table, app) for app in app_ids}
+    final_txns = {app: be_read_txn(app) for app in app_ids}
     ledgers_ok = not violations and all(
         v == args.chunks - 1 for v in final_txns.values()
     )
 
     result = {
         "sf_dir": args.sf_dir,
+        "backend": args.backend,
         "apps": args.apps,
         "rows": total_rows,
         "rows_per_app": totals,

@@ -47,8 +47,30 @@ from pathlib import Path
 MANIFEST_DIR = "_manifest"
 
 
+def _root(path: str) -> Path:
+    # non-POSIX triage (VERDICT r13 item 1): Path('s3a://bucket/tbl') is a
+    # RELATIVE local path 's3a:/bucket/tbl' on which mkdir/link/flock all
+    # SUCCEED — the exactly-once ledger would land on the driver's local
+    # disk while the data goes to the store, silently voiding the
+    # guarantee (a second driver gets a fresh empty ledger). This module's
+    # link(2)-CAS protocol is POSIX-only by construction; object-store
+    # tables route their manifest through ``sydradb_spark.objectstore``
+    # (storage.write_points ``store=``). file:// URIs are local paths.
+    from sydradb_spark.ingest import _posix_checkpoint_path
+
+    local = _posix_checkpoint_path(path)
+    if local is None:
+        raise ValueError(
+            f"the POSIX manifest protocol cannot live on {path!r}: link(2) "
+            "has no object-store equivalent — pass store= (an "
+            "objectstore.ObjectStore scoped to this table) so the manifest "
+            "commits through the store's conditional PUT"
+        )
+    return Path(local)
+
+
 def _mdir(path: str) -> Path:
-    return Path(path) / MANIFEST_DIR
+    return _root(path) / MANIFEST_DIR
 
 
 def _tree_mtime(root: Path) -> float:
@@ -128,6 +150,32 @@ def read_txn(path: str, app_id: str) -> int | None:
     return None if val is None else int(val)
 
 
+def read_ledger(path: str) -> dict[str, int]:
+    """The full txn ledger of the latest version ({} when absent)."""
+    v = latest_version(path)
+    if v is None:
+        return {}
+    return {k: int(t) for k, t in (_read_doc(path, v).get("txn") or {}).items()}
+
+
+def commit_replace(path: str, files: list[str], txn_map: dict[str, int] | None) -> int:
+    """Full-replacement commit that also REPLACES the txn ledger — the
+    restore path (r14): rewinding a table to a snapshot must rewind the
+    replay guard WITH it, so a streaming batch delivered after the snapshot
+    re-appends into the restored table instead of no-op'ing against the
+    future ledger (and a ledger the snapshot never had doesn't survive the
+    rewind). Offline-maintenance context: single committer, one publish
+    attempt."""
+    mdir = _mdir(path)
+    mdir.mkdir(parents=True, exist_ok=True)
+    cur = latest_version(path)
+    nv = 1 if cur is None else cur + 1
+    if not _publish_version(mdir, nv, files, dict(txn_map or {})):
+        raise RuntimeError(f"commit_replace lost a version race at {path}")
+    _advance_pointer(mdir, nv)
+    return nv
+
+
 def carry_ledger(src_path: str, dst_path: str) -> bool:
     """Copy ``src_path``'s txn ledger into ``dst_path``'s next manifest
     version (file list unchanged). Whole-table rewrites that STAGE a fresh
@@ -157,7 +205,7 @@ def carry_ledger(src_path: str, dst_path: str) -> bool:
 
 def data_files(path: str) -> list[str]:
     """Every parquet data file currently on disk (relative paths)."""
-    root = Path(path)
+    root = _root(path)
     return sorted(
         str(f.relative_to(root)) for f in root.glob("hour_bucket=*/*.parquet")
     )
@@ -348,7 +396,7 @@ def vacuum(
         except FileNotFoundError:
             continue  # lost a race with a concurrent vacuum — nothing to keep
     removed = []
-    root = Path(path)
+    root = _root(path)
     for rel in data_files(path):
         if rel not in keep and not _young(root / rel):
             f = root / rel

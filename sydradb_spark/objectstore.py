@@ -231,6 +231,31 @@ def read_txn(store: ObjectStore, table: str, app_id: str) -> int | None:
     return None if val is None else int(val)
 
 
+def read_ledger(store: ObjectStore, table: str) -> dict[str, int]:
+    """The full txn ledger of the latest version ({} when absent)."""
+    v = latest_version(store, table)
+    if v is None:
+        return {}
+    return {k: int(t) for k, t in (_read_doc(store, table, v).get("txn") or {}).items()}
+
+
+def commit_replace(
+    store: ObjectStore, table: str, files: list[str], txn_map: dict[str, int] | None
+) -> int:
+    """Full-replacement commit that also REPLACES the txn ledger — the
+    object-store twin of ``manifest.commit_replace`` (restore rewinds the
+    replay guard with the data). Offline maintenance: one attempt."""
+    cur = latest_version(store, table)
+    v = 1 if cur is None else cur + 1
+    doc: dict = {"version": v, "files": sorted(files)}
+    if txn_map:
+        doc["txn"] = {k: int(t) for k, t in txn_map.items()}
+    if not store.put_if_absent(_mprefix(table) + f"v{v}.json", json.dumps(doc).encode()):
+        raise RuntimeError(f"commit_replace lost a version race at {table}")
+    _advance_pointer(store, table, v)
+    return v
+
+
 def commit_cas(
     store: ObjectStore,
     table: str,

@@ -6,6 +6,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def hadoop_fs(spark, path: str):
+    """(jvm, FileSystem, Path) for ``path`` on whatever filesystem Spark can
+    reach — the backend-generic escape hatch for data operations on
+    non-POSIX table locations (s3a://, hdfs://, file://). Python's ``Path``
+    / ``shutil`` against a URI string silently operate on a RELATIVE local
+    path (the r13 bug class); every data-side URI operation must go through
+    this instead."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input arrives in
     fewer splits (e.g. one small parquet file below maxPartitionBytes) —

@@ -936,13 +936,17 @@ def test_stream_sink_lazy_spark_metadata_app_id(spark, tmp_path, monkeypatch):
     Spark's own checkpoint metadata id, read through the Hadoop FS API on
     the first batch, and the identity is stable across restarts — so the
     exactly-once ledger engages on s3://-style deployments (VERDICT r11
-    item 2). Simulated by forcing the eager POSIX path to report non-POSIX."""
+    item 2). Simulated by forcing the eager app-id resolution to defer (as
+    it does on a URI checkpoint) — patching _posix_checkpoint_path itself
+    would also poison the TABLE-path triage storage shares since r14."""
     from sydradb_spark import ingest
     from sydradb_spark import manifest as mf
     from sydradb_spark.ingest import NDJSON_SCHEMA, parse_ndjson, stream_points_sink
     from sydradb_spark.storage import read_points
 
-    monkeypatch.setattr(ingest, "_posix_checkpoint_path", lambda _ck: None)
+    monkeypatch.setattr(
+        ingest, "resolve_app_id", lambda ck, app_id=None, app_id_store=None: None
+    )
 
     src = tmp_path / "src"
     src.mkdir()
