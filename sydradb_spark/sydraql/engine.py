@@ -106,11 +106,22 @@ class SydraQLEngine:
         t2 = time.perf_counter()
 
         if isinstance(stmt, ast.Explain):
-            inner = self._run(stmt.inner)
-            plan = inner.df._jdf.queryExecution().explainString(
-                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
-            df = self.spark.createDataFrame([(line,) for line in plan.split("\n")], "plan: string")
+            # EXPLAIN must PLAN, never execute (r14 front-end review: the
+            # old path ran _run(inner), so `explain insert ...` durably
+            # ingested and `explain delete ...` durably deleted). SELECTs
+            # are safe — their translation is lazy; mutations get a plan
+            # summary built without touching the table.
+            if isinstance(stmt.inner, ast.Select):
+                inner = self._run(stmt.inner)
+                plan = inner.df._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+                lines = plan.split("\n")
+            else:
+                lines = self._explain_mutation(stmt.inner)
+            df = self.spark.createDataFrame([(line,) for line in lines], "plan: string")
             return QueryResult(df=df, columns=["plan"])
 
         result = self._run(stmt)
@@ -121,6 +132,38 @@ class SydraQLEngine:
             "plan_us": int((t3 - t2) * 1e6),
         }
         return result
+
+    def _explain_mutation(self, stmt: ast.Statement) -> list[str]:
+        """Human-readable plan for INSERT/DELETE without executing it."""
+        durable = (
+            f"durable (storage at {self.storage_path})"
+            if self.storage_path is not None
+            else "in-memory (lineage union/filter)"
+        )
+        if isinstance(stmt, ast.Insert):
+            return [
+                f"Insert into '{stmt.target}' [{durable}]",
+                f"  rows: {len(stmt.rows)}",
+                "  path: hour-partitioned parquet append"
+                if self.storage_path is not None
+                else "  path: unionByName onto the points frame",
+            ]
+        if isinstance(stmt, ast.Delete):
+            mn, mx = time_bounds_from_where(stmt.where)
+            target = (
+                f"by_id({stmt.target.series_id})"
+                if stmt.target.kind == "by_id"
+                else stmt.target.name
+            )
+            return [
+                f"Delete from '{target}' [{durable}]",
+                f"  time bounds: [{mn}, {mx}]",
+                "  path: partition-scoped anti-filter rewrite "
+                "(only overlapping hour partitions touched)"
+                if self.storage_path is not None
+                else "  path: null-safe anti-filter on the points frame",
+            ]
+        raise UnsupportedStatement(f"cannot explain {type(stmt).__name__}")
 
     def _run(self, stmt: ast.Statement) -> QueryResult:
         if isinstance(stmt, ast.Select):
@@ -176,6 +219,15 @@ class SydraQLEngine:
             raise ValidationError(f"INSERT columns must be ts/time/value, got {cols}")
         rows = []
         for tup in stmt.rows:
+            # arity against the EFFECTIVE column list (r14 front-end
+            # review): the validator checks only explicit column lists, so
+            # `VALUES (1, 2.0, 999)` with default (ts, value) columns
+            # silently dropped the trailing value via zip truncation
+            if len(tup) != len(cols):
+                raise ValidationError(
+                    f"VALUES tuple has {len(tup)} value(s), expected "
+                    f"{len(cols)} for columns {cols}"
+                )
             vals = {}
             for c, e in zip(cols, tup):
                 vals["ts" if c in ("ts", "time") else "value"] = _literal_value(e)

@@ -96,6 +96,7 @@ def time_bounds_from_where(where: ast.Expr | None) -> tuple[int | None, int | No
         ast.BinOp.LTE: ast.BinOp.GTE,
         ast.BinOp.GT: ast.BinOp.LT,
         ast.BinOp.GTE: ast.BinOp.LTE,
+        ast.BinOp.EQ: ast.BinOp.EQ,  # r14: exact-time queries prune too
     }
     if where is None:
         return None, None
@@ -112,7 +113,13 @@ def time_bounds_from_where(where: ast.Expr | None) -> tuple[int | None, int | No
             lit = int(_literal_value(right))
         except (ValidationError, TypeError, ValueError):
             continue
-        if op in (ast.BinOp.GT, ast.BinOp.GTE):
+        if op == ast.BinOp.EQ:
+            # time = X tightens BOTH bounds — previously derived nothing,
+            # so an exact-time point lookup full-scanned every partition
+            # (r14 front-end review)
+            mn = lit if mn is None else max(mn, lit)
+            mx = lit if mx is None else min(mx, lit)
+        elif op in (ast.BinOp.GT, ast.BinOp.GTE):
             mn = lit if mn is None else max(mn, lit)
         else:
             mx = lit if mx is None else min(mx, lit)

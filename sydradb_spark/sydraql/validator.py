@@ -35,6 +35,13 @@ _LITERAL_TYPES = {
     "timestamp": Ty.TIMESTAMP,
 }
 
+# functions that need a materialized per-series window column and therefore
+# cannot appear in WHERE (the pre-pass materializes only select/order/group
+# expressions): the WINDOW kind plus fill_forward, which is Kind.FILL but
+# window-backed in the translator (r14 review — it previously leaked an
+# internal 'column not materialized' error from WHERE)
+_WINDOWISH = WINDOW_FUNCS | {"fill_forward"}
+
 _COMPARISONS = {
     ast.BinOp.EQ,
     ast.BinOp.NEQ,
@@ -120,7 +127,9 @@ def _check_expr(expr: ast.Expr, *, in_aggregate: bool = False) -> None:
         if expr.op == ast.BinOp.MOD:
             for side in (expr.left, expr.right):
                 t = infer_type(side)
-                if t == Ty.FLOAT:
+                # r14 front-end review: STRING/BOOLEAN slipped through the
+                # FLOAT-only rejection and reached try_mod as a silent null
+                if t in (Ty.FLOAT, Ty.STRING, Ty.BOOLEAN):
                     raise TypeMismatch("'%' requires integer operands", pos=expr.pos)
         if expr.op == ast.BinOp.DIV:
             r = expr.right
@@ -178,6 +187,17 @@ def validate(stmt: ast.Statement) -> None:
         if not _has_time_predicate(stmt.where):
             raise TimeRangeRequired("DELETE requires a time predicate in WHERE")
         if stmt.where is not None:
+            # r14 front-end review: mirror the SELECT WHERE rules — an
+            # aggregate errored only at translate time, and a window call
+            # leaked an INTERNAL 'column not materialized' error to the user
+            if contains_aggregate(stmt.where):
+                raise ValidationError("aggregate calls are not allowed in WHERE")
+            for e in _walk(stmt.where):
+                if isinstance(e, ast.Call) and e.func in _WINDOWISH:
+                    raise ValidationError(
+                        f"window function '{e.func}' is not allowed in WHERE",
+                        pos=e.pos,
+                    )
             _check_expr(stmt.where)
         return
     if isinstance(stmt, ast.Insert):
@@ -196,7 +216,7 @@ def validate(stmt: ast.Statement) -> None:
         if contains_aggregate(stmt.where):
             raise ValidationError("aggregate calls are not allowed in WHERE")
         for e in _walk(stmt.where):
-            if isinstance(e, ast.Call) and e.func in WINDOW_FUNCS:
+            if isinstance(e, ast.Call) and e.func in _WINDOWISH:
                 raise ValidationError(
                     f"window function '{e.func}' is not allowed in WHERE", pos=e.pos
                 )

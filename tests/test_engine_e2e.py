@@ -439,3 +439,58 @@ def test_increase_counter_resets(spark, points):
 
 def rows_q(engine, q):
     return [tuple(r) for r in engine.query(q).df.collect()]
+
+
+# --- r14 front-end adversarial review pins -----------------------------------
+def test_explain_insert_and_delete_do_not_execute(spark, points):
+    """EXPLAIN must plan, never execute: the old path ran the mutation, so
+    `explain insert ...` durably ingested (r14 review)."""
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    eng = SydraQLEngine(spark, points)
+    before = eng.points.count()
+    r = eng.query("explain insert into m.x values (123, 9.9)")
+    text = "\n".join(row[0] for row in r.df.collect())
+    assert "Insert into 'm.x'" in text and "rows: 1" in text
+    assert eng.points.count() == before  # nothing ingested
+
+    r = eng.query("explain delete from cpu.total where time >= 1000000 and time < 1000060")
+    text = "\n".join(row[0] for row in r.df.collect())
+    assert "Delete from 'cpu.total'" in text and "1000000" in text
+    assert eng.points.count() == before  # nothing deleted
+
+
+def test_insert_default_columns_arity_checked(spark, points):
+    """VALUES (ts, value, extra) with the DEFAULT column list used to
+    zip-truncate silently, dropping the extra value (r14 review)."""
+    from sydradb_spark.errors import ValidationError
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    eng = SydraQLEngine(spark, points)
+    with pytest.raises(ValidationError, match="3 value"):
+        eng.query("insert into m.y values (50, 1.5, 999)")
+    with pytest.raises(ValidationError, match="1 value"):
+        eng.query("insert into m.y values (50)")
+    eng.query("insert into m.y values (50, 1.5)")  # correct arity still works
+    assert eng.points.where("series = 'm.y'").count() == 1
+
+
+def test_exact_time_equality_prunes_partitions(spark, points, tmp_path):
+    """`time = X` now derives hour_bucket bounds — the exact-time point
+    lookup previously full-scanned every partition (r14 review)."""
+    from sydradb_spark import storage
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+    from sydradb_spark.sydraql.translator import time_bounds_from_where
+    from sydradb_spark.sydraql.parser import parse
+
+    stmt = parse("select value from a.b where time = 1000050")
+    assert time_bounds_from_where(stmt.where) == (1000050, 1000050)
+
+    path = str(tmp_path / "pts")
+    storage.write_points(points, path)
+    eng = SydraQLEngine(spark, storage_path=path)
+    r = eng.query("select time, value from weather.room1 where time = 1000050")
+    optimized = r.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hour_bucket" in optimized  # partition bounds derived
+    got = r.df.collect()
+    assert {row["value"] for row in got} == {5 * 0.5, 999.0}  # dup ts kept

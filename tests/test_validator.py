@@ -89,3 +89,35 @@ def test_type_mismatch_arith_on_string():
 def test_regex_needs_string_pattern():
     with pytest.raises(TypeMismatch):
         check("select 1 where tag.host =~ 5")
+
+
+# --- r14 front-end adversarial review pins -----------------------------------
+def test_mod_rejects_string_and_bool():
+    """'%' is integer-only (expression.zig:124); STRING/BOOLEAN operands
+    previously slipped past the FLOAT-only rejection into a silent null."""
+    with pytest.raises(TypeMismatch):
+        check("select 'a' % 2")
+    with pytest.raises(TypeMismatch):
+        check("select true % 2")
+    check("select 5 % 2")  # integer form still fine
+
+
+def test_delete_where_rejects_aggregates_and_windows():
+    """DELETE WHERE mirrors SELECT WHERE: an aggregate errored only at
+    translate time and a window call leaked an INTERNAL 'column not
+    materialized' error (r14 review)."""
+    with pytest.raises(ValidationError):
+        check("delete from a.b where time > 0 and avg(value) > 1")
+    with pytest.raises(ValidationError):
+        check("delete from a.b where time > 0 and lag(value) > 1")
+    check("delete from a.b where time > 0")
+
+
+def test_fill_forward_rejected_in_where():
+    """fill_forward is Kind.FILL but window-backed — in WHERE it leaked an
+    internal 'column not materialized' error instead of a clean rejection
+    (r14 review)."""
+    with pytest.raises(ValidationError):
+        check("select value from a.b where time > 0 and fill_forward(value) > 1")
+    with pytest.raises(ValidationError):
+        check("delete from a.b where time > 0 and fill_forward(value) > 1")
