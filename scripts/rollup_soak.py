@@ -37,6 +37,17 @@ serialization under soak:
                    serialization the flock backend silently lacked.
 Both manifested backends run live compaction AND a periodic vacuum thread
 against the streaming writes, crash-replaying through it all.
+
+Reader race (round 14, r13 verdict item 4): on manifested backends a READER
+thread loops ``read_rollup_manifested`` the whole run while folds + vacuums
+fire (``--vacuum-min-age`` tuned DOWN so the vacuum actually reclaims folded
+entries mid-run, forcing the window). Each read must be a consistent
+committed state: no FileNotFound on a vacuumed entry, the total folded
+count NON-DECREASING read-over-read (a fold that lost a batch would dip,
+a double-count would overshoot then dip), and never above the source total.
+The r14 ledger pre-check in ``write_rollup_batch_manifested`` exists
+because of this soak's design: a gap-crash replay used to delete-and-
+rewrite a manifest-referenced batch dir in place, tearing concurrent reads.
 """
 
 from __future__ import annotations
@@ -156,6 +167,7 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=120)
     ap.add_argument("--crashes", type=int, default=8)
     ap.add_argument("--compact-every-s", type=float, default=3.0)
+    ap.add_argument("--vacuum-min-age", type=int, default=600)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument(
         "--backend", choices=["flock", "manifested", "store"], default="flock"
@@ -208,14 +220,53 @@ def main() -> None:
                 compact_once()
                 compactions["n"] += 1
                 if manifested and compactions["n"] % 3 == 0:
-                    vacuum_rollup(roll, store, keep_versions=4, min_age_seconds=600)
+                    vacuum_rollup(
+                        roll,
+                        store,
+                        keep_versions=4,
+                        min_age_seconds=args.vacuum_min_age,
+                        spark=spark,
+                    )
                     compactions["vacuums"] += 1
             except Exception as e:  # a failed fold is a finding, record it
                 compactions["errors"].append(repr(e))
 
+    # reader-race thread (r14, r13 verdict item 4): every read during live
+    # folds + vacuums must be a consistent committed state
+    total_rows = rows_a + rows_b
+    reader_stats = {"reads": 0, "last_total": -1, "violations": []}
+
+    def reader():
+        if not manifested:
+            return  # the flock backend's directory read has no manifest to
+            # pin a consistent state against — manifested backends only
+        while not stop.is_set():
+            try:
+                row = read_folded().agg(
+                    F.sum("cnt").alias("c"), F.count("*").alias("w")
+                ).first()
+                total = int(row["c"] or 0)
+            except Exception as e:
+                reader_stats["violations"].append(
+                    f"read broke: {type(e).__name__}: {str(e)[:200]}"
+                )
+                return
+            if total < reader_stats["last_total"]:
+                reader_stats["violations"].append(
+                    f"non-monotone read: {reader_stats['last_total']} -> {total}"
+                )
+            if total > total_rows:
+                reader_stats["violations"].append(
+                    f"overcount read: {total} > {total_rows}"
+                )
+            reader_stats["last_total"] = total
+            reader_stats["reads"] += 1
+
     t0 = time.perf_counter()
     thread = threading.Thread(target=maintenance, daemon=True)
     thread.start()
+    reader_thread = threading.Thread(target=reader, daemon=True)
+    reader_thread.start()
     restarts = drive_stream(
         spark, f"{args.work}/src_a", roll, f"{args.work}/ck_a", crash_at, 1,
         manifested, store,
@@ -227,6 +278,7 @@ def main() -> None:
     )
     stop.set()
     thread.join()
+    reader_thread.join()
     t_stream = round(time.perf_counter() - t0, 1)
 
     # final offline compaction, then the batch-twin equality check
@@ -302,12 +354,25 @@ def main() -> None:
                 "mismatch_examples": mismatches[:5],
                 "batch_dirs_after_final_compaction": live_dirs,
                 "dirs_bounded": len(live_dirs) <= 2,  # one live tail per app
+                "vacuum_min_age": args.vacuum_min_age,
+                "reader_reads": reader_stats["reads"],
+                "reader_final_total": reader_stats["last_total"],
+                "reader_violations": reader_stats["violations"][:5],
+                "reader_clean": not reader_stats["violations"]
+                and (not manifested or reader_stats["reads"] > 0),
                 "prep_s": t_prep,
                 "stream_s": t_stream,
             }
         )
     )
-    if mismatches or extra or compactions["errors"] or not orphans_reclaimed:
+    if (
+        mismatches
+        or extra
+        or compactions["errors"]
+        or not orphans_reclaimed
+        or reader_stats["violations"]
+        or (manifested and reader_stats["reads"] == 0)
+    ):
         sys.exit(1)
 
 

@@ -399,6 +399,19 @@ def _mf_commit(rollup_path: str, store, *, mutate, txn=None):
     return obs.commit_cas(store, STORE_TABLE, mutate=mutate, txn=txn)
 
 
+def _mf_read_txn(rollup_path: str, store, app_id: str) -> int | None:
+    if store is None:
+        from sydradb_spark import manifest as mf
+
+        local = _local_manifest_path(rollup_path)
+        if mf.latest_version(local) is None:
+            return None
+        return mf.read_txn(local, app_id)
+    from sydradb_spark import objectstore as obs
+
+    return obs.read_txn(store, STORE_TABLE, app_id)
+
+
 def _mf_files(rollup_path: str, store) -> list[str] | None:
     """Current manifest entry list (relative names), or None pre-manifest."""
     if store is None:
@@ -416,12 +429,11 @@ def _mf_files(rollup_path: str, store) -> list[str] | None:
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    """(jvm, FileSystem, Path) for ``path`` on whatever filesystem Spark
-    can reach — the backend-generic escape hatch for data operations on
-    non-POSIX rollup locations (s3a://, hdfs://)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    """(jvm, FileSystem, Path) for ``path`` — shared with the points table
+    since r14; see ``util.hadoop_fs``."""
+    from sydradb_spark.util import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _remove_entry(spark: SparkSession | None, rollup_path: str, name: str) -> None:
@@ -507,7 +519,19 @@ def write_rollup_batch_manifested(
     the ``(app_id, batch_id)`` txn makes the manifest commit a no-op, so a
     batch dir recreated AFTER compaction folded it away never re-enters the
     list readers see. Returns the committed manifest version (None on a
-    replayed txn)."""
+    replayed txn).
+
+    Ledger PRE-CHECK (r14, found preparing the reader-race soak): a batch
+    already in the txn ledger skips the parquet write entirely — the
+    replayed overwrite would delete-then-rewrite a dir the manifest still
+    REFERENCES, and a concurrent reader scanning it mid-overwrite tears
+    (FileNotFound / partial read). With the pre-check a gap-crash replay
+    touches nothing readers can see; a crash BETWEEN write and commit
+    still re-writes, but that dir was never manifest-referenced. Same
+    pattern as ``storage.write_points``' replay pre-check."""
+    last = _mf_read_txn(rollup_path, store, app_id)
+    if last is not None and last >= batch_id:
+        return None  # replayed batch — already durable and folded-safe
     target = _batch_dir(rollup_path, batch_id, app_id)
     partial.write.mode("overwrite").parquet(target)
     name = target.rsplit("/", 1)[1]
@@ -721,5 +745,14 @@ def vacuum_rollup(
                 continue
             fs.delete(st.getPath(), True)
             removed.append(name)
-    # else: no session to reach the URI filesystem — manifest-only vacuum
+    else:
+        # no session to reach the URI filesystem — manifest-only vacuum;
+        # NOT silent (VERDICT r13 item 4): a bare cron-style
+        # vacuum_rollup(store=...) call would otherwise reclaim nothing
+        # forever with zero operator signal
+        __import__("logging").getLogger("sydradb_spark.maintenance").warning(
+            "vacuum_rollup(%s): data pass SKIPPED — URI data location and no "
+            "SparkSession to reach it; only manifest versions were pruned",
+            rollup_path,
+        )
     return sorted(removed)

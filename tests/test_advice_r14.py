@@ -126,7 +126,7 @@ def test_sink_maintenance_failure_logged_stream_survives(
         (src / "b.ndjson").write_text('{"series": "m.x", "ts": 200, "value": 2.0}\n')
         run()  # batch 1 — boundary: vacuum raises, gets logged, sink survives
     assert read_points(spark, tbl).count() == 2
-    assert any("manifest.vacuum" in r.getMessage() for r in caplog.records)
+    assert any("vacuum_points" in r.getMessage() for r in caplog.records)
 
 
 # --- 3. zlib parity probe -----------------------------------------------------

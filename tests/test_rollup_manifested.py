@@ -180,7 +180,8 @@ def test_manifested_replay_after_fold_never_resurfaces(spark, tmp_path, backend)
         )
     compact_rollup_manifested(spark, roll, 3600, store)  # folds batch 0
     assert "b_stream-one_000000000000" not in _manifest_names(roll, store)
-    # replay batch 0: dir is recreated on disk, manifest commit is a no-op
+    # replay batch 0: the r14 ledger pre-check skips the write entirely
+    # (the original orphan dir stays for vacuum); return value is None
     assert (
         write_rollup_batch_manifested(
             _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
@@ -196,6 +197,39 @@ def test_manifested_replay_after_fold_never_resurfaces(spark, tmp_path, backend)
     # referenced entries survive the vacuum
     folded = read_rollup_manifested(spark, roll, 3600, store).collect()
     assert folded[0]["cnt"] == 4
+
+
+def test_manifested_replay_skips_data_write(spark, tmp_path, backend):
+    """The r14 ledger PRE-CHECK: a gap-crash replay (batch already in the
+    ledger) must not touch the batch dir at all — the old replay overwrote
+    a manifest-referenced dir in place (delete-then-rewrite), tearing a
+    concurrent reader mid-scan. A batch NOT in the ledger (crash between
+    write and commit) still rewrites."""
+    store = backend()
+    roll = str(tmp_path / "roll")
+    write_rollup_batch_manifested(
+        _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
+    )
+    target = pathlib.Path(roll) / "b_stream-one_000000000000"
+    before = sorted((p.name, p.stat().st_mtime_ns) for p in target.rglob("*.parquet"))
+    # replay: ledger has batch 0 → no parquet job, dir untouched, None back
+    assert (
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 2), roll, 0, "stream-one", store=store
+        )
+        is None
+    )
+    after = sorted((p.name, p.stat().st_mtime_ns) for p in target.rglob("*.parquet"))
+    assert after == before  # bit-identical dir: no delete-then-rewrite window
+    # a NEW batch id (not in the ledger) does write
+    assert (
+        write_rollup_batch_manifested(
+            _mini_partial(spark, "s.a", 3), roll, 1, "stream-one", store=store
+        )
+        is not None
+    )
+    folded = read_rollup_manifested(spark, roll, 3600, store).collect()
+    assert folded[0]["cnt"] == 5
 
 
 def test_manifested_vacuum_age_guard(spark, tmp_path, backend):
