@@ -744,10 +744,10 @@ _q(
 # (the engine side finished in seconds). Same lesson as the SemDeDup
 # closure oracle: the oracle must stay linear-cost or the gate can't scale.
 EMA_TAIL = 120
-EMA_ORACLE = (
-    POINTS_CTE
-    + f""",
-f AS (
+# the f/e CTE pair is shared with lifecycle's stream_stateful_ema_equiv,
+# which appends its own Welford CTEs (r14 rotation) before a different
+# final projection
+EMA_CTES = f"""f AS (
   SELECT ts, value, CAST(row_number() OVER (ORDER BY ts, value) AS BIGINT) AS rn
   FROM points WHERE series = 'events.click' AND host = 'h0' AND dc = 'dc0'
     AND ts >= {T0} AND ts < {D7}
@@ -757,8 +757,12 @@ f AS (
                   ELSE power(0.5, fi.rn - fj.rn + 1) * fj.value END) AS s
   FROM f fi JOIN f fj ON fj.rn BETWEEN fi.rn - {EMA_TAIL} AND fi.rn
   GROUP BY fi.rn, fi.ts
-)
-SELECT ts AS time, {r6('s')} AS ema_v FROM e"""
+)"""
+EMA_ORACLE = (
+    POINTS_CTE
+    + ",\n"
+    + EMA_CTES
+    + f"\nSELECT ts AS time, {r6('s')} AS ema_v FROM e"
 )
 
 _q(

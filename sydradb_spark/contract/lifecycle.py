@@ -411,35 +411,135 @@ def _rollup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# latedrop constants: arrival split point and the late-set rule. M is a
+# LITERAL (not data-derived) so both engines share it; the late set is
+# arithmetic (ts % 7) because the oracle has no xxhash64.
+_LD_M = T0 + 302400  # 3.5 days into the 7-day slice
+_LD_WINDOW_S = 3600
+_LD_DELAY_S = 600
+
+
+def _windowed_latedrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation with DETERMINISTIC late-data drop
+    (r14 rotation — streaming/windowed.py was pytest-only):
+
+    three chronological micro-batches over `events.view`:
+    - batch 0: on-time rows below the split point M, MINUS the late set
+      L = {ts % 7 == 3, ts < M - 2·window} (windows safely below any
+      later watermark);
+    - batch 1: everything >= M — advances the watermark to maxts - delay;
+    - batch 2: L, redelivered late — every L window's state was evicted
+      at batch 1's end, so Spark DROPS all of it.
+
+    Append mode emits exactly the windows with end <= final watermark
+    (boundary EQUALITY emits — probed on this Spark build), aggregated
+    over the non-late rows; the oracle replays that rule in SQL."""
+    import json as _json
+
+    from sydradb_spark.streaming.windowed import windowed_agg
+
+    src = _scratch(sf_dir, "latedrop_src", fresh=True)
+    out_tbl = _scratch(sf_dir, "latedrop_out", fresh=True)
+    ckpt = _scratch(sf_dir, "latedrop_ckpt", fresh=True)
+    os.makedirs(src)
+    pts = (
+        events_points(spark, sf_dir)
+        .where(
+            (F.col("series") == "events.view")
+            & (F.col("ts") >= T0)
+            & (F.col("ts") < D7)
+        )
+        .select("series_id", "ts", "value")
+    )
+    rows = [(r["series_id"], r["ts"], r["value"]) for r in pts.collect()]
+    late_cut = _LD_M - 2 * _LD_WINDOW_S
+    late = [r for r in rows if r[1] % 7 == 3 and r[1] < late_cut]
+    late_set = set(id(r) for r in late)
+    batch0 = [r for r in rows if r[1] < _LD_M and id(r) not in late_set]
+    batch1 = [r for r in rows if r[1] >= _LD_M]
+    for i, chunk in enumerate((batch0, batch1, late)):
+        p = os.path.join(src, f"chunk{i}.json")
+        with open(p, "w") as f:
+            for sid, ts, v in chunk:
+                f.write(_json.dumps({"series_id": sid, "ts": ts, "value": v}) + "\n")
+        os.utime(p, (i + 1, i + 1))
+    stream = (
+        spark.readStream.schema("series_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        windowed_agg(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_tbl)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # fold the per-series window rows to oracle-checkable bucket stats
+    return (
+        spark.read.parquet(out_tbl)
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("n"),
+            r3_col(F.sum("sum_v")).alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
+
+
 def _rollup_batch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup losslessness, one labeled union (round-6 consolidation of the
     former ``rollup_daily_from_hourly`` and ``rollup_stream_batch_equiv``
-    entries): ``daily`` proves hourly→daily combination equals daily-from-raw;
-    ``stream`` proves the stream-maintained rollup folds to raw aggregates."""
+    entries; r14 adds ``latedrop``): ``daily`` proves hourly→daily
+    combination equals daily-from-raw; ``stream`` proves the
+    stream-maintained rollup folds to raw aggregates; ``latedrop`` proves
+    the watermark-bounded windowed aggregation drops EXACTLY the
+    late-beyond-watermark set and emits exactly the closed windows."""
     daily = _rollup_daily(spark, sf_dir)
     stream = _rollup_stream_equiv(spark, sf_dir)
+    ld = _windowed_latedrop(spark, sf_dir)
     dnull = F.lit(None).cast("double")
-    return daily.select(
-        F.lit("daily").alias("variant"),
-        "bucket",
-        "n",
-        "sum_v",
-        "avg_v",
-        "min_v",
-        "max_v",
-        "first_v",
-        "last_v",
-    ).unionByName(
-        stream.select(
-            F.lit("stream").alias("variant"),
+    return (
+        daily.select(
+            F.lit("daily").alias("variant"),
             "bucket",
             "n",
             "sum_v",
-            dnull.alias("avg_v"),
+            "avg_v",
             "min_v",
             "max_v",
-            dnull.alias("first_v"),
-            dnull.alias("last_v"),
+            "first_v",
+            "last_v",
+        )
+        .unionByName(
+            stream.select(
+                F.lit("stream").alias("variant"),
+                "bucket",
+                "n",
+                "sum_v",
+                dnull.alias("avg_v"),
+                "min_v",
+                "max_v",
+                dnull.alias("first_v"),
+                dnull.alias("last_v"),
+            )
+        )
+        .unionByName(
+            ld.select(
+                F.lit("latedrop").alias("variant"),
+                "bucket",
+                "n",
+                "sum_v",
+                dnull.alias("avg_v"),
+                "min_v",
+                "max_v",
+                dnull.alias("first_v"),
+                dnull.alias("last_v"),
+            )
         )
     )
 
@@ -462,7 +562,21 @@ SELECT 'stream', (ts // 3600) * 3600, count(*), {r3('sum(value)')},
        CAST(NULL AS DOUBLE), min(value), max(value),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
   FROM points WHERE series = 'events.signup' AND ts >= {T0} AND ts < {D3}
-  GROUP BY 1, 2"""
+  GROUP BY 1, 2
+UNION ALL
+-- latedrop (r14): aggregate the slice MINUS the late set, keeping only
+-- windows closed by the final watermark (window_end <= max_ts - delay;
+-- boundary equality EMITS, probed against this Spark build)
+SELECT 'latedrop', (ts // {_LD_WINDOW_S}) * {_LD_WINDOW_S}, count(*),
+       {r3('sum(value)')}, CAST(NULL AS DOUBLE), min(value), max(value),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  FROM points WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7}
+   AND NOT (ts % 7 = 3 AND ts < {_LD_M - 2 * _LD_WINDOW_S})
+  GROUP BY 1, 2
+HAVING (ts // {_LD_WINDOW_S}) * {_LD_WINDOW_S} + {_LD_WINDOW_S} <=
+       (SELECT max(ts) FROM points
+         WHERE series = 'events.view' AND ts >= {T0} AND ts < {D7})
+       - {_LD_DELAY_S}"""
     ),
 )
 
@@ -741,15 +855,39 @@ SELECT 'snapshot_restore', NULL, count(*), {r3('sum(value)')},
 
 
 # --- stateful streaming EMA == batch recursion (§2.11) ------------------------
-def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState EMA over three chronological micro-batches
-    (maxFilesPerTrigger=1) — cross-batch state carry must reproduce the
-    exact batch recursion, proved against the same recursive-CTE oracle
-    that checks window_ema."""
+def _stream_chunks(rows: list, src: str, key) -> None:
+    """Write ``rows`` as three chronological json chunk files (increasing
+    mtimes → the file source replays them in order; stateful folds are
+    arrival-order dependent)."""
     import json as _json
     import time as _time
 
-    from sydradb_spark.streaming.stateful import streaming_ema
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    lo = 0
+    for i, hi in enumerate(cuts):
+        with open(os.path.join(src, f"chunk{i}.json"), "w") as f:
+            for r in rows[lo:hi]:
+                f.write(_json.dumps(key(r)) + "\n")
+        os.utime(os.path.join(src, f"chunk{i}.json"), (i + 1, i + 1))
+        lo = hi
+        _time.sleep(0.01)
+
+
+def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming, one labeled union (r14 rotation adds the
+    ``anom`` half — the Welford streaming_anomalies kernel was pytest-only):
+
+    - ``ema``: applyInPandasWithState EMA over three chronological
+      micro-batches (maxFilesPerTrigger=1) — cross-batch state carry must
+      reproduce the exact batch recursion (window_ema's oracle);
+    - ``anom``: streaming_anomalies (Welford running mean/m2 in
+      checkpointed state, each point scored against the state BEFORE its
+      own fold) over `events.click` ALL hosts — the oracle replays the
+      strict-prefix scoring with per-(host, dc) window functions
+      (count/avg/var_pop over UNBOUNDED PRECEDING..1 PRECEDING).
+      threshold=0.0 emits every scored row, so the hash covers the whole
+      z trajectory, not just the rare tail."""
+    from sydradb_spark.streaming.stateful import streaming_anomalies, streaming_ema
 
     src = _scratch(sf_dir, "sema_src", fresh=True)
     out_tbl = _scratch(sf_dir, "sema_out", fresh=True)
@@ -766,20 +904,10 @@ def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ts", "value")
     )
-    # three chronological source files with increasing mtimes so the file
-    # source replays them in order (EMA is arrival-order dependent)
-    rows = sorted(
-        ((r["ts"], r["value"]) for r in pts.collect()), key=lambda t: t
+    rows = sorted(((r["ts"], r["value"]) for r in pts.collect()), key=lambda t: t)
+    _stream_chunks(
+        rows, src, lambda r: {"series_id": 0, "ts": r[0], "value": r[1]}
     )
-    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
-    lo = 0
-    for i, hi in enumerate(cuts):
-        with open(os.path.join(src, f"chunk{i}.json"), "w") as f:
-            for ts, v in rows[lo:hi]:
-                f.write(_json.dumps({"series_id": 0, "ts": ts, "value": v}) + "\n")
-        os.utime(os.path.join(src, f"chunk{i}.json"), (i + 1, i + 1))
-        lo = hi
-        _time.sleep(0.01)
     stream = (
         spark.readStream.schema("series_id long, ts long, value double")
         .option("maxFilesPerTrigger", 1)
@@ -795,21 +923,110 @@ def _stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.read.parquet(out_tbl)
-        .select(F.col("ts").alias("time"), r6_col("ema").alias("ema_v"))
+    ema = spark.read.parquet(out_tbl).select(
+        F.lit("ema").alias("part"),
+        F.col("ts").alias("time"),
+        r6_col("ema").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("long").alias("n"),
     )
 
+    # --- anom half: Welford scoring over events.click, all hosts ----------
+    src2 = _scratch(sf_dir, "sanom_src", fresh=True)
+    out2 = _scratch(sf_dir, "sanom_out", fresh=True)
+    ckpt2 = _scratch(sf_dir, "sanom_ckpt", fresh=True)
+    os.makedirs(src2)
+    pts2 = (
+        events_points(spark, sf_dir)
+        .where(
+            (F.col("series") == "events.click")
+            & (F.col("ts") >= T0)
+            & (F.col("ts") < D7)
+        )
+        .select("series_id", "ts", "value")
+    )
+    # global (ts, value-nulls-last) order preserves each key's own
+    # (ts, value) order through the three chunk cuts — the kernel's
+    # per-batch mergesort then sees exactly the oracle's rn order
+    rows2 = sorted(
+        ((r["series_id"], r["ts"], r["value"]) for r in pts2.collect()),
+        key=lambda t: (t[1], t[2] is None, t[2] if t[2] is not None else 0.0, t[0]),
+    )
+    _stream_chunks(
+        rows2, src2, lambda r: {"series_id": r[0], "ts": r[1], "value": r[2]}
+    )
+    stream2 = (
+        spark.readStream.schema("series_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src2)
+    )
+    q2 = (
+        streaming_anomalies(stream2, threshold=0.0, min_points=10)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    anom = spark.read.parquet(out2).select(
+        F.lit("anom").alias("part"),
+        F.col("ts").alias("time"),
+        F.col("value").alias("v1"),
+        r6_col("zscore").alias("v2"),
+        F.col("n_seen").cast("long").alias("n"),
+    )
+    return ema.unionByName(anom)
 
-from sydradb_spark.contract.core import EMA_ORACLE  # noqa: E402
+
+from sydradb_spark.contract.base import POINTS_CTE  # noqa: E402
+from sydradb_spark.contract.core import EMA_CTES  # noqa: E402
 
 _q(
     "stream_stateful_ema_equiv",
     _stream_stateful_ema,
-    # identical recursion to window_ema — shares its truncated-window
-    # linear-cost oracle (see contract/core.py for why the recursive CTE
-    # had to go: O(n²) oracle stall on the skew twin's hot series)
-    EMA_ORACLE,
+    # ema half: identical recursion to window_ema — shares its
+    # truncated-window linear-cost oracle (see contract/core.py for why
+    # the recursive CTE had to go: O(n²) oracle stall on the skew twin).
+    # anom half (r14): the Welford kernel scores each point against the
+    # STRICT prefix of its (host, dc) series in (ts, value NULLS LAST)
+    # order — count/avg/var_pop over UNBOUNDED PRECEDING..1 PRECEDING is
+    # the algebraic identity of (n, mean, m2/n); NaN/null values neither
+    # score nor fold on either side. threshold 0 keeps every scored row
+    # with z != 0 (exact-zero z needs value == running mean to the bit —
+    # continuous values make the cross-engine tie probability ~0).
+    POINTS_CTE
+    + ",\n"
+    + EMA_CTES
+    + f""",
+af AS (
+  SELECT host, dc, ts, value,
+         row_number() OVER (
+           PARTITION BY host, dc ORDER BY ts, value NULLS LAST
+         ) AS rn
+  FROM points WHERE series = 'events.click' AND ts >= {T0} AND ts < {D7}
+), sc AS (
+  SELECT ts, value,
+         count(value) OVER w AS n_prev,
+         avg(value) OVER w AS mean_prev,
+         var_pop(value) OVER w AS var_prev
+  FROM af
+  WINDOW w AS (
+    PARTITION BY host, dc ORDER BY rn
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT 'ema' AS part, ts AS time, {r6('s')} AS v1,
+       CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS BIGINT) AS n
+FROM e
+UNION ALL
+SELECT 'anom', ts, value,
+       {r6('(value - mean_prev) / sqrt(var_prev)')},
+       CAST(n_prev AS BIGINT)
+FROM sc
+WHERE value IS NOT NULL AND n_prev >= 10 AND var_prev > 0
+  AND abs((value - mean_prev) / sqrt(var_prev)) > 0""",
 )
 
 
