@@ -66,6 +66,12 @@ def main() -> None:
     ap.add_argument("--crashes", type=int, default=4)
     ap.add_argument("--apps", type=int, default=2)
     ap.add_argument("--maint-sleep", type=float, default=3.0)
+    # ts-ordered chunks leave only ~2 files per hour partition per app, so
+    # the default engine threshold (4) never fires under this arrival
+    # shape — 1 makes every ≥2-file partition a target, so the optimize
+    # race is actually exercised (r14 self-review: the first sf10 run
+    # reported optimize: 0, a vacuous race)
+    ap.add_argument("--optimize-max-files", type=int, default=1)
     ap.add_argument("--keep-versions", type=int, default=8)
     ap.add_argument("--vacuum-min-age", type=int, default=5)
     ap.add_argument("--seed", type=int, default=11)
@@ -210,7 +216,9 @@ def main() -> None:
         while not stop.is_set():
             time.sleep(args.maint_sleep)
             try:
-                targets = storage.optimize_partitions(spark, table, 8)
+                targets = storage.optimize_partitions(
+                    spark, table, args.optimize_max_files
+                )
                 maint_counts["optimize"] += 1 if targets else 0
                 frontier = safe_frontier()
                 if frontier is not None:
@@ -260,7 +268,7 @@ def main() -> None:
             raise r
 
     # final maintenance pass quiesced, then the verdicts
-    storage.optimize_partitions(spark, table, 8)
+    storage.optimize_partitions(spark, table, args.optimize_max_files)
     mf.vacuum(table, keep_versions=2, min_age_seconds=0)
 
     # --- verdict 1: multiset equality modulo the recorded deletions ---------
@@ -365,6 +373,7 @@ def main() -> None:
         and expected_rows < total_rows  # deletes removed real rows
         and maint_counts["delete"] > 0
         and maint_counts["snapshot"] > 0
+        and maint_counts["optimize"] > 0  # the optimize race actually ran
     )
     print(json.dumps(result))
     if not (

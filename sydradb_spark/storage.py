@@ -757,7 +757,15 @@ def restore(snapshot_path: str, path: str, store=None) -> None:
         else (live_local.exists() and mf.has_manifest(path))
     )
     snap_manifested = mf.has_manifest(str(snap_local))
-    if live_manifested and snap_manifested:
+    if store is not None and not snap_manifested:
+        # the legacy dir-swap fallback would replace the data while the
+        # STORE manifest kept referencing the removed files — store-mode
+        # readers would break silently (r14 self-review)
+        raise ValueError(
+            f"restore(store=...) needs a manifested snapshot; {snapshot_path!r} "
+            "has no _manifest (pre-manifest copytree snapshot)"
+        )
+    if (live_manifested or store is not None) and snap_manifested:
         files = mf.read_files(str(snap_local))
         for rel in files:
             dst = live_local / rel

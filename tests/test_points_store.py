@@ -386,3 +386,47 @@ def test_stream_points_sink_store_backend_exactly_once(spark, tmp_path):
     q3.awaitTermination(120)
     assert storage.read_points(spark, tbl, store=store).count() == 3
     assert list(obs.read_ledger(store, POINTS_STORE_TABLE).values()) == [1]
+
+
+def test_restore_store_mode_requires_manifested_snapshot(spark, tmp_path):
+    """r14 self-review: the legacy dir-swap fallback under store= would
+    replace the data while the STORE manifest kept referencing removed
+    files — rejected loudly instead."""
+    store = obs.MemoryObjectStore()
+    path = str(tmp_path / "tbl")
+    storage.write_points(_pts(spark, [("s.a", 100, 1.0)]), path, store=store)
+    plain_snap = tmp_path / "plain_snap"
+    plain_snap.mkdir()  # no _manifest dir — a pre-manifest copytree snapshot
+    with pytest.raises(ValueError, match="manifested snapshot"):
+        storage.restore(str(plain_snap), path, store=store)
+
+
+def test_restore_store_mode_creates_v1_when_store_empty(spark, tmp_path):
+    """Restoring a manifested snapshot onto a store-mode location whose
+    store manifest doesn't exist yet commits v1 through the store (the old
+    code fell through to the dir swap, leaving the store manifest-less)."""
+    src = str(tmp_path / "src")
+    storage.write_points(_pts(spark, [("s.a", 100, 1.0)]), src)  # local table
+    snap = str(tmp_path / "snap")
+    storage.snapshot(src, snap)
+    store = obs.MemoryObjectStore()
+    dest = str(tmp_path / "dest")
+    storage.restore(snap, dest, store=store)
+    assert obs.latest_version(store, POINTS_STORE_TABLE) == 1
+    assert storage.read_points(spark, dest, store=store).count() == 1
+
+
+def test_write_points_store_empty_append_still_commits_txn(spark, tmp_path):
+    """An empty streaming batch must still record its txn (the ledger is
+    the replay guard) even though it publishes zero files."""
+    store = obs.MemoryObjectStore()
+    path = str(tmp_path / "tbl")
+    from sydradb_spark.ingest import init_points_table
+
+    init_points_table(spark, path, store=store)
+    storage.write_points(
+        _pts(spark, []).limit(0), path, mode="append",
+        txn=("app-e", 0), store=store,
+    )
+    assert obs.read_txn(store, POINTS_STORE_TABLE, "app-e") == 0
+    assert storage.read_points(spark, path, store=store).count() == 0
