@@ -19,7 +19,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sydradb_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def _add_store_root(sp) -> None:
+        sp.add_argument(
+            "--store-root",
+            default=None,
+            help="objectstore root for the table's manifest "
+            "(LocalFSObjectStore; r14 — required when --storage is a "
+            "non-POSIX URI, where the link-CAS protocol is rejected)",
+        )
+
     serve = sub.add_parser("serve", help="run HTTP + pgwire front-ends")
+    _add_store_root(serve)
     serve.add_argument("--storage", required=True, help="points table path")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--http-port", type=int, default=8080)
@@ -28,10 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("--max-rows", type=int, default=10_000)
 
     csv = sub.add_parser("csv-import", help="append CSV points to a table")
+    _add_store_root(csv)
     csv.add_argument("file", help="CSV path: header series,ts,value[,tags]")
     csv.add_argument("--storage", required=True)
 
     q = sub.add_parser("query", help="run one sydraQL statement, print JSON")
+    _add_store_root(q)
     q.add_argument("sydraql")
     q.add_argument("--storage", required=True)
     q.add_argument("--max-rows", type=int, default=10_000)
@@ -39,25 +51,30 @@ def build_parser() -> argparse.ArgumentParser:
     # maintenance jobs (the reference runs these internally; here they are
     # explicit so a scheduler owns the cadence)
     opt = sub.add_parser("optimize", help="merge small files per hour partition")
+    _add_store_root(opt)
     opt.add_argument("--storage", required=True)
     opt.add_argument("--max-files", type=int, default=4)
 
     vac = sub.add_parser("vacuum", help="drop unreferenced files + old manifests")
+    _add_store_root(vac)
     vac.add_argument("--storage", required=True)
     vac.add_argument("--keep-versions", type=int, default=2)
     vac.add_argument("--min-age-seconds", type=int, default=600)
 
     snap = sub.add_parser("snapshot", help="O(metadata) hardlink snapshot")
+    _add_store_root(snap)
     snap.add_argument("--storage", required=True)
     snap.add_argument("dest")
 
     rest = sub.add_parser("restore", help="restore a snapshot over a table")
+    _add_store_root(rest)
     rest.add_argument("snapshot_path")
     rest.add_argument("--storage", required=True)
 
     ret = sub.add_parser(
         "retention", help="drop hour partitions wholly older than the TTL"
     )
+    _add_store_root(ret)
     ret.add_argument("--storage", required=True)
     ret.add_argument("--ttl-days", type=float, required=True)
     ret.add_argument(
@@ -72,25 +89,33 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
 
+    store = None
+    if getattr(args, "store_root", None):
+        from sydradb_spark.objectstore import LocalFSObjectStore
+
+        store = LocalFSObjectStore(args.store_root)
+
     # vacuum/snapshot/restore/retention are pure filesystem/manifest
     # operations — dispatch them BEFORE paying JVM + SparkSession startup
     # (a scheduler runs these on a cadence; seconds and memory matter)
     if args.cmd == "vacuum":
-        from sydradb_spark.manifest import vacuum
+        from sydradb_spark.storage import vacuum_points
 
-        removed = vacuum(args.storage, args.keep_versions, args.min_age_seconds)
+        removed = vacuum_points(
+            args.storage, store, args.keep_versions, args.min_age_seconds
+        )
         print(json.dumps({"removed": len(removed)}))
         return 0
     if args.cmd == "snapshot":
         from sydradb_spark.storage import snapshot
 
-        snapshot(args.storage, args.dest)
+        snapshot(args.storage, args.dest, store=store)
         print(json.dumps({"snapshot": args.dest}))
         return 0
     if args.cmd == "restore":
         from sydradb_spark.storage import restore
 
-        restore(args.snapshot_path, args.storage)
+        restore(args.snapshot_path, args.storage, store=store)
         print(json.dumps({"restored": args.storage}))
         return 0
     if args.cmd == "retention":
@@ -98,7 +123,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         cutoff = args.now - int(args.ttl_days * 86400)
         cutoff_bucket = (cutoff // SECONDS_PER_HOUR) * SECONDS_PER_HOUR
-        dropped = drop_expired_partitions(args.storage, cutoff_bucket)
+        dropped = drop_expired_partitions(args.storage, cutoff_bucket, store=store)
         print(json.dumps({"dropped_hour_buckets": dropped}))
         return 0
 
@@ -110,7 +135,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "optimize":
         from sydradb_spark.storage import optimize_partitions
 
-        merged = optimize_partitions(spark, args.storage, args.max_files)
+        merged = optimize_partitions(
+            spark, args.storage, args.max_files, store=store
+        )
         print(json.dumps({"optimized_hour_buckets": merged}))
         return 0
     if args.cmd == "csv-import":
@@ -119,13 +146,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         pts = read_csv_points(spark, args.file)
         n = pts.count()
-        write_points(pts, args.storage, mode="append")
+        write_points(pts, args.storage, mode="append", store=store)
         print(json.dumps({"ingested": n}))
         return 0
 
     from sydradb_spark.sydraql.engine import SydraQLEngine
 
-    engine = SydraQLEngine(spark, storage_path=args.storage)
+    engine = SydraQLEngine(spark, storage_path=args.storage, store=store)
 
     if args.cmd == "query":
         from sydradb_spark.api import to_response

@@ -52,16 +52,23 @@ class SydraQLEngine:
         storage_path: str | None = None,
         rollup: DataFrame | None = None,
         rollup_step: int = 3600,
+        store=None,
     ):
+        """``store=`` (r14): an ``objectstore.ObjectStore`` scoped to the
+        table at ``storage_path`` — the engine's reads, INSERT appends and
+        DELETE rewrites then run the objectstore manifest protocol, so the
+        full query surface works on store-backed (object-store) tables,
+        not just POSIX ones."""
         from sydradb_spark import storage as storage_mod
 
         self.spark = spark
         self.storage_path = storage_path
+        self.store = store
         self._storage = storage_mod
         if points is None:
             if storage_path is None:
                 raise ValueError("need points or storage_path")
-            points = storage_mod.read_points(spark, storage_path)
+            points = storage_mod.read_points(spark, storage_path, store=store)
         self.points = points
         # materialized rollup (rollup.build_rollup at rollup_step): eligible
         # bucketed aggregates are served from it (translator._try_rollup).
@@ -188,8 +195,12 @@ class SydraQLEngine:
 
         new = with_identity(new)
         if self.storage_path is not None:
-            self._storage.write_points(new, self.storage_path, mode="append")
-            self.points = self._storage.read_points(self.spark, self.storage_path)
+            self._storage.write_points(
+                new, self.storage_path, mode="append", store=self.store
+            )
+            self.points = self._storage.read_points(
+                self.spark, self.storage_path, store=self.store
+            )
         else:
             if "__ns" in self.points.columns:
                 new = new.withColumn(
@@ -268,9 +279,12 @@ class SydraQLEngine:
             # touches, then re-read (lineage-free)
             mn, mx = time_bounds_from_where(stmt.where)
             self._storage.delete_where(
-                self.spark, self.storage_path, pred, ts_min=mn, ts_max=mx
+                self.spark, self.storage_path, pred, ts_min=mn, ts_max=mx,
+                store=self.store,
             )
-            self.points = self._storage.read_points(self.spark, self.storage_path)
+            self.points = self._storage.read_points(
+                self.spark, self.storage_path, store=self.store
+            )
         else:
             # Null-safe negation: where the predicate evaluates to NULL (e.g.
             # tag.host = 'x' on rows missing that tag), ~NULL is NULL and a

@@ -430,3 +430,82 @@ def test_write_points_store_empty_append_still_commits_txn(spark, tmp_path):
     )
     assert obs.read_txn(store, POINTS_STORE_TABLE, "app-e") == 0
     assert storage.read_points(spark, path, store=store).count() == 0
+
+
+# --- full engine surface on a store-backed table (r14 completion) --------------
+def test_engine_insert_query_delete_on_store_backed_table(spark, tmp_path):
+    """A user of the reference can point the ENGINE at a store-backed
+    table: INSERT appends through the objectstore manifest, queries read
+    the committed list, DELETE rewrites via the manifest flip."""
+    from sydradb_spark.ingest import init_points_table
+    from sydradb_spark.sydraql.engine import SydraQLEngine
+
+    store = obs.MemoryObjectStore()
+    path = str(tmp_path / "tbl")
+    init_points_table(spark, path, store=store)
+    eng = SydraQLEngine(spark, storage_path=path, store=store)
+    eng.query("insert into m.s values (100, 1.0), (200, 2.0), (3700, 3.0)")
+    got = eng.query(
+        "select time, value from m.s where time >= 0 and time < 7200"
+    ).df.collect()
+    assert [(r["time"], r["value"]) for r in got] == [
+        (100, 1.0), (200, 2.0), (3700, 3.0),
+    ]
+    # the write really went through the store manifest
+    assert obs.latest_version(store, POINTS_STORE_TABLE) >= 2
+    eng.query("delete from m.s where time >= 0 and time < 300")
+    assert (
+        eng.query("select count() as n from m.s where time >= 0 and time < 7200")
+        .df.collect()[0]["n"]
+        == 1
+    )
+    # durable: a FRESH engine over the same store sees the final state
+    eng2 = SydraQLEngine(spark, storage_path=path, store=store)
+    assert (
+        eng2.query("select count() as n from m.s where time >= 0 and time < 7200")
+        .df.collect()[0]["n"]
+        == 1
+    )
+
+
+def test_cli_store_root_maintenance(spark, tmp_path, capsys):
+    """--store-root drives the CLI maintenance surface through the
+    objectstore protocol (LocalFSObjectStore)."""
+    import json as _json
+
+    from sydradb_spark.__main__ import main
+
+    sroot = str(tmp_path / "store")
+    path = str(tmp_path / "tbl")
+    store = obs.LocalFSObjectStore(sroot)
+    storage.write_points(
+        _pts(spark, [("s.a", 100, 1.0), ("s.a", 3700, 2.0)]), path, store=store
+    )
+    storage.write_points(
+        _pts(spark, [("s.a", 3701, 3.0)]), path, mode="append", store=store
+    )
+    # optimize through the CLI
+    assert main(
+        ["optimize", "--storage", path, "--store-root", sroot, "--max-files", "1"],
+        spark=spark,
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized_hour_buckets"] == [3600]
+    # snapshot + retention + vacuum through the CLI
+    snap = str(tmp_path / "snap")
+    assert main(["snapshot", "--storage", path, "--store-root", sroot, snap]) == 0
+    capsys.readouterr()
+    assert main(
+        ["retention", "--storage", path, "--store-root", sroot,
+         "--ttl-days", "0.04", "--now", "7300"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dropped_hour_buckets"] == [0]
+    assert main(
+        ["vacuum", "--storage", path, "--store-root", sroot,
+         "--keep-versions", "1", "--min-age-seconds", "0"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] >= 1  # the dropped partition's file reclaimed
+    got = storage.read_points(spark, path, store=store)
+    assert got.count() == 2 and got.where("hour_bucket = 0").count() == 0
