@@ -55,6 +55,10 @@ _OID_BOOL = 16
 _SSL_REQUEST = 80877103
 _CANCEL_REQUEST = 80877102
 _MAX_MESSAGE = 16 * 1024 * 1024  # server.zig:15 max_message_size
+# total CopyData accumulation cap: each message is bounded by _MAX_MESSAGE
+# but a client could stream CopyData forever into driver memory (r14 wire
+# review); bulk loads beyond this belong on the Structured Streaming path
+_MAX_COPY = 64 * 1024 * 1024
 
 
 def _oid_for(spark_type: str) -> int:
@@ -585,6 +589,12 @@ class _Handler(socketserver.BaseRequestHandler):
     def _startup(self, sock: socket.socket) -> None:
         while True:
             (length,) = struct.unpack("!I", _recv_exact(sock, 4))
+            # same bound the message loop enforces (r14 wire review): the
+            # startup path previously trusted the client's length field —
+            # 0xFFFFFFFF made _recv_exact try to buffer ~4 GiB, and < 4
+            # underflowed into a short read + struct.error
+            if length < 8 or length - 4 > _MAX_MESSAGE:
+                raise ConnectionError("malformed startup length")
             body = _recv_exact(sock, length - 4)
             (proto,) = struct.unpack("!I", body[:4])
             if proto == _SSL_REQUEST:
@@ -631,6 +641,14 @@ class _Handler(socketserver.BaseRequestHandler):
                 raise ConnectionError("oversized CopyData")
             pl = _recv_exact(sock, length - 4)
             if tag == b"d":  # CopyData
+                if failed is not None:
+                    continue  # over-cap: DRAIN the stream to CopyDone —
+                    # breaking mid-copy would desync framing (the client's
+                    # in-flight CopyData would parse as new messages)
+                if len(buf) + len(pl) > _MAX_COPY:
+                    failed = f"COPY payload exceeds {_MAX_COPY} bytes"
+                    buf.clear()
+                    continue
                 buf.extend(pl)
             elif tag == b"c":  # CopyDone
                 break

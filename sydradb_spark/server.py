@@ -95,8 +95,12 @@ class _Handler(BaseHTTPRequestHandler):
         token = self.app.auth_token
         if not token or not path.startswith("/api/"):
             return True
+        import hmac
+
         auth = self.headers.get("Authorization", "")
-        if auth == f"Bearer {token}":
+        # constant-time compare: a plain == leaks the token prefix length
+        # through response timing (r14 serving-stack review)
+        if hmac.compare_digest(auth, f"Bearer {token}"):
             return True
         self.close_connection = True  # unread body must not desync keep-alive
         self._send(401, b"unauthorized", "text/plain")
@@ -201,10 +205,17 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(tags, dict):
                 tags = {}
             if "value" in obj:
-                try:
-                    value = float(obj["value"])
-                except (TypeError, ValueError):
-                    continue
+                v = obj["value"]
+                # reference-exact (http.zig:683-687): the value switch maps
+                # .float/.integer to the number and EVERYTHING ELSE — bool,
+                # string, null, object — to 0. float('1.5')/float(True)
+                # previously diverged (1.5/1.0), and an unparsable value
+                # dropped the whole line (r14 serving-stack review).
+                value = (
+                    float(v)
+                    if isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else 0.0
+                )
             else:
                 fields = obj.get("fields")
                 value = 0.0

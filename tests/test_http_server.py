@@ -231,10 +231,12 @@ def test_query_range_get_with_tags_param(http):
 
 
 def test_ingest_lenient_per_line(spark, points):
-    """ADVICE r05 (low): mirror the reference's per-line ingest leniency —
-    malformed lines skip (not batch-fatal), missing value defaults to the
-    first numeric in `fields` (else 0.0), and the response counts only
-    lines actually ingested."""
+    """ADVICE r05 (low) + r14 serving-stack review: mirror the reference's
+    per-line ingest leniency EXACTLY — malformed lines skip (not
+    batch-fatal), missing value defaults to the first numeric in `fields`
+    (else 0.0), and a PRESENT but non-numeric value (string/bool/null)
+    ingests as 0.0 (http.zig:683-687's `else => 0` switch arm) instead of
+    dropping the line; the response counts lines actually ingested."""
     from sydradb_spark.sydraql.engine import SydraQLEngine
 
     server = SydraHttpServer(SydraQLEngine(spark, points)).start()
@@ -246,9 +248,11 @@ def test_ingest_lenient_per_line(spark, points):
             b'{"series": "http.lenient", "ts": 1000160}\n'
             b'{"series": "http.lenient"}\n'
             b'{"series": "http.lenient", "ts": 1000220, "value": "bad"}\n'
+            b'{"series": "http.lenient", "ts": 1000280, "value": true}\n'
         )
         status, out = _post(server, "/api/v1/ingest", lines)
-        assert status == 200 and json.loads(out) == {"ingested": 2}
+        # bad json + missing ts skip; string and bool values ingest as 0.0
+        assert status == 200 and json.loads(out) == {"ingested": 4}
         status, out = _post(
             server,
             "/api/v1/sydraql",
@@ -256,7 +260,7 @@ def test_ingest_lenient_per_line(spark, points):
             b" where time >= 1000000 and time < 2000000",
         )
         assert status == 200
-        assert json.loads(out)["rows"] == [[2, 3.5]]
+        assert json.loads(out)["rows"] == [[4, 3.5]]
     finally:
         server.stop()
 

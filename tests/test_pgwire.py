@@ -691,3 +691,40 @@ def test_pgwire_execute_truncated_limit_is_protocol_error(wire):
     tags2 = b"".join(t for t, _ in msgs2)
     assert b"E" not in tags2 and b"C" in tags2, msgs2
     sock.close()
+
+
+def test_pgwire_startup_length_bounds(wire):
+    """r14 wire review: the startup path trusted the client's length field —
+    0xFFFFFFFF asked _recv_exact for ~4 GiB, < 8 underflowed. Both now
+    close the connection instead."""
+    for raw in (struct.pack("!I", 0xFFFFFFFF), struct.pack("!I", 3)):
+        sock = socket.create_connection(wire.addr, timeout=30)
+        try:
+            sock.sendall(raw)
+            sock.settimeout(10)
+            # server must drop the connection without an auth handshake
+            assert sock.recv(1) == b""
+        finally:
+            sock.close()
+
+
+def test_pgwire_copy_cap_drains_and_errors(wire, monkeypatch):
+    """r14 wire review: CopyData accumulation is capped; an over-cap load
+    errors WITHOUT desyncing framing (the stream drains to CopyDone and
+    the session stays usable)."""
+    import sydradb_spark.compat.wire as wmod
+
+    monkeypatch.setattr(wmod, "_MAX_COPY", 64)  # tiny cap for the test
+    sock = _connect(wire.addr)
+    tags, _ = _copy_in(
+        sock,
+        "COPY copycap.series FROM STDIN",
+        [b"1000\t1.0\n" * 4, b"2000\t2.0\n" * 4],  # 88 bytes > 64
+    )
+    assert b"E" in tags and b"exceeds" in tags[b"E"]
+    # framing survived: the same connection still answers queries
+    cols, rows, err = _simple_query(
+        sock, "SELECT count() AS n FROM copycap.series WHERE time >= 0"
+    )
+    assert err is None and rows == [["0"]]  # nothing ingested
+    sock.close()
