@@ -123,7 +123,14 @@ def streaming_anomalies(
                     sd = math.sqrt(m2 / n)  # population variance of seen points
                     z = (v - mean) / sd if sd > 0 else 0.0
                     if abs(z) > threshold:
-                        rows.append((int(key[0]), int(ts), v, round(z, 6), n))
+                        # RAW z, not round(z, 6) (r14, caught by the sf10
+                        # oracle gate): pre-rounding in the kernel put a
+                        # second rounding stage in front of the contract's
+                        # r6 stabilizer — python round (banker's) vs the
+                        # oracle's single r6 of the raw value flipped the
+                        # last digit on boundary z's. Rounding is the
+                        # presentation layer's job, one stage, both sides.
+                        rows.append((int(key[0]), int(ts), v, z, n))
                 # Welford update (after scoring)
                 n += 1
                 d = v - mean
