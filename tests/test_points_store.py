@@ -509,3 +509,112 @@ def test_cli_store_root_maintenance(spark, tmp_path, capsys):
     assert out["removed"] >= 1  # the dropped partition's file reclaimed
     got = storage.read_points(spark, path, store=store)
     assert got.count() == 2 and got.where("hour_bucket = 0").count() == 0
+
+
+# --- randomized model-based differential test (r14 extra) ----------------------
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_points_table_random_op_sequence_matches_model(spark, tmp_path, backend, seed):
+    """Model-check the table state machine on BOTH backends: a seeded
+    random interleaving of append / txn-append (with replays) / overwrite /
+    delete_where / drop_expired / optimize / compact / vacuum / snapshot /
+    restore, after each step comparing read_points against a plain Python
+    row-multiset model. Oracle bugs self-mask in hand-written cases; a
+    random walk visits operator INTERACTIONS (e.g. delete after optimize
+    after overwrite) no directed test enumerates."""
+    import random
+
+    rng = random.Random(seed)
+    store = backend()
+    path = str(tmp_path / "tbl")
+    from sydradb_spark.ingest import init_points_table
+
+    init_points_table(spark, path, store=store)
+
+    model: list[tuple[str, int, float]] = []  # (series, ts, value)
+    snapshots: dict[str, list] = {}
+    txn_high = -1
+    serieses = ["m.a", "m.b", "m.c"]
+
+    def fresh_rows(n):
+        return [
+            (rng.choice(serieses), rng.randrange(0, 4 * 3600), round(rng.uniform(0, 100), 3))
+            for _ in range(n)
+        ]
+
+    def check(step, op):
+        got = sorted(
+            (r["series"], r["ts"], r["value"])
+            for r in storage.read_points(spark, path, store=store).collect()
+        )
+        assert got == sorted(model), f"step {step} after {op}: table != model"
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "txn_append", "overwrite", "delete", "drop_expired",
+             "optimize", "compact", "vacuum", "snapshot", "restore"]
+        )
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 5))
+            storage.write_points(_pts(spark, rows), path, mode="append", store=store)
+            model.extend(rows)
+        elif op == "txn_append":
+            rows = fresh_rows(rng.randrange(1, 4))
+            replay = rng.random() < 0.4 and txn_high >= 0
+            tv = txn_high if replay else txn_high + 1
+            storage.write_points(
+                _pts(spark, rows), path, mode="append",
+                txn=("app-model", tv), store=store,
+            )
+            if not replay:  # replayed txn is a no-op
+                model.extend(rows)
+                txn_high = tv
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randrange(1, 5))
+            storage.write_points(_pts(spark, rows), path, mode="overwrite", store=store)
+            model = list(rows)
+        elif op == "delete":
+            lo = rng.randrange(0, 3 * 3600)
+            hi = lo + 3600
+            cut = rng.uniform(20, 80)
+            storage.delete_where(
+                spark, path,
+                (F.col("value") >= cut) & (F.col("ts") >= lo) & (F.col("ts") <= hi),
+                ts_min=lo, ts_max=hi, store=store,
+            )
+            model = [r for r in model if not (lo <= r[1] <= hi and r[2] >= cut)]
+        elif op == "drop_expired":
+            cutoff = rng.choice([3600, 7200])
+            storage.drop_expired_partitions(path, cutoff, store=store)
+            model = [r for r in model if (r[1] // 3600) * 3600 + 3600 > cutoff]
+        elif op == "optimize":
+            storage.optimize_partitions(spark, path, 1, store=store)
+        elif op == "compact":
+            storage.compact_storage(spark, path, store=store)
+            best: dict[tuple[str, int], float] = {}
+            for s, ts, v in model:  # last-wins = max(value) tiebreak
+                k = (s, ts)
+                best[k] = v if k not in best else max(best[k], v)
+            model = [(s, ts, v) for (s, ts), v in best.items()]
+        elif op == "vacuum":
+            storage.vacuum_points(path, store, keep_versions=2, min_age_seconds=0)
+        elif op == "snapshot":
+            name = f"snap{len(snapshots)}"
+            dest = str(tmp_path / name)
+            storage.snapshot(path, dest, store=store)
+            snapshots[dest] = list(model)
+        elif op == "restore":
+            if not snapshots:
+                continue
+            dest = rng.choice(sorted(snapshots))
+            storage.restore(dest, path, store=store)
+            model = list(snapshots[dest])
+            # the ledger rewinds with the data: later txn versions re-apply
+            txn_high = -1 if store is None else txn_high
+            from sydradb_spark import manifest as _m
+            from sydradb_spark import objectstore as _o
+
+            txn_high = (
+                _m.read_ledger(path) if store is None
+                else _o.read_ledger(store, POINTS_STORE_TABLE)
+            ).get("app-model", -1)
+        check(step, op)
