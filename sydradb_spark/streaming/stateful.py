@@ -45,15 +45,30 @@ def streaming_ema(points_stream: DataFrame, alpha: float = 0.5) -> DataFrame:
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "value"], kind="mergesort")
             emas = []
             for v in pdf["value"]:
+                if v is None or math.isnan(float(v)):
+                    # a null/NaN observation neither folds nor resets: one
+                    # NaN in the recursion would poison the CHECKPOINTED
+                    # state to NaN — every later ema silently NaN forever
+                    # (r14 review; the same guard the Welford kernel got in
+                    # r13, and the batch twin's contract: chunked.py's EMA
+                    # recursion is defined over OBSERVED values only, null
+                    # rows emit a null ema)
+                    emas.append(None)
+                    continue
+                v = float(v)
                 last = v if last is None else alpha * v + (1.0 - alpha) * last
                 emas.append(last)
             out = pdf[["series_id", "ts", "value"]].copy()
-            out["ema"] = emas
+            # nullable Float64: None must reach Spark as NULL, not NaN —
+            # a float64 ndarray would silently turn None into NaN
+            out["ema"] = pd.array(emas, dtype="Float64")
             yield out
         state.update((last,))
 

@@ -1115,3 +1115,55 @@ def test_parse_ndjson_drops_malformed_lines(spark, tmp_path):
         ("s.a", 100),
         ("s.c", 300),
     ]
+
+
+def test_streaming_ema_null_does_not_poison_state(spark, tmp_path):
+    """r14 review (the r13 Welford-guard bug class): a null value in the
+    stream must emit a null ema WITHOUT folding NaN into the checkpointed
+    state — one NaN previously made every later ema NaN forever. The
+    result must equal the batch chunked-EMA twin on the same rows."""
+    import json as _json
+
+    from sydradb_spark.functions.chunked import with_chunked_ema
+    from sydradb_spark.streaming.stateful import streaming_ema
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(0, 100, 1.0), (0, 160, None), (0, 220, 3.0), (0, 280, 5.0)]
+    # two files → the null crosses a batch boundary into carried state
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        p = src / f"c{i}.json"
+        with p.open("w") as f:
+            for sid, ts, v in chunk:
+                f.write(_json.dumps({"series_id": sid, "ts": ts, "value": v}) + "\n")
+        import os as _os
+
+        _os.utime(p, (i + 1, i + 1))
+    stream = (
+        spark.readStream.schema("series_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_ema(stream, alpha=0.5)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["ts"]: r["ema"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = spark.createDataFrame(rows, "series_id long, ts long, value double")
+    want = {
+        r["ts"]: r["ema"]
+        for r in with_chunked_ema(batch, "value", "ema", 0.5).collect()
+    }
+    assert got == want  # null row -> null ema; recursion skips it
+    assert got[160] is None
+    assert got[220] == pytest.approx(2.0)  # 0.5*3 + 0.5*1, null skipped
+    assert got[280] == pytest.approx(3.5)
