@@ -274,6 +274,99 @@ def _gen_cases():
                 f"AND value >= {c} GROUP BY 1",
             )
         )
+    # --- r14 front-end families ------------------------------------------
+    # exact-time point lookup (time = X now derives partition bounds; fuzz
+    # hits both existing and non-existent timestamps, including room1's
+    # duplicate-ts second)
+    exact_ts = [T0 + 50, T0 + 55, T0 + 600, T0 + 7199, T0 + 123457]
+    for x in exact_ts:
+        cases.append(
+            (
+                f"timeeq-{x}",
+                f"select time, value from weather.room1 where time = {x}",
+                f"SELECT ts, value FROM pts WHERE series = 'weather.room1' "
+                f"AND ts = {x}",
+            )
+        )
+    # BETWEEN sugar (inclusive both ends) on time and on value
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        lo, hi = sorted((rnd.randrange(0, 150), rnd.randrange(0, 300)))
+        cases.append(
+            (
+                f"between-{s}-{a}-{lo}",
+                f"select value from {s} where time between {a} and {b} "
+                f"and value between {lo} and {hi}",
+                f"SELECT value FROM pts WHERE series = '{s}' "
+                f"AND ts BETWEEN {a} AND {b} "
+                f"AND value BETWEEN {lo} AND {hi}",
+            )
+        )
+    # parenthesized OR / NOT value predicates under the time range
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        c, d = sorted((rnd.randrange(0, 120), rnd.randrange(120, 400)))
+        cases.append(
+            (
+                f"ornot-{s}-{c}-{d}-{a}",
+                f"select value from {s} where time >= {a} and time < {b} "
+                f"and (value < {c} or value > {d}) and not (value = {c})",
+                f"SELECT value FROM pts WHERE series = '{s}' AND ts >= {a} "
+                f"AND ts < {b} AND (value < {c} OR value > {d}) "
+                f"AND NOT (value = {c})",
+            )
+        )
+    # scalar-on-aggregate after bucketing (the _post re-dispatch path)
+    for _ in range(4):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        w = rnd.choice([120, 600])
+        cases.append(
+            (
+                f"postscalar-{s}-{w}-{a}",
+                f"select time_bucket({w}, time) as b, round(avg(value)) as r, "
+                f"sqrt(max(value)) as q, floor(sum(value) / 3) as f from {s} "
+                f"where time >= {a} and time < {b} group by b",
+                f"SELECT (ts // {w}) * {w} AS b, round(avg(value)) AS r, "
+                f"sqrt(max(value)) AS q, floor(sum(value) / 3) AS f FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} GROUP BY 1",
+            )
+        )
+    # integer modulo projections (time % w) + unary minus — the validator's
+    # integer-only '%' rule at its allowed edge; room2 has unique ts so the
+    # projection multiset is unambiguous
+    for _ in range(3):
+        a, b = rng("weather.room2")
+        w = rnd.choice([60, 120, 300])
+        cases.append(
+            (
+                f"mod-{w}-{a}",
+                f"select time % {w} as m, -value as nv from weather.room2 "
+                f"where time >= {a} and time < {b}",
+                f"SELECT ts % {w} AS m, -value AS nv FROM pts "
+                f"WHERE series = 'weather.room2' AND ts >= {a} AND ts < {b}",
+            )
+        )
+    # ORDER BY an unprojected aggregate (Spark ResolveMissingReferences
+    # path the r14 review probed) — DuckDB orders by the same expression
+    for _ in range(3):
+        s = rnd.choice(list(SERIES_SPAN))
+        a, b = rng(s)
+        w = rnd.choice([300, 900])
+        k = rnd.randrange(1, 5)
+        cases.append(
+            (
+                f"ordhidden-{s}-{w}-{k}-{a}",
+                f"select time_bucket({w}, time) as b, sum(value) as s from {s} "
+                f"where time >= {a} and time < {b} group by b "
+                f"order by avg(value) desc, b limit {k}",
+                f"SELECT (ts // {w}) * {w} AS b, sum(value) AS s FROM pts "
+                f"WHERE series = '{s}' AND ts >= {a} AND ts < {b} GROUP BY 1 "
+                f"ORDER BY avg(value) DESC, b LIMIT {k}",
+            )
+        )
     return cases
 
 
