@@ -1070,13 +1070,29 @@ def _near_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = _embed_dedup(spark, sf_dir).select(
         F.lit("embed").alias("part"), "a", "b", F.col("cosine").alias("score")
     )
-    sh = _simhash_pairs(spark, sf_dir).select(
+    # r15: compute the SimHash fingerprints ONCE — the ``sig`` part and the
+    # banded-pair part are union branches, so without materialization each
+    # re-ran the full tokenize+32-bit-fold fingerprint pass (the r15
+    # before-plan shows the simhash subtree twice). One row per doc, tiny
+    # checkpoint, identical output. LAZY (eager=False): the checkpoint's
+    # persist dedups the subtree across consumers within the entry's one
+    # action without paying a separate materialization job up front — the
+    # interleaved A/B (OPTIMIZATION_r15.md) measured lazy ≤ eager ≤ none.
+    sigs = dedup.simhash(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    sh = dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        max_bucket=dedup.LSH_MAX_BUCKET,
+        sigs=sigs,
+    ).select(
         F.lit("simhash").alias("part"),
         "a",
         "b",
-        F.col("hamming").cast("double").alias("score"),
+        F.col("hamming").cast("int").cast("double").alias("score"),
     )
-    sig = dedup.simhash(load_table(spark, sf_dir, "documents")).select(
+    sig = sigs.select(
         F.lit("sig").alias("part"),
         F.col("doc_id").alias("a"),
         F.col("simhash").alias("b"),
@@ -1803,7 +1819,19 @@ def _funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sydradb_spark.pipeline import events as ev_ops
 
     ev = load_table(spark, sf_dir, "events")
-    st = ev_ops.funnel_stages(ev, _FUNNEL_STEPS, _FUNNEL_WITHIN)
+    # eager checkpoint (r15): the ``stage`` part and the ``funnel`` rollup
+    # both consume this frame — as two union branches they each re-ran the
+    # whole per-user DP subtree (the r15 before-plan shows the
+    # ArrowEvalPython kernel + its groupBy twice; exchange reuse only
+    # dedups the shuffle, not the post-shuffle aggregate + Python kernel).
+    # The frame is one row per user, so the materialization is tiny and the
+    # DP chain runs once per query invocation. Output unchanged. LAZY
+    # checkpoint: no separate up-front job — the persist underneath dedups
+    # the subtree across the union branches inside the entry's one action
+    # (A/B in OPTIMIZATION_r15.md: lazy ≤ eager ≤ none).
+    st = ev_ops.funnel_stages(ev, _FUNNEL_STEPS, _FUNNEL_WITHIN).localCheckpoint(
+        eager=False
+    )
     stages = st.select(
         F.lit("stage").alias("part"),
         F.col("user").cast("long").alias("k1"),
@@ -1919,7 +1947,12 @@ def _vocab_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       add-alpha LM (stabilized 9dp→6dp rounding inside lm_score_docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    vocab = text.vocab_topk(docs, n=_VOCAB_N)
+    # r15: the 200-row vocabulary feeds BOTH the ``vocab`` branch and the
+    # ``coverage`` branch's broadcast — as plain union branches each re-ran
+    # the full explode+count+top-k chain (one whole corpus tokenize each).
+    # Checkpoint the 200 rows; the chain runs once per invocation. Lazy:
+    # dedup without an up-front materialization job (A/B: lazy ≈ eager).
+    vocab = text.vocab_topk(docs, n=_VOCAB_N).localCheckpoint(eager=False)
     v = vocab.select(
         F.lit("vocab").alias("part"),
         F.col("token").alias("k"),
@@ -1934,7 +1967,12 @@ def _vocab_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("covered_tokens").alias("b"),
         F.col("coverage").alias("x"),
     )
-    lm = text.train_bigram_lm(docs)
+    # r15: the scorer joins the model table twice ((w1,w2) probs and (w1)
+    # totals) — un-materialized, the bigram-count chain ran once per join
+    # side. The model is Zipf-bounded (distinct bigrams), so checkpointing
+    # it is small; the corpus-side bigram explode still streams once.
+    # Lazy for the same no-up-front-job reason as the vocab checkpoint.
+    lm = text.train_bigram_lm(docs).localCheckpoint(eager=False)
     sc = text.lm_score_docs(docs, lm).select(
         F.lit("lm").alias("part"),
         F.col("doc_id").cast("string").alias("k"),

@@ -96,6 +96,14 @@ def with_chunked_lag_lead(
     df = df.withColumn("__rn", F.row_number().over(w_in)).withColumn(
         "__rnd", F.count(F.lit(1)).over(w_chunk) - F.col("__rn") + 1
     )
+    # lazy checkpoint (r15, guide §2.4): the chunk-summary aggregates below
+    # consume this windowed frame AGAIN next to the main join side — without
+    # materialization the scan + chunk shuffle + both row-number windows ran
+    # once per consumer (the r15 agg_irate_integral before-plan shows the
+    # whole subtree twice). The persist under a lazy checkpoint computes it
+    # once within the query's action, no extra barrier job; cache size is
+    # the query's own time slice, the same rows the join shuffles anyway.
+    df = df.localCheckpoint(eager=False)
     # every later step orders by the unique __rn, never re-sorting on the
     # ambiguous (ts, tiebreak) key
     w_rn = Window.partitionBy(partition, "__wchunk").orderBy("__rn")
@@ -189,6 +197,11 @@ def with_chunked_fill_forward(
 ) -> DataFrame:
     """Exact last-non-null carry-forward with bounded partitions: within-chunk
     window + one carried last-non-null value per chunk."""
+    # NOT checkpointed (r15, measured): the carry aggregate below re-reads
+    # this frame, but the duplicated subtree is only the column-pruned
+    # parquet scan + one projection — re-scanning is cheaper than a full
+    # persist (guide §5), and at scale the persist would spool the whole
+    # input to local disk to save one parallel columnar read.
     df = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
     w_in = (
         Window.partitionBy(partition, "__wchunk")
@@ -256,6 +269,10 @@ def with_chunked_moving_avg(
       shape at sf0.1).
     """
     chunk_s = max(chunk_s, dur_s)
+    # NOT checkpointed (r15, measured): the ghost branch re-reads this frame,
+    # but the duplicated subtree is only the pruned scan + the chunk-key
+    # projection — re-scanning beats persisting the whole input (guide §5);
+    # the r15 A/B showed the scan-level checkpoint as a slight regression.
     base = df.withColumn("__wchunk", _chunk_col(ts_col, chunk_s).cast("long"))
     ets = F.col(ts_col).cast("long")
 
@@ -323,6 +340,10 @@ def with_chunked_ema(
     two models: pandas ewm renormalizes weights around NaNs in-chunk
     (ignore_na=False) while the cross-chunk carry decayed by the TOTAL row
     count — the answer then depended on where the chunk boundary fell."""
+    # input NOT checkpointed (r15, measured): the null-row branch re-reads
+    # only the pruned scan — cheaper than persisting the whole input
+    # (guide §5). The expensive shared subtrees are checkpointed below at
+    # the post-window (__i) and post-kernel points instead.
     null_rows = df.where(F.col(src_col).isNull()).withColumn(
         out_col, F.lit(None).cast("double")
     )
@@ -333,7 +354,11 @@ def with_chunked_ema(
     # monotonically_increasing_id, which a task retry after an upstream
     # shuffle can renumber (silently mismatching kernel rows to data rows)
     w_ord = Window.partitionBy(partition, "__wchunk").orderBy(ts_col, src_col)
-    df = df.withColumn("__i", F.row_number().over(w_ord).cast("long"))
+    # lazy checkpoint: both the kernel's narrow projection and the join-back
+    # read the __i-numbered frame — one window evaluation, not two.
+    df = df.withColumn(
+        "__i", F.row_number().over(w_ord).cast("long")
+    ).localCheckpoint(eager=False)
     part_t0 = dict(df.dtypes)[partition]
     ts_t = dict(df.dtypes)[ts_col]
     # Arrow transfer is the kernel's real cost: ship ONLY the columns the
@@ -359,8 +384,14 @@ def with_chunked_ema(
         pdf["__z"] = z.values
         return pdf
 
-    kernel_out = narrow.groupBy(partition, "__wchunk").applyInPandas(
-        _kernel, schema=kernel_schema
+    # lazy checkpoint (r15): kernel_out feeds BOTH the join-back and the
+    # carry summary — un-materialized, the Arrow kernel (the operator's
+    # most expensive stage) executed once per consumer; the r13 narrowing
+    # fixed what each subtree carried but not the double execution.
+    kernel_out = (
+        narrow.groupBy(partition, "__wchunk")
+        .applyInPandas(_kernel, schema=kernel_schema)
+        .localCheckpoint(eager=False)
     )
     dfk = df.join(
         kernel_out.select(partition, "__wchunk", "__i", "__e", "__z"),

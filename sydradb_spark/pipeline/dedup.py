@@ -208,8 +208,21 @@ MINHASH_B = [(i * 1013904223 + 54321) % MINHASH_M for i in range(NUM_HASHES)]
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m{NUM_HASHES-1}) MinHash signature columns from
     shingle_table() output."""
-    h = F.pmod(hash64(F.col("sh")), F.lit(MINHASH_M))
-    hashed = sh.select(
+    return minhash_signatures_hashed(
+        sh.select("doc_id", hash64(F.col("sh")).alias("__h64"))
+    )
+
+
+def minhash_signatures_hashed(hashed: DataFrame, col: str = "__h64") -> DataFrame:
+    """Signatures from an already-hashed (doc_id, ``col``: hash64) frame —
+    the r15 single-tokenize route: ``shingle_arrays`` already carries each
+    doc's distinct shingle hash64 values, so exploding that array feeds the
+    same min-aggregates WITHOUT re-tokenizing the corpus a second time.
+    Value-identical to the string route: hash64(sh) per distinct shingle is
+    the same number either way, and a (astronomically rare) within-doc
+    hash64 collision collapses two equal values — invisible to min()."""
+    h = F.pmod(F.col(col), F.lit(MINHASH_M))
+    cols = hashed.select(
         "doc_id",
         *[
             ((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
@@ -218,7 +231,7 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
             for i in range(NUM_HASHES)
         ],
     )
-    return hashed.groupBy("doc_id").agg(
+    return cols.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
     )
 
@@ -494,9 +507,27 @@ def minhash_near_dups(
     re-run the chain, and keeps the persist-hygiene contract (no plain
     persists to leak).
     """
-    sh = shingle_table(docs, text_col)
-    bands = minhash_band_signatures(sh)
-    out = bucket_verified_pairs(bands, shingle_arrays(docs, text_col), threshold)
+    # ONE tokenize pass (r15, guide §2.4 "remove passes outright"): the
+    # r9-r14 shape tokenized the corpus twice — shingle_table for the
+    # signature chain AND shingle_arrays for the in-bucket verify. The
+    # hashed shingle ARRAYS carry everything both sides need (signatures
+    # are min-aggregates over the same hash64 values — see
+    # minhash_signatures_hashed), so materialize the compact per-doc
+    # arrays once and derive both sides from them. The checkpoint is
+    # ~hashes-of-the-corpus (the r9 campaign measured it at ~1/4 the text
+    # bytes), bounded and doc-local; what it buys at any scale is a full
+    # corpus read + regex tokenize pass. A/B at sf0.1 (r15 host, 6
+    # interleaved reps): 3.15s -> 2.33s median, identical 256-pair output.
+    arrays = shingle_arrays(docs, text_col).localCheckpoint(eager=False)
+    hashed = arrays.select("doc_id", F.explode("arr").alias("__h64"))
+    # NOT checkpointed (r15, measured): the hot-bucket guard inside
+    # bucket_verified_pairs consumes the band table twice (count-aggregate
+    # + anti-join main side), but both consumers sit above canonically
+    # identical Exchanges that AQE's runtime stage reuse already dedups —
+    # an explicit checkpoint here A/B'd as a slight regression (cache
+    # write/read for work that only ran once anyway).
+    bands = band_signatures(minhash_signatures_hashed(hashed))
+    out = bucket_verified_pairs(bands, arrays, threshold)
     return out.localCheckpoint(eager=True)
 
 
@@ -525,8 +556,14 @@ def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> N
     maintenance against a pre-change index would silently create a
     mixed-schema parquet directory. ``minhash_read_index`` fails fast on
     either a stale sidecar or a string-typed ``arr``."""
+    # single-tokenize build (r15): write the arrays, then derive the bands
+    # FROM the written arrays parquet — the signature chain reads compact
+    # columnar hashes instead of re-tokenizing the whole corpus a second
+    # time (same equivalence as minhash_near_dups' in-memory route).
     shingle_arrays(docs, text_col).write.mode("overwrite").parquet(f"{path}/arrays")
-    minhash_band_signatures(shingle_table(docs, text_col)).write.mode(
+    arrays = docs.sparkSession.read.parquet(f"{path}/arrays")
+    hashed = arrays.select("doc_id", F.explode("arr").alias("__h64"))
+    band_signatures(minhash_signatures_hashed(hashed)).write.mode(
         "overwrite"
     ).parquet(f"{path}/bands")
     with open(f"{path}/_INDEX_VERSION", "w") as fh:
@@ -622,7 +659,10 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, hamming ≤ max_hamming) via banded join: 4 bands × 8 bits, so any
     pair within Hamming 3 shares an exact band (pigeonhole) — identical output
@@ -636,9 +676,19 @@ def simhash_near_pairs(
     exactness guarantee holds only for the default ``None``. At scale the
     hot buckets ARE the exact-dup mass a cheaper md5 pass should have
     removed first — run ``exact_dedup`` upstream and the guard only drops
-    residual boilerplate."""
+    residual boilerplate.
+
+    ``sigs`` (r15): pass a precomputed ``simhash(docs)`` frame to skip the
+    tokenize+fingerprint pass — for callers that also need the signatures
+    themselves (the merged near_dup_scores entry computes them once and
+    feeds both its ``sig`` part and this banded join)."""
     assert max_hamming < SIMHASH_BANDS, "banding only guarantees hamming < #bands"
-    sh = simhash(docs)
+    # The static plan shows this subtree 4x (self-join sides x hot-bucket
+    # guard), but every copy sits below canonically identical Exchanges
+    # that AQE's runtime stage reuse computes once — an explicit
+    # checkpoint A/B'd as a wash at best (r15, OPTIMIZATION_r15.md).
+    # Callers that ALSO need the signatures themselves pass ``sigs``.
+    sh = sigs if sigs is not None else simhash(docs)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sh.select(
         "doc_id",
@@ -722,6 +772,11 @@ def embedding_near_dups(
         # once here, not once per pair
         _norm(F.col(emb_col)).alias("__n"),
     )
+    # The static plan shows this projection 4x (self-join sides x
+    # hot-bucket guard), but all four copies sit below canonically
+    # identical bucket-keyed Exchanges that AQE's runtime stage reuse
+    # computes once — explicit checkpoints here A/B'd as a wash while
+    # adding a corpus-sized cache copy (r15, OPTIMIZATION_r15.md).
     if max_bucket is not None:
         from sydradb_spark.util import drop_hot_keys
 

@@ -46,6 +46,27 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
         # the 128 GiB test box; a real cluster sizes driver/executor
         # memory separately and is unaffected by this local-mode knob.
         .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "16g"))
+        # Pin AND pre-fault the whole heap at JVM start (r15, guide §5).
+        # Measured on the r15 sandbox (guest RAM demand-paged through slow
+        # host backing): G1 rotates allocation across ever-new regions, so
+        # a floating heap keeps first-touching fresh pages for the life of
+        # the app — during bad host windows that surfaced as 20-80 s
+        # kernel-time stalls (30+ cores in sys time, /proc/stat) in the
+        # MIDDLE of queries, 10-25x on individual bench entries. With
+        # Xms=Xmx + AlwaysPreTouch every heap page is faulted once at
+        # startup and queries never fault again: the same 10-rep minhash
+        # loop went from runs of {3-7 s with 29-83 s stalls} to a flat
+        # 1.8-3.8 s. Same flags are the standard production sizing for
+        # executors (fixed heap, no commit/uncommit churn); override via
+        # SYDRA_DRIVER_JVM_OPTS (empty string disables).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SYDRA_DRIVER_JVM_OPTS",
+                f"-Xms{os.environ.get('SYDRA_DRIVER_MEM', '16g')} "
+                "-XX:+AlwaysPreTouch",
+            ),
+        )
         # verify harnesses collect full operator outputs for the DuckDB
         # compare; at the sf100 twins a 5M-row text frame exceeds the 1g
         # default result cap. Collect-free production paths never hit this.
@@ -77,6 +98,10 @@ def cluster_conf(
         # wide binary (multimodal) rows
         "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # fixed, pre-faulted executor heaps (same rationale as the driver
+        # flags in get_spark: no commit/uncommit churn, no mid-query
+        # first-touch page-fault storms; pair with -Xms=<executor memory>)
+        "spark.executor.extraJavaOptions": "-XX:+AlwaysPreTouch",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.filterPushdown": "true",

@@ -184,8 +184,23 @@ def test_chunked_ema_duplicate_last_rows(spark):
     got = ck.with_chunked_ema(df, "value", "out", 0.3, chunk_s=50)
     gdf = got.toPandas().sort_values(["ts", "value"], kind="mergesort").reset_index(drop=True)
     expected = gdf["value"].ewm(alpha=0.3, adjust=False).mean()
+    # FULLY identical rows (the (95, 1.0) triple) are interchangeable: the
+    # engine may pair the tie group's ema values with its physical rows in
+    # any order, and the physical order of a distributed result is not
+    # stable across plan changes (r15: adding a checkpoint reshuffled it).
+    # Sorting `out` alongside (ts, value) compares the tie group as a
+    # multiset — exactly what the driver's order-insensitive hash oracle
+    # checks — while rows with distinct (ts, value) stay position-pinned.
+    gdf["__expected"] = expected
+    gdf = gdf.sort_values(
+        ["ts", "value", "out"], kind="mergesort"
+    ).reset_index(drop=True)
+    exp_sorted = (
+        gdf.sort_values(["ts", "value", "__expected"], kind="mergesort")
+        .reset_index(drop=True)["__expected"]
+    )
     pd.testing.assert_series_equal(
-        gdf["out"], expected, check_names=False, rtol=1e-12
+        gdf["out"], exp_sorted, check_names=False, rtol=1e-12
     )
 
 
