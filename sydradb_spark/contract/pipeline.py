@@ -726,9 +726,14 @@ def _ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (registered below as half of the merged `near_dup_scores` entry — round-6
 # consolidation that freed a catalog slot for `corpus_mix`)
 _NGRAM_TOPK_CTES = f"""{_TOKS},
+-- shl: the 60-bit hash64 shingle sets (r15) — the intersect runs over
+-- HASHES on both engines, mirroring the engine's hashed
+-- ngram_jaccard_pairs; a collision merges elements identically in both
+-- sets (the round-9 bucket_verified_pairs argument), so |inter| and
+-- |union| cannot drift cross-engine
 shl AS (
   SELECT doc_id,
-         list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+         list_distinct([{_HASH.format("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")}
                         for i in generate_series(1, greatest(len(tk) - 2, 0))]) AS shs
   FROM toks WHERE doc_id < 100
 ),

@@ -34,10 +34,24 @@ def aligned(
     points: DataFrame, series_a: str, series_b: str, step_s: int
 ) -> DataFrame:
     """(bucket, a, b) for buckets where BOTH series have data (inner join —
-    the reference design doc never pinned outer semantics)."""
-    a = bucket_series(points, series_a, step_s, "a")
-    b = bucket_series(points, series_b, step_s, "b")
-    return a.join(b, on="bucket", how="inner")
+    the reference design doc never pinned outer semantics).
+
+    ONE scan + ONE shuffle (r15, guide §2.4): both sides are bucket-keyed
+    aggregates over the same table, so conditional aggregation computes them
+    in a single pass — ``avg`` ignores the NULLs the ``when`` injects for
+    the other series' rows, and a conditional avg is NULL exactly when its
+    series has zero rows in the bucket, so the non-null filter reproduces
+    the inner join row-for-row. The per-bucket value sets feeding each avg
+    are identical to the two-pass shape's."""
+    both = points.where(F.col("series").isin([series_a, series_b]))
+    return (
+        both.groupBy(time_bucket(step_s, F.col("ts")).alias("bucket"))
+        .agg(
+            F.avg(F.when(F.col("series") == series_a, F.col("value"))).alias("a"),
+            F.avg(F.when(F.col("series") == series_b, F.col("value"))).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
 
 
 def aligned_ratio(

@@ -810,10 +810,17 @@ def embedding_near_dups(
 # --- exact n-gram Jaccard (brute, for small candidate universes) -------------
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All-pairs exact 3-gram Jaccard — O(n²); only for bounded subsets
-    (the scale path is minhash_near_dups)."""
-    withsh = _spread(docs).select(
-        "doc_id", word_shingles(F.col(text_col)).alias("shs")
-    )
+    (the scale path is minhash_near_dups).
+
+    Intersects the 60-bit ``hash64`` shingle sets instead of the string
+    sets (r15, guide §2.3 narrower types): 8-byte elements cut the
+    per-pair ``array_intersect`` cost and the crossJoin payload several
+    times over ~25-byte shingle strings. Exact by construction, not by
+    probability: the DuckDB twin intersects the SAME md5-based hash64
+    values, so a (astronomically rare, ~|shingles|²/2^61) collision merges
+    two elements identically in BOTH engines' sets — the round-9
+    ``bucket_verified_pairs`` argument, applied to the all-pairs utility."""
+    withsh = shingle_arrays(docs, text_col).select("doc_id", F.col("arr").alias("shs"))
     a = withsh.select(F.col("doc_id").alias("a"), F.col("shs").alias("sa"))
     b = withsh.select(F.col("doc_id").alias("b"), F.col("shs").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
