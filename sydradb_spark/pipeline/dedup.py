@@ -370,19 +370,25 @@ def bucket_verified_pairs(
             ),
         )
     )
-    pairs = (
+    # threshold filter BEFORE the cross-band distinct (r16, guide §2.3/§2.4):
+    # the jaccard is computable per expanded row (common/na/nb ride in the
+    # struct), and a pair carries IDENTICAL counts from every bucket it
+    # co-occurs in, so filter∘distinct = distinct∘filter — but the filter is
+    # a map-side expression in the explode's codegen stage while the
+    # distinct is a shuffle. At a 0.2+ threshold most bucket co-occurrences
+    # fail, so the exchange carries only the passing pairs. The filter and
+    # the output column use the same deterministic expression, so the pass
+    # set and emitted values are bit-identical to the filter-after shape.
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b", "p.common", "p.na", "p.nb")
+        .where(jac >= F.lit(threshold))
         .distinct()
+        .select("a", "b", jac.alias("jaccard"))
     )
-    return pairs.select(
-        "a",
-        "b",
-        (
-            F.col("common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("common"))
-        ).alias("jaccard"),
-    ).where(F.col("jaccard") >= F.lit(threshold))
 
 
 def jaccard_for_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
@@ -708,15 +714,25 @@ def simhash_near_pairs(
         banded = drop_hot_keys(banded, ["band", "bandval"], max_bucket)
     left = banded.select("band", "bandval", F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     right = banded.select("band", "bandval", F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
-    cand = (
+    # hamming filter BEFORE the pair-dedup distinct (r16, guide §2.3/§2.4):
+    # bit_count(xor) is a free map-side expression, while the distinct is a
+    # full shuffle of the banded join's output — at sf0.1 the join emits
+    # 8.9M candidate rows of (a, b, ha, hb) but only ~0.7M distinct pairs
+    # pass hamming ≤ 3. Filtering first shrinks the distinct's exchange to
+    # the passing pairs (≤ #bands rows each) and narrows the payload to
+    # (a, b, hamming). Equivalent output: each doc has exactly one simhash,
+    # so hamming is a function of (a, b) and filter∘distinct = distinct∘filter.
+    return (
         left.join(right, on=["band", "bandval"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.select(
-        "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 # --- embedding-cosine near-dup -------------------------------------------------
