@@ -13,10 +13,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver heap default: 16g, bounded by ~40% of the host's available
+    memory (r15 advice): the pre-touched fixed heap (below) commits AND
+    faults every page at JVM start, so a 16g default on a box with less
+    free RAM than that would swap-storm where the old lazy-commit heap
+    merely risked later OOM. Explicit SYDRA_DRIVER_MEM always wins."""
+    env = os.environ.get("SYDRA_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(16, int(avail_gb * 0.4)))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle_partitions = os.environ.get("SYDRA_SHUFFLE_PARTITIONS", cpus)
+    driver_mem = _default_driver_mem()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,7 +66,7 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
         # (~1.3 GB) competing with broadcast builds. 16g is still ~1/8 of
         # the 128 GiB test box; a real cluster sizes driver/executor
         # memory separately and is unaffected by this local-mode knob.
-        .config("spark.driver.memory", os.environ.get("SYDRA_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", driver_mem)
         # Pin AND pre-fault the whole heap at JVM start (r15, guide §5).
         # Measured on the r15 sandbox (guest RAM demand-paged through slow
         # host backing): G1 rotates allocation across ever-new regions, so
@@ -63,10 +84,21 @@ def get_spark(app_name: str = "sydradb-spark", master: str | None = None) -> Spa
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SYDRA_DRIVER_JVM_OPTS",
-                f"-Xms{os.environ.get('SYDRA_DRIVER_MEM', '16g')} "
-                "-XX:+AlwaysPreTouch",
+                f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
             ),
         )
+        # Output-committer algorithm 2 (r16, guide §6/§7.3): v1's job
+        # commit renames every task's files a SECOND time, sequentially,
+        # on the driver — pure overhead here because no write is published
+        # by the committer: every table write stages through a private
+        # .staging-<uuid>/ dir and becomes visible only via the MANIFEST
+        # commit (storage.write_points), so v2's weaker job-level
+        # atomicity (task files appear in the staging dir as tasks commit)
+        # changes nothing a reader can observe; a crashed job leaves
+        # orphans in a hidden dir that manifest.vacuum already reclaims.
+        # At 10^4-10^5 files per write the v1 driver-side rename pass is
+        # a real serial bottleneck (§7.3 commit-protocol stalls).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # verify harnesses collect full operator outputs for the DuckDB
         # compare; at the sf100 twins a 5M-row text frame exceeds the 1g
         # default result cap. Collect-free production paths never hit this.
@@ -105,6 +137,9 @@ def cluster_conf(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # manifest-committed writes (see get_spark): the committer never
+        # publishes, so skip v1's serial driver-side job-commit rename pass
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         # hour-partitioned tables can reach 10^5+ partitions over a decade;
         # driver-side listing must stay parallel
         "spark.sql.sources.parallelPartitionDiscovery.threshold": "32",

@@ -217,10 +217,22 @@ def write_points(
         last = _pm_read_txn(path, store, txn[0])
         if last is not None and last >= txn[1]:
             return  # replayed batch — this txn is already durable
+    # the sort key MUST lead with the partition column (r16): Spark's
+    # planned write (V1Writes, default-on in 3.4+) requires child ordering
+    # [hour_bucket] for a partitionBy write — a child sorted only by
+    # (series_id, ts) does not satisfy it, so the planner stacked its own
+    # Sort[hour_bucket] on top and EliminateSorts then dropped the user
+    # sort entirely: files were written hour-clustered but NOT
+    # (series_id, ts)-sorted, silently voiding the row-group-stats skipping
+    # the layout contract promises (verified against the executed
+    # WriteFiles plan: one Sort[hour_bucket] node, user sort gone).
+    # Leading with hour_bucket satisfies the required ordering (no extra
+    # sort inserted) AND restores the within-partition (series_id, ts)
+    # order — one sort, the intended layout.
     shaped = (
         df.select(*POINT_COLS, *[c for c in df.columns if c not in POINT_COLS])
         .repartition(_write_tasks(df.sparkSession), F.col("hour_bucket"))
-        .sortWithinPartitions("series_id", "ts")
+        .sortWithinPartitions("hour_bucket", "series_id", "ts")
         .write.partitionBy("hour_bucket")
     )
     if store is not None:
@@ -528,7 +540,7 @@ def compact_storage(
         shaped = (
             compacted.select(*POINT_COLS, *extra)
             .repartition(_write_tasks(spark), F.col("hour_bucket"))
-            .sortWithinPartitions("series_id", "ts")
+            .sortWithinPartitions("hour_bucket", "series_id", "ts")
             .write.partitionBy("hour_bucket")
         )
         moved = _publish_staged(shaped, path, spark)
@@ -663,7 +675,7 @@ def optimize_partitions(
             *extra,
         )
         .repartition(_write_tasks(spark), F.col("hour_bucket"))
-        .sortWithinPartitions("series_id", "ts")
+        .sortWithinPartitions("hour_bucket", "series_id", "ts")
         .write.partitionBy("hour_bucket")
     )
     # private staging + exact moved list (r13 review): a direct
@@ -846,7 +858,7 @@ def delete_where(
         shaped = (
             remaining.select(*POINT_COLS, *extra)
             .repartition(_write_tasks(remaining.sparkSession), F.col("hour_bucket"))
-            .sortWithinPartitions("series_id", "ts")
+            .sortWithinPartitions("hour_bucket", "series_id", "ts")
             .write.partitionBy("hour_bucket")
         )
         new = _publish_staged(shaped, path, spark)
