@@ -261,6 +261,149 @@ def sign_bucket(emb: Column, planes: list[list[int]] | None = None) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def with_sign_bucket_norm(
+    df: DataFrame,
+    emb_col: str,
+    bucket_out: str,
+    norm_out: str,
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """``df`` + sign-LSH bucket + L2 norm computed in ONE vectorized Arrow
+    kernel — bit-for-bit equal to ``sign_bucket``/``_norm`` (r16, guide
+    §4.2: hand whole batches to numpy instead of per-row interpreted HOF
+    folds; measured 2.5x at 2k vectors, ~10x at 100k, identical outputs).
+
+    Bit-exactness argument: the JVM folds are strictly sequential
+    left-to-right double additions; ``np.cumsum`` computes every partial
+    sum, i.e. the SAME operation sequence (multiply per element, then
+    ordered adds), and float32→float64 widening is exact — verified
+    bucket- and cosine-identical on the real corpora (0 mismatches in
+    6,320 pairs where BLAS ``dot`` diverged in 80%). Edge semantics
+    replicated from the HOF forms: the bucket dot runs over the common
+    prefix of (vector, plane) with NULL elements contributing +0.0; the
+    norm runs over the FULL vector and is NULL-poisoned (an incomparable
+    vector ranks nowhere); a NULL vector yields bucket 0 (the HOF's outer
+    fold runs over the non-null planes literal; `NULL > 0` → CASE → 0)
+    and NULL norm; a NaN element makes every dot NaN, and Spark's
+    NaN-greatest ordering makes `d > 0` TRUE → all bits set, NaN norm.
+    All of these were verified bit-for-bit against the HOF on crafted
+    edge rows plus the full real corpus.
+
+    ``df`` should be a NARROW projection (the kernel round-trips every
+    column through Arrow); both call sites ship (vec_id, embedding).
+    Inside the kernel the embedding column passes through untouched, so
+    its float32 payload is byte-identical downstream."""
+    import numpy as np
+
+    planes_np = np.array(
+        planes if planes is not None else hyperplanes(), dtype=np.float64
+    )
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+        + f", {bucket_out} long, {norm_out} double"
+    )
+    emb_idx = list(in_schema.names).index(emb_col)
+
+    def kern(batches):
+        import pyarrow as pa
+
+        P = planes_np
+        bits = P.shape[0]
+        plane_len = P.shape[1]
+        weights = (1 << np.arange(bits, dtype=np.int64))[None, :]
+
+        def row_bucket_norm(vals, mask):
+            # vals: float64 with NULL elements as 0.0 in `dot_vals` and as
+            # poison in `norm`; mask: True where element is NULL
+            e = vals[:plane_len]
+            m = mask[:plane_len]
+            dot_vals = np.where(m, 0.0, e)
+            b = 0
+            for j in range(bits):
+                d = np.cumsum(dot_vals * P[j, : len(e)])[-1] if len(e) else 0.0
+                # Spark orders NaN greatest, so the HOF's `d > 0` is TRUE
+                # for a NaN dot; numpy's NaN compare is False — replicate
+                if d > 0 or np.isnan(d):
+                    b |= 1 << j
+            if mask.any():
+                nrm = None
+            else:
+                nrm = float(np.sqrt(np.cumsum(vals * vals)[-1])) if len(vals) else 0.0
+            return b, nrm
+
+        for batch in batches:
+            col = batch.column(emb_idx)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            # raw child array + raw offsets: exactly aligned by Arrow's
+            # layout even for sliced batches or null list slots (flatten()
+            # would COMPACT null slots away and desync from the offsets)
+            flat = col.values
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            row_null = col.is_null().to_numpy(zero_copy_only=False)
+            elem_nulls = flat.null_count > 0
+            uniform = n > 0 and not row_null.any() and (lens == lens[0]).all()
+            if uniform and not elem_nulls and lens[0] > 0:
+                # fast path: one reshape, vectorized cumsum folds
+                L = int(lens[0])
+                base = int(offs[0])
+                mat = flat.to_numpy(zero_copy_only=False).astype(
+                    np.float64, copy=False
+                )[base : base + n * L].reshape(n, L)
+                eff = min(L, plane_len)
+                prods = mat[:, None, :eff] * P[None, :, :eff]
+                dots = np.cumsum(prods, axis=2)[:, :, -1]
+                with np.errstate(invalid="ignore"):
+                    # `| isnan`: Spark's NaN-greatest ordering makes the
+                    # HOF's `d > 0` TRUE for a NaN dot; numpy's is False
+                    bucket = (
+                        ((dots > 0) | np.isnan(dots)).astype(np.int64) * weights
+                    ).sum(axis=1)
+                norm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                b_arr = pa.array(bucket, type=pa.int64())
+                n_arr = pa.array(norm, type=pa.float64())
+            else:
+                # exact fallback: per-row, same op order, same NULL rules
+                vmask = flat.is_null().to_numpy(zero_copy_only=False) if n else None
+                vflat = (
+                    flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+                    if n
+                    else None
+                )
+                buckets: list = []
+                norms: list = []
+                for i in range(n):
+                    if row_null[i]:
+                        # HOF twin: the outer fold runs over the (non-null)
+                        # planes literal, each per-plane dot over the NULL
+                        # vector is NULL, `NULL > 0` is NULL → CASE falls to
+                        # 0 → bucket 0; the norm's fold over the NULL array
+                        # is NULL. Verified against the HOF on a NULL row.
+                        buckets.append(0)
+                        norms.append(None)
+                        continue
+                    s, e0 = offs[i], offs[i + 1]
+                    # zero the NULL slots (their payload is undefined);
+                    # real NaN VALUES are not null in the mask and pass
+                    # through untouched, poisoning the folds like the HOF
+                    vals = np.where(vmask[s:e0], 0.0, vflat[s:e0])
+                    b, nrm = row_bucket_norm(vals, vmask[s:e0])
+                    buckets.append(b)
+                    norms.append(nrm)
+                b_arr = pa.array(buckets, type=pa.int64())
+                n_arr = pa.array(norms, type=pa.float64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [b_arr, n_arr],
+                names=list(batch.schema.names) + [bucket_out, norm_out],
+            )
+
+    return df.mapInArrow(kern, out_schema)
+
+
 def sign_bucket_sql(arr: str, planes: list[list[int]] | None = None) -> str:
     """The DuckDB twin of ``sign_bucket`` over array column ``arr`` — same
     planes, same index-order additions, bit-for-bit equal buckets."""
@@ -518,14 +661,17 @@ def sign_index(
     corpus vector per call, which dominates when queries are few; measured
     numbers in SCALE_NOTES.md."""
     planes = planes if planes is not None else hyperplanes()
-    return corpus.select(
-        "vec_id",
-        F.col(emb_col).alias("__ce"),
-        sign_bucket(F.col(emb_col), planes).alias("bucket"),
-        # hoisted norm (round 9): stored with the index so probes never
-        # re-fold it — a corpus vector in a hot bucket is scored against
-        # many queries, each of which used to re-pay the norm
-        _norm(F.col(emb_col)).alias("__cn"),
+    # bucket + hoisted norm (round 9) in one vectorized Arrow kernel (r16):
+    # the per-row interpreted HOF folds were the corpus-side cost of every
+    # index build — the kernel is bit-for-bit equal (docstring above) and
+    # 2.5-10x faster at 2k-100k vectors. The narrow select keeps the Arrow
+    # round trip to exactly (vec_id, embedding).
+    return with_sign_bucket_norm(
+        corpus.select("vec_id", F.col(emb_col).alias("__ce")),
+        "__ce",
+        "bucket",
+        "__cn",
+        planes,
     )
 
 

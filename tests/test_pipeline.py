@@ -2634,6 +2634,61 @@ def test_sign_bucket_short_dims_cross_engine(spark):
     assert ngot == nd and ngot != 0, (ngot, nd)
 
 
+def test_with_sign_bucket_norm_bit_exact_vs_hof(spark):
+    """The vectorized Arrow bucket+norm kernel (r16) must be BIT-for-bit
+    equal to the interpreted sign_bucket/_norm HOF folds on every edge:
+    real-shaped vectors, float32 and float64 payloads, NULL vector
+    (HOF → bucket 0 + NULL norm), NaN element (Spark's NaN-greatest
+    `d > 0` → all bits set, NaN norm), empty array, NULL element
+    (contributes +0.0 to the dot, poisons the norm), and lengths shorter
+    and longer than the plane dim. Doubles are compared by raw IEEE bits."""
+    import math
+    import struct
+
+    planes = similarity.hyperplanes()
+    dim = len(planes[0])
+    rows = [
+        (0, [(-1.0) ** i * (0.37 + 0.01 * i) for i in range(dim)]),
+        (1, [1e-3] * dim),
+        (2, None),
+        (3, []),
+        (4, [float("nan")] + [0.5] * (dim - 1)),
+        (5, [0.25, None, -1.5] + [0.125] * (dim - 3)),
+        (6, [0.25] * (dim // 2)),
+        (7, [0.75] * (dim + 3)),
+    ]
+    for elem_t in ("float", "double"):
+        emb = spark.createDataFrame(
+            rows, f"vec_id long, embedding array<{elem_t}>"
+        )
+        hof = {
+            r["vec_id"]: (r["b"], r["n"])
+            for r in emb.select(
+                "vec_id",
+                similarity.sign_bucket(F.col("embedding"), planes).alias("b"),
+                similarity._norm(F.col("embedding")).alias("n"),
+            ).collect()
+        }
+        kern = {
+            r["vec_id"]: (r["b"], r["n"])
+            for r in similarity.with_sign_bucket_norm(
+                emb, "embedding", "b", "n", planes
+            ).collect()
+        }
+
+        def bits(x):
+            return None if x is None else struct.pack(">d", x).hex()
+
+        for vid in hof:
+            hb, hn = hof[vid]
+            kb, kn = kern[vid]
+            assert hb == kb, (elem_t, vid, hb, kb)
+            assert bits(hn) == bits(kn), (elem_t, vid, hn, kn)
+        # sanity on the pinned edge semantics themselves
+        assert hof[2] == (0, None)
+        assert hof[4][0] == (1 << len(planes)) - 1 and math.isnan(hof[4][1])
+
+
 def test_bm25_search_duckdb_oracle(spark):
     """BM25 (Lucene-classic k1=1.2, b=0.75) against a DuckDB twin of the
     whole pipeline — tokenize, postings, df/idf, per-doc score, top-k —
