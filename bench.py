@@ -451,6 +451,21 @@ def main() -> None:
         shutil.rmtree(st_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Calibration-normalized seconds (round 16, r15 verdict item 1 —
+    # ADDITIONS ONLY, nothing existing renamed or removed): the r15 record
+    # landed in a host window whose data-independent CPU probe ran 7.6x
+    # slower than r14's, making raw cross-round totals unreadable. The
+    # normalized values scale every number by (CAL_REF / this run's
+    # calibration), i.e. express the run as-if on the r14 reference host
+    # speed (calibration 0.171, the anchor the r15 verdict normalized to).
+    # Raw values stay authoritative within one record; the normalized ones
+    # exist so cross-round comparisons survive host drift without
+    # forensics. Normalization is linear in the CPU probe and therefore
+    # approximate for entries dominated by the per-job scheduling floor.
+    CAL_REF = 0.171
+    norm = CAL_REF / calibration if calibration > 0 else 1.0
+    total_normalized = round(total * norm, 3)
+    queries_normalized = {q: round(t * norm, 3) for q, t in timings.items()}
     # like-for-like subtotals over FROZEN name lists (see FROZEN_SETS):
     # each key sums only the frozen set's queries actually timed this run,
     # and "<key>_n" records how many of the frozen set were present so a
@@ -472,6 +487,9 @@ def main() -> None:
         "sf": sf_num,
         "repeats": repeats,
         "calibration": calibration,
+        "calibration_ref": CAL_REF,
+        "value_normalized": total_normalized,
+        "queries_normalized": queries_normalized,
         "comparable_to_prev": comparable,
         # the outlier rule's trigger map (empty = no median needed defending);
         # visible in the driver's record per r12 verdict item 2
@@ -502,6 +520,11 @@ def main() -> None:
     # hard guard: the driver's tail window is ~2000 chars — if the compact
     # line ever outgrows it, drop optional keys rather than ship a line the
     # driver records as parsed:null (this is exactly what happened r08-r09)
+    if len(line) > 1900:
+        # drop optional keys in reverse value order; the raw `queries` map
+        # and `calibration` are the driver's record and are never dropped
+        compact.pop("queries_normalized", None)
+        line = json.dumps(compact)
     if len(line) > 1900:
         compact.pop("comparable_to_prev", None)
         line = json.dumps(compact)

@@ -39,18 +39,26 @@ def aligned(
     ONE scan + ONE shuffle (r15, guide §2.4): both sides are bucket-keyed
     aggregates over the same table, so conditional aggregation computes them
     in a single pass — ``avg`` ignores the NULLs the ``when`` injects for
-    the other series' rows, and a conditional avg is NULL exactly when its
-    series has zero rows in the bucket, so the non-null filter reproduces
-    the inner join row-for-row. The per-bucket value sets feeding each avg
-    are identical to the two-pass shape's."""
+    the other series' rows, and the per-bucket value sets feeding each avg
+    are identical to the two-pass shape's. The inner-join filter is on
+    per-series ROW PRESENCE (r16, r15 advice): the r15 shape filtered on
+    the avg being non-null, which also dropped a bucket where a series has
+    rows but every value is NULL — the two-aggregate inner join (and the
+    DuckDB twin) keeps such buckets with a NULL side. Unreachable with
+    NULL-free generators, but the count filter is exact either way."""
     both = points.where(F.col("series").isin([series_a, series_b]))
+    is_a = F.col("series") == series_a
+    is_b = F.col("series") == series_b
     return (
         both.groupBy(time_bucket(step_s, F.col("ts")).alias("bucket"))
         .agg(
-            F.avg(F.when(F.col("series") == series_a, F.col("value"))).alias("a"),
-            F.avg(F.when(F.col("series") == series_b, F.col("value"))).alias("b"),
+            F.avg(F.when(is_a, F.col("value"))).alias("a"),
+            F.avg(F.when(is_b, F.col("value"))).alias("b"),
+            F.count(F.when(is_a, F.lit(1))).alias("__na"),
+            F.count(F.when(is_b, F.lit(1))).alias("__nb"),
         )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .select("bucket", "a", "b")
     )
 
 

@@ -96,14 +96,18 @@ def with_chunked_lag_lead(
     df = df.withColumn("__rn", F.row_number().over(w_in)).withColumn(
         "__rnd", F.count(F.lit(1)).over(w_chunk) - F.col("__rn") + 1
     )
-    # lazy checkpoint (r15, guide §2.4): the chunk-summary aggregates below
-    # consume this windowed frame AGAIN next to the main join side — without
-    # materialization the scan + chunk shuffle + both row-number windows ran
-    # once per consumer (the r15 agg_irate_integral before-plan shows the
-    # whole subtree twice). The persist under a lazy checkpoint computes it
-    # once within the query's action, no extra barrier job; cache size is
-    # the query's own time slice, the same rows the join shuffles anyway.
-    df = df.localCheckpoint(eager=False)
+    # NOT checkpointed (r16, reversing r15): the r15 lazy localCheckpoint
+    # here persisted the FULL-WIDTH windowed frame (every input column,
+    # tags maps included) to save the summary branches re-running the
+    # scan + chunk shuffle + windows — but the summary branches are
+    # column-PRUNED (they read only partition/chunk/ts/tiebreak/srcs/__rn),
+    # so the recompute is narrow while the persist is whole-dataset, and a
+    # local checkpoint truncates lineage (executor loss = unrecoverable on
+    # a cluster, the r15 verdict's #3). Re-measured r16 at 8 AND 32 cores
+    # (interleaved A/B, 6 reps each): checkpoint vs none is a wash on
+    # agg_irate_integral / agg_rate_delta / window_lag_lead_ff at both
+    # core counts, and the driver's r15 8-core blowup (26.9 s) did not
+    # reproduce (1.1-2.5 s) — it was host-stall roulette, not this code.
     # every later step orders by the unique __rn, never re-sorting on the
     # ambiguous (ts, tiebreak) key
     w_rn = Window.partitionBy(partition, "__wchunk").orderBy("__rn")
@@ -354,11 +358,16 @@ def with_chunked_ema(
     # monotonically_increasing_id, which a task retry after an upstream
     # shuffle can renumber (silently mismatching kernel rows to data rows)
     w_ord = Window.partitionBy(partition, "__wchunk").orderBy(ts_col, src_col)
-    # lazy checkpoint: both the kernel's narrow projection and the join-back
-    # read the __i-numbered frame — one window evaluation, not two.
-    df = df.withColumn(
-        "__i", F.row_number().over(w_ord).cast("long")
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (r16, reversing r15): persisting the __i-numbered
+    # frame saves one narrow window re-evaluation but stores the FULL-WIDTH
+    # input (tags included) and truncates lineage — the same bad trade as
+    # the lag_lead site above; A/B'd as a wash at 8 and 32 cores. The two
+    # window evaluations stay value-consistent under ties: rows that tie on
+    # the (ts, src) sort key are identical in BOTH columns the kernel
+    # consumes, so whichever physical row gets which __i, the kernel input
+    # sequence and the join-back values are unchanged (the r13 docstring's
+    # argument, independent of evaluation count).
+    df = df.withColumn("__i", F.row_number().over(w_ord).cast("long"))
     part_t0 = dict(df.dtypes)[partition]
     ts_t = dict(df.dtypes)[ts_col]
     # Arrow transfer is the kernel's real cost: ship ONLY the columns the
@@ -384,10 +393,17 @@ def with_chunked_ema(
         pdf["__z"] = z.values
         return pdf
 
-    # lazy checkpoint (r15): kernel_out feeds BOTH the join-back and the
-    # carry summary — un-materialized, the Arrow kernel (the operator's
-    # most expensive stage) executed once per consumer; the r13 narrowing
-    # fixed what each subtree carried but not the double execution.
+    # lazy checkpoint (r15, KEPT in r16): kernel_out feeds BOTH the
+    # join-back and the carry summary — un-materialized, the Arrow kernel
+    # (the operator's most expensive stage) executed once per consumer;
+    # the r13 narrowing fixed what each subtree carried but not the double
+    # execution. Unlike the full-width sites removed above, this frame is
+    # SIX numeric columns (no text/tags payload), so the persist is small
+    # relative to what it saves (a second JVM↔Python round trip over the
+    # whole series). Cluster caveat (r15 advice): a local checkpoint
+    # truncates lineage — an executor loss during the query fails the job
+    # instead of recomputing; acceptable for a bounded-width intermediate
+    # whose recompute is the query's most expensive stage.
     kernel_out = (
         narrow.groupBy(partition, "__wchunk")
         .applyInPandas(_kernel, schema=kernel_schema)

@@ -534,7 +534,12 @@ def minhash_near_dups(
     # write/read for work that only ran once anyway).
     bands = band_signatures(minhash_signatures_hashed(hashed))
     out = bucket_verified_pairs(bands, arrays, threshold)
-    return out.localCheckpoint(eager=True)
+    # LAZY since r16 (r15 verdict #5): eager paid a dedicated
+    # materialization job before any consumer ran; the persist under a
+    # lazy checkpoint computes the chain inside the first consumer's
+    # action instead (cluster_pairs probes the pair count immediately, so
+    # multi-consumer callers still run the chain exactly once).
+    return out.localCheckpoint(eager=False)
 
 
 def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
@@ -562,12 +567,16 @@ def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> N
     maintenance against a pre-change index would silently create a
     mixed-schema parquet directory. ``minhash_read_index`` fails fast on
     either a stale sidecar or a string-typed ``arr``."""
-    # single-tokenize build (r15): write the arrays, then derive the bands
-    # FROM the written arrays parquet — the signature chain reads compact
-    # columnar hashes instead of re-tokenizing the whole corpus a second
-    # time (same equivalence as minhash_near_dups' in-memory route).
-    shingle_arrays(docs, text_col).write.mode("overwrite").parquet(f"{path}/arrays")
-    arrays = docs.sparkSession.read.parquet(f"{path}/arrays")
+    # single-tokenize build (r15): tokenize once and derive BOTH tables
+    # from the same frame — the signature chain consumes compact hash
+    # arrays instead of re-tokenizing the whole corpus a second time (same
+    # equivalence as minhash_near_dups' in-memory route). r16 (r15 advice):
+    # the bands derive from the IN-MEMORY checkpointed frame, not a
+    # read-back of the just-written parquet — the read-after-write added a
+    # same-build listing dependency that delayed-visibility object stores
+    # can violate, for no savings (the checkpoint holds the same hashes).
+    arrays = shingle_arrays(docs, text_col).localCheckpoint(eager=False)
+    arrays.write.mode("overwrite").parquet(f"{path}/arrays")
     hashed = arrays.select("doc_id", F.explode("arr").alias("__h64"))
     band_signatures(minhash_signatures_hashed(hashed)).write.mode(
         "overwrite"
@@ -622,7 +631,7 @@ def minhash_query_index(
     re-reads (OS-page-cached on repeats), not recomputes of the
     tokenize+hash chain."""
     out = bucket_verified_pairs(bands, arrays, threshold)
-    return out.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=False)  # lazy: see minhash_near_dups
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -779,14 +788,18 @@ def embedding_near_dups(
         )
         if probe is not None and probe["d"] is not None and probe["d"] > 0:
             planes = hyperplanes(dim=int(probe["d"]))
-    tagged = emb.select(
-        F.col("vec_id"),
-        F.col(emb_col).alias("__e"),
-        sign_bucket(F.col(emb_col), planes).alias("bucket"),
-        # hoisted norm (round 9, similarity.cosine_prenormed): a vector in a
-        # b-member bucket is scored against b-1 partners — fold its norm
-        # once here, not once per pair
-        _norm(F.col(emb_col)).alias("__n"),
+    # bucket + hoisted norm (round 9) via the vectorized Arrow kernel (r16,
+    # guide §4.2): bit-for-bit equal to the sign_bucket/_norm HOF folds —
+    # see similarity.with_sign_bucket_norm for the cumsum argument — and
+    # removes the per-row interpreted fold cost from the corpus-wide pass.
+    from sydradb_spark.pipeline.similarity import with_sign_bucket_norm
+
+    tagged = with_sign_bucket_norm(
+        emb.select(F.col("vec_id"), F.col(emb_col).alias("__e")),
+        "__e",
+        "bucket",
+        "__n",
+        planes,
     )
     # The static plan shows this projection 4x (self-join sides x
     # hot-bucket guard), but all four copies sit below canonically
@@ -1121,7 +1134,7 @@ def curate_corpus(
         kept = kept.join(lp.select("doc_id"), on="doc_id", how="anti")
     # deduped feeds the near-dup stage (shingles + verify) AND the final
     # anti-join — materialize so the quality+dedup chain runs once (A/B at
-    # sf0.1: 3.5 s vs 4.0 s median for the whole composition). An eager
+    # sf0.1: 3.5 s vs 4.0 s median for the whole composition). A
     # localCheckpoint rather than persist: the near-dup stage inside this
     # call triggers actions anyway, and checkpoint blocks are released when
     # the caller drops the returned frame — a plain persist here is never
@@ -1129,7 +1142,14 @@ def curate_corpus(
     # this function returns), so repeated calls would each pin a
     # survivors-sized cache for the session's lifetime: the exact
     # cross-call leak class the r07 minhash fix removed.
-    deduped = exact_dedup(kept, text_col).localCheckpoint(eager=True)
+    # LAZY since r16 (r15 verdict #5, one barrier instead of two): eager
+    # ran the quality+dedup chain as its own up-front job and THEN the
+    # near-dup chain as another; lazy folds the materialization into the
+    # near-dup stage's first action (cluster_pairs' size-probe count),
+    # which computes and caches this frame on the way — every later
+    # consumer (the pair chain's remaining actions, the caller's
+    # anti-join) reads the same persisted blocks either way.
+    deduped = exact_dedup(kept, text_col).localCheckpoint(eager=False)
     clusters = cluster_pairs(
         minhash_near_dups(deduped, near_dup_threshold, text_col)
     )
