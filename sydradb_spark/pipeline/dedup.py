@@ -638,18 +638,29 @@ def minhash_query_index(
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over distinct whitespace tokens.
 
-    Bit i is the sign of Σ±1 over token-hash bit i. Computed as a NARROW map
-    over the documents table: the distinct-token-hash array stays an array
-    and each bit's signed sum is an ``aggregate`` over it — zero shuffle,
-    where the exploded form (tokens × 32 bit positions) cost two
-    partial-aggregating shuffles of a 32×-larger intermediate. Same per-doc
-    arithmetic volume, all JVM-side, embarrassingly parallel at any corpus
-    size. The token-hash array is aliased once (non-cheap, referenced 32
-    times) so CollapseProject keeps a single md5 pass per token.
-    """
-    import operator
-    from functools import reduce
+    Bit i is the sign of Σ±1 over token-hash bit i. The tokenize+hash64
+    pass stays a NARROW JVM map over the documents table (zero shuffle,
+    one md5 per distinct token); the 32 per-bit signed sums run in ONE
+    vectorized Arrow kernel (r16, guide §4.2). The previous shape folded
+    each bit with an ``aggregate`` HOF whose lambda is INTERPRETED per
+    element — 32 × tokens/doc lambda evaluations per doc was ~80% of the
+    fingerprint pass (measured 1.45 s vs 0.24 s for tokenize+hash alone
+    at sf0.1); the kernel replaces them with 32 vectorized popcount
+    passes.
 
+    EXACTNESS (why this is safe where the cosine HOF was not): the fold
+    is pure int64 arithmetic — Σ±1 over bit i equals
+    ``2·(count of elements with bit i set) − n``, both computed exactly
+    in any order, and the bit test ``s > 0`` is an integer compare. Edge
+    semantics replicated from the HOF form and pinned by test: a NULL
+    token-hash element contributes −1 (its ``when`` falls to the
+    otherwise branch) — the kernel zero-fills null slots, and a zero
+    element has no bits set, i.e. contributes −1 to every bit, the same
+    thing; an empty array gives every-bit s=0 → simhash 0; a NULL array
+    gives NULL folds, so every ``when(s > 0, …)`` falls to 0 → simhash 0.
+    hash64 values are 60-bit non-negative, so numpy's arithmetic ``>>``
+    matches Spark's ``shiftright``.
+    """
     th = _spread(docs).select(
         "doc_id",
         F.transform(
@@ -657,20 +668,48 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             lambda t: hash64(t),
         ).alias("__th"),
     )
-    bit_cols = []
-    for i in range(SIMHASH_BITS):
-        s = F.aggregate(
-            F.col("__th"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(
-                F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        bit_cols.append(
-            F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return th.select("doc_id", reduce(operator.add, bit_cols).alias("simhash"))
+    n_bits = SIMHASH_BITS
+    id_t = th.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_id {id_t}, simhash long"
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            col = batch.column(1)
+            n = len(col)
+            # raw child + raw offsets: aligned by Arrow's layout even for
+            # sliced batches or null list slots (see with_sign_bucket_norm)
+            flat = col.values
+            if flat.null_count:
+                flat = pc.fill_null(flat, 0)  # NULL element ≡ −1/bit, like the HOF
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base = int(offs[0])
+            lo = offs[:-1] - base
+            hi = offs[1:] - base
+            lens = hi - lo
+            row_null = col.is_null().to_numpy(zero_copy_only=False)
+            sim = np.zeros(n, dtype=np.int64)
+            vals = flat.to_numpy(zero_copy_only=False)[base : int(offs[-1])]
+            if n and len(vals):
+                # per-row set-bit counts via prefix sums (no reduceat
+                # empty-segment quirks); counts for empty rows are 0
+                c = np.empty(len(vals) + 1, dtype=np.int64)
+                c[0] = 0
+                for i in range(n_bits):
+                    np.cumsum((vals >> i) & 1, out=c[1:])
+                    counts = c[hi] - c[lo]
+                    sim |= ((2 * counts > lens).astype(np.int64)) << i
+            if row_null.any():
+                sim[row_null] = 0  # NULL array → every when() falls to 0
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sim, type=pa.int64())],
+                names=[batch.schema.names[0], "simhash"],
+            )
+
+    return th.mapInArrow(kern, out_schema)
 
 
 def simhash_near_pairs(

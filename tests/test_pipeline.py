@@ -121,6 +121,86 @@ def test_simhash_identical_and_near(docs):
     assert pairs[(1, 4)] == 0  # identical text → identical simhash
 
 
+def test_simhash_kernel_exact_vs_hof_and_duckdb(spark):
+    """The r16 Arrow fold kernel must equal the r15 per-bit HOF aggregate
+    AND the DuckDB oracle twin exactly — integer arithmetic, so equality
+    is total, including the edges: NULL text → 0, empty/whitespace text
+    → simhash of the [''] token, single token, and real-shaped docs."""
+    import operator
+    from functools import reduce
+
+    from sydradb_spark.pipeline.hashing import hash64
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "one"),
+        (7, " ".join(f"tok{i % 97}" for i in range(500))),
+    ]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(frame).collect()}
+
+    # HOF twin (the pre-r16 in-JVM shape, reconstructed)
+    th = frame.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")),
+            lambda t: hash64(t),
+        ).alias("__th"),
+    )
+    bit_cols = []
+    for i in range(dedup.SIMHASH_BITS):
+        s = F.aggregate(
+            F.col("__th"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(
+                F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(
+            F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in th.select(
+            "doc_id", reduce(operator.add, bit_cols).alias("s")
+        ).collect()
+    }
+    assert got == hof
+
+    # DuckDB twin (the oracle's CTE chain over the same rows)
+    import duckdb
+
+    from sydradb_spark.contract.pipeline import _SIMHASH_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else repr(t)})" for i, t in rows
+        )
+        + ") AS t(doc_id, text)"
+    )
+    duck = dict(
+        con.sql(f"WITH {_SIMHASH_SQL} SELECT doc_id, simhash FROM sim").fetchall()
+    )
+    # PRE-EXISTING oracle-side edge (r15 and earlier, NOT changed by the
+    # kernel — the HOF assertion above already pins kernel == old engine):
+    # the dtok CTE emits NO rows for NULL text and for empty/whitespace
+    # text (its length(trim)=0 guard yields []), so those docs are absent
+    # from the oracle's sim, while the engine keeps NULL text at 0 and
+    # hashes the [''] token Spark's split(trim('')) produces. Unreachable
+    # with the corpus generators (no NULL/empty documents). Compare the
+    # engines where the oracle emits rows:
+    assert set(duck) == {1, 2, 6, 7}
+    assert {k: got[k] for k in duck} == duck
+    assert got[3] == 0  # NULL text: every when() falls to 0
+
+
 def test_ngram_jaccard(docs):
     out = {
         (r["a"], r["b"]): r["jaccard"]
