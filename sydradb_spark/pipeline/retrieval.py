@@ -108,7 +108,21 @@ def bm25_write_index(docs: DataFrame, path: str, text_col: str = "text") -> None
     doc-local, so append-only maintenance (``bm25_index(new).withColumn(
     'tb', term_bucket(...)).write.mode('append')``) stays exact."""
     idx = bm25_index(docs, text_col).withColumn("tb", term_bucket(F.col("term")))
-    idx.write.mode("overwrite").partitionBy("tb").parquet(path)
+    # cluster by the partition column before the partitioned write (r16,
+    # guide §6 small files): unshuffled, every upstream task writes into
+    # every term bucket it sees — tasks × buckets files. One narrow
+    # shuffle keyed on tb makes it one file per bucket; the (tb, term)
+    # sort satisfies the dynamic-partition writer's required ordering
+    # (otherwise it stacks its own Sort and drops ours) and gives the
+    # postings row-group min/max stats on term.
+    n_tasks = int(idx.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    (
+        idx.repartition(n_tasks, F.col("tb"))
+        .sortWithinPartitions("tb", "term")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path)
+    )
 
 
 def bm25_read_index(spark, path: str) -> DataFrame:

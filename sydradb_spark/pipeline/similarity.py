@@ -626,8 +626,20 @@ def write_ivf_index(
         F.col(emb_col).alias("__ce"),
         assign_cluster(F.col(emb_col), centroids).alias("cluster"),
     )
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "assignments")
+    # cluster by the partition column before the partitioned write (r16,
+    # guide §6 small files): unshuffled, every scan task writes into every
+    # cluster dir — tasks × k files of a few rows each. One narrow shuffle
+    # keyed on cluster makes it one file per cluster; leading the sort
+    # with it satisfies the dynamic-partition writer's required ordering.
+    n_tasks = int(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    (
+        assigned.repartition(n_tasks, F.col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "assignments"))
     )
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(centroids, f)

@@ -181,13 +181,47 @@ def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> C
     The rolling hash is inherently sequential per document, which makes it
     the legitimate Pandas-UDF case: nested JVM higher-order functions
     (transform/aggregate per gram) fall back to interpreted evaluation and
-    ran ~100x slower than this Arrow-batched kernel. The arithmetic is exact
-    integer math, mirrored 1:1 by the DuckDB oracle."""
+    ran ~100x slower than an Arrow-batched kernel. The arithmetic is exact
+    integer math, mirrored 1:1 by the DuckDB oracle.
+
+    Vectorized (r16, guide §4.2): the per-character Python loop (one
+    interpreted mod-multiply per char, plus a w-slice ``min`` per window)
+    is replaced by the closed form of the same polynomial hash —
+    ``H_i = ((S[i+k] − S[i]) mod m) · b^(k−1+i) mod m`` with
+    ``S = cumsum(c_t · b^(−t) mod m)`` — which is EXACTLY the recurrence's
+    value: ``binv^t · b^(k−1+i) ≡ b^(k−1−(t−i)) (mod m)`` term by term,
+    and every intermediate stays exact in int64 (codes < 2^21,
+    mod < 2^31, products < 2^62; the un-reduced cumsum would need a
+    2^32-char document to overflow). Window minima are w−1 vectorized
+    ``np.minimum`` passes; ``np.unique`` IS sorted-distinct. Measured
+    ~17x on the sf0.1 corpus kernel (see OPTIMIZATION_r16.md); output
+    bit-identical (pinned by the pure-Python twin tests)."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     base, mod = WINNOW_BASE, WINNOW_MOD
-    lead = pow(base, k - 1, mod)  # weight of the outgoing char
+    binv = pow(base, mod - 2, mod)  # mod is prime (Fermat inverse)
+    # closure-local power-table cache, NOT a module-level helper: the
+    # kernel must stay self-contained so it unpickles on workers that do
+    # not have sydradb_spark on sys.path (the r12 bpe_encode lesson; see
+    # the verify skill's bare-session gotcha). The cache is built once per
+    # task deserialization and grown geometrically — a one-off Python loop
+    # of max-doc-length iterations per task, amortized over every doc.
+    pows: dict = {}
+
+    def pow_tables(n: int):
+        bp, ip = pows.get("t", (None, None))
+        if bp is None or len(bp) < n:
+            size = 1 << max(12, (n - 1).bit_length())
+            bp = np.empty(size, dtype=np.int64)
+            ip = np.empty(size, dtype=np.int64)
+            bp[0] = ip[0] = 1
+            for j in range(1, size):
+                bp[j] = bp[j - 1] * base % mod
+                ip[j] = ip[j - 1] * binv % mod
+            pows["t"] = (bp, ip)
+        return bp, ip
 
     @pandas_udf(ArrayType(LongType()))
     def _winnow(texts: pd.Series) -> pd.Series:
@@ -198,16 +232,24 @@ def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> C
             if n < k + w - 1:
                 out.append([])
                 continue
-            codes = [ord(c) for c in t]
-            h = 0
-            for c in codes[:k]:
-                h = (h * base + c) % mod
-            hashes = [h]
-            for i in range(k, n):
-                h = ((h - codes[i - k] * lead) * base + codes[i]) % mod
-                hashes.append(h)
-            mins = {min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)}
-            out.append(sorted(mins))
+            try:
+                # code points == ord(c) for every char; utf-32-le is the
+                # vectorized spelling of [ord(c) for c in t]
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+            except UnicodeEncodeError:  # lone surrogates: ord() still works
+                codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+            bp, ip = pow_tables(n + k)
+            s = np.empty(n + 1, dtype=np.int64)
+            s[0] = 0
+            np.cumsum(codes * ip[:n] % mod, out=s[1:])
+            L = n - k + 1  # one hash per k-gram
+            h = (s[k:] - s[:L]) % mod * bp[k - 1 : k - 1 + L] % mod
+            mins = h[: L - w + 1].copy()
+            for off in range(1, w):
+                np.minimum(mins, h[off : off + L - w + 1], out=mins)
+            out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
     return _winnow(text)
@@ -678,7 +720,24 @@ def winnow_write_index(
     idx = winnow_index(docs, k, w, text_col).withColumn(
         "fpb", winnow_fp_bucket(F.col("fp"))
     )
-    idx.write.mode("overwrite").partitionBy("fpb").parquet(f"{path}/fps")
+    # cluster by the partition column before the partitioned write (r16,
+    # guide §6 small files): unshuffled, EVERY scan task writes a file into
+    # EVERY bucket dir it sees — tasks × buckets files (measured 2048 data
+    # files for a 540k-row index at sf0.1, write 4.7 s of the 5.9 s build).
+    # One narrow shuffle keyed on fpb makes it one file per bucket. The
+    # sort leads with fpb — the dynamic-partition write REQUIRES an
+    # ordering on the partition column and would otherwise stack its own
+    # Sort and drop ours (the storage.write_points r16 finding) — and the
+    # fp secondary gives row-group min/max stats the query side's
+    # fingerprint semi-join can skip on.
+    n_tasks = int(idx.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    (
+        idx.repartition(n_tasks, F.col("fpb"))
+        .sortWithinPartitions("fpb", "fp")
+        .write.mode("overwrite")
+        .partitionBy("fpb")
+        .parquet(f"{path}/fps")
+    )
     with open(f"{path}/_INDEX_VERSION", "w") as fh:
         fh.write(f"{WINNOW_INDEX_VERSION}\n")
 

@@ -3305,3 +3305,78 @@ def test_bpe_select_disjoint_skips_output_collisions():
     # plain symbol overlap still skipped (pre-existing behavior)
     got = _select_disjoint([("a b", 10), ("b c", 9), ("d e", 8)], 3)
     assert got == [("a", "b"), ("d", "e")]
+
+
+def test_winnow_fingerprints_vectorized_matches_python_reference(spark):
+    """r16: winnow_fingerprints' vectorized closed-form kernel must be
+    bit-identical to the original per-character rolling-hash loop (which
+    the DuckDB oracle mirrors 1:1) — including ordering (sorted distinct),
+    boundary lengths, unicode code points, and NULL text."""
+    k, w = text.WINNOW_K, text.WINNOW_W
+    base, mod = text.WINNOW_BASE, text.WINNOW_MOD
+
+    def py_ref(t):  # the pre-r16 implementation, verbatim semantics
+        t = (t or "").strip()
+        n = len(t)
+        if n < k + w - 1:
+            return []
+        lead = pow(base, k - 1, mod)
+        codes = [ord(c) for c in t]
+        h = 0
+        for c in codes[:k]:
+            h = (h * base + c) % mod
+        hs = [h]
+        for i in range(k, n):
+            h = ((h - codes[i - k] * lead) * base + codes[i]) % mod
+            hs.append(h)
+        return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "a" * (k + w - 2)),   # one char short of the minimum
+        (5, "a" * (k + w - 1)),   # exactly the minimum: one window
+        (6, "ab" * 64),
+        (7, "  padded with whitespace to strip  "),
+        (8, "héllo wörld ü 日本語テキスト" * 8),
+        (9, chr(0x10FFFF) * (k + w)),  # max code point
+        (10, "the quick brown fox jumps over the lazy dog " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for doc_id, t in rows:
+        assert got[doc_id] == py_ref(t), f"doc {doc_id} diverged"
+
+
+def test_partitioned_index_writes_one_file_per_bucket(spark, tmp_path):
+    """r16 (guide §6): the fingerprint/term-partitioned index writes must
+    cluster rows by the partition column before writing — otherwise every
+    upstream task writes a file into every bucket dir (tasks × buckets
+    files; measured 2048 data files for a 540k-row winnow index)."""
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared words body " * 4)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    wn = str(tmp_path / "wn")
+    text.winnow_write_index(docs, wn)
+    for bucket_dir in glob.glob(os.path.join(wn, "fps", "fpb=*")):
+        parts = glob.glob(os.path.join(bucket_dir, "part-*.parquet"))
+        assert len(parts) == 1, f"{bucket_dir}: {len(parts)} files"
+
+    from sydradb_spark.pipeline import retrieval
+
+    bm = str(tmp_path / "bm")
+    retrieval.bm25_write_index(docs, bm)
+    for bucket_dir in glob.glob(os.path.join(bm, "tb=*")):
+        parts = glob.glob(os.path.join(bucket_dir, "part-*.parquet"))
+        assert len(parts) == 1, f"{bucket_dir}: {len(parts)} files"
