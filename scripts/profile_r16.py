@@ -128,6 +128,8 @@ def capture_counts(suffix: str = "before") -> None:
         job_ids = tracker.getJobIdsForGroup(group)
         stages: set[int] = set()
         n_tasks = 0
+        n_done = 0
+        n_run_stages = 0
         for j in job_ids:
             info = tracker.getJobInfo(j)
             if info is None:
@@ -139,10 +141,24 @@ def capture_counts(suffix: str = "before") -> None:
                 si = tracker.getStageInfo(s)
                 if si is not None:
                     n_tasks += si.numTasks
+                    # a job DAG lists SKIPPED stages too (cached/persisted
+                    # upstream, reused shuffle output) — those run 0 tasks.
+                    # Lazy checkpoints make consumers CARRY the upstream DAG
+                    # as skipped stages where an eager checkpoint hid it in a
+                    # dedicated job, so raw `stages`/`tasks` overstate lazy
+                    # shapes; `stages_executed`/`tasks_completed` count what
+                    # actually ran (r16 addition, keys-only — the r15-verdict
+                    # evidence upgrade taken one step further).
+                    done = si.numCompletedTasks
+                    n_done += done
+                    if done > 0:
+                        n_run_stages += 1
         out[name] = {
             "jobs": len(job_ids),
             "stages": len(stages),
+            "stages_executed": n_run_stages,
             "tasks": n_tasks,
+            "tasks_completed": n_done,
             "wall_s": wall,
         }
         print(f"{name}: {out[name]}", flush=True)
