@@ -1952,12 +1952,21 @@ def _vocab_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       add-alpha LM (stabilized 9dp→6dp rounding inside lm_score_docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # r15: the 200-row vocabulary feeds BOTH the ``vocab`` branch and the
-    # ``coverage`` branch's broadcast — as plain union branches each re-ran
-    # the full explode+count+top-k chain (one whole corpus tokenize each).
-    # Checkpoint the 200 rows; the chain runs once per invocation. Lazy:
-    # dedup without an up-front materialization job (A/B: lazy ≈ eager).
-    vocab = text.vocab_topk(docs, n=_VOCAB_N).localCheckpoint(eager=False)
+    # r16 (supersedes the r15 200-row vocab checkpoint): the token-COUNTS
+    # table is the real share point — the ``vocab`` branch is a top-k over
+    # it and the ``coverage`` branch's totals are integer SUMS over it
+    # (occurrences of token t = its count), so deriving coverage from the
+    # checkpointed counts removes the branch's whole corpus
+    # tokenize+explode pass (guide §2.4). The persist is Zipf-bounded
+    # (distinct tokens), not corpus-bounded; values are exactly equal —
+    # integer sums — pinned by test_token_coverage_from_counts_matches_stream
+    # and the unchanged DuckDB twin.
+    counts = (
+        text.word_freq_table(docs)
+        .select(F.col("word").alias("token"), F.col("freq").alias("count"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = text.vocab_topk_from_counts(counts, n=_VOCAB_N)
     v = vocab.select(
         F.lit("vocab").alias("part"),
         F.col("token").alias("k"),
@@ -1965,7 +1974,7 @@ def _vocab_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("b"),
         F.lit(None).cast("double").alias("x"),
     )
-    cov = text.token_coverage(docs, vocab.select("token")).select(
+    cov = text.token_coverage_from_counts(counts, vocab.select("token")).select(
         F.lit("coverage").alias("part"),
         F.lit(None).cast("string").alias("k"),
         F.col("total_tokens").alias("a"),

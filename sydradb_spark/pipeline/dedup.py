@@ -236,10 +236,120 @@ def minhash_signatures_hashed(hashed: DataFrame, col: str = "__h64") -> DataFram
     )
 
 
-def band_signatures(minh: DataFrame) -> DataFrame:
+def minhash_signatures_from_arrays(
+    arrays: DataFrame, arr_col: str = "arr", keep_arr: bool = False
+) -> DataFrame:
+    """(doc_id, m0..m{NUM_HASHES-1}) signatures computed DOC-LOCALLY from a
+    ``shingle_arrays``-shaped frame (one row per doc, ``arr``: the doc's
+    distinct shingle hash64 values) in one vectorized Arrow kernel.
+
+    This removes BOTH halves of the exploded route (r16, guide §2.4/§4.2):
+    the explode multiplied the frame by shingles/doc (~150×) only so a
+    16-column projection could feed a hash aggregate, and the
+    ``groupBy(doc_id)`` min-aggregation was a full corpus-keyed SHUFFLE.
+    The signature of a doc depends on its own array alone, so the kernel
+    computes all 16 minima per doc in a map-only pass — zero shuffle, no
+    row multiplication; at 100 TB the explode+shuffle simply does not
+    exist. (The r6 A/B that rejected array-form signatures measured JVM
+    ``aggregate()`` HOFs, whose lambdas are interpreted per element — the
+    Arrow kernel has neither that cost nor the explode's.)
+
+    EXACTNESS: bit-identical to ``minhash_signatures_hashed`` by
+    construction — hash64 values are non-negative 60-bit, so
+    ``pmod(h, M) == h % M``; each ``(A_i·h + B_i) % P`` stays < 2^63
+    (A_i < 2^31, h mod M < 2^31, products < 2^62) so int64 arithmetic is
+    exact on both engines; ``min`` over identical int64 values is
+    order-free. Edge semantics replicate the explode: an EMPTY (or NULL)
+    array produces no exploded rows, hence no signature row — the kernel
+    drops those docs. Input contract: one row per doc (both call sites
+    derive from ``shingle_arrays``); the exploded route's groupBy would
+    merge duplicate doc_ids, this does not.
+
+    Pinned by ``test_minhash_signature_kernel_matches_exploded_route``
+    (real corpus + crafted empty/single/unicode edges).
+
+    ``keep_arr=True`` additionally passes the (filtered) shingle array
+    through as ``arr`` — the r16 verify-side fusion: carrying each doc's
+    set WITH its signature lets ``bucket_verified_pairs`` skip the
+    bands ⋈ arrays join entirely (the anti-join of the hot-bucket guard
+    already hash-partitions the carried rows by (band, sig), which the
+    bucket collect reuses — one payload shuffle, zero joins).
+    """
+    slim = arrays.select("doc_id", F.col(arr_col).alias("__arr"))
+    id_t = slim.schema["doc_id"].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"doc_id {id_t}"]
+        + (["arr array<long>"] if keep_arr else [])
+        + [f"m{i} long" for i in range(NUM_HASHES)]
+    )
+    a_consts = list(MINHASH_A)
+    b_consts = list(MINHASH_B)
+    mod_m = MINHASH_M
+    mod_p = MINHASH_P
+    n_sigs = NUM_HASHES
+
+    # self-contained closure (no module-level helpers): unpickles on workers
+    # without the repo on sys.path — the r12 bare-session lesson
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(1)
+            n = len(col)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base = int(offs[0])
+            lo = offs[:-1] - base
+            hi = offs[1:] - base
+            row_null = col.is_null().to_numpy(zero_copy_only=False)
+            # drop docs the explode would drop: NULL or empty arrays
+            keep = (~row_null) & (hi > lo)
+            if not keep.any():
+                continue
+            vals = col.values.to_numpy(zero_copy_only=False)[base : int(offs[-1])]
+            h = vals % mod_m
+            # reduceat over the KEPT rows' start offsets: offsets are
+            # contiguous (hi[j] == lo[j+1]), so kept row j's segment
+            # [lo_j, next kept lo) covers exactly its own values plus the
+            # spans of any dropped rows in between — empty rows span
+            # nothing, and a (defensive; Spark never produces one here)
+            # NULL slot with a non-empty span holds undefined bytes, which
+            # the sentinel mask below excludes from every min. Every kept
+            # start is < len(vals) (kept ⇒ lo < hi ≤ len), so the indices
+            # are valid, and the final segment ends at the end of the
+            # batch's own values slice.
+            starts = lo[keep]
+            bad = row_null & (hi > lo)
+            gmask = None
+            if bad.any():
+                gmask = np.zeros(len(vals), dtype=bool)
+                for j in np.nonzero(bad)[0]:
+                    gmask[lo[j] : hi[j]] = True
+            mins = []
+            for i in range(n_sigs):
+                sig = (a_consts[i] * h + b_consts[i]) % mod_p
+                if gmask is not None:
+                    # larger than any (… % P) value, so never the min
+                    sig[gmask] = np.iinfo(np.int64).max
+                mins.append(np.minimum.reduceat(sig, starts))
+            keep_pa = pa.array(keep)
+            cols = [batch.column(0).filter(keep_pa)]
+            names = [batch.schema.names[0]]
+            if keep_arr:
+                cols.append(col.filter(keep_pa))
+                names.append("arr")
+            cols += [pa.array(m, type=pa.int64()) for m in mins]
+            names += [f"m{i}" for i in range(n_sigs)]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return slim.mapInArrow(kern, out_schema)
+
+
+def band_signatures(minh: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, band, sig) LSH band signatures from a (doc_id, m0..mN)
     signature frame — per-band signature string (r consecutive minima
-    joined)."""
+    joined). ``carry`` names extra input columns to keep on every band row
+    (r16: the verify-side fusion rides the doc's shingle array along)."""
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -254,8 +364,13 @@ def band_signatures(minh: DataFrame) -> DataFrame:
         for b in range(NUM_BANDS)
     ]
     return minh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
 
 
 def minhash_band_signatures(sh: DataFrame) -> DataFrame:
@@ -311,7 +426,7 @@ def lsh_candidate_pairs(
 
 def bucket_verified_pairs(
     band_sigs: DataFrame,
-    arrays: DataFrame,
+    arrays: DataFrame | None,
     threshold: float,
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
@@ -348,7 +463,26 @@ def bucket_verified_pairs(
         from sydradb_spark.util import drop_hot_keys
 
         band_sigs = drop_hot_keys(band_sigs, ["band", "sig"], max_bucket)
-    members = band_sigs.join(arrays, on="doc_id")
+    # r16 verify-side fusion: when the caller carried each doc's shingle
+    # array ON the band rows (minhash_signatures_from_arrays(keep_arr=True)
+    # + band_signatures(carry=("arr",))), the bands ⋈ arrays join is
+    # unnecessary — the rows already hold exactly what the join attached
+    # (doc_id is unique per arrays row, so inner-join-on-doc_id ≡ the
+    # carried column, row for row). The hot-key guard's anti-join above
+    # hash-partitions these rows by (band, sig), which the bucket collect
+    # below reuses: the arr payload crosses ONE exchange, and no join
+    # exists to mis-plan. The ``arrays`` argument remains for callers whose
+    # bands come from storage without the array (minhash_query_index — the
+    # on-disk band layout is unchanged).
+    if "arr" in band_sigs.columns:
+        members = band_sigs
+    else:
+        if arrays is None:
+            raise ValueError(
+                "bucket_verified_pairs: bands carry no 'arr' column and no "
+                "arrays frame was supplied"
+            )
+        members = band_sigs.join(arrays, on="doc_id")
     buckets = (
         members.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "arr"))).alias("ms"))
@@ -494,46 +628,43 @@ def minhash_near_dups(
     """Near-duplicate pairs (a, b, jaccard ≥ threshold): shingle → MinHash →
     LSH band buckets → in-bucket exact-Jaccard verify. Never all-pairs.
 
-    Scale shape history: signatures stay on the exploded route (round-6
-    A/B: codegen'd row arithmetic + map-side-combining min-aggregation
-    beat array-HOF signatures 6×; the groupBy shuffle is docs-bounded).
-    The VERIFY moved twice: the r6-r8 exploded-join verify
-    (``jaccard_for_pairs``) shuffle-writes |pairs| × shingles/doc rows,
-    which the sf100 campaign measured at ~230 GB for a 560 MB corpus
+    Scale shape history: the VERIFY moved twice — the r6-r8 exploded-join
+    verify (``jaccard_for_pairs``) shuffle-writes |pairs| × shingles/doc
+    rows, which the sf100 campaign measured at ~230 GB for a 560 MB corpus
     (100M candidates from r=2 banding) — fatal regardless of candidate
     filtering. Round 9 verifies inside the buckets instead
     (``bucket_verified_pairs``): the shuffle is NUM_BANDS × the tokenized
-    corpus, independent of how many candidates banding admits. No
-    corpus-sized persist remains — the shingle table now has exactly one
-    consumer (the signature chain), and AQE exchange reuse covers the
-    hot-key guard's double read of the band table.
+    corpus, independent of how many candidates banding admits. Round 16
+    removed the chain's remaining joins and shuffles outright: signatures
+    are computed DOC-LOCALLY from the shingle arrays in one Arrow kernel
+    (``minhash_signatures_from_arrays`` — the r6→r15 exploded route's
+    ~150× row multiplication and its corpus-keyed groupBy shuffle no
+    longer exist), and each doc's array rides ON its band rows
+    (``keep_arr``/``carry``), so the verify side needs no bands ⋈ arrays
+    join — the hot-bucket guard's anti-join partitions the carried rows by
+    (band, sig) and the bucket collect reuses that partitioning. Net plan:
+    one map-only pass over the corpus, then exactly the exchanges the
+    algorithm's s-curve requires (hot-key count, pair-dedup distinct).
 
-    The eager localCheckpoint materializes the (small) verified pair set
+    The lazy localCheckpoint materializes the (small) verified pair set
     once so multi-consumer callers (clustering fixpoint, curation) don't
     re-run the chain, and keeps the persist-hygiene contract (no plain
     persists to leak).
     """
-    # ONE tokenize pass (r15, guide §2.4 "remove passes outright"): the
-    # r9-r14 shape tokenized the corpus twice — shingle_table for the
-    # signature chain AND shingle_arrays for the in-bucket verify. The
-    # hashed shingle ARRAYS carry everything both sides need (signatures
-    # are min-aggregates over the same hash64 values — see
-    # minhash_signatures_hashed), so materialize the compact per-doc
-    # arrays once and derive both sides from them. The checkpoint is
-    # ~hashes-of-the-corpus (the r9 campaign measured it at ~1/4 the text
-    # bytes), bounded and doc-local; what it buys at any scale is a full
-    # corpus read + regex tokenize pass. A/B at sf0.1 (r15 host, 6
-    # interleaved reps): 3.15s -> 2.33s median, identical 256-pair output.
-    arrays = shingle_arrays(docs, text_col).localCheckpoint(eager=False)
-    hashed = arrays.select("doc_id", F.explode("arr").alias("__h64"))
-    # NOT checkpointed (r15, measured): the hot-bucket guard inside
-    # bucket_verified_pairs consumes the band table twice (count-aggregate
-    # + anti-join main side), but both consumers sit above canonically
-    # identical Exchanges that AQE's runtime stage reuse already dedups —
-    # an explicit checkpoint here A/B'd as a slight regression (cache
-    # write/read for work that only ran once anyway).
-    bands = band_signatures(minhash_signatures_hashed(hashed))
-    out = bucket_verified_pairs(bands, arrays, threshold)
+    # ONE tokenize pass (r15, guide §2.4 "remove passes outright"), now
+    # checkpointed AFTER the signature kernel (r16): the hot-bucket guard
+    # consumes the band rows twice (count-aggregate + anti-join main side)
+    # and there is no exchange between the kernel and those consumers, so
+    # un-persisted the tokenize+kernel would run twice. The persisted frame
+    # is (doc_id, arr, m0..m15) — the same doc-local bounded size class as
+    # the r15 arrays checkpoint (~1/4 of the text bytes) plus 128 B/doc of
+    # signature; what it buys is the corpus read + regex tokenize + kernel
+    # pass. Only the cheap JVM band explode re-runs per consumer.
+    sigs = minhash_signatures_from_arrays(
+        shingle_arrays(docs, text_col), keep_arr=True
+    ).localCheckpoint(eager=False)
+    bands = band_signatures(sigs, carry=("arr",))
+    out = bucket_verified_pairs(bands, None, threshold)
     # LAZY since r16 (r15 verdict #5): eager paid a dedicated
     # materialization job before any consumer ran; the persist under a
     # lazy checkpoint computes the chain inside the first consumer's
@@ -577,8 +708,8 @@ def minhash_write_index(docs: DataFrame, path: str, text_col: str = "text") -> N
     # can violate, for no savings (the checkpoint holds the same hashes).
     arrays = shingle_arrays(docs, text_col).localCheckpoint(eager=False)
     arrays.write.mode("overwrite").parquet(f"{path}/arrays")
-    hashed = arrays.select("doc_id", F.explode("arr").alias("__h64"))
-    band_signatures(minhash_signatures_hashed(hashed)).write.mode(
+    # doc-local signature kernel (r16) — same route as minhash_near_dups
+    band_signatures(minhash_signatures_from_arrays(arrays)).write.mode(
         "overwrite"
     ).parquet(f"{path}/bands")
     with open(f"{path}/_INDEX_VERSION", "w") as fh:

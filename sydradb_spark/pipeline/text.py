@@ -860,11 +860,20 @@ def vocab_topk(docs: DataFrame, n: int = 50_000, text_col: str = "text") -> Data
     ``n``, never by the corpus. Ties break on the token string, so the
     cut at rank n is deterministic.
     """
-    from pyspark.sql.window import Window
-
     counts = word_freq_table(docs, text_col).select(
         F.col("word").alias("token"), F.col("freq").alias("count")
     )
+    return vocab_topk_from_counts(counts, n)
+
+
+def vocab_topk_from_counts(counts: DataFrame, n: int) -> DataFrame:
+    """``vocab_topk`` over an already-aggregated (token, count) frame —
+    the r16 share point: a caller that also needs ``token_coverage`` can
+    aggregate the corpus once and derive both from the counts table (which
+    is Zipf-bounded, so sharing it is a bounded persist, never a corpus
+    one). Same TakeOrderedAndProject shape, same deterministic tie-break."""
+    from pyspark.sql.window import Window
+
     top = counts.orderBy(F.col("count").desc(), "token").limit(n)
     w = Window.orderBy(F.col("count").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -891,6 +900,38 @@ def token_coverage(
     return marked.agg(
         F.count("*").alias("total_tokens"),
         F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("covered_tokens"),
+    ).select(
+        "total_tokens",
+        "covered_tokens",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage"),
+    )
+
+
+def token_coverage_from_counts(counts: DataFrame, vocab: DataFrame) -> DataFrame:
+    """``token_coverage`` computed from an already-aggregated (token, count)
+    frame instead of re-exploding the corpus (r16, guide §2.4): occurrence
+    totals are sums over the distinct-token counts — integers, so the
+    result is EXACTLY ``token_coverage(docs, vocab)`` whenever ``counts``
+    aggregates the same tokenize (pinned by
+    ``test_token_coverage_from_counts_matches_stream``). One pass over the
+    Zipf-bounded counts table; the corpus is never touched."""
+    marked = counts.join(
+        F.broadcast(
+            vocab.select("token").distinct().withColumn("__hit", F.lit(1))
+        ),
+        on="token",
+        how="left",
+    )
+    return marked.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("__hit") == 1, F.col("count"))), F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
     ).select(
         "total_tokens",
         "covered_tokens",

@@ -3380,3 +3380,128 @@ def test_partitioned_index_writes_one_file_per_bucket(spark, tmp_path):
     for bucket_dir in glob.glob(os.path.join(bm, "tb=*")):
         parts = glob.glob(os.path.join(bucket_dir, "part-*.parquet"))
         assert len(parts) == 1, f"{bucket_dir}: {len(parts)} files"
+
+
+def test_minhash_signature_kernel_matches_exploded_route(spark):
+    """r16: the doc-local signature kernel (minhash_signatures_from_arrays)
+    must equal the exploded-route aggregation (explode + 16 min-aggs over
+    (A·h+B) mod p) EXACTLY — pure int64 arithmetic, so equality is total.
+    Edges: empty array (doc too short to shingle) and NULL text produce NO
+    signature row on either route (the explode drops them); single-shingle,
+    unicode, and long docs must agree value-for-value; string doc ids keep
+    the id type through the kernel."""
+    from sydradb_spark.tables import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    crafted = spark.createDataFrame(
+        [
+            (900001, ""),                        # no shingles → dropped
+            (900002, "one two"),                 # < k tokens → dropped
+            (900003, "one two three"),           # exactly one shingle
+            (900004, None),                      # NULL text → dropped
+            (900005, "a b c d e f g h i j " * 40),
+            (900006, "héllo wörld ünïcode tokens über alles"),
+            (900007, "  x   y z   w  "),         # whitespace runs
+        ],
+        "doc_id long, text string",
+    )
+    docs = real.unionByName(crafted)
+    arr = dedup.shingle_arrays(docs)
+    old = dedup.minhash_signatures_hashed(
+        arr.select("doc_id", F.explode("arr").alias("__h64"))
+    )
+    new = dedup.minhash_signatures_from_arrays(arr)
+    assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
+    n = new.count()
+    assert n == old.count() and n > 0
+    # dropped-doc semantics: the too-short and NULL docs have no row
+    present = {
+        r["doc_id"]
+        for r in new.where(F.col("doc_id") >= 900000).select("doc_id").collect()
+    }
+    assert present == {900003, 900005, 900006, 900007}
+
+    # keep_arr passthrough: same signatures, arr identical to the input's
+    carried = dedup.minhash_signatures_from_arrays(arr, keep_arr=True)
+    assert carried.drop("arr").exceptAll(new).isEmpty()
+    joined = (
+        carried.select("doc_id", F.col("arr").alias("carried"))
+        .join(arr, on="doc_id")
+        .where(F.col("carried") != F.col("arr"))
+    )
+    assert joined.isEmpty()
+
+    # string doc ids survive the kernel with their type
+    sdocs = docs.where(F.col("text").isNotNull()).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    sarr = dedup.shingle_arrays(sdocs)
+    sold = dedup.minhash_signatures_hashed(
+        sarr.select("doc_id", F.explode("arr").alias("__h64"))
+    )
+    snew = dedup.minhash_signatures_from_arrays(sarr)
+    assert snew.schema["doc_id"].dataType.simpleString() == "string"
+    assert sold.exceptAll(snew).isEmpty() and snew.exceptAll(sold).isEmpty()
+
+
+def test_minhash_fused_verify_matches_join_route(spark):
+    """r16: the carried-array verify (bands ride each doc's shingle set;
+    no bands ⋈ arrays join) must answer exactly what the join-route
+    bucket_verified_pairs answers — which is also what minhash_query_index
+    still runs against the on-disk layout."""
+    from sydradb_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    arr = dedup.shingle_arrays(docs)
+    joined_route = dedup.bucket_verified_pairs(
+        dedup.band_signatures(dedup.minhash_signatures_from_arrays(arr)),
+        arr,
+        0.2,
+    )
+    fused = dedup.minhash_near_dups(docs, 0.2)
+    assert joined_route.exceptAll(fused).isEmpty()
+    assert fused.exceptAll(joined_route).isEmpty()
+    assert fused.count() > 0
+    # no arr column leaks into the pair output
+    assert fused.columns == ["a", "b", "jaccard"]
+
+
+def test_token_coverage_from_counts_matches_stream(spark):
+    """r16: coverage derived from the aggregated (token, count) table must
+    equal the stream form exactly — integer occurrence sums — including an
+    empty corpus, an empty vocab, and full coverage."""
+    rows = [
+        (1, "a b a c"),
+        (2, "b b d"),
+        (3, ""),
+        (4, None),
+        (5, "é é ü"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = text.word_freq_table(docs).select(
+        F.col("word").alias("token"), F.col("freq").alias("count")
+    )
+    for vocab_rows in ([("a",), ("b",), ("é",)], [], [("zzz",)], [("a",), ("a",)]):
+        vocab = spark.createDataFrame(vocab_rows, "token string")
+        want = text.token_coverage(docs, vocab).collect()[0].asDict()
+        got = text.token_coverage_from_counts(counts, vocab).collect()[0].asDict()
+        assert got == want, (vocab_rows, got, want)
+    empty = docs.where(F.lit(False))
+    ec = text.word_freq_table(empty).select(
+        F.col("word").alias("token"), F.col("freq").alias("count")
+    )
+    vocab = spark.createDataFrame([("a",)], "token string")
+    want = text.token_coverage(empty, vocab).collect()[0].asDict()
+    got = text.token_coverage_from_counts(ec, vocab).collect()[0].asDict()
+    assert got == want == {
+        "total_tokens": 0,
+        "covered_tokens": 0,
+        "coverage": 0.0,
+    }
+    # vocab_topk delegation: same rows through the counts form
+    a = text.vocab_topk(docs, n=3).collect()
+    b = text.vocab_topk_from_counts(counts, n=3).collect()
+    assert a == b
